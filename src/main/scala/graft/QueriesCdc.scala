@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding
+import org.apache.spark.sql.types._
+import graft.cdc.{Envelope, PkTable, RoutineLoad}
+
+/** CDC / pipeline-core query surface (SURVEY §2 section A).
+  *
+  * The `events` table doubles as a deterministic CDC changelog:
+  * key = user_id, version = (ts, event_id), and the op code derives
+  * from event_type (signup→c, error→d, else u) — mirroring the
+  * insert/update/delete stream `continuous-ingest.sh` drives through
+  * the reference pipeline.
+  */
+object QueriesCdc {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  private def opCol: Column =
+    when(col("event_type") === "signup", Envelope.OpCreate)
+      .when(col("event_type") === "error", Envelope.OpDelete)
+      .otherwise(Envelope.OpUpdate)
+
+  /** events with the derived CDC op column. */
+  private def changelog(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("op", opCol)
+
+  private val ordersPayload = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+
+  private val eventsPayload = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: initial snapshot read (snapshot.mode=initial)
+    "cdc_snapshot_read" -> ((s, dir) => Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), TsFmt).as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))),
+
+    // A2: envelope encode → parse → ExtractNewRecordState roundtrip
+    "cdc_envelope_roundtrip" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val payloadCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority").map(col)
+      val enveloped = o.select(Envelope.encode(lit(Envelope.OpRead),
+        (unix_timestamp(col("o_orderdate")) * 1000).as("tsms"),
+        payloadCols, "testdb", "orders").as("json"))
+      val parsed = enveloped.select(Envelope.parse(col("json"), ordersPayload).as("env"))
+      Envelope.extractNewRecordState(parsed, col("env"), ordersPayload)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), TsFmt).as("o_orderdate"),
+          col("o_orderpriority"), col("__deleted"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // A3: unwrap with delete.handling.mode=rewrite over the changelog
+    "cdc_unwrap_rewrite" -> { (s, dir) =>
+      val chg = changelog(s, dir)
+      val payloadCols = Seq(col("event_id"), col("user_id"), col("value"))
+      val enveloped = chg.select(Envelope.encode(col("op"),
+        (col("ts").cast("double") * 1000).cast("long"),
+        payloadCols, "testdb", "events").as("json"))
+      val parsed = enveloped.select(Envelope.parse(col("json"), eventsPayload).as("env"))
+      Envelope.extractNewRecordState(parsed, col("env"), eventsPayload)
+        .select(col("event_id"), col("user_id"),
+          Rounding.r(col("value"), 4).as("value"), col("__deleted"), col("__op"))
+        .orderBy(col("event_id"))
+    },
+
+    // A4: primary-key table compaction (StarRocks PK upsert semantics)
+    "cdc_upsert_latest" -> { (s, dir) =>
+      val chg = changelog(s, dir)
+      PkTable.compact(chg, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), col("op") === Envelope.OpDelete)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          Rounding.r(col("value"), 4).as("last_value"),
+          date_format(col("ts"), TsFmt).as("last_ts"))
+        .orderBy(col("user_id"))
+    },
+
+    // A5: live vs soft-deleted key accounting (pipeline reconciliation)
+    "cdc_delete_stats" -> { (s, dir) =>
+      val chg = changelog(s, dir)
+      val latest = chg.groupBy(col("user_id"))
+        .agg(max_by(col("op"), struct(col("ts"), col("event_id"))).as("last_op"))
+      latest.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("last_op") === Envelope.OpDelete, 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(col("last_op") =!= Envelope.OpDelete, 1L).otherwise(0L)).as("n_live"))
+    },
+
+    // A6: Routine-Load-style JSON-lines ingestion via jsonpaths
+    "cdc_routine_load" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val jsonLines = o.select(to_json(struct(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), TsFmt).as("o_orderdate"),
+        col("o_orderpriority"))).as("line"))
+      RoutineLoad.map(jsonLines, col("line"), Seq(
+        RoutineLoad.ColumnSpec("o_orderkey", "$.o_orderkey", LongType),
+        RoutineLoad.ColumnSpec("o_custkey", "$.o_custkey", LongType),
+        RoutineLoad.ColumnSpec("o_orderstatus", "$.o_orderstatus", StringType),
+        RoutineLoad.ColumnSpec("o_totalprice", "$.o_totalprice", DoubleType),
+        RoutineLoad.ColumnSpec("o_orderdate", "$.o_orderdate", StringType),
+        RoutineLoad.ColumnSpec("o_orderpriority", "$.o_orderpriority", StringType)))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // A7: schema drift tolerance — new column absent from old messages
+    "cdc_schema_evolution" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val oldMessages = o.select(to_json(struct(
+        col("o_orderkey"), col("o_orderstatus"),
+        lit("ignored-unknown-field").as("o_legacy"))).as("line"))
+      val evolved = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_channel", StringType)))
+      RoutineLoad.fromJsonTyped(oldMessages, col("line"), evolved)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          coalesce(col("o_channel"), lit("unknown")).as("o_channel"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // A10: initial snapshot + changelog tail merged into one view
+    "cdc_snapshot_then_merge" -> { (s, dir) =>
+      val snap = Tables.customer(s, dir).select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"),
+        lit("1970-01-01 00:00:00").cast("timestamp").as("ver_ts"),
+        lit(-1L).as("ver_seq"), lit("x").as("event_type"))
+      val chg = changelog(s, dir).select(
+        col("user_id").as("k"), concat(lit("user_"), col("user_id")).as("name"),
+        col("value").as("bal"), lit("EVENT").as("seg"),
+        col("ts").as("ver_ts"), col("event_id").as("ver_seq"), col("event_type"))
+      PkTable.snapshotMerge(snap, chg, Seq("k"),
+        Seq(col("ver_ts"), col("ver_seq")), col("event_type") === "error")
+        .select(col("k"), col("name"), Rounding.r(col("bal"), 4).as("bal"), col("seg"))
+        .orderBy(col("k"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "cdc_snapshot_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "cdc_envelope_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority,
+        |'false' AS __deleted FROM orders ORDER BY o_orderkey""".stripMargin,
+    "cdc_unwrap_rewrite" ->
+      """SELECT event_id, user_id, round(value, 4) AS value,
+        |CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted,
+        |CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS __op
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_upsert_latest" ->
+      """SELECT user_id, event_type AS last_type, round(value, 4) AS last_value,
+        |strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    "cdc_delete_stats" ->
+      """SELECT count(*) AS n_keys,
+        |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+        |FROM (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "cdc_routine_load" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "cdc_schema_evolution" ->
+      """SELECT o_orderkey, o_orderstatus, 'unknown' AS o_channel
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "cdc_snapshot_then_merge" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT COALESCE(l.user_id, c.c_custkey) AS k,
+        |  CASE WHEN l.user_id IS NOT NULL THEN 'user_' || l.user_id ELSE c.c_name END AS name,
+        |  round(CASE WHEN l.user_id IS NOT NULL THEN l.value ELSE c.c_acctbal END, 4) AS bal,
+        |  CASE WHEN l.user_id IS NOT NULL THEN 'EVENT' ELSE c.c_mktsegment END AS seg
+        |FROM customer c FULL JOIN latest l ON c.c_custkey = l.user_id
+        |WHERE l.user_id IS NULL OR l.event_type <> 'error'
+        |ORDER BY k""".stripMargin)
+}

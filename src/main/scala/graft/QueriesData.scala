@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline query surface (SURVEY §2 section C):
+  * dedup, similarity search, text analysis, multimodal plumbing.
+  *
+  * Oracle parity strategy: all hashing is md5 (identical hex in both
+  * engines), all thresshold comparisons are integer cross-multiplied,
+  * all vector math is sequential double reduction, all exported
+  * doubles are rounded — see SURVEY §5.
+  */
+object QueriesData {
+
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |    for i in range(1, len(w) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1: exact dedup by content hash
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"), md5(col("text")))
+        .select(col("keep_id"), col("content_hash"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // C2: dedup on normalized text (case + whitespace folding)
+    "dedup_normalized" -> { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+        .select(col("keep_id"), col("content_hash"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // C3: MinHash + LSH banding + exact-Jaccard verification
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // C4: exact all-pairs set-similarity join on 3-gram shingles
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // C5: SimHash near-dup pairs (hamming ≤ 3, banded pair generation)
+    "dedup_simhash" -> { (s, dir) =>
+      val sim = Dedup.simhash32(Tables.documents(s, dir), col("doc_id"), col("text"))
+      Dedup.simhashPairs(sim, maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // C6: embedding-cosine near-dup pairs
+    "dedup_embedding" -> { (s, dir) =>
+      Similarity.cosinePairs(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C7: exact top-k cosine neighbors (brute-force baseline)
+    "ann_topk_bruteforce" -> { (s, dir) =>
+      Similarity.topkBruteForce(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), isQuery = _ % 50 === 0, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // C8: IVF-cell ANN (deterministic centroids, in-cell search)
+    "ann_ivf" -> { (s, dir) =>
+      Similarity.ivfTopk(Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        isCentroid = _ % 25 === 0, isQuery = _ % 40 === 0, k = 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // C9: stopword-hit language identification
+    "text_langid" -> { (s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C10: quality scoring
+    "text_quality" -> { (s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C11: token counting (whitespace + regex token classes)
+    "text_tokens" -> { (s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C12: winnowing fingerprints
+    "text_fingerprint" -> { (s, dir) =>
+      TextAnalysis.winnowFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C13: multimodal binary metadata (stubbed decode, real plumbing)
+    "mm_binary_meta" -> { (s, dir) =>
+      Multimodal.binaryMeta(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C14: frame-sampling plumbing over blob blocks
+    "mm_frame_sample" -> { (s, dir) =>
+      Multimodal.frameSample(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
+
+  private val simhashBitSums = (0 until 32)
+    .map(j => s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
+    .mkString(",\n")
+  // every term BIGINT-cast: DuckDB int32 addition would overflow at bit 31
+  private val simhashAssemble = (0 until 32)
+    .map(j => s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, md5(text) AS content_hash, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_normalized" ->
+      """SELECT min(doc_id) AS keep_id,
+        |md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+        |count(*) AS n_copies
+        |FROM documents GROUP BY 2 ORDER BY keep_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+         |mh AS (SELECT doc_id, i, min(md5(i || ':' || t)) AS m
+         |       FROM tok CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
+         |band AS (SELECT doc_id, i // 4 AS b, md5(string_agg(m, '|' ORDER BY i)) AS bh
+         |         FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ver AS (SELECT c.doc_a, c.doc_b, len(list_intersect(x.s, y.s)) AS inter,
+         |               len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
+         |        FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 4) AS jaccard
+         |FROM ver WHERE inter * 5 >= uni * 4 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |szd AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+         |tok AS (SELECT doc_id, sz, unnest(s) AS t FROM szd)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(count(*)::DOUBLE / (a.sz + b.sz - count(*)), 4) AS jaccard
+         |FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 4
+         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |HAVING count(*) * 5 >= (a.sz + b.sz - count(*)) * 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
+         |bits AS (SELECT doc_id,
+         |$simhashBitSums
+         |FROM h GROUP BY doc_id),
+         |sim AS (SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM bits)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) AS c
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 4) AS cos FROM p
+        |WHERE round(c, 4) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "ann_topk_bruteforce" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
+        |scored AS (SELECT qid, v.vec_id AS nid,
+        |  list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) AS c,
+        |  row_number() OVER (PARTITION BY qid ORDER BY
+        |    list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) DESC,
+        |    v.vec_id) AS rank
+        |  FROM q JOIN v ON v.vec_id <> qid)
+        |SELECT qid, rank, nid, round(c, 4) AS cos FROM scored
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "ann_ivf" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 25 = 0),
+        |assigned AS (SELECT vec_id, e, cid AS cell FROM (
+        |  SELECT v.vec_id, v.e, cent.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_dot_product(v.e, ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(ce, ce)) DESC,
+        |      cent.cid) AS rn
+        |  FROM v CROSS JOIN cent) WHERE rn = 1),
+        |qa AS (SELECT vec_id AS qid, e AS qe, cell AS qcell FROM assigned WHERE vec_id % 40 = 0),
+        |scored AS (SELECT qid, qcell AS cell, a.vec_id AS nid,
+        |  list_dot_product(qe, a.e) / sqrt(list_dot_product(qe, qe) * list_dot_product(a.e, a.e)) AS c,
+        |  row_number() OVER (PARTITION BY qid ORDER BY
+        |    list_dot_product(qe, a.e) / sqrt(list_dot_product(qe, qe) * list_dot_product(a.e, a.e)) DESC,
+        |    a.vec_id) AS rank
+        |  FROM qa JOIN assigned a ON a.cell = qa.qcell AND a.vec_id <> qa.qid)
+        |SELECT qid, cell, rank, nid, round(c, 4) AS cos FROM scored
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "text_langid" -> {
+      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |  len(list_filter(toks, x -> x IN ${lst(TextAnalysis.StopwordsEn)})) AS en_hits,
+         |  len(list_filter(toks, x -> x IN ${lst(TextAnalysis.StopwordsEs)})) AS es_hits,
+         |  len(list_filter(toks, x -> x IN ${lst(TextAnalysis.StopwordsDe)})) AS de_hits,
+         |  len(list_filter(toks, x -> x IN ${lst(TextAnalysis.StopwordsFr)})) AS fr_hits
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) <= 0 THEN 'und'
+         |       WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+         |       WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+         |       WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+         |       ELSE 'fr' END AS pred_lang,
+         |  en_hits, es_hits, de_hits, fr_hits, len(toks) AS n_tokens
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" -> {
+      val stop = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH m AS (SELECT doc_id, len(text) AS n_chars,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |  len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  round(n_punct::DOUBLE / n_chars, 4) AS punct_ratio,
+         |  round(n_stop::DOUBLE / n_tokens, 4) AS stopword_ratio,
+         |  round((n_chars - n_tokens + 1)::DOUBLE / n_tokens, 4) AS mean_token_len,
+         |  round(0.4::DOUBLE * (n_stop::DOUBLE / n_tokens)
+         |    + 0.3::DOUBLE * (least(n_tokens, 100)::DOUBLE / 100)
+         |    + 0.3::DOUBLE * (1.0::DOUBLE - n_punct::DOUBLE / n_chars), 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "text_tokens" ->
+      """SELECT doc_id,
+        |len(string_split(text, ' ')) AS ws_tokens,
+        |len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+        |len(list_distinct(string_split(text, ' '))) AS distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH norm AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest([{'idx': i, 'gh': md5(substr(t, i, 5))} for i in range(1, len(t) - 3)],
+        |    recursive := true)
+        |  FROM norm WHERE len(t) >= 14),
+        |sel AS (SELECT doc_id, idx,
+        |  min(gh) OVER (PARTITION BY doc_id ORDER BY idx
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sel
+        |  FROM g)
+        |SELECT doc_id, count(DISTINCT sel) AS n_fingerprints,
+        |  min(sel) AS fp_min, max(sel) AS fp_max
+        |FROM sel WHERE idx >= 10 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,
+        |CASE WHEN substr(text, 1, 1) < 'm' THEN 'typeA' ELSE 'typeB' END AS sniffed,
+        |8 + (CAST('0x' || substr(md5(text), 1, 1) AS INT) % 8) * 16 AS width,
+        |8 + (CAST('0x' || substr(md5(text), 2, 1) AS INT) % 8) * 16 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text AS t,
+        |  CAST(floor((len(text) - 1) / 64) AS BIGINT) + 1 AS nb FROM documents),
+        |f AS (SELECT doc_id, unnest([i for i in range(0, nb)]) AS frame_idx, t FROM d)
+        |SELECT doc_id, frame_idx,
+        |  md5(substr(t, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin)
+}

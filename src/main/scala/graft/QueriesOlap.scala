@@ -1,0 +1,305 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding
+import org.apache.spark.sql.expressions.Window
+
+/** OLAP query surface (SURVEY §2 section B) — the analytics StarRocks
+  * serves over the CDC-materialized tables, expressed Spark-first:
+  * declarative plans, broadcast dim joins, pushdown-friendly scans.
+  */
+object QueriesOlap {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1: TPC-H Q1-style pricing summary
+    "q1_pricing_summary" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Rounding.r(sum(col("l_quantity")), 2).as("sum_qty"),
+          Rounding.r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          Rounding.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          Rounding.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          Rounding.r(avg(col("l_quantity")), 4).as("avg_qty"),
+          Rounding.r(avg(col("l_extendedprice")), 4).as("avg_price"),
+          Rounding.r(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // B2: top unshipped orders by revenue (TPC-H Q3 shape)
+    "q3_top_unshipped" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).where(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .orderBy(col("rev").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), TsFmt).as("o_orderdate"),
+          Rounding.r(col("rev"), 2).as("revenue"))
+    },
+
+    // B3: revenue by nation within a region (TPC-H Q5 star join;
+    // nation/region broadcast to every executor — no shuffle for dims)
+    "q5_region_revenue" -> { (s, dir) =>
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Rounding.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    },
+
+    // B4: ORDER BY … DESC LIMIT k (reference's verification query;
+    // plans as TakeOrderedAndProject — no global sort)
+    "q_top_orders" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+    },
+
+    // B5: group-by-status counts (benchmark reconciliation query)
+    "q_status_counts" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Rounding.r(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // B6: TPC-H Q6 — selective filter + 2-column projection; the scan
+    // must show PushedFilters + a 4-column ReadSchema
+    "q_filter_pushdown" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(Rounding.r(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // B7: ranking + running aggregate window per supplier
+    "q_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .where(col("l_suppkey") < 5)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_rev",
+          sum(col("l_extendedprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("l_suppkey"), col("rn").cast("long").as("rn"),
+          col("l_orderkey"), col("l_linenumber"),
+          Rounding.r(col("running_rev"), 2).as("running_rev"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+
+    // B8: exact distinct aggregation per event type
+    "q_distinct_users" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // B9: tumbling 1-hour bucket aggregate (batch twin of the
+    // streaming windowed aggregate in streaming/EventStream)
+    "q_time_bucket_agg" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Rounding.r(sum(col("value")), 4).as("sum_value"))
+        .select(date_format(col("bucket"), TsFmt).as("bucket"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("bucket"), col("event_type"))
+    },
+
+    // B10: EXISTS / NOT EXISTS via left_semi + left_anti
+    "q_semi_anti_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      val active = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment").as("seg")).agg(count(lit(1)).as("n_active"))
+      val inactive = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment").as("seg")).agg(count(lit(1)).as("n_inactive"))
+      active.join(inactive, Seq("seg"), "full_outer")
+        .select(col("seg"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+        .orderBy(col("seg"))
+    },
+
+    // B11: hierarchical ROLLUP region → nation
+    "q_rollup" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), Rounding.r(sum(col("c_acctbal")), 2).as("acctbal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"), col("acctbal"))
+        .orderBy(col("region"), col("nation"))
+    },
+
+    // B12: gap-based sessionization (30-minute inactivity gap)
+    "q_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("sess",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    // B13: pivot-style conditional aggregation per day
+    "q_conditional_pivot" -> { (s, dir) =>
+      val day = date_format(col("ts"), "yyyy-MM-dd").as("day")
+      Tables.events(s, dir)
+        .groupBy(day)
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+        .orderBy(col("day"))
+    },
+
+    // B14: JSON property extraction + aggregation
+    "q_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(Rounding.r(avg(col("k")), 4).as("avg_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), count(col("k")).as("n"))
+        .orderBy(col("event_type"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |round(avg(l_quantity), 4) AS avg_qty,
+        |round(avg(l_extendedprice), 4) AS avg_price,
+        |round(avg(l_discount), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_unshipped" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_status_counts" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_filter_pushdown" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey,
+        |row_number() OVER w AS rn, l_orderkey, l_linenumber,
+        |round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+        |FROM lineitem WHERE l_suppkey < 5
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_time_bucket_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY bucket, event_type""".stripMargin,
+    "q_semi_anti_join" ->
+      """SELECT c_mktsegment AS seg,
+        |count(*) FILTER (WHERE has_order) AS n_active,
+        |count(*) FILTER (WHERE NOT has_order) AS n_inactive
+        |FROM (SELECT c_mktsegment,
+        |  EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
+        |  FROM customer c)
+        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged)
+        |SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_conditional_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY strftime(ts, '%Y-%m-%d') ORDER BY day""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, round(avg(k), 4) AS avg_k, min(k) AS min_k,
+        |max(k) AS max_k, count(k) AS n
+        |FROM (SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -1,0 +1,77 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Debezium-style change-event envelope, Spark-first.
+  *
+  * The reference pipeline emits MySQL binlog rows as Debezium JSON
+  * envelopes (`{"before":…,"after":…,"source":…,"op":"c|u|d|r","ts_ms":…}`)
+  * and unwraps them with `io.debezium.transforms.ExtractNewRecordState`
+  * configured with `delete.handling.mode=rewrite` (see
+  * /root/reference/debezium-connector.json:21-24), which flattens the
+  * after-image and adds a `__deleted` marker column.
+  *
+  * Here both directions are pure Catalyst column expressions
+  * (`to_json` / `from_json`) so encode/parse/unwrap stay inside
+  * whole-stage codegen — no UDFs, no per-row JVM object churn.
+  */
+object Envelope {
+
+  val OpCreate = "c"; val OpUpdate = "u"; val OpDelete = "d"; val OpRead = "r"
+
+  /** Envelope schema for a given row payload schema. */
+  def schemaFor(payload: StructType): StructType = StructType(Seq(
+    StructField("before", payload, nullable = true),
+    StructField("after", payload, nullable = true),
+    StructField("source", StructType(Seq(
+      StructField("connector", StringType),
+      StructField("db", StringType),
+      StructField("table", StringType))), nullable = true),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)))
+
+  /** Encode payload columns into a Debezium-style JSON envelope column.
+    *
+    * @param op     column holding the op code (c/u/d/r)
+    * @param tsMs   event timestamp in epoch millis
+    * @param cols   the row-image columns; used as `after` for c/u/r and
+    *               as `before` for d (after is null on deletes, matching
+    *               Debezium's delete events)
+    */
+  def encode(op: Column, tsMs: Column, cols: Seq[Column], db: String, table: String): Column = {
+    val image = struct(cols: _*)
+    to_json(struct(
+      when(op === OpDelete, image).otherwise(lit(null)).as("before"),
+      when(op =!= OpDelete, image).otherwise(lit(null)).as("after"),
+      struct(lit("mysql").as("connector"), lit(db).as("db"), lit(table).as("table")).as("source"),
+      op.as("op"),
+      tsMs.as("ts_ms")))
+  }
+
+  /** Parse a JSON envelope string column into a typed envelope struct.
+    * PERMISSIVE mode: unknown fields ignored, missing fields null — this
+    * is what absorbs connector-restart schema drift (SURVEY §2 A7).
+    */
+  def parse(json: Column, payload: StructType): Column =
+    from_json(json, schemaFor(payload))
+
+  /** ExtractNewRecordState with `delete.handling.mode=rewrite`:
+    * flatten the record image (after, or before for deletes) and append
+    * a `__deleted` string marker ("true"/"false"), Debezium-style.
+    * Tombstones (null envelope / null op) are dropped.
+    */
+  def extractNewRecordState(df: DataFrame, envelope: Column, payload: StructType): DataFrame = {
+    val env = envelope.as("env")
+    val flat = df.select(env)
+      .where(col("env").isNotNull && col("env.op").isNotNull)
+      .select(
+        when(col("env.op") === OpDelete, col("env.before")).otherwise(col("env.after")).as("image"),
+        when(col("env.op") === OpDelete, lit("true")).otherwise(lit("false")).as("__deleted"),
+        col("env.op").as("__op"),
+        col("env.ts_ms").as("__ts_ms"))
+    val payloadCols = payload.fields.map(f => col(s"image.${f.name}").as(f.name))
+    flat.select(payloadCols.toIndexedSeq ++ Seq(col("__deleted"), col("__op"), col("__ts_ms")): _*)
+  }
+}

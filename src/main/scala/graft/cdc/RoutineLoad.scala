@@ -1,0 +1,37 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** StarRocks Routine-Load-style batch ingestion: JSON lines → typed
+  * columns via a jsonpaths → column mapping
+  * (see /root/reference/create-routine-load.sh — `"format"="json"`,
+  * `"jsonpaths"=["$.order_id", …]`, COLUMNS(...)).
+  *
+  * Spark-first: each jsonpath is a `get_json_object` Catalyst
+  * expression with a cast — fully codegen'd, schema-on-read, tolerant
+  * of extra fields exactly like Routine Load. For fixed schemas prefer
+  * [[fromJsonTyped]] (single `from_json` parse per row instead of one
+  * JSON walk per column).
+  */
+object RoutineLoad {
+
+  /** One target column: name, jsonpath ("$.field"), target type. */
+  final case class ColumnSpec(name: String, jsonPath: String, dataType: DataType)
+
+  /** Map a DataFrame with a JSON-string column to typed columns by
+    * jsonpaths, Routine-Load style. Rows where every path misses are
+    * kept as all-null rows (Routine Load counts them as error rows;
+    * callers filter as needed).
+    */
+  def map(df: DataFrame, jsonCol: Column, specs: Seq[ColumnSpec]): DataFrame =
+    df.select(specs.map(s =>
+      get_json_object(jsonCol, s.jsonPath).cast(s.dataType).as(s.name)): _*)
+
+  /** Fixed-schema variant: one `from_json` per row (cheaper than N
+    * jsonpath walks when the column list is the whole payload).
+    */
+  def fromJsonTyped(df: DataFrame, jsonCol: Column, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(from_json(jsonCol, schema).as("r")).select(col("r.*"))
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata.
+  *
+  * The container has no codec libraries, so the *decode* step is a
+  * clearly-marked deterministic stub ([[FakeDecoder]]); the Spark-side
+  * plumbing — binary schema, batched partition-wise decode, frame
+  * explosion shape — is real and tested. On a real cluster the stub
+  * body is replaced by a JNI/codec call with the identical signature.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata produced per blob. */
+  final case class MediaMeta(doc_id: Long, n_bytes: Int, content_md5: String,
+                             sniffed: String, width: Int, height: Int)
+
+  /** STUB decoder — deterministic fake standing in for an image/audio
+    * codec. Derives fake dimensions from the content digest so results
+    * are stable across runs/engines. Replace body for real decoding.
+    */
+  object FakeDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val hex = md.map("%02x".format(_)).mkString
+      val sniffed = if (bytes.nonEmpty && bytes(0) < 'm') "typeA" else "typeB"
+      // fake dimensions: 8..128 in steps derived from digest nibbles
+      val w = 8 + (Character.digit(hex.charAt(0), 16) % 8) * 16
+      val h = 8 + (Character.digit(hex.charAt(1), 16) % 8) * 16
+      MediaMeta(docId, bytes.length, hex, sniffed, w, h)
+    }
+  }
+
+  /** Partition-wise batched decode over a binary column — the real
+    * plumbing path (mapPartitions: one decoder instance per partition,
+    * rows streamed, no driver collection).
+    */
+  def decodePartitions(df: DataFrame, id: Column, bin: Column): Dataset[MediaMeta] = {
+    val src = df.select(id.cast("long").as("doc_id"), bin.as("payload"))
+    src.mapPartitions { rows =>
+      rows.map { r => FakeDecoder.decode(r.getLong(0), r.getAs[Array[Byte]](1)) }
+    }(Encoders.product[MediaMeta])
+  }
+
+  /** Column-expression twin of the metadata extraction (used by the
+    * oracle-checked query surface: identical math, pure Catalyst).
+    */
+  def binaryMeta(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val bin = encode(text, "UTF-8")
+    val h = md5(bin)
+    df.select(id.as("doc_id"),
+      octet_length(bin).cast("long").as("n_bytes"),
+      h.as("content_md5"),
+      when(substring(text, 1, 1) < "m", lit("typeA")).otherwise(lit("typeB")).as("sniffed"),
+      (lit(8) + (conv(substring(h, 1, 1), 16, 10).cast("int") % 8) * 16).as("width"),
+      (lit(8) + (conv(substring(h, 2, 1), 16, 10).cast("int") % 8) * 16).as("height"))
+  }
+
+  /** Frame sampling plumbing: split the payload into fixed-size blocks
+    * and keep every `stride`-th block as a "frame" with its digest —
+    * the shape of video frame extraction, over fake frames.
+    */
+  def frameSample(df: DataFrame, id: Column, text: Column,
+                  blockChars: Int = 64, stride: Int = 4): DataFrame = {
+    val nBlocks = floor((length(text) - 1) / blockChars) + 1
+    df.select(id.as("doc_id"), text.as("t"), nBlocks.as("nb"))
+      .select(col("doc_id"),
+        explode(filter(sequence(lit(0), col("nb") - 1), i => i % stride === 0)).as("frame_idx"),
+        col("t"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("t").substr(col("frame_idx").cast("int") * blockChars + 1, lit(blockChars))).as("frame_md5"))
+  }
+}

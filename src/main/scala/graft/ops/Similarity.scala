@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * Math runs in double precision with a fixed left-to-right reduction
+  * (`aggregate` over the array), so results are bit-reproducible and
+  * match the DuckDB oracle's sequential list reduction.
+  *
+  * Scale notes: brute-force top-k broadcasts the (small) query set and
+  * streams the corpus once — no shuffle of the corpus, one narrow
+  * top-k-per-query aggregation. The IVF path broadcasts centroids,
+  * assigns each vector to its nearest cell in a single pass, and
+  * searches only the query's cell — corpus-scan cost drops by ~|cells|.
+  */
+object Similarity {
+
+  /** Elementwise double-cast of a float vector. */
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-sum dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm in double precision. */
+  def normSq(a: Column): Column =
+    aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x)
+
+  /** Cosine similarity: dot / sqrt(|a|²·|b|²). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(normSq(a) * normSq(b))
+
+  /** Cosine from a precomputed dot and squared norms (lets the corpus
+    * norm be computed once instead of per pair). */
+  def cosineWithNorms(dotAb: Column, normSqA: Column, normSqB: Column): Column =
+    dotAb / sqrt(normSqA * normSqB)
+
+  /** Near-duplicate pairs with cosine ≥ threshold (brute-force
+    * all-pairs; the correctness baseline — LSH/IVF are the scale path).
+    * Self-join prunes with id< and precomputed norms.
+    */
+  def cosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+    val v = df.select(id.as("id"), vec.as("v")).withColumn("n2", normSq(col("v")))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineWithNorms(dot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+      .where(Rounding.r(col("cos"), 4) >= threshold)
+      .select(col("id_a"), col("id_b"), Rounding.r(col("cos"), 4).as("cos"))
+  }
+
+  /** Exact top-k cosine neighbors for a query subset.
+    *
+    * @param isQuery predicate on the id column selecting query vectors
+    */
+  def topkBruteForce(df: DataFrame, id: Column, vec: Column,
+                     isQuery: Column => Column, k: Int): DataFrame = {
+    val v = df.select(id.as("id"), vec.as("v")).withColumn("n2", normSq(col("v")))
+    val q = v.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val scored = v.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        Rounding.r(col("cos"), 4).as("cos"))
+  }
+
+  /** IVF-style ANN: deterministic coarse centroids (caller-selected),
+    * nearest-cell assignment for every vector, then per-query search
+    * restricted to the query's own cell.
+    */
+  def ivfTopk(df: DataFrame, id: Column, vec: Column,
+              isCentroid: Column => Column, isQuery: Column => Column, k: Int): DataFrame = {
+    val v = df.select(id.as("id"), vec.as("v")).withColumn("n2", normSq(col("v")))
+    val cent = v.where(isCentroid(col("id")))
+      .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    // one broadcast pass: argmax-cosine cell per vector (ties → lower cid)
+    val assigned = v.join(broadcast(cent), lit(true))
+      .select(col("id"), col("v"), col("n2"), col("cid"),
+        cosineWithNorms(dot(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("v"), col("n2")),
+        struct(col("ccos"), -col("cid"))).as("best"))
+      .select(col("id"), col("best.cid").as("cell"), col("best.v").as("v"), col("best.n2").as("n2"))
+    val qAssigned = assigned.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("cell").as("qcell"), col("v").as("qv"), col("n2").as("qn2"))
+    val inCell = assigned.join(broadcast(qAssigned),
+        col("cell") === col("qcell") && col("id") =!= col("qid"))
+      .select(col("qid"), col("qcell").as("cell"), col("id").as("nid"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    inCell.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cell"), col("rank").cast("long").as("rank"), col("nid"),
+        Rounding.r(col("cos"), 4).as("cos"))
+  }
+}

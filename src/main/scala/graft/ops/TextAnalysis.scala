@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, winnowing fingerprints.
+  *
+  * Everything is a Catalyst column expression (whole-stage codegen;
+  * no UDFs). Scoring formulas are integer/ratio arithmetic so the
+  * DuckDB oracle reproduces them bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Tiny deterministic stopword lists per language for the n-gram/
+    * stopword-hit language heuristic. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val StopwordsEs: Seq[String] = Seq("el", "la", "de", "y", "que", "en", "un", "una", "es", "por")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "zu", "den", "von", "ist", "mit", "ein")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans")
+
+  // long-typed so outputs line up with BIGINT-counting engines (oracle)
+  private def hits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit(_)): _*))).cast("long")
+
+  /** Stopword-hit language scores + argmax language ('und' when no
+    * list scores > 0). Ties break in fixed order en > es > de > fr.
+    */
+  def langId(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tokens = split(lower(text), " ")
+    val scored = df.select(id.as("doc_id"), tokens.as("toks"))
+      .withColumn("en_hits", hits(col("toks"), StopwordsEn))
+      .withColumn("es_hits", hits(col("toks"), StopwordsEs))
+      .withColumn("de_hits", hits(col("toks"), StopwordsDe))
+      .withColumn("fr_hits", hits(col("toks"), StopwordsFr))
+    val best = greatest(col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits"))
+    scored.select(col("doc_id"),
+      when(best <= 0, lit("und"))
+        .when(col("en_hits") === best, lit("en"))
+        .when(col("es_hits") === best, lit("es"))
+        .when(col("de_hits") === best, lit("de"))
+        .otherwise(lit("fr")).as("pred_lang"),
+      col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits"),
+      size(col("toks")).cast("long").as("n_tokens"))
+  }
+
+  /** Quality metrics + a composite score:
+    * n_chars, n_tokens, punct ratio, stopword ratio, mean token length.
+    * score = 0.4·stopword_ratio + 0.3·min(n_tokens,100)/100
+    *       + 0.3·(1 − punct_ratio), rounded to 4dp.
+    */
+  def qualityScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = split(text, " ")
+    val m = df.select(id.as("doc_id"), text.as("t"), toks.as("toks"))
+      .withColumn("n_chars", length(col("t")).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_punct", length(col("t")) - length(regexp_replace(col("t"), "[.,!?;:]", "")))
+      .withColumn("n_stop", hits(col("toks"), StopwordsEn))
+    m.select(col("doc_id"), col("n_chars"), col("n_tokens"),
+      Rounding.r(col("n_punct").cast("double") / col("n_chars"), 4).as("punct_ratio"),
+      Rounding.r(col("n_stop").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
+      Rounding.r((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4).as("mean_token_len"),
+      Rounding.r(lit(0.4) * (col("n_stop").cast("double") / col("n_tokens"))
+        + lit(0.3) * (least(col("n_tokens"), lit(100)).cast("double") / 100)
+        + lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars")), 4).as("quality"))
+  }
+
+  /** Token counts: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single other chars), distinct tokens.
+    */
+  def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = split(text, " ")
+    df.select(id.as("doc_id"),
+      size(toks).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"),
+      size(array_distinct(toks)).cast("long").as("distinct_tokens"))
+  }
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003 — public
+    * algorithm): k-char gram md5 hashes; each window of w consecutive
+    * grams selects its min hash; the fingerprint is the distinct
+    * selected set. Emitted as per-doc summary (count/min/max) so the
+    * result is compact at any scale.
+    */
+  def winnowFingerprint(df: DataFrame, id: Column, text: Column,
+                        k: Int = 5, w: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = lower(regexp_replace(text, "\\s+", " "))
+    val grams = df.select(id.as("doc_id"), norm.as("t"))
+      .where(length(col("t")) >= k + w - 1)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), length(col("t")) - (k - 1)),
+          i => md5(col("t").substr(i, lit(k))))))
+      .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("gh"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      .rowsBetween(-(w - 1), 0)
+    grams.withColumn("sel", min(col("gh")).over(win))
+      .where(col("idx") >= w)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sel")).as("n_fingerprints"),
+        min(col("sel")).as("fp_min"), max(col("sel")).as("fp_max"))
+  }
+}

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify first
+(`sbt "runMain graft.Verify <sfdir> <outdir>"`), then this script reads
+each <outdir>/<name> parquet, runs the matching oracle SQL from
+oracle_sql.json in DuckDB against the raw tables, and compares:
+column names (sorted), row counts, and cell values (rows sorted by all
+columns, floats compared exactly after both sides' own rounding).
+"""
+import sys, os, json, math
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = ok = 0
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    pdir = f"{outdir}/{name}"
+    if not os.path.isdir(pdir):
+        print(f"FAIL {name}: no spark output dir"); fail += 1; continue
+    try:
+        spark_df = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
+        ora_df = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fail += 1; continue
+    sc, oc = sorted(spark_df.columns), sorted(ora_df.columns)
+    if sc != oc:
+        print(f"FAIL {name}: columns {sc} vs {oc}"); fail += 1; continue
+    a = spark_df[sc].sort_values(sc).reset_index(drop=True)
+    b = ora_df[oc].sort_values(oc).reset_index(drop=True)
+    if len(a) != len(b):
+        print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); fail += 1; continue
+    bad = None
+    for c in sc:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            same = (x == y) or (x is None and y is None)
+            if not same and isinstance(x, float) and isinstance(y, float):
+                same = (math.isnan(x) and math.isnan(y)) or x == y
+            if not same:
+                bad = (c, i, x, y); break
+        if bad: break
+    if bad:
+        c, i, x, y = bad
+        print(f"FAIL {name}: col={c} row={i}: spark={x!r} oracle={y!r}")
+        fail += 1
+    else:
+        print(f"ok   {name} ({len(a)} rows)")
+        ok += 1
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
