@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup of 0
+    (2L, "completely different content about spark engines and shuffles at scale"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups exact duplicates, keeps min id") {
+    val g = Dedup.exactGroups(docs, col("doc_id"), md5(col("text")))
+    assert(g.count() == 3)
+    val dup = g.where(col("n_copies") === 2).collect()
+    assert(dup.length == 1 && dup(0).getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash-LSH finds near-dups and exact dups, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngram jaccard matches brute-force on the same pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs((0L, 1L)) > 0.8 && pairs((0L, 1L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical docs have hamming 0; near-dups small hamming") {
+    val sim = Dedup.simhash32(docs, col("doc_id"), col("text"))
+    val h = sim.as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(3L))
+    assert(java.lang.Long.bitCount(h(0L) ^ h(1L)) <= 6)
+    assert(h(0L) >= 0 && h(0L) < (1L << 32))
+  }
+
+  test("cosine math matches a hand computation") {
+    val v = Seq((1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.6f, 0.8f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("id", "v")
+    val cos = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // float32 inputs: 0.6f/0.8f carry ~1e-8 representation error
+    assert(math.abs(cos((1L, 2L)) - 0.6) < 1e-6)
+    assert(math.abs(cos((1L, 3L))) < 1e-6)
+  }
+
+  test("brute-force topk returns k ordered neighbors per query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.topkBruteForce(emb, col("vec_id"), col("embedding"),
+      isQuery = _ % 100 === 0, k = 3).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.values.forall(_.length == 3))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Double]("cos")).sliding(2).forall(p => p.head >= p.last))
+    }
+  }
+
+  test("IVF: every vector lands in exactly one cell; in-cell topk ranked") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val out = Similarity.ivfTopk(emb, col("vec_id"), col("embedding"),
+      isCentroid = _ % 10 === 0, isQuery = _ % 30 === 0, k = 2).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("rank") <= 2))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val d = Seq((1L, "the cat of the house is in the garden"),
+      (2L, "el gato de la casa es un animal"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d, col("doc_id"), col("text"))
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en"); assert(out(2L) == "es"); assert(out(3L) == "und")
+  }
+
+  test("quality score components are consistent") {
+    val d = Seq((1L, "the dog runs. the dog sits!")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(d, col("doc_id"), col("text")).collect()(0)
+    assert(r.getAs[Long]("n_chars") == 27L)
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Double]("punct_ratio") > 0)
+    assert(r.getAs[Double]("quality") > 0 && r.getAs[Double]("quality") <= 1.0)
+  }
+
+  test("token counts: regex classes split letters/digits/punct") {
+    val d = Seq((1L, "abc 123 x.y abc")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(d, col("doc_id"), col("text")).collect()(0)
+    assert(r.getAs[Long]("ws_tokens") == 4L)
+    // abc, 123, x, ., y, abc
+    assert(r.getAs[Long]("re_tokens") == 6L)
+    assert(r.getAs[Long]("distinct_tokens") == 3L)
+  }
+
+  test("winnowing fingerprints: shared content → shared fingerprints") {
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprint(d, col("doc_id"), col("text"))
+      .select("doc_id", "fp_min", "fp_max").collect()
+    assert(fp.length == 2)
+    assert(fp(0).getString(1) == fp(1).getString(1))
+    assert(fp(0).getString(2) == fp(1).getString(2))
+  }
+
+  test("multimodal: partition-wise stub decode matches the column twin") {
+    val d = Seq((5L, "hello media payload abcdefgh")).toDF("doc_id", "text")
+    val viaPartitions = Multimodal.decodePartitions(
+      d.withColumn("bin", encode(col("text"), "UTF-8")), col("doc_id"), col("bin"))
+      .collect()(0)
+    val viaColumns = Multimodal.binaryMeta(d, col("doc_id"), col("text")).collect()(0)
+    assert(viaPartitions.n_bytes.toLong == viaColumns.getAs[Long]("n_bytes"))
+    assert(viaPartitions.content_md5 == viaColumns.getAs[String]("content_md5"))
+    assert(viaPartitions.width == viaColumns.getAs[Int]("width"))
+    assert(viaPartitions.height == viaColumns.getAs[Int]("height"))
+  }
+
+  test("frame sampling emits every 4th block with correct digests") {
+    val text = "x" * 300 // 5 blocks of 64 → frames 0 and 4
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(d, col("doc_id"), col("text"))
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 4L))
+  }
+}

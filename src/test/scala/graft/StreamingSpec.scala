@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.streaming.{CdcStream, EventStream}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payload = StructType(Seq(
+    StructField("id", LongType), StructField("seq", LongType),
+    StructField("v", StringType)))
+
+  private def env(id: Long, seq: Long, v: String, op: String, tsMs: Long): String = {
+    val img = s"""{"id":$id,"seq":$seq,"v":"$v"}"""
+    val (before, after) = if (op == "d") (img, "null") else ("null", img)
+    s"""{"before":$before,"after":$after,"op":"$op","ts_ms":$tsMs}"""
+  }
+
+  test("A8: streaming CDC upsert via flatMapGroupsWithState (latest-wins, deletes tombstone)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val changes = CdcStream.unwrap(input.toDF().withColumnRenamed("value", "json"),
+      "json", payload, keyField = "id", seqField = "seq")
+    val states = CdcStream.upsertStates(changes)
+    val q = states.writeStream.format("memory").queryName("cdc_states")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+
+    input.addData(
+      env(1, 1, "a", "c", 100), env(1, 2, "a2", "u", 200),  // key 1 → a2
+      env(2, 1, "b", "c", 100), env(2, 2, "b", "d", 300),   // key 2 → deleted
+      env(3, 2, "c-new", "u", 500), env(3, 1, "c-old", "u", 400)) // out of order
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("cdc_states")
+      .groupBy("key").agg(max_by(struct(col("deleted"), col("payload")),
+        struct(col("versionMs"), col("seq"))).as("s"))
+      .select(col("key"), col("s.deleted"), col("s.payload"))
+      .orderBy("key").collect()
+    assert(out.length == 3)
+    assert(!out(0).getBoolean(1) && out(0).getString(2).contains("\"a2\""))
+    assert(out(1).getBoolean(1)) // key 2 tombstoned
+    assert(out(2).getString(2).contains("c-new")) // version order beat arrival order
+  }
+
+  test("A8b: second batch updates only changed keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val states = CdcStream.upsertStates(CdcStream.unwrap(
+      input.toDF().withColumnRenamed("value", "json"), "json", payload, "id", "seq"))
+    val q = states.writeStream.format("memory").queryName("cdc_states2")
+      .outputMode("update").start()
+    input.addData(env(1, 1, "a", "c", 100), env(2, 1, "b", "c", 100))
+    q.processAllAvailable()
+    input.addData(env(1, 2, "a2", "u", 200),
+      env(2, 0, "stale", "u", 50)) // stale update must not re-emit key 2
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("cdc_states2").collect()
+    // batch1: keys 1,2; batch2: only key 1 re-emitted
+    assert(emitted.count(_.getLong(0) == 1L) == 2)
+    assert(emitted.count(_.getLong(0) == 2L) == 1)
+  }
+
+  test("A9: watermarked tumbling-window aggregate over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStream.windowedCounts(df, "ts", "event_type", "value",
+      window = "1 hour", watermark = "2 hours")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((t(0, 10), "click", 1.0), (t(0, 40), "click", 2.0), (t(1, 5), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the earlier windows
+    input.addData((t(9, 0), "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_agg")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w", "event_type").collect()
+    assert(rows.exists(r => r.getString(0) == "00:00" && r.getString(1) == "click"
+      && r.getLong(2) == 2L && r.getDouble(3) == 3.0))
+    assert(rows.exists(r => r.getString(0) == "01:00" && r.getString(1) == "view"
+      && r.getLong(2) == 1L))
+  }
+
+  test("D4: file-based CDC stream source feeds the same pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcsrc").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b0.json"),
+      Seq(env(7, 1, "x", "c", 10), env(7, 2, "x2", "u", 20)).mkString("\n"))
+    val states = CdcStream.upsertStates(CdcStream.unwrap(
+      CdcStream.fileSource(spark, dir), "json", payload, "id", "seq"))
+    val q = states.writeStream.format("memory").queryName("cdc_file")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("cdc_file").orderBy(col("versionMs").desc).collect()
+    assert(out.nonEmpty && out.head.getAs[String]("payload").contains("x2"))
+  }
+}
