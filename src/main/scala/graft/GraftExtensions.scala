@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions.DoubleDot
+
+/** Catalyst extensions for the engine, registered on every
+  * [[GraftSession]] (public `withExtensions` API — usable verbatim via
+  * `spark.sql.extensions=graft.GraftExtensions` on a real cluster).
+  *
+  * Currently: `double_dot(a, b)` — the codegen dot-product expression;
+  * children are cast to array<double> so float embedding columns feed
+  * it directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("double_dot"),
+      new ExpressionInfo(classOf[DoubleDot].getName, "double_dot"),
+      (children: Seq[Expression]) => DoubleDot(
+        Cast(children(0), ArrayType(DoubleType)),
+        Cast(children(1), ArrayType(DoubleType)))))
+  }
+}

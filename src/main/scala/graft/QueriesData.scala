@@ -111,6 +111,29 @@ object QueriesData {
     "mm_frame_sample" -> { (s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // C15: deterministic hash sampling — md5-keyed Bernoulli, stable
+    // across runs/engines/partitionings (unlike rand()-based sample)
+    "sample_deterministic" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .where(conv(substring(md5(concat(col("doc_id"), lit(":sample"))), 1, 8), 16, 10)
+          .cast("long") % 100 < 20)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C16: class-balanced downsampling — per-label cap in md5-keyed
+    // pseudo-random order (stratified rebalancing for training mixes)
+    "sample_balanced" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(col("doc_id"), lit(":bal"))), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 30)
+        .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
+        .orderBy(col("lang"), col("rn"))
     })
 
   private val simhashBitSums = (0 until 32)
@@ -130,20 +153,32 @@ object QueriesData {
         |md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |count(*) AS n_copies
         |FROM documents GROUP BY 2 ORDER BY keep_id""".stripMargin,
-    "dedup_minhash_lsh" ->
+    "dedup_minhash_lsh" -> {
+      import graft.ops.Dedup.{MinhashP => p, minhashA, minhashB}
+      val mins = (0 until 32)
+        .map(i => s"min((x * ${minhashA(i)} + ${minhashB(i)}) % $p) AS m$i")
+        .mkString(",\n")
+      val bandHashes = (0 until 8).map(b =>
+        s"md5(${(0 until 4).map(j => s"m${b * 4 + j}::VARCHAR").mkString(" || '|' || ")}) AS bh$b")
+        .mkString(",\n")
+      val bandMatch = (0 until 8).map(b => s"a.bh$b = b.bh$b").mkString(" OR ")
       s"""WITH $shingleCte,
          |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
-         |mh AS (SELECT doc_id, i, min(md5(i || ':' || t)) AS m
-         |       FROM tok CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
-         |band AS (SELECT doc_id, i // 4 AS b, md5(string_agg(m, '|' ORDER BY i)) AS bh
-         |         FROM mh GROUP BY doc_id, i // 4),
+         |xs AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $p AS x FROM tok),
+         |mh AS (SELECT doc_id,
+         |$mins
+         |FROM xs GROUP BY doc_id),
+         |bandw AS (SELECT doc_id,
+         |$bandHashes
+         |FROM mh),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |         FROM bandw a JOIN bandw b ON a.doc_id < b.doc_id AND ($bandMatch)),
          |ver AS (SELECT c.doc_a, c.doc_b, len(list_intersect(x.s, y.s)) AS inter,
          |               len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
          |        FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
          |SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 4) AS jaccard
-         |FROM ver WHERE inter * 5 >= uni * 4 ORDER BY doc_a, doc_b""".stripMargin,
+         |FROM ver WHERE inter * 5 >= uni * 4 ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |szd AS (SELECT doc_id, s, len(s) AS sz FROM sh),
@@ -262,6 +297,16 @@ object QueriesData {
         |8 + (CAST('0x' || substr(md5(text), 1, 1) AS INT) % 8) * 16 AS width,
         |8 + (CAST('0x' || substr(md5(text), 2, 1) AS INT) % 8) * 16 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_deterministic" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST('0x' || substr(md5(doc_id || ':sample'), 1, 8) AS BIGINT) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+    "sample_balanced" ->
+      """SELECT lang, rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id || ':bal'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 30 ORDER BY lang, rn""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id, text AS t,
         |  CAST(floor((len(text) - 1) / 64) AS BIGINT) + 1 AS nb FROM documents),

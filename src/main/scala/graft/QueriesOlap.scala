@@ -199,6 +199,57 @@ object QueriesOlap {
         .agg(Rounding.r(avg(col("k")), 4).as("avg_k"), min(col("k")).as("min_k"),
           max(col("k")).as("max_k"), count(col("k")).as("n"))
         .orderBy(col("event_type"))
+    },
+
+    // B15: exact interpolated percentiles per group
+    "q_percentiles" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("q25"),
+          percentile(col("l_quantity"), lit(0.5)).as("q50"),
+          percentile(col("l_quantity"), lit(0.75)).as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // B16: top-k per group (ranked window over an aggregate)
+    "q_topk_per_group" -> { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("rev").desc, col("p_partkey"))
+      rev.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("p_brand"), col("rk").cast("long").as("rk"), col("p_partkey"),
+          Rounding.r(col("rev"), 2).as("rev"))
+        .orderBy(col("p_brand"), col("rk"))
+    },
+
+    // B17: distributed as-of join — for every event, the latest order of
+    // the same customer at or before the event time. One shuffle+sort by
+    // (key, time) over the tagged union: the classic scalable as-of plan
+    // (no per-row subqueries, no range cross-join).
+    "q_asof_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("kind"),
+        col("o_orderkey").as("ordkey"), col("o_totalprice").as("price"),
+        lit(null).cast("long").as("event_id"))
+      val e = Tables.events(s, dir).select(
+        col("user_id").as("k"), col("ts").as("t"), lit(1).as("kind"),
+        lit(null).cast("long").as("ordkey"), lit(null).cast("double").as("price"),
+        col("event_id"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("kind"), coalesce(col("ordkey"), col("event_id")))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      o.unionByName(e)
+        .withColumn("o_orderkey", last(col("ordkey"), ignoreNulls = true).over(w))
+        .withColumn("o_totalprice", last(col("price"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          date_format(col("t"), TsFmt).as("ts"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -301,5 +352,38 @@ object QueriesOlap {
       """SELECT event_type, round(avg(k), 4) AS avg_k, min(k) AS min_k,
         |max(k) AS max_k, count(k) AS n
         |FROM (SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.25) AS q25,
+        |quantile_cont(l_quantity, 0.5) AS q50,
+        |quantile_cont(l_quantity, 0.75) AS q75,
+        |count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_topk_per_group" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey, sum(l_extendedprice) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey),
+        |ranked AS (
+        |  SELECT p_brand, p_partkey, rev,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS rk
+        |  FROM rev)
+        |SELECT p_brand, rk, p_partkey, round(rev, 2) AS rev
+        |FROM ranked WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, 0 AS kind, o_orderkey AS ordkey,
+        |         o_totalprice AS price, CAST(NULL AS BIGINT) AS event_id FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), event_id FROM events),
+        |j AS (
+        |  SELECT *,
+        |    last_value(ordkey IGNORE NULLS) OVER w AS o_orderkey,
+        |    last_value(price IGNORE NULLS) OVER w AS o_totalprice
+        |  FROM u WINDOW w AS (PARTITION BY k ORDER BY t, kind, COALESCE(ordkey, event_id)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, k AS user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       o_orderkey, o_totalprice
+        |FROM j WHERE kind = 1 ORDER BY event_id""".stripMargin)
 }

@@ -24,31 +24,48 @@ import graft.functions.Rounding
   */
 object Dedup {
 
-  /** w-word shingles of a single-space-separated text column, distinct. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = split(text, " ")
+  /** w-word shingles over a pre-projected words array, distinct.
+    * Must be fed an attribute (not an inline `split(...)`) — lambda
+    * bodies reference the array once per element, and Catalyst
+    * substitutes inline expressions into every reference, turning an
+    * inlined split into O(words²) re-splits per row.
+    */
+  def shinglesOfWords(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 
-  /** MinHash signature of a shingle set: k md5 "permutations"
-    * h_i(s) = md5(i || ':' || s); the signature entry is the
-    * lexicographic min (md5 hex is fixed-width, so string min is a
-    * consistent permutation min).
-    */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))): _*)
+  /** w-word shingles of a single-space-separated text column, distinct. */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOfWords(split(text, " "), n)
 
-  /** LSH band digests: bands × rowsPerBand must equal signature length.
-    * Band b's digest = md5 of its rows joined with '|'.
+  /** (id, s) shingle-set frame with the words array materialized in its
+    * own projection so the split runs once per row (CollapseProject
+    * keeps non-cheap aliases referenced more than once).
     */
-  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Seq[Column] =
-    (0 until bands).map(b =>
-      md5(concat_ws("|", (0 until rowsPerBand).map(j =>
-        element_at(sig, b * rowsPerBand + j + 1)): _*)).as(s"band_$b"))
+  private def shingleFrame(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("id"), split(text, " ").as("__ws"))
+      .select(col("id"), shinglesOfWords(col("__ws"), n).as("s"))
+
+  /** MinHash universe: one md5 per shingle gives a base integer
+    * x ∈ [0, P); permutation i is the affine map (aᵢ·x + bᵢ) mod P
+    * with P = 2³¹−1 — so the k permutation mins cost k multiply-adds
+    * per shingle instead of k digest computations. All arithmetic fits
+    * in signed 64-bit (aᵢ, x < 2³¹ ⇒ aᵢ·x < 2⁶²), so any engine
+    * replays it exactly.
+    */
+  val MinhashP: Long = 2147483647L
+  def minhashA(i: Int): Long = (i.toLong * 1000003L + 12345L) % MinhashP
+  def minhashB(i: Int): Long = (i.toLong * 2000029L + 54321L) % MinhashP
+
+  /** Base integer hash of a shingle: first 60 bits of md5, mod P. */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** Permutation-i hash of a base value x. */
+  def permHash(x: Column, i: Int): Column =
+    (x * minhashA(i) + minhashB(i)) % MinhashP
 
   /** Exact dedup groups: rows hashed by `key`, emitting one row per
     * distinct hash with the minimum id as the kept representative.
@@ -66,13 +83,21 @@ object Dedup {
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
     val rowsPerBand = k / bands
-    val sh = df.select(id.as("id"), wordShingles(text, shingleN).as("s"))
-    val sig = sh.select(col("id"), col("s"), minhashSignature(col("s"), k).as("sig"))
+    val sh = shingleFrame(df, id, text, shingleN)
+    // one md5 per shingle, then k affine permutation-mins in a single
+    // hash aggregation (map-side partial agg shrinks the shuffle).
+    // explode_outer: plain explode infers a size(s)>0 filter that
+    // predicate-pushdown re-substitutes into a full shingle recompute.
+    val tok = sh.select(col("id"), explode_outer(col("s")).as("t"))
+      .where(col("t").isNotNull)
+      .withColumn("x", shingleHash(col("t")))
+    val minExprs = (0 until k).map(i => min(permHash(col("x"), i)).as(s"m$i"))
+    val mh = tok.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rowsPerBand).map(j =>
-          element_at(col("sig"), b * rowsPerBand + j + 1)): _*)).as("bh")))
-    val banded = sig.select(col("id"),
+          col(s"m${b * rowsPerBand + j}").cast("string")): _*)).as("bh")))
+    val banded = mh.select(col("id"),
       explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = banded.as("a").join(banded.as("b"),
@@ -98,9 +123,15 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
-    val sh = df.select(id.as("id"), wordShingles(text, shingleN).as("s"))
+    val sh = shingleFrame(df, id, text, shingleN)
       .withColumn("sz", size(col("s")))
-    val tok = sh.select(col("id"), col("sz"), explode(col("s")).as("t"))
+    // join on a 64-bit shingle hash: numeric key compare + narrower
+    // shuffle than the raw shingle string. Collision odds are n²/2⁶⁵
+    // (vanishing at these corpus sizes; swap in a 128-bit key for
+    // trillion-shingle corpora).
+    val tok = sh.select(col("id"), col("sz"), explode_outer(col("s")).as("t0"))
+      .where(col("t0").isNotNull)
+      .select(col("id"), col("sz"), xxhash64(col("t0")).as("t"))
     tok.as("a").join(tok.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
           // lossless size pruning, integer-exact: t·max ≤ min

@@ -19,17 +19,22 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Elementwise double-cast of a float vector. */
-  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Elementwise double-cast of a float vector (plain Cast — codegen'd,
+    * no higher-order-function lambda). */
+  private def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-sum dot product in double precision. */
+  /** Sequential-sum dot product in double precision — the native
+    * codegen expression [[graft.functions.DoubleDot]], registered as
+    * `double_dot` by GraftExtensions; bit-identical to a left-to-right
+    * fold. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("double_dot", toDouble(a), toDouble(b))
 
   /** Squared L2 norm in double precision. */
-  def normSq(a: Column): Column =
-    aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x)
+  def normSq(a: Column): Column = {
+    val d = toDouble(a)
+    call_function("double_dot", d, d)
+  }
 
   /** Cosine similarity: dot / sqrt(|a|²·|b|²). */
   def cosine(a: Column, b: Column): Column =
@@ -45,7 +50,8 @@ object Similarity {
     * Self-join prunes with id< and precomputed norms.
     */
   def cosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
-    val v = df.select(id.as("id"), vec.as("v")).withColumn("n2", normSq(col("v")))
+    // pre-cast to array<double> once so per-pair dot sees no casts
+    val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosineWithNorms(dot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
@@ -59,7 +65,8 @@ object Similarity {
     */
   def topkBruteForce(df: DataFrame, id: Column, vec: Column,
                      isQuery: Column => Column, k: Int): DataFrame = {
-    val v = df.select(id.as("id"), vec.as("v")).withColumn("n2", normSq(col("v")))
+    // pre-cast to array<double> once so per-pair dot sees no casts
+    val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
     val q = v.where(isQuery(col("id")))
       .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     val scored = v.join(broadcast(q), col("id") =!= col("qid"))
@@ -78,17 +85,20 @@ object Similarity {
     */
   def ivfTopk(df: DataFrame, id: Column, vec: Column,
               isCentroid: Column => Column, isQuery: Column => Column, k: Int): DataFrame = {
-    val v = df.select(id.as("id"), vec.as("v")).withColumn("n2", normSq(col("v")))
+    // pre-cast to array<double> once so per-pair dot sees no casts
+    val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
     val cent = v.where(isCentroid(col("id")))
       .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-    // one broadcast pass: argmax-cosine cell per vector (ties → lower cid)
-    val assigned = v.join(broadcast(cent), lit(true))
-      .select(col("id"), col("v"), col("n2"), col("cid"),
+    // one broadcast pass: argmax-cosine cell per vector (ties → lower
+    // cid). The aggregation carries only scalars — the vector itself is
+    // joined back afterwards, keeping 64-dim arrays out of the agg
+    // buffers and the partial-agg shuffle.
+    val bestCell = v.join(broadcast(cent), lit(true))
+      .select(col("id"), col("cid"),
         cosineWithNorms(dot(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
       .groupBy(col("id"))
-      .agg(max_by(struct(col("cid"), col("v"), col("n2")),
-        struct(col("ccos"), -col("cid"))).as("best"))
-      .select(col("id"), col("best.cid").as("cell"), col("best.v").as("v"), col("best.n2").as("n2"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"))
+    val assigned = v.join(bestCell, "id")
     val qAssigned = assigned.where(isQuery(col("id")))
       .select(col("id").as("qid"), col("cell").as("qcell"), col("v").as("qv"), col("n2").as("qn2"))
     val inCell = assigned.join(broadcast(qAssigned),

@@ -87,11 +87,15 @@ object TextAnalysis {
                         k: Int = 5, w: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = lower(regexp_replace(text, "\\s+", " "))
+    // posexplode_outer (not posexplode): the inferred non-empty filter
+    // of a plain generator is pushed down with full expression
+    // substitution, recomputing the gram array per row
     val grams = df.select(id.as("doc_id"), norm.as("t"))
       .where(length(col("t")) >= k + w - 1)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), length(col("t")) - (k - 1)),
+        posexplode_outer(transform(sequence(lit(1), length(col("t")) - (k - 1)),
           i => md5(col("t").substr(i, lit(k))))))
+      .where(col("col").isNotNull)
       .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("gh"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
       .rowsBetween(-(w - 1), 0)
