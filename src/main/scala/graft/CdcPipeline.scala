@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.cdc.{Envelope, PkTable}
+import graft.streaming.CdcStream
+import graft.sinks.StarRocksSink
+
+/** End-to-end pipeline facade — the library's equivalent of wiring the
+  * reference stack (register Debezium connector → Kafka topics →
+  * routine load → StarRocks PK tables; see /root/reference/setup.sh,
+  * register-debezium.sh, create-routine-load.sh) with one object.
+  *
+  * Batch path: `snapshot` + `applyChangelog` materialize a primary-key
+  * table from an initial load plus captured changes. Streaming path:
+  * `stream` consumes envelope JSON continuously and emits upserted key
+  * states to any sink. Both share the same unwrap + latest-wins
+  * semantics, so a backfill and the live tail agree.
+  */
+object CdcPipeline {
+
+  /** Connector-style configuration, mirroring the knobs of
+    * /root/reference/debezium-connector.json that affect data shape.
+    */
+  final case class Config(
+      payload: StructType,
+      keyField: String,
+      seqField: String,
+      dropTombstones: Boolean = false,
+      deleteHandlingRewrite: Boolean = true)
+
+  /** Batch: parse + unwrap a frame of envelope JSON lines. */
+  def unwrapBatch(envelopes: DataFrame, jsonCol: String, cfg: Config): DataFrame = {
+    val parsed = envelopes.select(
+      Envelope.parse(col(jsonCol), cfg.payload).as("env"))
+    Envelope.extractNewRecordState(parsed, col("env"), cfg.payload)
+  }
+
+  /** Batch: materialize a PK table = snapshot + changelog (both in the
+    * payload schema + `__deleted`/`__ts_ms` markers from unwrapBatch).
+    */
+  def materialize(snapshot: DataFrame, unwrapped: DataFrame, cfg: Config): DataFrame = {
+    val snap = snapshot
+      .withColumn("__deleted", lit("false"))
+      .withColumn("__op", lit(Envelope.OpRead))
+      .withColumn("__ts_ms", lit(0L))
+    PkTable.snapshotMerge(snap, unwrapped, Seq(cfg.keyField),
+      Seq(col("__ts_ms"), col(cfg.seqField)), col("__deleted") === "true")
+      .drop("__deleted", "__op", "__ts_ms")
+  }
+
+  /** Streaming: envelope JSON stream → keyed latest-state updates. */
+  def stream(envelopes: DataFrame, jsonCol: String, cfg: Config): org.apache.spark.sql.Dataset[CdcStream.KeyState] =
+    CdcStream.upsertStates(
+      CdcStream.unwrap(envelopes, jsonCol, cfg.payload, cfg.keyField, cfg.seqField))
+
+  /** Streaming: wire the state stream into a Stream-Load-shaped sink
+    * via foreachBatch (each micro-batch ships as labeled chunks —
+    * idempotent on retry, like Routine Load's label-deduplicated
+    * transactions).
+    */
+  def toStreamLoadSink(states: org.apache.spark.sql.Dataset[CdcStream.KeyState],
+                       label: String, transport: StarRocksSink.Transport): DataStreamWriter[CdcStream.KeyState] =
+    states.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CdcStream.KeyState], batchId: Long) =>
+        StarRocksSink.write(batch.toDF(), s"$label-b$batchId", transport)
+        ()
+      }
+}

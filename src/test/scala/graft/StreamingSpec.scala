@@ -25,13 +25,13 @@ class StreamingSpec extends SparkSpec {
     val changes = CdcStream.unwrap(input.toDF().withColumnRenamed("value", "json"),
       "json", payload, keyField = "id", seqField = "seq")
     val states = CdcStream.upsertStates(changes)
-    val q = states.writeStream.format("memory").queryName("cdc_states")
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-
+    // data must exist before start: AvailableNow snapshots offsets at start
     input.addData(
       env(1, 1, "a", "c", 100), env(1, 2, "a2", "u", 200),  // key 1 → a2
       env(2, 1, "b", "c", 100), env(2, 2, "b", "d", 300),   // key 2 → deleted
       env(3, 2, "c-new", "u", 500), env(3, 1, "c-old", "u", 400)) // out of order
+    val q = states.writeStream.format("memory").queryName("cdc_states")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
 
     val out = spark.table("cdc_states")
