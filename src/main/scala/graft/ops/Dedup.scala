@@ -48,6 +48,38 @@ object Dedup {
     df.select(id.as("id"), split(text, " ").as("__ws"))
       .select(col("id"), shinglesOfWords(col("__ws"), n).as("s"))
 
+  /** Exploded distinct-shingle rows (id, sz, t0) via a typed flatMap.
+    * Lambda-expression shingling is interpreted (higher-order functions
+    * sit outside whole-stage codegen), which dominates the dedup hot
+    * path; per-row imperative string chopping is the one place
+    * mapPartitions-style execution beats Catalyst, and the emitted
+    * row set is identical to exploding [[shinglesOfWords]].
+    */
+  private def shingleRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val src = df.select(id.cast("long").as("id"), text.as("t"))
+    import src.sparkSession.implicits._
+    src.as[(Long, String)].flatMap { case (i, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < n) Iterator.empty
+      else {
+        // LinkedHashSet: distinct while preserving first-seen order,
+        // matching array_distinct over the sliding sequence
+        val set = scala.collection.mutable.LinkedHashSet.empty[String]
+        var p = 0
+        val sb = new StringBuilder
+        while (p + n <= ws.length) {
+          sb.clear()
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(ws(p + j)); j += 1 }
+          set.add(sb.toString)
+          p += 1
+        }
+        val sz = set.size
+        set.iterator.map(s => (i, sz, s))
+      }
+    }.toDF("id", "sz", "t0")
+  }
+
   /** MinHash universe: one md5 per shingle gives a base integer
     * x ∈ [0, P); permutation i is the affine map (aᵢ·x + bᵢ) mod P
     * with P = 2³¹−1 — so the k permutation mins cost k multiply-adds
@@ -83,16 +115,12 @@ object Dedup {
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
     val rowsPerBand = k / bands
-    val sh = shingleFrame(df, id, text, shingleN)
+    val tok = shingleRows(df, id, text, shingleN)
     // one md5 per shingle, then k affine permutation-mins in a single
-    // hash aggregation (map-side partial agg shrinks the shuffle).
-    // explode_outer: plain explode infers a size(s)>0 filter that
-    // predicate-pushdown re-substitutes into a full shingle recompute.
-    val tok = sh.select(col("id"), explode_outer(col("s")).as("t"))
-      .where(col("t").isNotNull)
-      .withColumn("x", shingleHash(col("t")))
+    // hash aggregation (map-side partial agg shrinks the shuffle)
+    val xs = tok.select(col("id"), shingleHash(col("t0")).as("x"))
     val minExprs = (0 until k).map(i => min(permHash(col("x"), i)).as(s"m$i"))
-    val mh = tok.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
+    val mh = xs.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rowsPerBand).map(j =>
@@ -105,12 +133,16 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    val withSets = cand
-      .join(sh.select(col("id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sh.select(col("id").as("doc_b"), col("s").as("sb")), "doc_b")
-    withSets
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+    // exact-Jaccard verification on candidates only, via row joins —
+    // the candidate set is tiny, so this broadcasts cand twice
+    val t1 = tok.select(col("id").as("doc_a"), col("sz").as("sa"), col("t0"))
+    val t2 = tok.select(col("id").as("doc_b"), col("sz").as("sb"), col("t0"))
+    val inter = broadcast(cand).join(t1, "doc_a")
+      .join(t2, Seq("doc_b", "t0"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
       // integer cross-multiplication: exact thresholding, no FP boundary
       .where(col("inter") * thresholdDen >= col("uni") * thresholdNum)
       .select(col("doc_a"), col("doc_b"),
@@ -123,14 +155,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
-    val sh = shingleFrame(df, id, text, shingleN)
-      .withColumn("sz", size(col("s")))
     // join on a 64-bit shingle hash: numeric key compare + narrower
     // shuffle than the raw shingle string. Collision odds are n²/2⁶⁵
     // (vanishing at these corpus sizes; swap in a 128-bit key for
     // trillion-shingle corpora).
-    val tok = sh.select(col("id"), col("sz"), explode_outer(col("s")).as("t0"))
-      .where(col("t0").isNotNull)
+    val tok = shingleRows(df, id, text, shingleN)
       .select(col("id"), col("sz"), xxhash64(col("t0")).as("t"))
     tok.as("a").join(tok.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
