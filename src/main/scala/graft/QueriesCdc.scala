@@ -131,6 +131,37 @@ object QueriesCdc {
         .orderBy(col("o_orderkey"))
     },
 
+    // A11: Kafka-Connect schema+payload message shape — the exact wire
+    // format the reference's Routine Load consumes ($.payload.* paths)
+    "cdc_kafka_message" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val messages = o.select(Envelope.encodeConnectMessage(Seq(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), TsFmt).as("o_orderdate"),
+        col("o_orderpriority")), "testdb", "orders").as("line"))
+      RoutineLoad.map(messages, col("line"), Seq(
+        RoutineLoad.ColumnSpec("o_orderkey", "$.payload.o_orderkey", LongType),
+        RoutineLoad.ColumnSpec("o_custkey", "$.payload.o_custkey", LongType),
+        RoutineLoad.ColumnSpec("o_orderstatus", "$.payload.o_orderstatus", StringType),
+        RoutineLoad.ColumnSpec("o_totalprice", "$.payload.o_totalprice", DoubleType),
+        RoutineLoad.ColumnSpec("o_orderdate", "$.payload.o_orderdate", StringType),
+        RoutineLoad.ColumnSpec("o_orderpriority", "$.payload.o_orderpriority", StringType)))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // A12: salted two-phase compaction — identical result to A4 by
+    // associativity of max_by; the skew path for hot keys
+    "cdc_upsert_salted" -> { (s, dir) =>
+      val chg = changelog(s, dir)
+      PkTable.compactSalted(chg, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), col("op") === Envelope.OpDelete, salts = 8)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          Rounding.r(col("value"), 4).as("last_value"),
+          date_format(col("ts"), TsFmt).as("last_ts"))
+        .orderBy(col("user_id"))
+    },
+
     // A10: initial snapshot + changelog tail merged into one view
     "cdc_snapshot_then_merge" -> { (s, dir) =>
       val snap = Tables.customer(s, dir).select(
@@ -180,6 +211,15 @@ object QueriesCdc {
     "cdc_schema_evolution" ->
       """SELECT o_orderkey, o_orderstatus, 'unknown' AS o_channel
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "cdc_kafka_message" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "cdc_upsert_salted" ->
+      """SELECT user_id, event_type AS last_type, round(value, 4) AS last_value,
+        |strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "cdc_snapshot_then_merge" ->
       """WITH latest AS (
         |  SELECT user_id, event_type, value FROM (

@@ -201,6 +201,16 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B18: exact distinct via the custom bitmap aggregate (StarRocks
+    // bitmap_union_count analogue) — must equal count(DISTINCT …)
+    "q_bitmap_distinct" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.BitmapDistinct.bitmapDistinct(col("user_id"), 1 << 20)
+          .as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
     // B15: exact interpolated percentiles per group
     "q_percentiles" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -353,6 +363,9 @@ object QueriesOlap {
         |max(k) AS max_k, count(k) AS n
         |FROM (SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |quantile_cont(l_quantity, 0.25) AS q25,

@@ -57,6 +57,18 @@ object Envelope {
   def parse(json: Column, payload: StructType): Column =
     from_json(json, schemaFor(payload))
 
+  /** Kafka-Connect-style full message: `{"schema": {...}, "payload":
+    * <row image>}` — the wire shape the reference's Routine Load jobs
+    * consume with `$.payload.<col>` jsonpaths (see
+    * /root/reference/benchmark.sh, `jsonpaths=["$.payload.id", …]`).
+    * The schema block is a static type descriptor, as Connect's
+    * JsonConverter emits with schemas.enable=true.
+    */
+  def encodeConnectMessage(cols: Seq[Column], db: String, table: String): Column =
+    to_json(struct(
+      struct(lit("struct").as("type"), lit(s"$db.$table").as("name")).as("schema"),
+      struct(cols: _*).as("payload")))
+
   /** ExtractNewRecordState with `delete.handling.mode=rewrite`:
     * flatten the record image (after, or before for deletes) and append
     * a `__deleted` string marker ("true"/"false"), Debezium-style.

@@ -40,6 +40,31 @@ object PkTable {
       .select(df.columns.map(c => col(s"__latest.$c").as(c)).toIndexedSeq: _*)
   }
 
+  /** Skew-resistant compaction: two-phase max_by with an explicit salt.
+    * Phase 1 aggregates (key, salt) — a hot key's rows spread over
+    * `salts` reducers; phase 2 folds the per-salt winners. Because
+    * max_by over the version struct is associative and commutative,
+    * the result is identical to [[compact]] for ANY salt assignment —
+    * here the salt derives from the version columns so it needs no
+    * randomness. Use when a handful of keys dominate the changelog
+    * (AQE skew-join handles joins; this handles aggregation skew).
+    */
+  def compactSalted(df: DataFrame, keyCols: Seq[String], version: Seq[Column],
+                    deleteFlag: Column, salts: Int): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq :+ deleteFlag.as("__is_delete"): _*)
+    val ver = struct(version: _*)
+    val phase1 = df
+      .withColumn("__salt", pmod(hash(ver), lit(salts)))
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(max_by(payload, ver).as("__w"), max(ver).as("__v"))
+    val phase2 = phase1
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(col("__w"), col("__v")).as("__latest"))
+    phase2
+      .where(!col("__latest.__is_delete"))
+      .select(df.columns.map(c => col(s"__latest.$c").as(c)).toIndexedSeq: _*)
+  }
+
   /** Merge a snapshot (initial load) with a changelog tail: changelog
     * rows overwrite snapshot rows by key; keys whose latest change is a
     * delete drop out; untouched snapshot keys pass through; brand-new

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Exact distinct-count of a bounded non-negative long key via a fixed
+  * bitmap — the StarRocks `bitmap_union_count` analogue.
+  *
+  * Unlike `count(distinct x)` (which expands to a two-phase
+  * shuffle-dedup of the raw keys), the bitmap buffer OR-merges
+  * map-side, so the shuffle carries `capacity/8` bytes per group
+  * regardless of row count — the right trade when the key domain is
+  * dense and bounded (user ids, date ordinals, enum codes). Exact, so
+  * a `count(DISTINCT …)` oracle must match it bit for bit.
+  *
+  * @param capacity exclusive upper bound on key values; out-of-range
+  *                 keys throw (choose the domain bound explicitly)
+  */
+class BitmapDistinct(capacity: Int) extends Aggregator[Long, Array[Long], Long] {
+  private val words = (capacity + 63) >>> 6
+
+  override def zero: Array[Long] = new Array[Long](words)
+
+  override def reduce(buf: Array[Long], v: Long): Array[Long] = {
+    require(v >= 0 && v < capacity, s"key $v outside bitmap capacity $capacity")
+    buf((v >>> 6).toInt) |= 1L << (v & 63)
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Long = {
+    var n = 0L
+    var i = 0
+    while (i < words) { n += java.lang.Long.bitCount(buf(i)); i += 1 }
+    n
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+object BitmapDistinct {
+  /** Column function: exact distinct count of `key` (0 ≤ key < capacity). */
+  def bitmapDistinct(key: Column, capacity: Int = 1 << 24): Column =
+    udaf(new BitmapDistinct(capacity)).apply(key)
+}

@@ -86,6 +86,20 @@ class StreamingSpec extends SparkSpec {
       && r.getLong(2) == 1L))
   }
 
+  test("streaming dedup: dropDuplicates within watermark removes replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    input.addData((t(1), 1L), (t(2), 2L), (t(2), 1L), (t(3), 2L)) // replays of 1 and 2
+    val q = df.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("stream_dedup").count() == 2)
+  }
+
   test("D4: file-based CDC stream source feeds the same pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("cdcsrc").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b0.json"),
