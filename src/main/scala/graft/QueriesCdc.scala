@@ -162,6 +162,26 @@ object QueriesCdc {
         .orderBy(col("user_id"))
     },
 
+    // A13: error-row accounting — Routine Load's max_error_number
+    // counters: corrupt lines are detected in the same parse pass and
+    // routed/counted, never silently dropped
+    "cdc_error_rows" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      // deterministically corrupt ~10% of the feed
+      val lines = o.select(
+        when(col("o_orderkey") % 10 === 7,
+          concat(lit("CORRUPT{"), col("o_orderkey")))
+          .otherwise(to_json(struct(col("o_orderkey"), col("o_totalprice"))))
+          .as("line"))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType)))
+      val parsed = RoutineLoad.mapWithErrors(lines, col("line"), schema, "o_orderkey")
+      parsed.agg(
+        sum(when(col("__error"), 0L).otherwise(1L)).as("n_good"),
+        sum(when(col("__error"), 1L).otherwise(0L)).as("n_error"),
+        sum(when(col("__error"), 0L).otherwise(col("o_orderkey"))).as("good_key_sum"))
+    },
+
     // A10: initial snapshot + changelog tail merged into one view
     "cdc_snapshot_then_merge" -> { (s, dir) =>
       val snap = Tables.customer(s, dir).select(
@@ -215,6 +235,11 @@ object QueriesCdc {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "cdc_error_rows" ->
+      """SELECT CAST(sum(CASE WHEN o_orderkey % 10 = 7 THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+        |CAST(sum(CASE WHEN o_orderkey % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |CAST(sum(CASE WHEN o_orderkey % 10 = 7 THEN 0 ELSE o_orderkey END) AS BIGINT) AS good_key_sum
+        |FROM orders""".stripMargin,
     "cdc_upsert_salted" ->
       """SELECT user_id, event_type AS last_type, round(value, 4) AS last_value,
         |strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts

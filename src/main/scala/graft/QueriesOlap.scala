@@ -201,6 +201,19 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B19: CUBE — all grouping-set combinations of segment × status
+    "q_cube" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Rounding.r(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy(col("seg"), col("status"))
+    },
+
     // B18: exact distinct via the custom bitmap aggregate (StarRocks
     // bitmap_union_count analogue) — must equal count(DISTINCT …)
     "q_bitmap_distinct" -> { (s, dir) =>
@@ -366,6 +379,13 @@ object QueriesOlap {
     "q_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+        |COALESCE(o_orderstatus, 'ALL') AS status,
+        |count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+        |ORDER BY seg, status""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |quantile_cont(l_quantity, 0.25) AS q25,

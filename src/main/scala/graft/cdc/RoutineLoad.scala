@@ -34,4 +34,19 @@ object RoutineLoad {
     */
   def fromJsonTyped(df: DataFrame, jsonCol: Column, schema: org.apache.spark.sql.types.StructType): DataFrame =
     df.select(from_json(jsonCol, schema).as("r")).select(col("r.*"))
+
+  /** Parse with error-row accounting, Routine Load style (its
+    * `max_error_number` counters): returns rows tagged `__error`
+    * (unparseable line) so callers can route good rows onward and
+    * count/quarantine the rest — one pass, no second parse.
+    *
+    * @param requiredCol a payload field that is never null in valid
+    *                    rows; its null-ness after parse marks errors
+    */
+  def mapWithErrors(df: DataFrame, jsonCol: Column,
+                    schema: org.apache.spark.sql.types.StructType,
+                    requiredCol: String): DataFrame =
+    df.select(jsonCol.as("__raw"), from_json(jsonCol, schema).as("r"))
+      .withColumn("__error", col(s"r.$requiredCol").isNull)
+      .select(col("r.*") +: Seq(col("__error"), col("__raw")): _*)
 }

@@ -28,4 +28,36 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col(typeCol), col("n"), col("sum_value"))
+
+  /** Gap-based session windows per key (the streaming twin of the
+    * batch sessionization query): a session closes after `gap` of
+    * inactivity; state is bounded by the watermark.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
+  /** Stream-stream inner join within a time bound: each left event
+    * joins right events of the same key within `bound` after it.
+    * Watermarks on both sides let Spark expire join state — the
+    * pattern for correlating two CDC/event feeds at scale.
+    */
+  def timeBoundJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                    leftTs: String, rightTs: String, bound: String,
+                    watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $bound"))
+      .drop(r(keyCol))
+  }
 }

@@ -100,6 +100,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("stream_dedup").count() == 2)
   }
 
+  test("session windows: events split by inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two bursts an hour apart → two sessions (30 min gap)
+    input.addData((t(0, 0), 1L), (t(0, 10), 1L), (t(1, 30), 1L), (t(9, 0), 2L))
+    val agg = graft.streaming.EventStream.sessionCounts(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sessions").where(col("user_id") === 1L).collect()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("stream-stream time-bound join correlates two feeds with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    clicks.addData((t(1), 1L), (t(5), 2L))
+    buys.addData((t(10), 1L), (t(50), 2L)) // 2's purchase is outside the 15-min bound
+    val joined = graft.streaming.EventStream.timeBoundJoin(
+      clicks.toDF().toDF("cts", "user_id"), buys.toDF().toDF("bts", "user_id"),
+      "user_id", "cts", "bts", bound = "15 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssjoin").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("user_id") == 1L)
+  }
+
   test("D4: file-based CDC stream source feeds the same pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("cdcsrc").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b0.json"),
