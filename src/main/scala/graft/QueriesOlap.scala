@@ -201,6 +201,30 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B20: scalar-function surface — string/math/date/null-handling
+    // functions evaluated identically by the oracle
+    "q_scalar_funcs" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") < 1000)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderstatus")).as("status_u"),
+          lower(col("o_orderpriority")).as("prio_l"),
+          length(col("o_orderpriority")).cast("long").as("prio_len"),
+          substring(col("o_orderpriority"), 1, 3).as("prio_3"),
+          lpad(col("o_orderkey").cast("string"), 8, "0").as("key_pad"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          abs(col("o_totalprice") - 1000).as("abs_p"),
+          Rounding.r(sqrt(col("o_totalprice")), 4).as("sqrt_p"),
+          Rounding.r(ln(col("o_totalprice")), 4).as("ln_p"),
+          floor(col("o_totalprice") / 100).cast("long").as("bucket"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_nn"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // B19: CUBE — all grouping-set combinations of segment × status
     "q_cube" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
@@ -379,6 +403,23 @@ object QueriesOlap {
     "q_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |upper(o_orderstatus) AS status_u,
+        |lower(o_orderpriority) AS prio_l,
+        |length(o_orderpriority) AS prio_len,
+        |substr(o_orderpriority, 1, 3) AS prio_3,
+        |lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS key_pad,
+        |concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+        |abs(o_totalprice - 1000) AS abs_p,
+        |round(sqrt(o_totalprice), 4) AS sqrt_p,
+        |round(ln(o_totalprice), 4) AS ln_p,
+        |CAST(floor(o_totalprice / 100) AS BIGINT) AS bucket,
+        |CAST(year(o_orderdate) AS BIGINT) AS y,
+        |CAST(month(o_orderdate) AS BIGINT) AS m,
+        |CAST(day(o_orderdate) AS BIGINT) AS d,
+        |COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_nn
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
     "q_cube" ->
       """SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
         |COALESCE(o_orderstatus, 'ALL') AS status,

@@ -75,6 +75,16 @@ object CdcStream {
       }
   }
 
+  /** Split a mixed multi-table envelope feed by `source.table` — the
+    * connector's `table.include.list` routing (one Debezium connector
+    * feeds one topic per table; with a single mixed feed this is the
+    * same fan-out). Returns the per-table envelope frame, to be
+    * unwrapped with that table's payload schema.
+    */
+  def routeTable(envelopes: DataFrame, jsonCol: String, table: String): DataFrame =
+    envelopes.where(
+      get_json_object(col(jsonCol), "$.source.table") === table)
+
   /** File-based CDC source (SURVEY §2 D4): a directory of Debezium
     * JSON line files consumed as a stream — the zero-egress stand-in
     * for the Kafka topic, same downstream pipeline.

@@ -56,6 +56,27 @@ class CdcSpec extends SparkSpec {
     assert(out == Seq((1L, "s1"), (2L, "c2"), (4L, "c4")))
   }
 
+  test("multi-table feed routes by source.table like table.include.list") {
+    val mixed = Seq(
+      """{"before":null,"after":{"id":1,"v":"o1"},"source":{"connector":"mysql","db":"testdb","table":"orders"},"op":"c","ts_ms":1}""",
+      """{"before":null,"after":{"id":2,"v":"c1"},"source":{"connector":"mysql","db":"testdb","table":"customers"},"op":"c","ts_ms":1}""",
+      """{"before":null,"after":{"id":3,"v":"o2"},"source":{"connector":"mysql","db":"testdb","table":"orders"},"op":"c","ts_ms":2}""")
+      .toDF("json")
+    val orders = graft.streaming.CdcStream.routeTable(mixed, "json", "orders")
+    val customers = graft.streaming.CdcStream.routeTable(mixed, "json", "customers")
+    assert(orders.count() == 2 && customers.count() == 1)
+    val parsed = orders.select(Envelope.parse(col("json"), payload).as("env"))
+    val out = Envelope.extractNewRecordState(parsed, col("env"), payload)
+    assert(out.select("v").as[String].collect().toSet == Set("o1", "o2"))
+  }
+
+  test("RoutineLoad error accounting tags corrupt lines, keeps good rows") {
+    val lines = Seq("""{"id":1,"v":"a"}""", "garbage{{{", """{"id":3,"v":"c"}""").toDF("line")
+    val out = RoutineLoad.mapWithErrors(lines, col("line"), payload, "id")
+    assert(out.where(col("__error")).count() == 1)
+    assert(out.where(!col("__error")).select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("RoutineLoad jsonpaths mapping types columns and tolerates extras") {
     val lines = Seq("""{"a":1,"b":"x","extra":9}""", """{"a":2,"b":"y"}""").toDF("line")
     val out = RoutineLoad.map(lines, col("line"), Seq(

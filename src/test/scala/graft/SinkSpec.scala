@@ -45,5 +45,8 @@ class SinkSpec extends SparkSpec {
     val c = spark.read.schema(schema).option("header", "true").csv(s"$dir/a.csv")
     assert(j.count() == 2 && c.count() == 1)
     assert(j.unionByName(c).count() == 3)
+    // ORC round-trip (the other columnar lake format Spark ships)
+    j.write.mode("overwrite").orc(s"$dir/orc")
+    assert(spark.read.orc(s"$dir/orc").count() == 2)
   }
 }
