@@ -7,6 +7,19 @@ import org.apache.spark.sql.SparkSession
   * Local testing runs `local[N]`; the same settings are what we would
   * ship on a 1000-executor cluster, with `shuffle.partitions` sized to
   * ~2-3x total cores and AQE coalescing handling the rest at runtime.
+  *
+  * Cluster sizing notes (1000 executors × 4 cores, ~100 TB inputs):
+  *  - `spark.sql.shuffle.partitions` ≈ 8000-12000 (2-3× cores); AQE
+  *    coalesces small post-shuffle partitions, so err high.
+  *  - `spark.sql.files.maxPartitionBytes` at the default 128 MB keeps
+  *    ~800k scan tasks for 100 TB — fine; raise to 256 MB if task
+  *    startup dominates.
+  *  - `autoBroadcastJoinThreshold` 64 MB: every dimension in this
+  *    schema (region/nation/supplier/part) broadcasts even at SF 100k.
+  *  - skew: AQE skew-join splitting is on; for aggregation skew use
+  *    `PkTable.compactSalted`.
+  *  - executor memory ≥ 4 GB/core so a 128 MB scan partition plus its
+  *    shuffle buffers never spill on the common path.
   */
 object GraftSession {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",

@@ -123,6 +123,24 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C17: PII scrubbing — regex redaction of emails/phones (the
+    // curation step before any training corpus ships). Synthetic PII is
+    // injected deterministically so the scrub is oracle-checkable.
+    "text_pii_scrub" -> { (s, dir) =>
+      val withPii = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com tel 555-"), col("doc_id")).as("t"))
+      withPii.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit("[a-z0-9]+@[a-z.]+"), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit("555-[0-9]+"), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), "[a-z0-9]+@[a-z.]+", "<EMAIL>"),
+          "555-[0-9]+", "<PHONE>")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // C16: class-balanced downsampling — per-label cap in md5-keyed
     // pseudo-random order (stratified rebalancing for training mixes)
     "sample_balanced" -> { (s, dir) =>
@@ -301,6 +319,16 @@ object QueriesData {
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST('0x' || substr(md5(doc_id || ':sample'), 1, 8) AS BIGINT) % 100 < 20
         |ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact: user' || doc_id || '@example.com tel 555-' || doc_id AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-z0-9]+@[a-z.]+')) AS n_emails,
+        |  len(regexp_extract_all(t, '555-[0-9]+')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z.]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]+', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     "sample_balanced" ->
       """SELECT lang, rn, doc_id FROM (
         |  SELECT lang, doc_id,

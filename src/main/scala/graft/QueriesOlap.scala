@@ -201,6 +201,16 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B21: set operations — INTERSECT / EXCEPT semantics
+    "q_set_ops" -> { (s, dir) =>
+      val highBal = Tables.customer(s, dir)
+        .where(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+      val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+      highBal.intersect(withOrders).agg(count(lit(1)).as("n_active_rich"))
+        .crossJoin(
+          highBal.except(withOrders).agg(count(lit(1)).as("n_inactive_rich")))
+    },
+
     // B20: scalar-function surface — string/math/date/null-handling
     // functions evaluated identically by the oracle
     "q_scalar_funcs" -> { (s, dir) =>
@@ -403,6 +413,14 @@ object QueriesOlap {
     "q_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_set_ops" ->
+      """SELECT
+        |(SELECT count(*) FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT SELECT o_custkey FROM orders)) AS n_active_rich,
+        |(SELECT count(*) FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT SELECT o_custkey FROM orders)) AS n_inactive_rich""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT o_orderkey,
         |upper(o_orderstatus) AS status_u,

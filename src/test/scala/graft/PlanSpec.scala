@@ -11,6 +11,10 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.explainString(FormattedMode)
 
+  test("driver contract: entry() returns rows on the smoke corpus") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q_filter_pushdown: predicates reach the parquet scan, projection is narrow") {
     val p = plan("q_filter_pushdown")
     assert(p.contains("PushedFilters:"))
