@@ -201,6 +201,16 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B22: HLL sketch distinct (approx_count_distinct) — sketch values
+    // are engine-specific, so no SQL oracle: the driver's rows-only
+    // check applies; the ApproxSpec test bounds the error vs exact
+    "q_approx_distinct" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+        .orderBy(col("event_type"))
+    },
+
     // B21: set operations — INTERSECT / EXCEPT semantics
     "q_set_ops" -> { (s, dir) =>
       val highBal = Tables.customer(s, dir)

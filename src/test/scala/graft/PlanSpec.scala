@@ -62,8 +62,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
-  test("topk window queries keep row_number filters as rank limits") {
+  test("topk window queries get Catalyst's rank-limit pushdown (WindowGroupLimit)") {
+    // the rank<=k filter becomes a bounded per-partition top-k BEFORE
+    // the shuffle — no hand-built operator needed
     val p = plan("ann_topk_bruteforce")
-    assert(p.contains("Window") && p.contains("row_number"))
+    assert(p.contains("WindowGroupLimit"))
   }
 }

@@ -14,9 +14,12 @@ class RoundingSpec extends AnyFunSuite {
   }
 
   test("every oracle query has a matching Spark query and vice versa") {
+    // approx sketches have engine-specific values → deliberately
+    // oracle-less (driver applies its weaker rows-only check)
+    val rowsOnly = Set("q_approx_distinct")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
-    assert(q.subsetOf(o), s"query without oracle (rows-only check): ${q.diff(o)}")
+    assert((q -- rowsOnly).subsetOf(o), s"query without oracle: ${q -- rowsOnly -- o}")
   }
 }

@@ -134,6 +134,21 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("user_id") == 1L)
   }
 
+  test("Monitor reports rows and state for an active query") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    input.addData(env(1, 1, "a", "c", 10), env(2, 1, "b", "c", 10))
+    val states = CdcStream.upsertStates(CdcStream.unwrap(
+      input.toDF().withColumnRenamed("value", "json"), "json", payload, "id", "seq"))
+    val q = states.writeStream.format("memory").queryName("monitored")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    val st = graft.streaming.Monitor.status(q)
+    q.stop()
+    assert(st.name == "monitored" && st.batchId >= 0)
+    assert(st.numInputRows == 2 && st.stateRows == 2)
+  }
+
   test("D4: file-based CDC stream source feeds the same pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("cdcsrc").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b0.json"),
