@@ -63,6 +63,14 @@ object QueriesData {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // C6b: cosine LSH — random-hyperplane banding, the linear-time
+    // candidate path for embedding dedup at corpus scale
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      Similarity.cosineLshPairs(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // C7: exact top-k cosine neighbors (brute-force baseline)
     "ann_topk_bruteforce" -> { (s, dir) =>
       Similarity.topkBruteForce(Tables.embeddings(s, dir), col("vec_id"),
@@ -227,6 +235,27 @@ object QueriesData {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(c, 4) AS cos FROM p
         |WHERE round(c, 4) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_lsh" -> {
+      val planes = Similarity.hyperplanes(16, 64)
+      def planeLit(p: Int) =
+        planes(p).map(x => s"${x.toLong}.0").mkString("[", ", ", "]::DOUBLE[]")
+      val sigTerms = (0 until 16).map(p =>
+        s"(CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString("\n + ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |sig AS (SELECT vec_id, e,
+         |$sigTerms AS sig
+         |FROM v),
+         |banded AS (SELECT vec_id, e, b, (sig >> (CAST(b AS INT) * 4)) & 15 AS bv
+         |           FROM sig CROSS JOIN range(4) r(b)),
+         |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |         FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id),
+         |p AS (SELECT ia, ib,
+         |  list_dot_product(x.e, y.e) / sqrt(list_dot_product(x.e, x.e) * list_dot_product(y.e, y.e)) AS c
+         |  FROM cand JOIN v x ON ia = x.vec_id JOIN v y ON ib = y.vec_id)
+         |SELECT ia AS id_a, ib AS id_b, round(c, 4) AS cos FROM p
+         |WHERE round(c, 4) >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    },
     "ann_topk_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),

@@ -56,7 +56,9 @@ object Dedup {
     * row set is identical to exploding [[shinglesOfWords]].
     */
   private def shingleRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val src = df.select(id.cast("long").as("id"), text.as("t"))
+    // repartition: a small parquet input is one split, which would
+    // serialize the shingling onto a single task
+    val src = df.select(id.cast("long").as("id"), text.as("t")).repartition()
     import src.sparkSession.implicits._
     src.as[(Long, String)].flatMap { case (i, t) =>
       val ws = t.split(" ", -1)

@@ -79,6 +79,53 @@ object Similarity {
         Rounding.r(col("cos"), 4).as("cos"))
   }
 
+  /** Deterministic random-hyperplane set for cosine LSH (Charikar's
+    * SimHash for vectors, public construction): plane p's component d
+    * is an md5-derived integer in [-1000, 1000], computed once at plan
+    * build — both the Spark plan and any SQL oracle embed the SAME
+    * literal planes, so signatures agree bit-for-bit.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val hex = mdf.digest(s"$p:$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toDouble
+    }
+  }
+
+  /** Cosine-LSH near-duplicate pairs: 16-bit hyperplane signature →
+    * 4-bit band bucket join → exact-cosine verification. The scale
+    * path for embedding dedup — candidate generation is linear in the
+    * corpus, not O(n²); recall follows the standard banding curve and
+    * is reproducible because the planes are deterministic.
+    */
+  def cosineLshPairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
+                     nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    val planeBits = nPlanes / bands
+    val planes = hyperplanes(nPlanes, 64)
+    val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
+    val sigBits = (0 until nPlanes).map(p =>
+      when(call_function("double_dot", col("v"), typedLit(planes(p).toSeq)) > 0,
+        lit(1L << p)).otherwise(lit(0L)))
+    val sig = v.withColumn("sig", sigBits.reduce(_ + _))
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * planeBits)
+          .bitwiseAND((1L << planeBits) - 1).as("bv")))
+    val banded = sig.select(col("id"), col("v"), col("n2"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("v"), col("n2"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineWithNorms(dot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+      .distinct()
+      .where(Rounding.r(col("cos"), 4) >= threshold)
+      .select(col("id_a"), col("id_b"), Rounding.r(col("cos"), 4).as("cos"))
+  }
+
   /** IVF-style ANN: deterministic coarse centroids (caller-selected),
     * nearest-cell assignment for every vector, then per-query search
     * restricted to the query's own cell.

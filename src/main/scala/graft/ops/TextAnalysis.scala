@@ -13,6 +13,22 @@ import graft.functions.Rounding
   */
 object TextAnalysis {
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a byte array (matches `md5()` output; ~20× faster
+    * than per-byte String.format on hot paths). */
+  def hexString(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Tiny deterministic stopword lists per language for the n-gram/
     * stopword-hit language heuristic. */
   val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
@@ -87,16 +103,25 @@ object TextAnalysis {
                         k: Int = 5, w: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = lower(regexp_replace(text, "\\s+", " "))
-    // posexplode_outer (not posexplode): the inferred non-empty filter
-    // of a plain generator is pushed down with full expression
-    // substitution, recomputing the gram array per row
-    val grams = df.select(id.as("doc_id"), norm.as("t"))
-      .where(length(col("t")) >= k + w - 1)
-      .select(col("doc_id"),
-        posexplode_outer(transform(sequence(lit(1), length(col("t")) - (k - 1)),
-          i => md5(col("t").substr(i, lit(k))))))
-      .where(col("col").isNotNull)
-      .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("gh"))
+    // gram rows via typed flatMap: building a per-row md5 array with a
+    // transform() lambda is interpreted (outside whole-stage codegen)
+    // and dominates the fingerprint cost; JVM-side digesting emits the
+    // identical (doc_id, idx, md5hex) rows. Corpus is ASCII, so char
+    // positions agree with SQL substr semantics.
+    // repartition first: a small parquet input arrives as one split,
+    // which would serialize the digest work onto a single task
+    val src = df.select(id.cast("long").as("doc_id"), norm.as("t")).repartition()
+    import src.sparkSession.implicits._
+    val grams = src.as[(Long, String)].flatMap { case (i, t) =>
+      if (t.length < k + w - 1) Iterator.empty
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (1 to t.length - (k - 1)).iterator.map { idx =>
+          val digest = md.digest(t.substring(idx - 1, idx - 1 + k).getBytes("UTF-8"))
+          (i, idx.toLong, TextAnalysis.hexString(digest))
+        }
+      }
+    }.toDF("doc_id", "idx", "gh")
     val win = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
       .rowsBetween(-(w - 1), 0)
     grams.withColumn("sel", min(col("gh")).over(win))
