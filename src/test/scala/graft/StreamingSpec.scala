@@ -134,6 +134,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("user_id") == 1L)
   }
 
+  test("keyed upsert state runs on the RocksDB state store (large-state path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[String]
+      input.addData(env(1, 1, "a", "c", 10), env(1, 2, "a2", "u", 20), env(2, 1, "b", "c", 10))
+      val states = CdcStream.upsertStates(CdcStream.unwrap(
+        input.toDF().withColumnRenamed("value", "json"), "json", payload, "id", "seq"))
+      val q = states.writeStream.format("memory").queryName("rocks_states")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      val out = spark.table("rocks_states")
+        .groupBy("key").agg(max_by(col("payload"), struct(col("versionMs"), col("seq"))).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out(1L).contains("a2") && out(2L).contains("\"b\""))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("Monitor reports rows and state for an active query") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
