@@ -69,4 +69,20 @@ object CdcPipeline {
         StarRocksSink.write(batch.toDF(), s"$label-b$batchId", transport)
         ()
       }
+
+  /** Streaming: continuously materialize the keyed states into a
+    * versioned parquet PK table (graft.sinks.PkTableSink) — the lake
+    * equivalent of the StarRocks target table, refreshed per
+    * micro-batch and idempotent under batch replay.
+    */
+  def toPkTableSink(states: org.apache.spark.sql.Dataset[CdcStream.KeyState],
+                    root: String): DataStreamWriter[CdcStream.KeyState] =
+    states.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CdcStream.KeyState], _: Long) =>
+        graft.sinks.PkTableSink.merge(batch.sparkSession, root, batch.toDF(),
+          keyCols = Seq("key"), versionCols = Seq("versionMs", "seq"),
+          deleteFlag = "deleted")
+        ()
+      }
 }

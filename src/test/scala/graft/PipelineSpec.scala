@@ -53,6 +53,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.getAs[Double]("amount") == 42.0) // int literal read into widened double
   }
 
+  test("streaming: states materialize into the versioned PK lake table") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("pipe_pk").toString + "/t"
+    val input = MemoryStream[String]
+    input.addData(env(1, 1, "a", "c", 10), env(2, 1, "b", "c", 10))
+    val q = CdcPipeline.toPkTableSink(
+      CdcPipeline.stream(input.toDF().withColumnRenamed("value", "json"), "json", cfg), root)
+      .option("checkpointLocation", root + "_ckpt").start()
+    q.processAllAvailable()
+    input.addData(env(1, 2, "a2", "u", 20), env(2, 2, "b", "d", 30)) // update 1, delete 2
+    q.processAllAvailable(); q.stop()
+    val t = graft.sinks.PkTableSink.read(spark, root,
+      spark.emptyDataFrame).orderBy("key").collect()
+    assert(t.length == 1)
+    assert(t(0).getAs[Long]("key") == 1L && t(0).getAs[String]("payload").contains("a2"))
+  }
+
   test("streaming: envelope stream lands in the stream-load sink as chunks") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("pipe").toString

@@ -32,6 +32,29 @@ class SinkSpec extends SparkSpec {
     assert(months > 1)
   }
 
+  test("incremental PK-table sink: micro-batch merges accumulate correctly") {
+    import graft.sinks.PkTableSink
+    val root = java.nio.file.Files.createTempDirectory("pkinc").toString + "/t"
+    def batch(rows: (Long, Long, String, Boolean)*) =
+      rows.toDF("id", "ver", "v", "del")
+    // batch 1: two inserts
+    PkTableSink.merge(spark, root, batch((1L, 1L, "a", false), (2L, 1L, "b", false)),
+      Seq("id"), Seq("ver"), "del")
+    // batch 2: update 1, delete 2, insert 3
+    PkTableSink.merge(spark, root, batch((1L, 2L, "a2", false), (2L, 2L, "x", true), (3L, 1L, "c", false)),
+      Seq("id"), Seq("ver"), "del")
+    val t = PkTableSink.read(spark, root, batch().drop("del"))
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(t == Seq((1L, "a2"), (3L, "c")))
+    // replaying batch 2 is idempotent
+    PkTableSink.merge(spark, root, batch((1L, 2L, "a2", false), (2L, 2L, "x", true), (3L, 1L, "c", false)),
+      Seq("id"), Seq("ver"), "del")
+    val t2 = PkTableSink.read(spark, root, batch().drop("del"))
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(t2 == t)
+    assert(PkTableSink.currentVersion(spark, root).contains(2L))
+  }
+
   test("D2: JSON-lines and CSV sources read with explicit schemas") {
     val dir = java.nio.file.Files.createTempDirectory("src").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.json"),
