@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.DoubleDot
+import graft.functions.{DoubleDot, SimHash32}
 
 /** Catalyst extensions for the engine, registered on every
   * [[GraftSession]] (public `withExtensions` API — usable verbatim via
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => DoubleDot(
         Cast(children(0), ArrayType(DoubleType)),
         Cast(children(1), ArrayType(DoubleType)))))
+    e.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (children: Seq[Expression]) => SimHash32(children.head)))
   }
 }

@@ -180,17 +180,14 @@ object Dedup {
   /** 32-bit SimHash over whitespace tokens (duplicates weighted).
     * Token hash = first 8 hex chars of md5 as an unsigned 32-bit int;
     * simhash bit j is set iff Σ_tokens (2·bit_j(h) − 1) > 0.
+    *
+    * Runs as the native single-pass [[graft.functions.SimHash32]]
+    * expression (registered `simhash32`) — no token explode, no
+    * 32-column aggregation, one kernel call per document inside
+    * whole-stage codegen. Bit-identical to the exploded formulation.
     */
-  def simhash32(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val tok = df.select(id.as("id"), explode(split(text, " ")).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 32).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val sums = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 32).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    sums.select(col("id"), sim.as("simhash"))
-  }
+  def simhash32(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), call_function("simhash32", text).as("simhash"))
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxHamming.
     * Pair generation partitions the 32 bits into (maxHamming+1) bands;
