@@ -201,6 +201,23 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B23: the same as-of semantics through the NATIVE custom operator
+    // (logical node + strategy + merge exec, graft.plans.AsOfJoin) —
+    // must match the same oracle as the composed B17 formulation
+    "q_asof_native" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+      graft.plans.AsOfJoin.join(e, o,
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        rightTiebreak = col("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TsFmt).as("ts"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
     // B22: HLL sketch distinct (approx_count_distinct) — sketch values
     // are engine-specific, so no SQL oracle: the driver's rows-only
     // check applies; the ApproxSpec test bounds the error vs exact
@@ -473,6 +490,21 @@ object QueriesOlap {
         |  FROM rev)
         |SELECT p_brand, rk, p_partkey, round(rev, 2) AS rev
         |FROM ranked WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q_asof_native" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, 0 AS kind, o_orderkey AS ordkey,
+        |         o_totalprice AS price, CAST(NULL AS BIGINT) AS event_id FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), event_id FROM events),
+        |j AS (
+        |  SELECT *,
+        |    last_value(ordkey IGNORE NULLS) OVER w AS o_orderkey,
+        |    last_value(price IGNORE NULLS) OVER w AS o_totalprice
+        |  FROM u WINDOW w AS (PARTITION BY k ORDER BY t, kind, COALESCE(ordkey, event_id)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, k AS user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       o_orderkey, o_totalprice
+        |FROM j WHERE kind = 1 ORDER BY event_id""".stripMargin,
     "q_asof_join" ->
       """WITH u AS (
         |  SELECT o_custkey AS k, o_orderdate AS t, 0 AS kind, o_orderkey AS ordkey,

@@ -62,6 +62,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q_asof_native: custom operator plans as AsOfJoinExec with one exchange+sort per side") {
+    val p = plan("q_asof_native")
+    assert(p.contains("AsOfJoin"))
+    // EnsureRequirements satisfies the declared distribution/ordering:
+    // one exchange + sort per child feeding the merge (plus the final
+    // output ordering's own exchange)
+    assert("Exchange".r.findAllIn(p).size >= 3)
+    assert("Sort".r.findAllIn(p).size >= 3)
+  }
+
   test("topk window queries get Catalyst's rank-limit pushdown (WindowGroupLimit)") {
     // the rank<=k filter becomes a bounded per-partition top-k BEFORE
     // the shuffle — no hand-built operator needed
