@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Rounding
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline query surface (SURVEY §2 section C):
@@ -129,6 +130,30 @@ object QueriesData {
           .cast("long") % 100 < 20)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
+    },
+
+    // C18: unigram language-model scoring — corpus token frequencies
+    // feed per-doc mean log-probability (the KenLM-style quality filter
+    // scaffold: two aggregations + a broadcast join, no driver state)
+    "text_unigram_logprob" -> { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val total = tok.agg(count(lit(1)).cast("double").as("total"))
+      tok.join(broadcast(freq), "t").crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          Rounding.r(sum(log(col("c") / col("total"))) / count(lit(1)), 4).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C19: global vocabulary head — top-k tokens by corpus frequency
+    "text_top_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t"))
+        .limit(20)
     },
 
     // C17: PII scrubbing — regex redaction of emails/phones (the
@@ -348,6 +373,18 @@ object QueriesData {
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST('0x' || substr(md5(doc_id || ':sample'), 1, 8) AS BIGINT) % 100 < 20
         |ORDER BY doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(ln(c / total)) / count(*), 4) AS avg_logprob
+        |FROM tok JOIN freq USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_top_tokens" ->
+      """SELECT t, count(*) AS c
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY t ORDER BY c DESC, t LIMIT 20""".stripMargin,
     "text_pii_scrub" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact: user' || doc_id || '@example.com tel 555-' || doc_id AS t
