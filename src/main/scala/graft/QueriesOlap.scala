@@ -201,6 +201,19 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B24: time-range window frame — trailing 1-hour activity per user
+    // at every event (RANGE frame over epoch seconds)
+    "q_window_trailing" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600, 0)
+      Tables.events(s, dir)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", Rounding.r(sum(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+
     // B23: the same as-of semantics through the NATIVE custom operator
     // (logical node + strategy + merge exec, graft.plans.AsOfJoin) —
     // must match the same oracle as the composed B17 formulation
@@ -490,6 +503,15 @@ object QueriesOlap {
         |  FROM rev)
         |SELECT p_brand, rk, p_partkey, round(rev, 2) AS rev
         |FROM ranked WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q_window_trailing" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 4) AS sum_1h
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_asof_native" ->
       """WITH u AS (
         |  SELECT o_custkey AS k, o_orderdate AS t, 0 AS kind, o_orderkey AS ordkey,
