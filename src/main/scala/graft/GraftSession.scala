@@ -22,12 +22,19 @@ import org.apache.spark.sql.SparkSession
   *    shuffle buffers never spill on the common path.
   */
 object GraftSession {
+  /** @param maxPartitionBytes scan split size. Cluster default 128m;
+    *   local test corpora are single small parquet files, which would
+    *   otherwise arrive as ONE scan partition and serialize per-row
+    *   work (JSON codecs etc.) onto one task — test mains pass "4m".
+    */
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
+              shufflePartitions: Int = 32,
+              maxPartitionBytes: String = "128m"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")
       .withExtensions(new GraftExtensions)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

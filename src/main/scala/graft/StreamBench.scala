@@ -18,7 +18,7 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(master = s"local[$cpus]",
-      shufflePartitions = cpus.toInt).getOrCreate()
+      shufflePartitions = cpus.toInt, maxPartitionBytes = "4m").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val work = java.nio.file.Files.createTempDirectory("streambench").toString
