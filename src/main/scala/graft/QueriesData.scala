@@ -50,6 +50,14 @@ object QueriesData {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // C20: duplicate clusters — connected components over the exact
+    // near-dup pair graph (keep min-id representative per cluster)
+    "dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+      Dedup.duplicateClusters(pairs)
+        .orderBy(col("doc_id"))
+    },
+
     // C5: SimHash near-dup pairs (hamming ≤ 3, banded pair generation)
     "dedup_simhash" -> { (s, dir) =>
       val sim = Dedup.simhash32(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -241,6 +249,25 @@ object QueriesData {
          |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
          |HAVING count(*) * 5 >= (a.sz + b.sz - count(*)) * 4
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |szd AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+         |tok AS (SELECT doc_id, sz, unnest(s) AS t FROM szd),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+         |    AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 4
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING count(*) * 5 >= (a.sz + b.sz - count(*)) * 4),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m)
+         |SELECT id AS doc_id, min(m) AS cluster FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
          |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),

@@ -189,6 +189,44 @@ object Dedup {
   def simhash32(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("id"), call_function("simhash32", text).as("simhash"))
 
+  /** Connected components over a near-duplicate pair graph: every doc
+    * in a pair gets the minimum doc id reachable through pairs as its
+    * cluster id (so "keep cluster rep, drop the rest" falls out).
+    *
+    * Distributed min-label propagation: each round joins labels across
+    * edges and keeps the per-node minimum, iterating to fixpoint —
+    * the standard BSP connected-components scheme; rounds are Spark
+    * jobs, the driver only checks convergence (O(diameter) rounds,
+    * and near-dup clusters have tiny diameters). Deterministic for
+    * any execution order.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).count()
+      // materialize per round to cut the growing lineage
+      labels = next.localCheckpoint(eager = true)
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster"))
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxHamming.
     * Pair generation partitions the 32 bits into (maxHamming+1) bands;
     * by pigeonhole any pair within the distance budget matches exactly

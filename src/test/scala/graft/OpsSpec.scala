@@ -37,6 +37,15 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("duplicate clusters: transitive pairs collapse to one component") {
+    // chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3}, {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val c = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(c(1L) == 1L && c(2L) == 1L && c(3L) == 1L)
+    assert(c(7L) == 7L && c(9L) == 7L)
+  }
+
   test("simhash: identical docs have hamming 0; near-dups small hamming") {
     val sim = Dedup.simhash32(docs, col("doc_id"), col("text"))
     val h = sim.as[(Long, Long)].collect().toMap
