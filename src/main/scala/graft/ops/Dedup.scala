@@ -201,26 +201,33 @@ object Dedup {
     * any execution order.
     */
   def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    // materialize the edge list once — every propagation round joins
+    // it, and leaving it lazy would re-run the whole upstream pair
+    // pipeline per round
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+      .localCheckpoint(eager = true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .select(col("src").as("id"), col("cluster"))
+      // checkpoint BEFORE the convergence probe so each round executes
+      // the propagation exactly once
       val next = labels.select(col("id"), col("cluster"))
         .union(viaNeighbors)
         .groupBy("id").agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(eager = true)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .where(col("n.cluster") =!= col("o.cluster"))
         .limit(1).count()
-      // materialize per round to cut the growing lineage
-      labels = next.localCheckpoint(eager = true)
+      labels = next
       converged = changed == 0
       rounds += 1
     }
