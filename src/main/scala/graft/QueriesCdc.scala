@@ -50,7 +50,7 @@ object QueriesCdc {
       // repartition: the corpus parquet is one row group (one scan
       // task); real envelope feeds arrive partitioned (Kafka), so
       // spread the JSON codec work the same way
-      val o = Tables.orders(s, dir).repartition()
+      val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
       val payloadCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority").map(col)
       val enveloped = o.select(Envelope.encode(lit(Envelope.OpRead),
@@ -67,7 +67,7 @@ object QueriesCdc {
 
     // A3: unwrap with delete.handling.mode=rewrite over the changelog
     "cdc_unwrap_rewrite" -> { (s, dir) =>
-      val chg = changelog(s, dir).repartition()
+      val chg = changelog(s, dir).repartition(s.sparkContext.defaultParallelism)
       val payloadCols = Seq(col("event_id"), col("user_id"), col("value"))
       val enveloped = chg.select(Envelope.encode(col("op"),
         (col("ts").cast("double") * 1000).cast("long"),
@@ -103,7 +103,7 @@ object QueriesCdc {
 
     // A6: Routine-Load-style JSON-lines ingestion via jsonpaths
     "cdc_routine_load" -> { (s, dir) =>
-      val o = Tables.orders(s, dir).repartition()
+      val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
       val jsonLines = o.select(to_json(struct(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"),
@@ -121,7 +121,7 @@ object QueriesCdc {
 
     // A7: schema drift tolerance — new column absent from old messages
     "cdc_schema_evolution" -> { (s, dir) =>
-      val o = Tables.orders(s, dir).repartition()
+      val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
       val oldMessages = o.select(to_json(struct(
         col("o_orderkey"), col("o_orderstatus"),
         lit("ignored-unknown-field").as("o_legacy"))).as("line"))
@@ -137,7 +137,7 @@ object QueriesCdc {
     // A11: Kafka-Connect schema+payload message shape — the exact wire
     // format the reference's Routine Load consumes ($.payload.* paths)
     "cdc_kafka_message" -> { (s, dir) =>
-      val o = Tables.orders(s, dir).repartition()
+      val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
       val messages = o.select(Envelope.encodeConnectMessage(Seq(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"),

@@ -58,7 +58,8 @@ object Dedup {
   private def shingleRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     // repartition: a small parquet input is one split, which would
     // serialize the shingling onto a single task
-    val src = df.select(id.cast("long").as("id"), text.as("t")).repartition()
+    val src = df.select(id.cast("long").as("id"), text.as("t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     import src.sparkSession.implicits._
     src.as[(Long, String)].flatMap { case (i, t) =>
       val ws = t.split(" ", -1)

@@ -110,7 +110,8 @@ object TextAnalysis {
     // positions agree with SQL substr semantics.
     // repartition first: a small parquet input arrives as one split,
     // which would serialize the digest work onto a single task
-    val src = df.select(id.cast("long").as("doc_id"), norm.as("t")).repartition()
+    val src = df.select(id.cast("long").as("doc_id"), norm.as("t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     import src.sparkSession.implicits._
     val grams = src.as[(Long, String)].flatMap { case (i, t) =>
       if (t.length < k + w - 1) Iterator.empty
