@@ -201,6 +201,26 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B25: ordered string aggregation (collect + sort + join — the
+    // group_concat / string_agg surface)
+    "q_string_agg" -> { (s, dir) =>
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    },
+
+    // B26: regex group extraction
+    "q_regexp_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k_str", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1))
+        .groupBy(col("k_str").cast("int").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    },
+
     // B24: time-range window frame — trailing 1-hour activity per user
     // at every event (RANGE frame over epoch seconds)
     "q_window_trailing" -> { (s, dir) =>
@@ -503,6 +523,13 @@ object QueriesOlap {
         |  FROM rev)
         |SELECT p_brand, rk, p_partkey, round(rev, 2) AS rev
         |FROM ranked WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_regexp_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "q_window_trailing" ->
       """WITH e AS (SELECT event_id, user_id, value,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
