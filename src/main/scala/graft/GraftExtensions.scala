@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.{DoubleDot, Opaque, SimHash32}
+import graft.functions.{DoubleDot, Opaque, SimHash32, SimHash64}
 
 /** Catalyst extensions for the engine, registered on every
   * [[GraftSession]] (public `withExtensions` API — usable verbatim via
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
     e.injectFunction((
       FunctionIdentifier("opaque"),
       new ExpressionInfo(classOf[Opaque].getName, "opaque"),

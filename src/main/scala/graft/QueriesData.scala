@@ -58,10 +58,12 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
-    // C5: SimHash near-dup pairs (hamming ≤ 3, banded pair generation)
+    // C5: SimHash near-dup pairs (hamming ≤ 3) — 64-bit fingerprint so
+    // the lossless banding carries 16 bits/band (65,536 buckets; the
+    // 32-bit/8-bit-band variant is O(n²/256) at corpus scale)
     "dedup_simhash" -> { (s, dir) =>
-      val sim = Dedup.simhash32(Tables.documents(s, dir), col("doc_id"), col("text"))
-      Dedup.simhashPairs(sim, maxHamming = 3)
+      val sim = Dedup.simhash64(Tables.documents(s, dir), col("doc_id"), col("text"))
+      Dedup.simhashPairs(sim, maxHamming = 3, bits = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -195,13 +197,18 @@ object QueriesData {
         .orderBy(col("lang"), col("rn"))
     })
 
-  private val simhashBitSums = (0 until 32)
+  // 64-bit SimHash oracle runs in DuckDB's UBIGINT domain (BIGINT hex
+  // casts overflow at bit 63); Spark holds the same bits in a signed
+  // long — only (doc_a, doc_b, hamming) cross the engine boundary, and
+  // xor/bit_count agree bit-for-bit across the signed/unsigned views.
+  private val simhashBitSums = (0 until 64)
     .map(j => s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
     .mkString(",\n")
-  // every term BIGINT-cast: DuckDB int32 addition would overflow at bit 31
-  private val simhashAssemble = (0 until 32)
-    .map(j => s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-    .mkString(" + ")
+  // joined on ONE line: this string is interpolated into a
+  // stripMargin block, which would eat line-leading `|` operators
+  private val simhashAssemble = (0 until 64)
+    .map(j => s"CASE WHEN b$j > 0 THEN ${BigInt(1) << j}::UBIGINT ELSE 0::UBIGINT END")
+    .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -270,11 +277,11 @@ object QueriesData {
          |GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-         |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS h FROM tok),
          |bits AS (SELECT doc_id,
          |$simhashBitSums
          |FROM h GROUP BY doc_id),
-         |sim AS (SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM bits)
+         |sim AS (SELECT doc_id, ($simhashAssemble) AS simhash FROM bits)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id

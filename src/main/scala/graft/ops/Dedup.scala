@@ -136,11 +136,14 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verification on candidates only, via row joins —
-    // the candidate set is tiny, so this broadcasts cand twice
+    // exact-Jaccard verification on candidates only, via row joins.
+    // No broadcast hint: on boilerplate-heavy corpora the candidate
+    // set is unbounded (billions of pairs), and a forced broadcast
+    // would hit the driver/broadcast cap — AQE broadcasts at runtime
+    // when the built side actually fits, shuffle-joins otherwise.
     val t1 = tok.select(col("id").as("doc_a"), col("sz").as("sa"), col("t0"))
     val t2 = tok.select(col("id").as("doc_b"), col("sz").as("sb"), col("t0"))
-    val inter = broadcast(cand).join(t1, "doc_a")
+    val inter = cand.join(t1, "doc_a")
       .join(t2, Seq("doc_b", "t0"))
       .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("inter"))
@@ -152,9 +155,39 @@ object Dedup {
         Rounding.r(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
   }
 
-  /** Exact all-pairs set-similarity self-join on word shingles
-    * (inverted-index formulation + lossless size-ratio pruning:
-    * Jaccard ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)).
+  /** PPJoin-style prefix rows for an exact set-similarity self-join.
+    *
+    * Canonical global token order = (corpus document frequency asc,
+    * hash asc) — rare shingles sort first. A doc with |A| shingles
+    * keeps only its first p = |A| − ⌈t·|A|⌉ + 1 tokens in that order.
+    *
+    * Prefix-filter lemma (Chaudhuri et al. SSJoin / Bayardo et al.
+    * AllPairs / Xiao et al. PPJoin): J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·max(|A|,
+    * |B|)⌉ ≥ max(⌈t·|A|⌉, ⌈t·|B|⌉), and two sets with overlap ≥ αᵢ
+    * must share an element inside their (|·| − αᵢ + 1)-prefixes under
+    * any shared total order — so joining prefix rows only is lossless.
+    * Frequency-ascending order is what de-skews the join: a
+    * boilerplate shingle present in 10⁶ docs sorts LAST and never
+    * enters a prefix unless a doc is nearly all boilerplate, so the
+    * hot-key quadratic bucket of the naive inverted index disappears.
+    * Exposed (package-private) for the skew spec.
+    */
+  private[graft] def prefixRows(tok: DataFrame, thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("t"))
+    // ⌈t·sz⌉ integer-exact: (sz·num + den − 1) div den
+    val ceilT = floor((col("sz") * thresholdNum + (thresholdDen - 1)) / thresholdDen).cast("long")
+    tok.join(freq, Seq("t"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= col("sz") - ceilT + 1)
+      .select(col("id"), col("sz"), col("t"))
+  }
+
+  /** Exact all-pairs set-similarity self-join on word shingles:
+    * PPJoin prefix filtering (see [[prefixRows]]) generates candidate
+    * pairs, exact intersection counting verifies. Lossless for
+    * Jaccard ≥ t; the size-ratio filter (min ≥ t·max) prunes further.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         shingleN: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
@@ -164,13 +197,22 @@ object Dedup {
     // trillion-shingle corpora).
     val tok = shingleRows(df, id, text, shingleN)
       .select(col("id"), col("sz"), xxhash64(col("t0")).as("t"))
-    tok.as("a").join(tok.as("b"),
+    val prefix = prefixRows(tok, thresholdNum, thresholdDen)
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
           // lossless size pruning, integer-exact: t·max ≤ min
           least(col("a.sz"), col("b.sz")) * thresholdDen >=
             greatest(col("a.sz"), col("b.sz")) * thresholdNum)
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         col("a.sz").as("sa"), col("b.sz").as("sb"))
+      .distinct()
+    // exact verification over full token sets; no broadcast hint —
+    // AQE broadcasts the candidate side iff it fits at runtime
+    val t1 = tok.select(col("id").as("doc_a"), col("t"))
+    val t2 = tok.select(col("id").as("doc_b"), col("t"))
+    cand.join(t1, Seq("doc_a"))
+      .join(t2, Seq("doc_b", "t"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("sa") + col("sb") - col("inter"))
       .where(col("inter") * thresholdDen >= col("uni") * thresholdNum)
@@ -190,40 +232,74 @@ object Dedup {
   def simhash32(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("id"), call_function("simhash32", text).as("simhash"))
 
+  /** 64-bit SimHash (native [[graft.functions.SimHash64]] expression,
+    * registered `simhash64`) — the corpus-scale fingerprint: wide
+    * enough for 16-bit bands in [[simhashPairs]].
+    */
+  def simhash64(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), call_function("simhash64", text).as("simhash"))
+
   /** Connected components over a near-duplicate pair graph: every doc
     * in a pair gets the minimum doc id reachable through pairs as its
     * cluster id (so "keep cluster rep, drop the rest" falls out).
     *
-    * Distributed min-label propagation: each round joins labels across
-    * edges and keeps the per-node minimum, iterating to fixpoint —
-    * the standard BSP connected-components scheme; rounds are Spark
-    * jobs, the driver only checks convergence (O(diameter) rounds,
-    * and near-dup clusters have tiny diameters). Deterministic for
-    * any execution order.
+    * Distributed min-label propagation with pointer jumping: each
+    * round takes the min label across (self, neighbors) and then
+    * shortcuts through the label's own label (`cluster ←
+    * label(cluster)`), so label paths halve per round and convergence
+    * is O(log diameter) rounds instead of O(diameter) — a 10⁶-node
+    * chain converges in ~20 rounds, not 10⁶. Rounds are Spark jobs;
+    * the driver only checks convergence. Deterministic for any
+    * execution order.
+    *
+    * Failure semantics: if the fixpoint is not reached within
+    * `maxRounds` (default 64 — with pointer jumping that covers any
+    * graph smaller than 2⁶⁴ nodes, so exhaustion means something is
+    * genuinely broken) this THROWS rather than silently returning
+    * non-converged labels.
+    *
+    * Fault tolerance: per-round materialization uses reliable
+    * `checkpoint` when `SparkContext.setCheckpointDir` is configured
+    * (survives executor loss — set an HDFS/object-store dir on a real
+    * cluster), falling back to `localCheckpoint` (faster, but lineage
+    * is lost with an executor) otherwise.
     */
-  def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+                        maxRounds: Int = 64): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def materialize(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     // materialize the edge list once — every propagation round joins
     // it, and leaving it lazy would re-run the whole upstream pair
     // pipeline per round
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(eager = true)
+      .transform(materialize)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .localCheckpoint(eager = true)
+      .transform(materialize)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .select(col("src").as("id"), col("cluster"))
-      // checkpoint BEFORE the convergence probe so each round executes
-      // the propagation exactly once
-      val next = labels.select(col("id"), col("cluster"))
+      val folded = labels.select(col("id"), col("cluster"))
         .union(viaNeighbors)
         .groupBy("id").agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(eager = true)
+      // pointer jumping: follow cluster → label(cluster) one hop.
+      // Labels are always node ids, so the lookup join hits (left +
+      // coalesce is belt-and-braces). min() keeps monotonicity.
+      val next = folded.as("x")
+        .join(labels.select(col("id").as("cid"), col("cluster").as("ccl")).as("l"),
+          col("x.cluster") === col("l.cid"), "left")
+        .select(col("x.id"),
+          least(col("x.cluster"), coalesce(col("l.ccl"), col("x.cluster"))).as("cluster"))
+        // checkpoint BEFORE the convergence probe so each round
+        // executes the propagation exactly once
+        .transform(materialize)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .where(col("n.cluster") =!= col("o.cluster"))
@@ -232,17 +308,33 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxRounds rounds — " +
+        "this should be impossible with pointer jumping (O(log diameter)); " +
+        "the input pair graph is likely being recomputed non-deterministically")
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxHamming.
-    * Pair generation partitions the 32 bits into (maxHamming+1) bands;
-    * by pigeonhole any pair within the distance budget matches exactly
-    * on ≥1 band, so the band join is lossless — no O(n²) pair scan.
+    * Pair generation partitions the fingerprint bits into
+    * (maxHamming+1) bands; by pigeonhole any pair within the distance
+    * budget matches exactly on ≥1 band, so the band join is lossless —
+    * no O(n²) pair scan.
+    *
+    * Band width is what makes this survive corpus scale: with 64-bit
+    * fingerprints and maxHamming=3 each band carries 16 bits → 65,536
+    * values, so the expected bucket is n/65,536 and the banded
+    * self-join is ~n²/65,536 row-pairs spread over 4·65,536 join keys.
+    * (The 32-bit variant's 8-bit bands give 256 buckets — O(n²/256),
+    * a quadratic scale-killer dressed as banding; kept only for
+    * compatibility with 32-bit fingerprints.)
+    *
+    * @param bits fingerprint width: 64 for [[simhash64]] (default),
+    *             32 for [[simhash32]]
     */
-  def simhashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(sim: DataFrame, maxHamming: Int = 3, bits: Int = 64): DataFrame = {
     val nBands = maxHamming + 1
-    val bandBits = 32 / nBands
+    val bandBits = bits / nBands
     val bandStructs = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * bandBits)

@@ -54,6 +54,77 @@ class OpsSpec extends SparkSpec {
     assert(h(0L) >= 0 && h(0L) < (1L << 32))
   }
 
+  test("simhash64 banding: 4 bands x 16 bits, lossless at hamming <= 3") {
+    // synthetic fingerprints exercise every band including the sign
+    // bit (band 3 = bits 48-63: arithmetic shiftright must be masked)
+    val sim = Seq(
+      (1L, 0L),
+      (2L, 1L << 63),                                     // hamming(1,2)=1
+      (3L, (1L << 63) | (1L << 47) | (1L << 31) | (1L << 15)), // 1 bit per band
+      (4L, 0L)                                            // exact dup of 1
+    ).toDF("id", "simhash")
+    val got = Dedup.simhashPairs(sim, maxHamming = 3, bits = 64)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // (1,3)/(3,4) are hamming 4 — every band differs, so they are not
+    // even candidates; (2,3) shares only band 3 (both 0x8000 after
+    // mask) and survives at hamming 3
+    assert(got == Map((1L, 2L) -> 1L, (1L, 4L) -> 0L, (2L, 3L) -> 3L, (2L, 4L) -> 1L))
+  }
+
+  test("simhash64 fingerprints use the full 64-bit range") {
+    val sim = Dedup.simhash64(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(sim(0L) == sim(3L))
+    // some real doc sets a bit above 32 (i.e. the fingerprint is not
+    // secretly 32-bit)
+    assert(sim.values.exists(v => (v >>> 32) != 0L))
+  }
+
+  test("PPJoin prefix filter keeps hot shingles out of prefixes") {
+    // 30 sets of 10 tokens: 9 unique each + 1 universal boilerplate
+    // token (999). Frequency-ascending canonical order puts the
+    // universal token last, so no 3-token prefix contains it and the
+    // prefix self-join has NO quadratic bucket.
+    val tok = (0 until 30).flatMap { i =>
+      (0 until 9).map(j => (i.toLong, 10L, (i * 100 + j).toLong)) :+ ((i.toLong, 10L, 999L))
+    }.toDF("id", "sz", "t")
+    val prefix = graft.ops.Dedup.prefixRows(tok, 4, 5) // t=0.8: p = 10 - 8 + 1 = 3
+    assert(prefix.where(col("t") === 999L).count() == 0)
+    val perDoc = prefix.groupBy("id").count().as[(Long, Long)].collect()
+    assert(perDoc.length == 30 && perDoc.forall(_._2 == 3L))
+  }
+
+  test("ngram jaccard stays correct and skew-free with universal boilerplate") {
+    // every doc ends with the same boilerplate sentence; only docs 0/1
+    // are near-duplicates of each other
+    val boiler = "common boiler plate text here"
+    val head = (0 until 30).map(j => s"w$j").mkString(" ")
+    // J(0,1) = 31/36 ≈ 0.861 (28 shared head shingles + 3 boiler-interior)
+    val docs = Seq(
+      (0L, s"$head $boiler"),
+      (1L, s"$head k $boiler")) ++
+      (2 until 20).map(i => (i.toLong, s"x$i y$i z$i w$i v$i $boiler"))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("duplicateClusters converges on a long chain via pointer jumping") {
+    // a 200-node chain has diameter 199 — naive min-label propagation
+    // needs 199 rounds; pointer jumping needs ~log2(199) ≈ 8
+    val n = 200
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val local = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
+    assert(local.length == n && local.forall(_._2 == 0L))
+    // reliable-checkpoint path (executor-loss-tolerant on a cluster)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val reliable = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
+    assert(reliable.length == n && reliable.forall(_._2 == 0L))
+  }
+
   test("cosine math matches a hand computation") {
     val v = Seq((1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.6f, 0.8f, 0.0f)),
       (3L, Array(0.0f, 0.0f, 1.0f))).toDF("id", "v")
