@@ -67,20 +67,37 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var matchKey: Long = 0L
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        if (matchRow != null && matchKey != k) matchRow = null
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          val ht = rTime.eval(head).asInstanceOf[Long]
-          if (hk < k || (hk == k && ht <= t)) {
-            if (hk == k) { matchRow = head.copy(); matchKey = k }
-            rBuf.next()
-          } else advancing = false
+        val kAny = lKey.eval(lRow)
+        val tAny = lTime.eval(lRow)
+        if (kAny == null || tAny == null) {
+          // SQL join semantics: a null key/time matches nothing —
+          // left-outer null right (Debezium-style keys CAN be null)
+          joined(lRow, nullRight)
+        } else {
+          val k = kAny.asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
+          if (matchRow != null && matchKey != k) matchRow = null
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hkAny = rKey.eval(head)
+            val htAny = rTime.eval(head)
+            if (hkAny == null || htAny == null) {
+              // null-keyed right rows match nothing; nulls sort first
+              // under the required Ascending order, so this only
+              // skips a prefix of the partition
+              rBuf.next()
+            } else {
+              val hk = hkAny.asInstanceOf[Long]
+              val ht = htAny.asInstanceOf[Long]
+              if (hk < k || (hk == k && ht <= t)) {
+                if (hk == k) { matchRow = head.copy(); matchKey = k }
+                rBuf.next()
+              } else advancing = false
+            }
+          }
+          joined(lRow, if (matchRow != null) matchRow else nullRight)
         }
-        joined(lRow, if (matchRow != null) matchRow else nullRight)
       }
     }
   }
@@ -105,6 +122,7 @@ object AsOfJoin {
            leftKey: Column, rightKey: Column,
            leftTime: Column, rightTime: Column,
            rightTiebreak: Column): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val lPlan = DatasetShim.analyzedPlan(left)
     val rPlan = DatasetShim.analyzedPlan(right)
     def resolve(df: DataFrame, plan: LogicalPlan, c: Column): Expression = {
@@ -112,9 +130,20 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
     }
+    // the merge compares keys/times as raw longs; fail fast on any
+    // other type instead of ClassCastException mid-job
+    def requireLong(role: String, e: Expression): Expression = {
+      val ok = e.dataType == LongType || e.dataType == TimestampType ||
+        e.dataType == TimestampNTZType
+      if (!ok) throw new IllegalArgumentException(
+        s"as-of join $role must be LongType or TimestampType, got ${e.dataType.sql}")
+      e
+    }
     val node = AsOfJoinPlan(lPlan, rPlan,
-      resolve(left, lPlan, leftKey), resolve(right, rPlan, rightKey),
-      resolve(left, lPlan, leftTime), resolve(right, rPlan, rightTime),
+      requireLong("left key", resolve(left, lPlan, leftKey)),
+      requireLong("right key", resolve(right, rPlan, rightKey)),
+      requireLong("left time", resolve(left, lPlan, leftTime)),
+      requireLong("right time", resolve(right, rPlan, rightTime)),
       resolve(right, rPlan, rightTiebreak))
     DatasetShim.ofRows(left.sparkSession, node)
   }

@@ -20,7 +20,16 @@ import graft.cdc.PkTable
   */
 object PkTableSink {
 
-  private def pointerFile(root: String) = new org.apache.hadoop.fs.Path(root, "_CURRENT")
+  // Commit pointers are versioned files (_CURRENT.v<N>): a commit is
+  // one atomic rename to a NEW name, and the current version resolves
+  // as max(N) — there is no delete-then-rename window in which a crash
+  // could leave the table pointing at nothing. Single-writer protocol;
+  // a multi-writer deployment swaps in a transactional table format.
+  private val PtrPrefix = "_CURRENT.v"
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Current table contents (empty frame with `schemaOf` if absent). */
   def read(spark: SparkSession, root: String, schemaOf: => DataFrame): DataFrame =
@@ -30,14 +39,24 @@ object PkTableSink {
     }
 
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ptr = pointerFile(root)
-    if (!fs.exists(ptr)) None
+    val fs = fsOf(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return None
+    val versions = fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith(PtrPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(PtrPrefix).toLong).toOption)
+    if (versions.nonEmpty) Some(versions.max)
     else {
-      val in = fs.open(ptr)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
+      // legacy layout: a single _CURRENT file whose CONTENT is the
+      // version — still readable so pre-existing tables migrate on
+      // their next commit
+      val legacy = new org.apache.hadoop.fs.Path(root, "_CURRENT")
+      if (!fs.exists(legacy)) None
+      else {
+        val in = fs.open(legacy)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        finally in.close()
+      }
     }
   }
 
@@ -59,18 +78,32 @@ object PkTableSink {
     commit(spark, root, next)
   }
 
-  /** Single-writer commit: write the pointer aside, swap it in. A real
-    * multi-writer deployment replaces this with a transactional table
-    * format's commit protocol (Delta/Iceberg) — same merge semantics.
+  /** Single-writer commit: write the pointer content aside, then one
+    * atomic rename to `_CURRENT.v<version>`. A crash before the rename
+    * leaves the previous pointer current; a crash after leaves the new
+    * one current — no state points the table at nothing. Older
+    * pointers (and any legacy `_CURRENT`) are pruned best-effort after
+    * the rename; a crash mid-prune only leaves stale lower-numbered
+    * pointers, which max(N) resolution ignores.
     */
   private def commit(spark: SparkSession, root: String, version: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, root)
     val tmp = new org.apache.hadoop.fs.Path(root, s"_CURRENT.tmp$version")
     val out = fs.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(pointerFile(root), false)
-    if (!fs.rename(tmp, pointerFile(root)))
+    val ptr = new org.apache.hadoop.fs.Path(root, s"$PtrPrefix$version")
+    if (!fs.rename(tmp, ptr))
       throw new IllegalStateException(s"commit of v$version failed")
+    // best-effort cleanup — never load-bearing
+    try {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      fs.listStatus(rootPath).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val stale = n == "_CURRENT" || n.startsWith("_CURRENT.tmp") ||
+          (n.startsWith(PtrPrefix) &&
+            scala.util.Try(n.stripPrefix(PtrPrefix).toLong).toOption.exists(_ < version))
+        if (stale) fs.delete(p, false)
+      }
+    } catch { case _: java.io.IOException => () }
   }
 }

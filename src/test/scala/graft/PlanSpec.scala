@@ -72,6 +72,29 @@ class PlanSpec extends SparkSpec {
     assert("Sort".r.findAllIn(p).size >= 3)
   }
 
+  test("as-of join: null keys/times join nothing, non-long types fail fast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.plans.AsOfJoin
+    val l = Seq((Some(1L), Some(10L), "l1"), (None, Some(10L), "lnull"),
+      (Some(1L), None, "ltnull"), (Some(2L), Some(5L), "l2"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Some(1L), Some(9L), 1L, "r1"), (None, Some(1L), 2L, "rnull"),
+      (Some(2L), Some(7L), 3L, "r2"))
+      .toDF("k", "t", "seq", "v")
+    val out = AsOfJoin.join(l, r, col("k"), col("k"), col("t"), col("t"), col("seq"))
+      .select(col("tag"), col("v")).as[(String, Option[String])].collect().toMap
+    // null left key/time → left-outer null right, no NPE; null right
+    // keys are skipped; l2's time 5 predates r2's 7 → no match
+    assert(out == Map("l1" -> Some("r1"), "lnull" -> None,
+      "ltnull" -> None, "l2" -> None))
+    val bad = intercept[IllegalArgumentException] {
+      AsOfJoin.join(l.withColumn("k", col("k").cast("int")), r,
+        col("k"), col("k"), col("t"), col("t"), col("seq"))
+    }
+    assert(bad.getMessage.contains("LongType or TimestampType"))
+  }
+
   test("topk window queries get Catalyst's rank-limit pushdown (WindowGroupLimit)") {
     // the rank<=k filter becomes a bounded per-partition top-k BEFORE
     // the shuffle — no hand-built operator needed

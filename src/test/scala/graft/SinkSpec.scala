@@ -55,6 +55,37 @@ class SinkSpec extends SparkSpec {
     assert(PkTableSink.currentVersion(spark, root).contains(2L))
   }
 
+  test("PK-table sink commit survives crash debris and legacy pointers") {
+    import graft.sinks.PkTableSink
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("pkcrash").toString + "/t"
+    def batch(rows: (Long, Long, String, Boolean)*) =
+      rows.toDF("id", "ver", "v", "del")
+    PkTableSink.merge(spark, root, batch((1L, 1L, "a", false)), Seq("id"), Seq("ver"), "del")
+    PkTableSink.merge(spark, root, batch((2L, 1L, "b", false)), Seq("id"), Seq("ver"), "del")
+    // crash debris: an orphaned tmp pointer and a stale lower-version
+    // pointer must not affect resolution (max version wins)
+    Files.writeString(Paths.get(root, "_CURRENT.tmp7"), "7")
+    Files.writeString(Paths.get(root, "_CURRENT.v0"), "0")
+    assert(PkTableSink.currentVersion(spark, root).contains(1L))
+    val t = PkTableSink.read(spark, root, batch().drop("del"))
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(t == Seq((1L, "a"), (2L, "b")))
+    // legacy single-_CURRENT layout still reads, and the next merge
+    // migrates it to a versioned pointer
+    val legacyRoot = Files.createTempDirectory("pklegacy").toString + "/t"
+    PkTableSink.merge(spark, legacyRoot, batch((5L, 1L, "e", false)), Seq("id"), Seq("ver"), "del")
+    val ptr = Paths.get(legacyRoot).toFile.listFiles().map(_.getName)
+      .filter(_.startsWith("_CURRENT")).toSeq
+    Files.writeString(Paths.get(legacyRoot, "_CURRENT"), "0")
+    ptr.filter(_.startsWith("_CURRENT.v")).foreach(n => Files.delete(Paths.get(legacyRoot, n)))
+    assert(PkTableSink.currentVersion(spark, legacyRoot).contains(0L))
+    PkTableSink.merge(spark, legacyRoot, batch((6L, 1L, "f", false)), Seq("id"), Seq("ver"), "del")
+    assert(PkTableSink.currentVersion(spark, legacyRoot).contains(1L))
+    val names = Paths.get(legacyRoot).toFile.listFiles().map(_.getName).toSet
+    assert(names.contains("_CURRENT.v1") && !names.contains("_CURRENT"))
+  }
+
   test("D2: JSON-lines and CSV sources read with explicit schemas") {
     val dir = java.nio.file.Files.createTempDirectory("src").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.json"),
