@@ -36,6 +36,19 @@ object QueriesCdc {
     StructField("event_id", LongType), StructField("user_id", LongType),
     StructField("value", DoubleType)))
 
+  /** Deterministic DECIMAL(10,2) money amount derived from an integer
+    * key — built via an exact string cast (never double→decimal, whose
+    * half-value rounding differs between engines). Mirrors the
+    * reference's `amount DECIMAL(10,2)` money columns
+    * (mysql/init/01-init.sql:8).
+    */
+  private def decimalAmount(key: Column): Column =
+    concat((key % 10000000).cast("string"), lit("."),
+      lpad(((key * 7919) % 100).cast("string"), 2, "0")).cast(DecimalType(10, 2))
+
+  private def decimalAmountSql(key: String): String =
+    s"CAST(($key % 10000000) || '.' || lpad(CAST(($key * 7919) % 100 AS VARCHAR), 2, '0') AS DECIMAL(10,2))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: initial snapshot read (snapshot.mode=initial)
     "cdc_snapshot_read" -> ((s, dir) => Tables.orders(s, dir)
@@ -185,6 +198,38 @@ object QueriesCdc {
         sum(when(col("__error"), 0L).otherwise(col("o_orderkey"))).as("good_key_sum"))
     },
 
+    // A18: DECIMAL money round-trip — DECIMAL(10,2) survives envelope
+    // encode → JSON → parse → unwrap bit-exactly (no double rounding
+    // dance), then feeds an exact ledger aggregate. CDC engines that
+    // store money as double mis-sum real ledgers; this is the typed
+    // path the reference's DECIMAL(10,2) columns require.
+    "cdc_decimal_roundtrip" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .withColumn("amount", decimalAmount(col("o_orderkey")))
+      val payload = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("amount", DecimalType(10, 2))))
+      val enveloped = o.select(Envelope.encode(lit(Envelope.OpRead),
+        (unix_timestamp(col("o_orderdate")) * 1000).as("tsms"),
+        Seq(col("o_orderkey"), col("o_orderstatus"), col("amount")),
+        "testdb", "orders").as("json"))
+      Envelope.unwrap(enveloped, col("json"), payload)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("amount")).cast(DecimalType(18, 2)).as("total_amount"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // A19: DECIMAL through PK compaction — latest-wins upsert keeps the
+    // decimal column exact end-to-end
+    "cdc_decimal_upsert" -> { (s, dir) =>
+      val chg = changelog(s, dir).withColumn("amount", decimalAmount(col("event_id")))
+      PkTable.compact(chg, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), col("op") === Envelope.OpDelete)
+        .select(col("user_id"), col("amount").as("last_amount"))
+        .orderBy(col("user_id"))
+    },
+
     // A10: initial snapshot + changelog tail merged into one view
     "cdc_snapshot_then_merge" -> { (s, dir) =>
       val snap = Tables.customer(s, dir).select(
@@ -248,6 +293,15 @@ object QueriesCdc {
         |strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    "cdc_decimal_roundtrip" ->
+      s"""SELECT o_orderstatus,
+         |CAST(sum(${decimalAmountSql("o_orderkey")}) AS DECIMAL(18,2)) AS total_amount,
+         |count(*) AS n
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_decimal_upsert" ->
+      s"""SELECT user_id, ${decimalAmountSql("event_id")} AS last_amount
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+         |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "cdc_snapshot_then_merge" ->
       """WITH latest AS (
         |  SELECT user_id, event_type, value FROM (

@@ -14,13 +14,13 @@ import graft.streaming.CdcStream
   * end-to-end rows/s.
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(master = s"local[$cpus]",
-      shufflePartitions = cpus.toInt, maxPartitionBytes = "4m").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  /** One measured end-to-end pass (envelope files → stream → unwrap →
+    * keyed upsert → noop sink). Returns (rows, seconds); callable from
+    * [[Bench]] so the driver's per-round artifact captures the
+    * streaming rate, not just self-reported numbers.
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, sfDir: String): (Long, Double) = {
     val work = java.nio.file.Files.createTempDirectory("streambench").toString
     val chg = Tables.events(spark, sfDir).withColumn("op",
       when(col("event_type") === "signup", Envelope.OpCreate)
@@ -46,6 +46,16 @@ object StreamBench {
       .start()
     q.awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
+    (n, secs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt, maxPartitionBytes = "4m").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (n, secs) = run(spark, sfDir)
     println(s"""{"metric":"stream_cdc_rows_per_sec","value":${(n / secs).toLong},"unit":"rows/sec","rows":$n,"secs":$secs,"sf":"$sfDir"}""")
     spark.stop()
   }
