@@ -280,6 +280,17 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .transform(materialize)
+    // Convergence probe without a join: every node's label is monotone
+    // non-increasing (min over self+neighbors, then min with the jump
+    // target), so Σ cluster strictly decreases every non-fixpoint
+    // round — an unchanged exact sum IS the fixpoint. Decimal(38,0)
+    // keeps the sum exact at any corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("cluster")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .collect()(0).getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -300,12 +311,10 @@ object Dedup {
         // checkpoint BEFORE the convergence probe so each round
         // executes the propagation exactly once
         .transform(materialize)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.cluster") =!= col("o.cluster"))
-        .limit(1).count()
+      val newSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(

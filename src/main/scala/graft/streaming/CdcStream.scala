@@ -75,6 +75,38 @@ object CdcStream {
       }
   }
 
+  /** [[unwrap]] with Routine-Load-style error accounting on the
+    * stream: unparseable lines (null envelope/op after PERMISSIVE
+    * parse) are counted per micro-batch via `Dataset.observe` — the
+    * streaming counterpart of `cdc_error_rows`' `max_error_number`
+    * counters; read them from
+    * [[Monitor.status]]`.errorRows` / `goodRows` (or any
+    * StreamingQueryListener) instead of a second pass. Good rows flow
+    * on as unwrapped [[Change]] records; error rows are dropped after
+    * counting (quarantining them is a sink concern — route the raw
+    * frame to a dead-letter sink alongside if needed).
+    */
+  def unwrapWithErrors(envelopes: DataFrame, jsonCol: String, payload: StructType,
+                       keyField: String, seqField: String): Dataset[Change] = {
+    val tagged = envelopes
+      .select(col(jsonCol).as("__raw"),
+        from_json(col(jsonCol), Envelope.schemaFor(payload)).as("env"))
+      .withColumn("__error", col("env").isNull || col("env.op").isNull)
+      .observe("graft_cdc",
+        sum(when(col("__error"), 1L).otherwise(0L)).as("error_rows"),
+        sum(when(col("__error"), 0L).otherwise(1L)).as("good_rows"))
+    val good = tagged.where(!col("__error"))
+    val image = when(col("env.op") === Envelope.OpDelete, col("env.before"))
+      .otherwise(col("env.after"))
+    good.select(
+      image.getField(keyField).cast("long").as("key"),
+      col("env.ts_ms").cast("long").as("versionMs"),
+      image.getField(seqField).cast("long").as("seq"),
+      (col("env.op") === Envelope.OpDelete).as("deleted"),
+      to_json(image).as("payload"))
+      .as[Change](Encoders.product[Change])
+  }
+
   /** Split a mixed multi-table envelope feed by `source.table` — the
     * connector's `table.include.list` routing (one Debezium connector
     * feeds one topic per table; with a single mixed feed this is the

@@ -26,9 +26,16 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"))
   }
 
-  test("q5_region_revenue: dimension joins broadcast") {
+  test("q5_region_revenue: dimension joins broadcast, supplier included") {
     val p = plan("q5_region_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    // the executed (AQE-final) plan must ALSO broadcast supplier — the
+    // plan you want at 100x: only lineitem⋈orders⋈customer shuffles
+    val df = SparkEntry.queries("q5_region_revenue")(spark, sfDir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(executed).size >= 3,
+      s"supplier not broadcast:\n$executed")
   }
 
   test("q_top_orders: ORDER BY + LIMIT plans as TakeOrderedAndProject (no global sort)") {

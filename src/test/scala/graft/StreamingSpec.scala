@@ -172,6 +172,39 @@ class StreamingSpec extends SparkSpec {
     assert(st.numInputRows == 2 && st.stateRows == 2)
   }
 
+  test("error accounting: corrupt envelope lines are counted per batch, good rows flow") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    input.addData(
+      env(1, 1, "a", "c", 100), env(2, 1, "b", "c", 100),
+      "CORRUPT{not json", """{"no_op_field": true}""",
+      env(3, 1, "c", "c", 100))
+    val changes = CdcStream.unwrapWithErrors(
+      input.toDF().withColumnRenamed("value", "json"), "json", payload, "id", "seq")
+    val q = CdcStream.upsertStates(changes).writeStream.format("memory")
+      .queryName("err_accounted").outputMode("update").start()
+    q.processAllAvailable()
+    val st = graft.streaming.Monitor.status(q)
+    q.stop()
+    assert(st.errorRows == 2, s"expected 2 error rows, got $st")
+    assert(st.goodRows == 3)
+    assert(spark.table("err_accounted").count() == 3)
+    // file/memory sources report no row offsets → lag unknown, not 0
+    assert(st.sourceLagRows == -1L)
+  }
+
+  test("kafka lag math: sum of latest-minus-end across topic partitions") {
+    import graft.streaming.Monitor
+    val end = """{"cdc.shop.orders":{"0":100,"1":250},"cdc.shop.customers":{"0":40}}"""
+    val latest = """{"cdc.shop.orders":{"0":180,"1":250},"cdc.shop.customers":{"0":90}}"""
+    assert(Monitor.kafkaLagRows(end, latest) == 80 + 0 + 50)
+    // caught-up consumer
+    assert(Monitor.kafkaLagRows(latest, latest) == 0)
+    // file-source style offsets (not topic->partition maps) → unknown
+    assert(Monitor.kafkaLagRows("""{"logOffset":7}""", """{"logOffset":9}""") == -1)
+    assert(Monitor.kafkaLagRows("", "") == -1)
+  }
+
   test("D4: file-based CDC stream source feeds the same pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("cdcsrc").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b0.json"),
