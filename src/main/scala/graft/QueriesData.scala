@@ -96,6 +96,26 @@ object QueriesData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // C8b: IVF with nprobe=2 — the recall knob; probe cells ranked by
+    // centroid cosine, top-k over the union of probed cells
+    "ann_ivf_nprobe" -> { (s, dir) =>
+      Similarity.ivfTopk(Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        isCentroid = _ % 25 === 0, isQuery = _ % 40 === 0, k = 3, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // C21: test-set decontamination — flag training docs sharing ≥2
+    // distinct 3-gram shingles with the held-out reference slice
+    "decontaminate_ngram" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      Dedup.ngramOverlapHits(
+        train = d.where(col("doc_id") % 10 =!= 3), trainId = col("doc_id"), trainText = col("text"),
+        ref = d.where(col("doc_id") % 10 === 3), refText = col("text"),
+        shingleN = 3, minHits = 2)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+
     // C9: stopword-hit language identification
     "text_langid" -> { (s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -344,6 +364,38 @@ object QueriesData {
         |  FROM qa JOIN assigned a ON a.cell = qa.qcell AND a.vec_id <> qa.qid)
         |SELECT qid, cell, rank, nid, round(c, 4) AS cos FROM scored
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "ann_ivf_nprobe" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 25 = 0),
+        |assigned AS (SELECT vec_id, e, cid AS cell FROM (
+        |  SELECT v.vec_id, v.e, cent.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_dot_product(v.e, ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(ce, ce)) DESC,
+        |      cent.cid) AS rn
+        |  FROM v CROSS JOIN cent) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 40 = 0),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, cent.cid,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      list_dot_product(qe, ce) / sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce)) DESC,
+        |      cent.cid) AS pr
+        |  FROM q CROSS JOIN cent) WHERE pr <= 2),
+        |scored AS (SELECT p.qid, a.cell, a.vec_id AS nid,
+        |  list_dot_product(qe, a.e) / sqrt(list_dot_product(qe, qe) * list_dot_product(a.e, a.e)) AS c,
+        |  row_number() OVER (PARTITION BY p.qid ORDER BY
+        |    list_dot_product(qe, a.e) / sqrt(list_dot_product(qe, qe) * list_dot_product(a.e, a.e)) DESC,
+        |    a.vec_id) AS rank
+        |  FROM probes p JOIN q ON p.qid = q.qid
+        |  JOIN assigned a ON a.cell = p.cid AND a.vec_id <> p.qid)
+        |SELECT qid, cell, rank, nid, round(c, 4) AS cos FROM scored
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "decontaminate_ngram" ->
+      s"""WITH $shingleCte,
+         |ref AS (SELECT DISTINCT unnest(s) AS t FROM sh WHERE doc_id % 10 = 3),
+         |tr AS (SELECT doc_id, unnest(s) AS t FROM sh WHERE doc_id % 10 <> 3)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM tr JOIN ref USING (t)
+         |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin,
     "text_langid" -> {
       def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

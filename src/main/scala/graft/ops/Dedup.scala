@@ -324,6 +324,31 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 
+  /** Test-set decontamination by n-gram overlap (the public GPT-3-
+    * style method: drop/flag training docs sharing n-grams with an
+    * evaluation set). Returns (id, n_hits) for every training doc
+    * sharing ≥ minHits distinct shingles with ANY reference doc.
+    *
+    * Scale shape: the reference (eval) corpus is tiny next to the
+    * training corpus, so its distinct-shingle set broadcasts and the
+    * training side streams once — no shuffle of training shingles.
+    * The join key is the raw shingle (oracle-replayable); at trillion-
+    * shingle scale swap in xxhash64 keys, same frame shape.
+    */
+  def ngramOverlapHits(train: DataFrame, trainId: Column, trainText: Column,
+                       ref: DataFrame, refText: Column,
+                       shingleN: Int = 3, minHits: Int = 2): DataFrame = {
+    val t = shingleRows(train, trainId, trainText, shingleN)
+    val r = shingleRows(ref, lit(0L), refText, shingleN)
+      .select(col("t0")).distinct()
+    t.join(r, "t0")
+      // shingleRows emits distinct shingles per doc → plain count IS
+      // the distinct overlap count
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxHamming.
     * Pair generation partitions the fingerprint bits into
     * (maxHamming+1) bands; by pigeonhole any pair within the distance

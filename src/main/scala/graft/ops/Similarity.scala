@@ -128,10 +128,16 @@ object Similarity {
 
   /** IVF-style ANN: deterministic coarse centroids (caller-selected),
     * nearest-cell assignment for every vector, then per-query search
-    * restricted to the query's own cell.
+    * restricted to the query's top-`nprobe` cells.
+    *
+    * nprobe=1 degenerates to search-own-cell (the query's top-1
+    * centroid IS its assigned cell — identical tie rules), so results
+    * are unchanged vs the r1 operator; nprobe>1 buys recall at
+    * nprobe× in-cell scan cost, the standard IVF knob.
     */
   def ivfTopk(df: DataFrame, id: Column, vec: Column,
-              isCentroid: Column => Column, isQuery: Column => Column, k: Int): DataFrame = {
+              isCentroid: Column => Column, isQuery: Column => Column, k: Int,
+              nprobe: Int = 1): DataFrame = {
     // pre-cast to array<double> once so per-pair dot sees no casts
     val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
     val cent = v.where(isCentroid(col("id")))
@@ -146,11 +152,21 @@ object Similarity {
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"))
     val assigned = v.join(bestCell, "id")
-    val qAssigned = assigned.where(isQuery(col("id")))
-      .select(col("id").as("qid"), col("cell").as("qcell"), col("v").as("qv"), col("n2").as("qn2"))
-    val inCell = assigned.join(broadcast(qAssigned),
-        col("cell") === col("qcell") && col("id") =!= col("qid"))
-      .select(col("qid"), col("qcell").as("cell"), col("id").as("nid"),
+    // query side: top-nprobe cells by centroid cosine (same ordering
+    // as the assignment argmax, so probe #1 = assigned cell)
+    val q = v.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cid").asc)
+    val probes = q.join(broadcast(cent), lit(true))
+      .select(col("qid"), col("cid"),
+        cosineWithNorms(dot(col("qv"), col("cv")), col("qn2"), col("cn2")).as("pcos"))
+      .withColumn("prank", row_number().over(wp))
+      .where(col("prank") <= nprobe)
+      .select(col("qid"), col("cid").as("probe_cell"))
+    val qProbes = probes.join(q, "qid")
+    val inCell = assigned.join(broadcast(qProbes),
+        col("cell") === col("probe_cell") && col("id") =!= col("qid"))
+      .select(col("qid"), col("cell"), col("id").as("nid"),
         cosineWithNorms(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     inCell.withColumn("rank", row_number().over(w))

@@ -122,6 +122,53 @@ object KafkaCdc {
       groupId = props.get("property.group.id"))
   }
 
+  /** What a restarted pipeline must do, per snapshot mode — the
+    * connector-restart decision users hit on every recovery incident.
+    */
+  sealed trait RecoveryAction
+  object RecoveryAction {
+    /** Re-read the whole source table, then stream. */
+    case object Snapshot extends RecoveryAction
+    /** Continue from the committed offsets. */
+    case object Resume extends RecoveryAction
+    /** Skip history, stream from the latest offset (accepting the gap). */
+    case object ResumeFromLatest extends RecoveryAction
+    /** Unrecoverable without intervention (offsets lost/purged and the
+      * mode forbids re-snapshotting). */
+    case object Fail extends RecoveryAction
+  }
+
+  /** Restart decision table (public Debezium snapshot-mode semantics):
+    *
+    *  - `initial`: snapshot exactly once (no offsets yet); with
+    *    offsets, resume — and if the source log has been purged past
+    *    the stored offset, that is an error, NOT a silent re-snapshot.
+    *  - `when_needed`: resume when possible, re-snapshot whenever the
+    *    offsets are missing OR no longer available in the log.
+    *  - `schema_only`/`no_data`: never snapshot data; resume if
+    *    possible, otherwise start at the latest offset (gap accepted).
+    *  - `never`: no snapshot ever; unrecoverable when offsets are
+    *    missing or purged.
+    *
+    * @param hasCommittedOffsets checkpoint/offset state exists
+    * @param sourceLogAvailable  the stored offset is still within the
+    *                            source's retained log (binlog/topic)
+    */
+  def recoveryAction(snapshotMode: String, hasCommittedOffsets: Boolean,
+                     sourceLogAvailable: Boolean = true): RecoveryAction = {
+    import RecoveryAction._
+    val resumable = hasCommittedOffsets && sourceLogAvailable
+    snapshotMode match {
+      case "initial"                 => if (resumable) Resume
+                                        else if (!hasCommittedOffsets) Snapshot
+                                        else Fail
+      case "when_needed" | "always"  => if (resumable) Resume else Snapshot
+      case "schema_only" | "no_data" => if (resumable) Resume else ResumeFromLatest
+      case "never"                   => if (resumable) Resume else Fail
+      case other => throw new IllegalArgumentException(s"unknown snapshot.mode: $other")
+    }
+  }
+
   /** The Kafka envelope stream: one `json` column (the Debezium
     * envelope string) plus source metadata, shaped identically to
     * [[CdcStream.fileSource]] so the downstream pipeline

@@ -65,6 +65,23 @@ class KafkaCdcSpec extends SparkSpec {
       "property.kafka_default_offsets" -> "OFFSET_END")).startingOffsets == "latest")
   }
 
+  test("restart recovery follows the snapshot-mode decision table") {
+    import KafkaCdc.{recoveryAction => r}
+    import KafkaCdc.RecoveryAction._
+    // fresh start
+    assert(r("initial", hasCommittedOffsets = false) == Snapshot)
+    assert(r("schema_only", hasCommittedOffsets = false) == ResumeFromLatest)
+    assert(r("never", hasCommittedOffsets = false) == Fail)
+    // clean restart: everyone resumes
+    for (m <- Seq("initial", "when_needed", "schema_only", "never"))
+      assert(r(m, hasCommittedOffsets = true) == Resume)
+    // offsets exist but the source log was purged past them
+    assert(r("initial", hasCommittedOffsets = true, sourceLogAvailable = false) == Fail)
+    assert(r("when_needed", hasCommittedOffsets = true, sourceLogAvailable = false) == Snapshot)
+    assert(r("schema_only", hasCommittedOffsets = true, sourceLogAvailable = false) == ResumeFromLatest)
+    intercept[IllegalArgumentException](r("bogus", hasCommittedOffsets = true))
+  }
+
   test("rate cap and group id surface as the right option keys") {
     val cfg = KafkaCdc.Config(brokers = "k:9092", topics = Seq("t"),
       groupId = Some("g"), maxOffsetsPerTrigger = Some(500000L))

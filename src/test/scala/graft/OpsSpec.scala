@@ -158,6 +158,41 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("rank") <= 2))
   }
 
+  test("IVF nprobe: probe #1 is the assigned cell; nprobe=2 only adds neighbors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def run(np: Int) = Similarity.ivfTopk(emb, col("vec_id"), col("embedding"),
+      isCentroid = _ % 25 === 0, isQuery = _ % 40 === 0, k = 3, nprobe = np)
+      .select("qid", "rank", "nid", "cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val one = run(1)
+    val two = run(2)
+    // same queries, same k; nprobe=2 can only improve (or tie) each
+    // rank's cosine — per query, the rank-1 cosine never decreases
+    def best(s: Set[(Long, Long, Long, Double)]) =
+      s.filter(_._2 == 1L).map(r => r._1 -> r._4).toMap
+    val b1 = best(one); val b2 = best(two)
+    assert(b1.keySet == b2.keySet)
+    assert(b1.forall { case (q, c) => b2(q) >= c })
+  }
+
+  test("decontamination flags docs overlapping the reference slice") {
+    val docs = Seq(
+      (1L, "the secret eval question about spark shuffles appears here"),
+      (2L, "totally unrelated training document about cooking pasta properly"),
+      (3L, "the secret eval question about nothing"), // ref slice (3 % 10 == 3)
+      (11L, "another clean doc speaking of gardens and rain")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.ngramOverlapHits(
+      train = docs.where(col("doc_id") % 10 =!= 3), trainId = col("doc_id"),
+      trainText = col("text"),
+      ref = docs.where(col("doc_id") % 10 === 3), refText = col("text"),
+      shingleN = 3, minHits = 2)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the secret eval", "secret eval question",
+    // "eval question about" with doc 3 → 3 hits; docs 2/11 clean
+    assert(hits == Map(1L -> 3L))
+  }
+
   test("langId picks the language with most stopword hits") {
     val d = Seq((1L, "the cat of the house is in the garden"),
       (2L, "el gato de la casa es un animal"),
