@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
 import org.apache.spark.sql.types._
-import graft.cdc.{Envelope, PkTable, RoutineLoad}
+import graft.cdc.{Envelope, PkTable, RoutineLoad, SchemaEvolution}
 
 /** CDC / pipeline-core query surface (SURVEY §2 section A).
   *
@@ -230,6 +230,25 @@ object QueriesCdc {
         .orderBy(col("user_id"))
     },
 
+    // A20: type-widening schema evolution — the stored snapshot has
+    // INT key / FLOAT balance, the changelog arrives BIGINT/DOUBLE;
+    // widenMerge evolves the schema losslessly (narrowing throws) and
+    // runs the latest-wins merge over the widened frames
+    "cdc_schema_widening" -> { (s, dir) =>
+      val snap = Tables.customer(s, dir).select(
+        col("c_custkey").cast("int").as("k"),
+        col("c_acctbal").cast("float").as("bal"),
+        lit("1970-01-01 00:00:00").cast("timestamp").as("ver_ts"),
+        lit(-1L).as("ver_seq"))
+      val chg = changelog(s, dir).select(
+        col("user_id").as("k"), col("value").as("bal"),
+        col("ts").as("ver_ts"), col("event_id").as("ver_seq"),
+        (col("op") === Envelope.OpDelete).as("del"))
+      SchemaEvolution.widenMerge(snap, chg, Seq("k"), Seq("ver_ts", "ver_seq"), "del")
+        .select(col("k"), Rounding.r(col("bal"), 4).as("bal"))
+        .orderBy(col("k"))
+    },
+
     // A10: initial snapshot + changelog tail merged into one view
     "cdc_snapshot_then_merge" -> { (s, dir) =>
       val snap = Tables.customer(s, dir).select(
@@ -293,6 +312,18 @@ object QueriesCdc {
         |strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    "cdc_schema_widening" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT COALESCE(l.user_id, c.c_custkey) AS k,
+        |  round(CASE WHEN l.user_id IS NOT NULL THEN l.value
+        |             ELSE CAST(CAST(c.c_acctbal AS REAL) AS DOUBLE) END, 4) AS bal
+        |FROM customer c FULL JOIN latest l ON c.c_custkey = l.user_id
+        |WHERE l.user_id IS NULL OR l.event_type <> 'error'
+        |ORDER BY k""".stripMargin,
     "cdc_decimal_roundtrip" ->
       s"""SELECT o_orderstatus,
          |CAST(sum(${decimalAmountSql("o_orderkey")}) AS DECIMAL(18,2)) AS total_amount,

@@ -186,6 +186,38 @@ object QueriesData {
         .limit(20)
     },
 
+    // C22: Gopher-style repetition signals — fraction of duplicate
+    // tokens / duplicate 2-grams / mass of the most frequent token
+    // (the public repetition quality filters; high values ⇒ boilerplate
+    // or degenerate text). Pure Catalyst array ops; the words array is
+    // materialized once in its own projection (inline split would be
+    // re-evaluated per reference).
+    "text_repetition" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), split(col("text"), " ").as("w"))
+      val base = d.select(col("doc_id"), col("w"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_distinct"))
+      val g = base.withColumn("g2",
+        when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      val fracs = g.select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        Rounding.r(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_word_frac"),
+        Rounding.r(when(size(col("g2")) > 0,
+            lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")))
+          .otherwise(lit(0.0)), 4).as("dup_2gram_frac"))
+      val top = d.select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+      fracs.join(top, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("dup_word_frac"), col("dup_2gram_frac"),
+          Rounding.r(col("top_c").cast("double") / col("n_tokens"), 4).as("top_word_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // C17: PII scrubbing — regex redaction of emails/phones (the
     // curation step before any training corpus ships). Synthetic PII is
     // injected deterministically so the scrub is oracle-checkable.
@@ -471,6 +503,22 @@ object QueriesData {
       """SELECT t, count(*) AS c
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         |GROUP BY t ORDER BY c DESC, t LIMIT 20""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+        |  CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |       ELSE [] END AS g2
+        |  FROM d),
+        |tops AS (SELECT doc_id, max(c) AS top_c FROM (
+        |  SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY doc_id, t)
+        |  GROUP BY doc_id)
+        |SELECT g.doc_id, n_tokens,
+        |  round(1.0 - n_distinct::DOUBLE / n_tokens, 4) AS dup_word_frac,
+        |  round(CASE WHEN len(g2) > 0
+        |    THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0.0 END, 4) AS dup_2gram_frac,
+        |  round(top_c::DOUBLE / n_tokens, 4) AS top_word_frac
+        |FROM g JOIN tops ON g.doc_id = tops.doc_id ORDER BY g.doc_id""".stripMargin,
     "text_pii_scrub" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact: user' || doc_id || '@example.com tel 555-' || doc_id AS t

@@ -87,4 +87,42 @@ class CdcSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(out.forall(_.isNullAt(2)))
   }
+
+  test("schema evolution: lossless widenings accepted, narrowings refused") {
+    import graft.cdc.SchemaEvolution._
+    assert(canWiden(IntegerType, LongType) && canWiden(FloatType, DoubleType))
+    assert(canWiden(DecimalType(10, 2), DecimalType(12, 2)))
+    assert(!canWiden(DecimalType(12, 2), DecimalType(10, 2)))
+    assert(!canWiden(LongType, IntegerType) && !canWiden(DoubleType, FloatType))
+    assert(!canWiden(StringType, LongType))
+    assert(canWiden(LongType, DecimalType(22, 2)) && !canWiden(LongType, DecimalType(12, 2)))
+
+    val stored = StructType(Seq(StructField("k", IntegerType),
+      StructField("v", FloatType)))
+    val incoming = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType), StructField("extra", StringType)))
+    val evolved = evolve(stored, incoming)
+    assert(evolved.map(f => f.name -> f.dataType) ==
+      Seq("k" -> LongType, "v" -> DoubleType, "extra" -> StringType))
+    intercept[IllegalArgumentException] {
+      evolve(StructType(Seq(StructField("k", StringType))),
+        StructType(Seq(StructField("k", LongType))))
+    }
+  }
+
+  test("widenMerge: INT/FLOAT snapshot follows a BIGINT/DOUBLE changelog") {
+    import graft.cdc.SchemaEvolution
+    val stored = Seq((1, 1.5f, 0L), (2, 2.5f, 0L)).toDF("k", "v", "ver")
+    val changes = Seq((1L, 9.25, 1L, false), (3L, 3.75, 1L, false), (2L, 0.0, 1L, true))
+      .toDF("k", "v", "ver", "del")
+    val out = SchemaEvolution.widenMerge(stored, changes, Seq("k"), Seq("ver"), "del")
+      .orderBy("k").as[(Long, Double, Long)].collect()
+    // key 1 updated, key 2 deleted, key 3 inserted
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 9.25), (3L, 3.75)))
+    intercept[IllegalArgumentException] {
+      // changelog NARROWER than table on a non-widenable pair
+      SchemaEvolution.widenTo(Seq((1L, "x")).toDF("k", "v"),
+        StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
+    }
+  }
 }
