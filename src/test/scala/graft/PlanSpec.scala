@@ -102,6 +102,17 @@ class PlanSpec extends SparkSpec {
     assert(bad.getMessage.contains("LongType or TimestampType"))
   }
 
+  test("plan audit: no query plans a CartesianProduct") {
+    // broadcast nested-loop joins (small side broadcast) are fine;
+    // an unbroadcast cartesian product is always a scale bug
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val p = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      p.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("topk window queries get Catalyst's rank-limit pushdown (WindowGroupLimit)") {
     // the rank<=k filter becomes a bounded per-partition top-k BEFORE
     // the shuffle — no hand-built operator needed
