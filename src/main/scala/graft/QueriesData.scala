@@ -152,6 +152,19 @@ object QueriesData {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // C23: the multimodal→embedding→ANN bridge — feature-extract every
+    // document payload (decode stubbed deterministically; see
+    // Multimodal.fakeEmbedding) and run exact top-k cosine retrieval
+    // over the extracted vectors. The full pipeline shape a multimodal
+    // training set needs: payload → encoder → vector column → index.
+    "mm_embed_ann" -> { (s, dir) =>
+      val embedded = Tables.documents(s, dir).select(col("doc_id"),
+        Multimodal.fakeEmbedding(col("text"), dims = 8).as("emb"))
+      Similarity.topkBruteForce(embedded, col("doc_id"), col("emb"),
+        isQuery = _ % 50 === 0, k = 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // C15: deterministic hash sampling — md5-keyed Bernoulli, stable
     // across runs/engines/partitionings (unlike rand()-based sample)
     "sample_deterministic" -> { (s, dir) =>
@@ -487,6 +500,20 @@ object QueriesData {
         |8 + (CAST('0x' || substr(md5(text), 1, 1) AS INT) % 8) * 16 AS width,
         |8 + (CAST('0x' || substr(md5(text), 2, 1) AS INT) % 8) * 16 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_embed_ann" ->
+      """WITH v AS (SELECT doc_id,
+        |  [ (CAST('0x' || substr(md5(text || ':' || d), 1, 8) AS BIGINT) % 2001 - 1000) / 1000.0
+        |    for d in range(0, 8) ] AS e
+        |  FROM documents),
+        |q AS (SELECT doc_id AS qid, e AS qe FROM v WHERE doc_id % 50 = 0),
+        |scored AS (SELECT qid, v.doc_id AS nid,
+        |  list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) AS c,
+        |  row_number() OVER (PARTITION BY qid ORDER BY
+        |    list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) DESC,
+        |    v.doc_id) AS rank
+        |  FROM q JOIN v ON v.doc_id <> qid)
+        |SELECT qid, rank, nid, round(c, 4) AS cos FROM scored
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "sample_deterministic" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST('0x' || substr(md5(doc_id || ':sample'), 1, 8) AS BIGINT) % 100 < 20

@@ -60,6 +60,22 @@ object Multimodal {
       (lit(8) + (conv(substring(h, 2, 1), 16, 10).cast("int") % 8) * 16).as("height"))
   }
 
+  /** STUB feature extractor — deterministic fake embedding standing in
+    * for a vision/text encoder (no model runtimes in this sandbox).
+    * Dimension d = (md5(content||':'||d) first 8 hex as int) mod 2001,
+    * shifted to [-1000, 1000] and scaled to [-1, 1] — md5-replayable
+    * by any engine, so the downstream ANN hand-off is oracle-checked.
+    * On a real cluster this column is produced by a batched model UDF
+    * (mapPartitions/mapInPandas over the binary payload) with the
+    * identical `array<double>` signature; everything downstream —
+    * schema, normalization, top-k search — is unchanged.
+    */
+  def fakeEmbedding(content: Column, dims: Int): Column =
+    array((0 until dims).map { d =>
+      ((conv(substring(md5(concat(content, lit(s":$d"))), 1, 8), 16, 10)
+        .cast("long") % 2001 - 1000).cast("double") / 1000.0)
+    }: _*)
+
   /** Frame sampling plumbing: split the payload into fixed-size blocks
     * and keep every `stride`-th block as a "frame" with its digest —
     * the shape of video frame extraction, over fake frames.

@@ -102,6 +102,19 @@ class PlanSpec extends SparkSpec {
     assert(bad.getMessage.contains("LongType or TimestampType"))
   }
 
+  test("envelope roundtrip parses JSON exactly once (Opaque barrier holds)") {
+    // regression lock for the r2 headline fix: without the barrier,
+    // PushDownPredicates substitutes from_json into the tombstone
+    // filter and the codec runs 3x per row below the repartition
+    val df = SparkEntry.queries("cdc_envelope_roundtrip")(spark, sfDir)
+    val n = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect {
+        case e if e.getClass.getSimpleName == "JsonToStructs" => e
+      }.size).sum
+    }.sum
+    assert(n == 1, s"expected exactly 1 from_json in the optimized plan, found $n")
+  }
+
   test("plan audit: no query plans a CartesianProduct") {
     // broadcast nested-loop joins (small side broadcast) are fine;
     // an unbroadcast cartesian product is always a scale bug
