@@ -85,8 +85,13 @@ object PkTableSink {
     * pointers (and any legacy `_CURRENT`) are pruned best-effort after
     * the rename; a crash mid-prune only leaves stale lower-numbered
     * pointers, which max(N) resolution ignores.
+    *
+    * Optimistic concurrency: rename-to-existing fails on HDFS-like
+    * filesystems, so two writers racing to the same version number
+    * cannot clobber each other — the loser gets an exception, never a
+    * silent overwrite. (Package-visible for the protocol spec.)
     */
-  private def commit(spark: SparkSession, root: String, version: Long): Unit = {
+  private[graft] def commit(spark: SparkSession, root: String, version: Long): Unit = {
     val fs = fsOf(spark, root)
     val tmp = new org.apache.hadoop.fs.Path(root, s"_CURRENT.tmp$version")
     val out = fs.create(tmp, true)

@@ -55,6 +55,22 @@ class SinkSpec extends SparkSpec {
     assert(PkTableSink.currentVersion(spark, root).contains(2L))
   }
 
+  test("PK-table sink commit refuses to overwrite a concurrent writer's pointer") {
+    import graft.sinks.PkTableSink
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("pkconc").toString + "/t"
+    def batch(rows: (Long, Long, String, Boolean)*) =
+      rows.toDF("id", "ver", "v", "del")
+    PkTableSink.merge(spark, root, batch((1L, 1L, "a", false)), Seq("id"), Seq("ver"), "del")
+    // another writer won the race to v1: our rename target exists, so
+    // the commit must FAIL (rename-to-existing), never clobber
+    Files.writeString(Paths.get(root, "_CURRENT.v1"), "1")
+    intercept[IllegalStateException] {
+      PkTableSink.commit(spark, root, 1L)
+    }
+    assert(PkTableSink.currentVersion(spark, root).contains(1L))
+  }
+
   test("PK-table sink commit survives crash debris and legacy pointers") {
     import graft.sinks.PkTableSink
     import java.nio.file.{Files, Paths}
