@@ -50,6 +50,35 @@ object QueriesData {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // C24: incremental dedup — today's batch (doc_id % 4 == 0) deduped
+    // against the accumulated corpus (the rest); band join is
+    // batch×corpus, never corpus×corpus
+    "dedup_incremental" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      Dedup.minhashLshPairsAgainst(
+        corpus = d.where(col("doc_id") % 4 =!= 0), corpusId = col("doc_id"),
+        corpusText = col("text"),
+        batch = d.where(col("doc_id") % 4 === 0), batchId = col("doc_id"),
+        batchText = col("text"))
+        .orderBy(col("new_id"), col("prior_id"))
+    },
+
+    // C25: token-budget sampling — per language, take docs in
+    // md5-pseudo-random order until the running token count exceeds
+    // the budget (pretraining mixture construction)
+    "sample_token_budget" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(col("doc_id"), lit(":tb"))), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") <= 2000)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("lang"), col("cum_tokens"))
+    },
+
     // C20: duplicate clusters — connected components over the exact
     // near-dup pair graph (keep min-id representative per cluster)
     "dedup_clusters" -> { (s, dir) =>
@@ -310,6 +339,41 @@ object QueriesData {
          |SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 4) AS jaccard
          |FROM ver WHERE inter * 5 >= uni * 4 ORDER BY doc_a, doc_b""".stripMargin
     },
+    "dedup_incremental" -> {
+      import graft.ops.Dedup.{MinhashP => p, minhashA, minhashB}
+      val mins = (0 until 32)
+        .map(i => s"min((x * ${minhashA(i)} + ${minhashB(i)}) % $p) AS m$i")
+        .mkString(",\n")
+      val bandHashes = (0 until 8).map(b =>
+        s"md5(${(0 until 4).map(j => s"m${b * 4 + j}::VARCHAR").mkString(" || '|' || ")}) AS bh$b")
+        .mkString(",\n")
+      val bandMatch = (0 until 8).map(b => s"b.bh$b = c.bh$b").mkString(" OR ")
+      s"""WITH $shingleCte,
+         |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+         |xs AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $p AS x FROM tok),
+         |mh AS (SELECT doc_id,
+         |$mins
+         |FROM xs GROUP BY doc_id),
+         |bandw AS (SELECT doc_id,
+         |$bandHashes
+         |FROM mh),
+         |cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS prior_id
+         |         FROM bandw b JOIN bandw c
+         |         ON b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0 AND ($bandMatch)),
+         |ver AS (SELECT cd.new_id, cd.prior_id, len(list_intersect(x.s, y.s)) AS inter,
+         |               len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
+         |        FROM cand cd JOIN sh x ON cd.new_id = x.doc_id JOIN sh y ON cd.prior_id = y.doc_id)
+         |SELECT new_id, prior_id, round(inter::DOUBLE / uni, 4) AS jaccard
+         |FROM ver WHERE inter * 5 >= uni * 4 ORDER BY new_id, prior_id""".stripMargin
+    },
+    "sample_token_budget" ->
+      """SELECT lang, doc_id, n_tokens, cum_tokens FROM (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY lang ORDER BY md5(doc_id || ':tb'), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |szd AS (SELECT doc_id, s, len(s) AS sz FROM sh),

@@ -109,6 +109,24 @@ object Dedup {
     df.groupBy(key.as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** (id, band, bh) LSH band rows from exploded shingle rows: one md5
+    * per shingle, k affine permutation-mins in a single hash
+    * aggregation (map-side partial agg shrinks the shuffle), bands
+    * hashed to md5 bucket keys.
+    */
+  private def minhashBanded(tok: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val xs = tok.select(col("id"), shingleHash(col("t0")).as("x"))
+    val minExprs = (0 until k).map(i => min(permHash(col("x"), i)).as(s"m$i"))
+    val mh = xs.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until rowsPerBand).map(j =>
+          col(s"m${b * rowsPerBand + j}").cast("string")): _*)).as("bh")))
+    mh.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
     *
     * @return (doc_a, doc_b, jaccard) for candidate pairs sharing at
@@ -117,20 +135,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
-    val rowsPerBand = k / bands
     val tok = shingleRows(df, id, text, shingleN)
-    // one md5 per shingle, then k affine permutation-mins in a single
-    // hash aggregation (map-side partial agg shrinks the shuffle)
-    val xs = tok.select(col("id"), shingleHash(col("t0")).as("x"))
-    val minExprs = (0 until k).map(i => min(permHash(col("x"), i)).as(s"m$i"))
-    val mh = xs.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until rowsPerBand).map(j =>
-          col(s"m${b * rowsPerBand + j}").cast("string")): _*)).as("bh")))
-    val banded = mh.select(col("id"),
-      explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = minhashBanded(tok, k, bands)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -152,6 +158,40 @@ object Dedup {
       // integer cross-multiplication: exact thresholding, no FP boundary
       .where(col("inter") * thresholdDen >= col("uni") * thresholdNum)
       .select(col("doc_a"), col("doc_b"),
+        Rounding.r(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+  }
+
+  /** Incremental (cross-corpus) MinHash-LSH dedup: near-duplicate
+    * pairs between a NEW batch and an EXISTING corpus — the shape
+    * every crawl pipeline needs (dedup today's crawl against the
+    * accumulated corpus without re-pairing the corpus with itself).
+    *
+    * Same signatures/banding as [[minhashLshPairs]]; the band join is
+    * batch×corpus only, so cost is ∝ batch, not corpus². At 100 TB the
+    * corpus band rows are a precomputed table the batch joins against.
+    *
+    * @return (new_id, prior_id, jaccard) with exact Jaccard ≥ t.
+    */
+  def minhashLshPairsAgainst(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                             batch: DataFrame, batchId: Column, batchText: Column,
+                             shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                             thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    val tokC = shingleRows(corpus, corpusId, corpusText, shingleN)
+    val tokB = shingleRows(batch, batchId, batchText, shingleN)
+    val cand = minhashBanded(tokB, k, bands).as("b")
+      .join(minhashBanded(tokC, k, bands).as("c"),
+        col("b.band") === col("c.band") && col("b.bh") === col("c.bh"))
+      .select(col("b.id").as("new_id"), col("c.id").as("prior_id"))
+      .distinct()
+    val t1 = tokB.select(col("id").as("new_id"), col("sz").as("sa"), col("t0"))
+    val t2 = tokC.select(col("id").as("prior_id"), col("sz").as("sb"), col("t0"))
+    cand.join(t1, "new_id")
+      .join(t2, Seq("prior_id", "t0"))
+      .groupBy(col("new_id"), col("prior_id"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .where(col("inter") * thresholdDen >= col("uni") * thresholdNum)
+      .select(col("new_id"), col("prior_id"),
         Rounding.r(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
   }
 

@@ -28,6 +28,18 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("incremental minhash dedup pairs the batch against the corpus only") {
+    // corpus: 0 (and 2, unrelated); batch: 1 (near-dup of 0), 3 (exact
+    // dup of 0). Corpus-internal pairs (0,2) and batch-internal pairs
+    // (1,3) must NOT appear.
+    val corpus = docs.where(col("doc_id").isin(0L, 2L))
+    val batch = docs.where(col("doc_id").isin(1L, 3L))
+    val pairs = Dedup.minhashLshPairsAgainst(
+      corpus, col("doc_id"), col("text"), batch, col("doc_id"), col("text"))
+      .select("new_id", "prior_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 0L), (3L, 0L)))
+  }
+
   test("ngram jaccard matches brute-force on the same pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"))
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
