@@ -78,6 +78,33 @@ object PkTableSink {
     commit(spark, root, next)
   }
 
+  /** Lake maintenance: delete data version directories older than the
+    * `keepVersions` most recent (current always kept). Old versions
+    * exist for time travel / reader isolation; unbounded retention is
+    * unbounded storage. Never touches pointers (crash-safe by the same
+    * max(N)-resolution argument as [[commit]]); returns the versions
+    * deleted.
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Seq[Long] = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val fs = fsOf(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return Nil
+    val dataVersions = fs.listStatus(rootPath)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+      .sorted
+    if (dataVersions.isEmpty) Nil
+    else {
+      val current = currentVersion(spark, root)
+      val cutoff = dataVersions.takeRight(keepVersions).head
+      val victims = dataVersions.filter(v => v < cutoff && !current.contains(v))
+      victims.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(root, s"v$v"), true))
+      victims.toSeq
+    }
+  }
+
   /** Single-writer commit: write the pointer content aside, then one
     * atomic rename to `_CURRENT.v<version>`. A crash before the rename
     * leaves the previous pointer current; a crash after leaves the new

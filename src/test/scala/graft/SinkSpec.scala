@@ -55,6 +55,25 @@ class SinkSpec extends SparkSpec {
     assert(PkTableSink.currentVersion(spark, root).contains(2L))
   }
 
+  test("PK-table sink vacuum keeps recent versions, never the current") {
+    import graft.sinks.PkTableSink
+    val root = java.nio.file.Files.createTempDirectory("pkvac").toString + "/t"
+    def batch(rows: (Long, Long, String, Boolean)*) =
+      rows.toDF("id", "ver", "v", "del")
+    (1 to 4).foreach { i =>
+      PkTableSink.merge(spark, root, batch((i.toLong, i.toLong, s"v$i", false)),
+        Seq("id"), Seq("ver"), "del")
+    }
+    // versions 0..3 exist, current = 3; keep 2 → delete 0 and 1
+    val deleted = PkTableSink.vacuum(spark, root, keepVersions = 2)
+    assert(deleted == Seq(0L, 1L))
+    assert(PkTableSink.currentVersion(spark, root).contains(3L))
+    val t = PkTableSink.read(spark, root, batch().drop("del"))
+    assert(t.count() == 4) // table content untouched
+    // idempotent
+    assert(PkTableSink.vacuum(spark, root, keepVersions = 2).isEmpty)
+  }
+
   test("PK-table sink commit refuses to overwrite a concurrent writer's pointer") {
     import graft.sinks.PkTableSink
     import java.nio.file.{Files, Paths}
