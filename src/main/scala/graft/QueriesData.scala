@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Profiling, Similarity, TextAnalysis}
 
 /** Training-data pipeline query surface (SURVEY §2 section C):
   * dedup, similarity search, text analysis, multimodal plumbing.
@@ -192,6 +192,14 @@ object QueriesData {
       Similarity.topkBruteForce(embedded, col("doc_id"), col("emb"),
         isQuery = _ % 50 === 0, k = 3)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // C26: column profiling — the null/distinct health stats asserted
+    // before a table feeds training; one aggregation pass, unpivoted
+    "profile_orders" -> { (s, dir) =>
+      Profiling.columnStats(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy(col("col_name"))
     },
 
     // C15: deterministic hash sampling — md5-keyed Bernoulli, stable
@@ -578,6 +586,14 @@ object QueriesData {
         |  FROM q JOIN v ON v.doc_id <> qid)
         |SELECT qid, rank, nid, round(c, 4) AS cos FROM scored
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "profile_orders" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name,
+           |CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "sample_deterministic" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST('0x' || substr(md5(doc_id || ':sample'), 1, 8) AS BIGINT) % 100 < 20

@@ -205,6 +205,19 @@ class OpsSpec extends SparkSpec {
     assert(hits == Map(1L -> 3L))
   }
 
+  test("column profiling counts nulls and distincts in one pass") {
+    import graft.ops.Profiling
+    val df = Seq((Some(1L), Some("a")), (Some(1L), None), (None, Some("b")))
+      .toDF("k", "v")
+    val stats = Profiling.columnStats(df, Seq("k", "v"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stats("k") == (1L, 1L)) // one null, one distinct value
+    assert(stats("v") == (1L, 2L))
+    val approx = Profiling.approxColumnStats(df, Seq("k", "v"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(approx == Map("k" -> 1L, "v" -> 1L)) // null counts exact
+  }
+
   test("langId picks the language with most stopword hits") {
     val d = Seq((1L, "the cat of the house is in the garden"),
       (2L, "el gato de la casa es un animal"),
