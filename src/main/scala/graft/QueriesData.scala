@@ -65,7 +65,11 @@ object QueriesData {
 
     // C25: token-budget sampling — per language, take docs in
     // md5-pseudo-random order until the running token count exceeds
-    // the budget (pretraining mixture construction)
+    // the budget (pretraining mixture construction). Scale note: the
+    // running sum is sequential per stratum (one window partition per
+    // language); with few-language/100 TB corpora, pre-thin with a
+    // cheap md5-rate filter (sample_deterministic) sized from corpus
+    // stats so the windowed pass sees ~budget-sized strata only.
     "sample_token_budget" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),

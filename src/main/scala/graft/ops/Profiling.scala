@@ -21,10 +21,13 @@ object Profiling {
     row.select(explode(array(structs: _*)).as("s")).select(col("s.*"))
   }
 
-  /** Exact per-column (nulls, distinct) stats in one pass. */
+  /** Exact per-column (nulls, distinct) stats in one pass. (The null
+    * count is coalesced: `sum` over an empty table is SQL-null, but an
+    * empty table has zero nulls.)
+    */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__n_$c"),
       count_distinct(col(c)).as(s"__d_$c")))
     unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
   }
@@ -34,7 +37,7 @@ object Profiling {
     * error. */
   def approxColumnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__n_$c"),
       approx_count_distinct(col(c)).as(s"__d_$c")))
     unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
   }

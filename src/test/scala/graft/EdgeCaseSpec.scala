@@ -24,6 +24,21 @@ class EdgeCaseSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
   }
 
+  test("r2 ops tolerate empty inputs") {
+    import graft.ops.Profiling
+    // profiling an empty table: zero nulls, zero distincts — not SQL nulls
+    val stats = Profiling.columnStats(emptyDocs, Seq("doc_id", "text")).collect()
+    assert(stats.length == 2)
+    assert(stats.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    // decontamination with an empty reference flags nothing
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.ngramOverlapHits(docs, col("doc_id"), col("text"),
+      emptyDocs, col("text")).count() == 0)
+    // incremental dedup with an empty corpus finds nothing
+    assert(Dedup.minhashLshPairsAgainst(emptyDocs, col("doc_id"), col("text"),
+      docs, col("doc_id"), col("text")).count() == 0)
+  }
+
   test("PkTable.compact on an empty changelog yields an empty table") {
     val empty = Seq.empty[(Long, Long, String, Boolean)].toDF("k", "ver", "v", "del")
     assert(PkTable.compact(empty, Seq("k"), Seq(col("ver")), col("del")).count() == 0)
