@@ -101,34 +101,47 @@ object TextAnalysis {
     */
   def winnowFingerprint(df: DataFrame, id: Column, text: Column,
                         k: Int = 5, w: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norm = lower(regexp_replace(text, "\\s+", " "))
-    // gram rows via typed flatMap: building a per-row md5 array with a
-    // transform() lambda is interpreted (outside whole-stage codegen)
-    // and dominates the fingerprint cost; JVM-side digesting emits the
-    // identical (doc_id, idx, md5hex) rows. Corpus is ASCII, so char
-    // positions agree with SQL substr semantics.
+    // The semantic spec is the SQL-window formulation the oracle runs
+    // (per-gram md5, min over a w-row trailing window, distinct
+    // selected). A document's winnowing is self-contained, so the
+    // engine computes it in ONE partition-local typed pass — per doc:
+    // digest the k-grams, slide the w-window min, aggregate distinct/
+    // min/max in place. No gram-row explode, no shuffle, no window
+    // sort (the exploded formulation moves ~|chars| rows through an
+    // exchange; this moves one row per doc). Bit-identical output.
+    // Corpus is ASCII, so char positions agree with SQL substr.
     // repartition first: a small parquet input arrives as one split,
     // which would serialize the digest work onto a single task
     val src = df.select(id.cast("long").as("doc_id"), norm.as("t"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     import src.sparkSession.implicits._
-    val grams = src.as[(Long, String)].flatMap { case (i, t) =>
+    src.as[(Long, String)].flatMap { case (i, t) =>
       if (t.length < k + w - 1) Iterator.empty
       else {
         val md = java.security.MessageDigest.getInstance("MD5")
-        (1 to t.length - (k - 1)).iterator.map { idx =>
-          val digest = md.digest(t.substring(idx - 1, idx - 1 + k).getBytes("UTF-8"))
-          (i, idx.toLong, TextAnalysis.hexString(digest))
+        val n = t.length - (k - 1)
+        val ghs = new Array[String](n)
+        var j = 0
+        while (j < n) {
+          ghs(j) = TextAnalysis.hexString(md.digest(t.substring(j, j + k).getBytes("UTF-8")))
+          j += 1
         }
+        val seen = new java.util.HashSet[String]()
+        var fpMin: String = null
+        var fpMax: String = null
+        var end = w - 1 // 0-based end of the first full window
+        while (end < n) {
+          var m = ghs(end - w + 1)
+          var q = end - w + 2
+          while (q <= end) { if (ghs(q).compareTo(m) < 0) m = ghs(q); q += 1 }
+          seen.add(m)
+          if (fpMin == null || m.compareTo(fpMin) < 0) fpMin = m
+          if (fpMax == null || m.compareTo(fpMax) > 0) fpMax = m
+          end += 1
+        }
+        Iterator.single((i, seen.size.toLong, fpMin, fpMax))
       }
-    }.toDF("doc_id", "idx", "gh")
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-      .rowsBetween(-(w - 1), 0)
-    grams.withColumn("sel", min(col("gh")).over(win))
-      .where(col("idx") >= w)
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("sel")).as("n_fingerprints"),
-        min(col("sel")).as("fp_min"), max(col("sel")).as("fp_max"))
+    }.toDF("doc_id", "n_fingerprints", "fp_min", "fp_max")
   }
 }
