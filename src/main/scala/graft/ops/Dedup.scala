@@ -17,10 +17,14 @@ import graft.functions.Rounding
   *  - MinHash-LSH: signature cost ∝ docs × k; the band bucket-join
   *    replaces the O(n²) pair space; the band id is part of the join
   *    key so bucket skew spreads across bands; exact Jaccard runs only
-  *    on surviving candidates.
-  *  - exact set-similarity join: inverted-index join + size-ratio
-  *    pruning (lossless for Jaccard ≥ t). At extreme scale swap the
-  *    index for prefix-filtering (PPJoin) — same frame shape.
+  *    on surviving candidates (no broadcast hint — AQE size-gates).
+  *    Incremental (batch-vs-corpus) variant keeps the join ∝ batch.
+  *  - exact set-similarity join: PPJoin prefix filtering under a
+  *    frequency-ascending canonical order (corpus-wide boilerplate
+  *    shingles never become join keys) + lossless size-ratio pruning.
+  *  - SimHash: 64-bit fingerprints, 16-bit bands (65,536 buckets).
+  *  - cluster resolution: pointer-jumping min-label propagation,
+  *    O(log diameter) rounds, loud failure on the round cap.
   */
 object Dedup {
 
