@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.{PkTable, SchemaEvolution}
+
+/** Property tests for the algebraic claims the engine's scale paths
+  * rest on. These are the invariants cited in scaladocs:
+  *  - salted two-phase compaction ≡ plain compaction (max_by is
+  *    associative/commutative, so pre-folding per salt is legal);
+  *  - compaction ≡ the latest-wins reference semantics under version
+  *    collisions (the tie-break path);
+  *  - lossless widening preserves every value bit-for-bit.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def checkProp(prop: Prop, minTests: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // small changelogs with colliding keys AND colliding versions (the
+  // tie-break path), ~10% deletes. seq is the row index — unique like
+  // a binlog position, so (ver, seq) totally orders each key's rows
+  // and the expected winner is well-defined (max_by ties on a fully
+  // duplicated version struct are legitimately arbitrary).
+  private val changelogGen: Gen[List[(Long, Long, Long, Double, Boolean)]] =
+    Gen.listOfN(60, for {
+      k   <- Gen.choose(0L, 7L)
+      ver <- Gen.choose(0L, 5L)
+      v   <- Gen.choose(-100.0, 100.0)
+      del <- Gen.frequency(9 -> false, 1 -> true)
+    } yield (k, ver, v, del)).map(_.zipWithIndex.map {
+      case ((k, ver, v, del), i) => (k, ver, i.toLong, v, del)
+    })
+
+  private def reference(rows: List[(Long, Long, Long, Double, Boolean)]): Map[Long, (Long, Long, Double)] =
+    rows.groupBy(_._1).flatMap { case (k, g) =>
+      val latest = g.maxBy(r => (r._2, r._3))
+      if (latest._5) None else Some(k -> ((latest._2, latest._3, latest._4)))
+    }
+
+  test("compact and compactSalted both equal the latest-wins reference") {
+    checkProp(Prop.forAllNoShrink(changelogGen) { rows =>
+      val df = rows.toDF("k", "ver", "seq", "v", "del")
+      def run(out: org.apache.spark.sql.DataFrame) =
+        out.select(col("k"), col("ver"), col("seq"), col("v"))
+          .as[(Long, Long, Long, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val plain = run(PkTable.compact(df, Seq("k"), Seq(col("ver"), col("seq")), col("del")))
+      val salted = run(PkTable.compactSalted(df, Seq("k"), Seq(col("ver"), col("seq")), col("del"), salts = 4))
+      val ref = reference(rows)
+      plain == ref && salted == ref
+    }, minTests = 15)
+  }
+
+  test("lossless widening preserves every value") {
+    import org.apache.spark.sql.types._
+    val rowsGen = Gen.listOfN(30, for {
+      i <- Gen.choose(Int.MinValue, Int.MaxValue)
+      f <- Gen.choose(-1e6f, 1e6f)
+    } yield (i, f))
+    checkProp(Prop.forAllNoShrink(rowsGen) { rows =>
+      val df = rows.toDF("i", "f")
+      val target = StructType(Seq(StructField("i", LongType), StructField("f", DoubleType)))
+      val wide = SchemaEvolution.widenTo(df, target)
+        .as[(Long, Double)].collect().sortBy(r => (r._1, r._2)).toList
+      val expect = rows.map { case (i, f) => (i.toLong, f.toDouble) }
+        .sortBy(r => (r._1, r._2))
+      wide == expect
+    }, minTests = 8)
+  }
+}
