@@ -272,6 +272,26 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C27: character-level Shannon entropy — the degenerate-text
+    // detector (mojibake, base64 blobs, repeated-char spam sit far
+    // from natural-language entropy). Two aggregations; the per-doc
+    // char alphabet is tiny so the shuffle carries (doc, char) counts.
+    "text_entropy" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).where(length(col("text")) > 0)
+      // split(text, "") keeps a trailing empty element (limit -1
+      // semantics); drop it to match DuckDB's char split
+      val chars = d.select(col("doc_id"),
+        length(col("text")).cast("double").as("n"),
+        explode(split(col("text"), "")).as("ch"))
+        .where(col("ch") =!= "")
+      chars.groupBy(col("doc_id"), col("n"), col("ch"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(Rounding.r(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 4).as("entropy"),
+          count(lit(1)).as("n_distinct_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // C17: PII scrubbing — regex redaction of emails/phones (the
     // curation step before any training corpus ships). Synthetic PII is
     // injected deterministically so the scrub is oracle-checkable.
@@ -614,6 +634,15 @@ object QueriesData {
       """SELECT t, count(*) AS c
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         |GROUP BY t ORDER BY c DESC, t LIMIT 20""".stripMargin,
+    "text_entropy" ->
+      """WITH chars AS (SELECT doc_id, CAST(len(text) AS DOUBLE) AS n,
+        |  unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE len(text) > 0),
+        |freq AS (SELECT doc_id, n, ch, CAST(count(*) AS DOUBLE) AS c
+        |         FROM chars GROUP BY doc_id, n, ch)
+        |SELECT doc_id, round(-sum((c / n) * ln(c / n)), 4) AS entropy,
+        |  count(*) AS n_distinct_chars
+        |FROM freq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, w, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
