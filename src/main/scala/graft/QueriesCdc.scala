@@ -226,7 +226,8 @@ object QueriesCdc {
       val chg = changelog(s, dir).withColumn("amount", decimalAmount(col("event_id")))
       PkTable.compact(chg, Seq("user_id"),
         Seq(col("ts"), col("event_id")), col("op") === Envelope.OpDelete)
-        .select(col("user_id"), col("amount").as("last_amount"))
+        .select(col("user_id"),
+          col("amount").cast(DecimalType(18, 2)).as("last_amount"))
         .orderBy(col("user_id"))
     },
 
@@ -330,7 +331,7 @@ object QueriesCdc {
          |count(*) AS n
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "cdc_decimal_upsert" ->
-      s"""SELECT user_id, ${decimalAmountSql("event_id")} AS last_amount
+      s"""SELECT user_id, CAST(${decimalAmountSql("event_id")} AS DECIMAL(18,2)) AS last_amount
          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
          |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "cdc_snapshot_then_merge" ->

@@ -456,18 +456,26 @@ object QueriesData {
         |SELECT id_a, id_b, round(c, 4) AS cos FROM p
         |WHERE round(c, 4) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "dedup_embedding_lsh" -> {
-      val planes = Similarity.hyperplanes(16, 64)
+      // 64 planes / 8 bands × 8 bits — band values computed per-band
+      // (no packed-64-bit shift: bit 63 would go negative), mirroring
+      // Similarity.cosineLshPairs exactly
+      val planes = Similarity.hyperplanes(64, 64)
       def planeLit(p: Int) =
         planes(p).map(x => s"${x.toLong}.0").mkString("[", ", ", "]::DOUBLE[]")
-      val sigTerms = (0 until 16).map(p =>
-        s"(CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-        .mkString("\n + ")
+      val bandCols = (0 until 8).map { b =>
+        val terms = (0 until 8).map { j =>
+          val p = b * 8 + j
+          s"(CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString("\n + ")
+        s"($terms) AS bv$b"
+      }.mkString(",\n")
+      val bvCase = (0 until 8).map(b => s"WHEN $b THEN bv$b").mkString(" ")
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |sig AS (SELECT vec_id, e,
-         |$sigTerms AS sig
+         |$bandCols
          |FROM v),
-         |banded AS (SELECT vec_id, e, b, (sig >> (CAST(b AS INT) * 4)) & 15 AS bv
-         |           FROM sig CROSS JOIN range(4) r(b)),
+         |banded AS (SELECT vec_id, e, b, CASE CAST(b AS INT) $bvCase END AS bv
+         |           FROM sig CROSS JOIN range(8) r(b)),
          |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
          |         FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id),
          |p AS (SELECT ia, ib,

@@ -94,26 +94,35 @@ object Similarity {
     }
   }
 
-  /** Cosine-LSH near-duplicate pairs: 16-bit hyperplane signature →
-    * 4-bit band bucket join → exact-cosine verification. The scale
+  /** Cosine-LSH near-duplicate pairs: 64-bit hyperplane signature →
+    * 8-bit band bucket join → exact-cosine verification. The scale
     * path for embedding dedup — candidate generation is linear in the
     * corpus, not O(n²); recall follows the standard banding curve and
     * is reproducible because the planes are deterministic.
+    *
+    * Band values are computed per-band (8 bits each) rather than by
+    * shifting one packed 64-bit signature: bit 63 would make the
+    * packed Long negative and arithmetic shifts engine-dependent.
+    * 8-bit bands give 256 buckets per band, so the banded self-join is
+    * ~n²/256 spread across bands·256 keys — the same lossless-banding
+    * cure applied to SimHash64 in [[graft.ops.Dedup.simhashPairs]]
+    * (a 4-bit band has only 16 buckets: O(n²/16), quadratic at corpus
+    * scale).
     */
   def cosineLshPairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
-                     nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+                     nPlanes: Int = 64, bands: Int = 8): DataFrame = {
     val planeBits = nPlanes / bands
     val planes = hyperplanes(nPlanes, 64)
     val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
-    val sigBits = (0 until nPlanes).map(p =>
-      when(call_function("double_dot", col("v"), typedLit(planes(p).toSeq)) > 0,
-        lit(1L << p)).otherwise(lit(0L)))
-    val sig = v.withColumn("sig", sigBits.reduce(_ + _))
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * planeBits)
-          .bitwiseAND((1L << planeBits) - 1).as("bv")))
-    val banded = sig.select(col("id"), col("v"), col("n2"),
+    val bandStructs = (0 until bands).map { b =>
+      val bv = (0 until planeBits).map { j =>
+        val p = b * planeBits + j
+        when(call_function("double_dot", col("v"), typedLit(planes(p).toSeq)) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bv.as("bv"))
+    }
+    val banded = v.select(col("id"), col("v"), col("n2"),
       explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("v"), col("n2"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     banded.as("a").join(banded.as("b"),
