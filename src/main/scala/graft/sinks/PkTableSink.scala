@@ -105,6 +105,83 @@ object PkTableSink {
     }
   }
 
+  /** Transactional multi-writer merge on a [[TxLog]]-backed table:
+    * write the merged snapshot to a writer-unique immutable data dir,
+    * then claim the next log version with a create-exclusive manifest.
+    * Losing a commit race costs a re-merge against the winner's
+    * snapshot (optimistic concurrency), never a torn table or a lost
+    * batch; readers resolve the highest fully-written manifest
+    * throughout. Returns the committed version.
+    *
+    * Scale notes: retry cost is one extra merge+write of the
+    * already-planned batch — no global lock is ever held across the
+    * (long) data write, only across the (tiny) manifest create, so N
+    * concurrent writers serialize on metadata, not on data I/O. This
+    * is the Delta/Iceberg commit shape, which is what survives many
+    * concurrent ingest jobs on a 100 TB table.
+    */
+  def mergeTx(spark: SparkSession, root: String, changes: DataFrame,
+              keyCols: Seq[String], versionCols: Seq[String], deleteFlag: String,
+              writer: String, maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = TxLog.current(spark, root)
+      val current = (base match {
+        case Some(m) => spark.read.parquet(m.dataDir)
+        case None    => changes.drop(deleteFlag).limit(0)
+      }).withColumn(deleteFlag, lit(false))
+      val merged = PkTable.snapshotMerge(current, changes,
+        keyCols, versionCols.map(col), deleteFlag = col(deleteFlag))
+        .drop(deleteFlag)
+      val next = base.map(_.version + 1).getOrElse(0L)
+      val dataDir = s"$root/t$next-$writer-$attempt"
+      merged.write.mode(SaveMode.Overwrite).parquet(dataDir)
+      if (TxLog.tryCommit(spark, root,
+          TxLog.Manifest(next, dataDir, base.map(_.version).getOrElse(-1L), writer)))
+        return next
+      // conflict: another writer claimed `next` — drop the orphan
+      // snapshot and re-merge on top of theirs
+      fsOf(spark, root).delete(new org.apache.hadoop.fs.Path(dataDir), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"mergeTx: lost $maxAttempts consecutive commit races on $root")
+  }
+
+  /** Current contents of a [[TxLog]]-backed table (empty frame with
+    * `schemaOf`'s schema if no version is committed yet). */
+  def readTx(spark: SparkSession, root: String, schemaOf: => DataFrame): DataFrame =
+    TxLog.current(spark, root) match {
+      case Some(m) => spark.read.parquet(m.dataDir)
+      case None    => schemaOf.limit(0)
+    }
+
+  /** Contents as of a specific committed version (time travel). */
+  def readTxAt(spark: SparkSession, root: String, version: Long): DataFrame =
+    TxLog.at(spark, root, version) match {
+      case Some(m) => spark.read.parquet(m.dataDir)
+      case None => throw new IllegalArgumentException(
+        s"no committed version $version under $root")
+    }
+
+  /** Retention for [[TxLog]]-backed tables: drop data dirs (and
+    * manifests) older than the `keepVersions` most recent commits.
+    * Data dirs are immutable and manifest-referenced, so deleting a
+    * version only affects readers time-traveling to it. Returns the
+    * versions removed. */
+  def vacuumTx(spark: SparkSession, root: String, keepVersions: Int = 2): Seq[Long] = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val fs = fsOf(spark, root)
+    val all = TxLog.versions(spark, root)
+    val victims = all.dropRight(keepVersions)
+    victims.foreach { v =>
+      TxLog.at(spark, root, v).foreach(m =>
+        fs.delete(new org.apache.hadoop.fs.Path(m.dataDir), true))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/_log/$v.manifest"), false)
+    }
+    victims
+  }
+
   /** Single-writer commit: write the pointer content aside, then one
     * atomic rename to `_CURRENT.v<version>`. A crash before the rename
     * leaves the previous pointer current; a crash after leaves the new

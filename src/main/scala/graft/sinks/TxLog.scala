@@ -1,0 +1,119 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Delta/Iceberg-shaped transactional commit log for a lake table.
+  *
+  * Layout under the table root:
+  * {{{
+  *   _log/<version>.manifest   one small file per committed version
+  *   t<version>-<writer>-.../  immutable data snapshots (parquet)
+  * }}}
+  *
+  * Protocol (optimistic concurrency, same shape as Delta's log store
+  * contract and Iceberg's metadata-pointer swap):
+  *  1. a writer reads the current manifest (base version N),
+  *  2. writes its new snapshot to a writer-unique data dir,
+  *  3. claims version N+1 by creating `_log/<N+1>.manifest`
+  *     create-exclusive — exactly one racing writer succeeds,
+  *  4. a loser deletes its orphan snapshot, re-reads current (now the
+  *     winner's N+1), re-merges, and retries at N+2.
+  *
+  * Readers resolve "current" as the HIGHEST FULLY-WRITTEN manifest: a
+  * manifest missing its terminal `ok=true` line (reader raced the
+  * commit's content write) is skipped, so a concurrent reader lands on
+  * the previous version — never on a torn table. Data dirs are
+  * immutable once a manifest references them, so a reader holding
+  * version N is isolated from later commits (time travel for free;
+  * [[PkTableSink.vacuumTx]] bounds retention).
+  *
+  * Create-exclusive is atomic on HDFS-like filesystems. On `file://`
+  * (RawLocalFileSystem) create(!overwrite) is check-then-create, so a
+  * JVM-wide per-root mutex closes that race for writers sharing a
+  * driver — the same HDFS-native / local-locked split delta-io
+  * documents for its LogStores. Reference analogue: StarRocks PK
+  * tables accepting concurrent Routine Load + Stream Load publishes
+  * (mysql-cdc-debezium-starrocks benchmark.sh:417,
+  * create-starrocks-tables.sh:1-51).
+  */
+object TxLog {
+
+  final case class Manifest(version: Long, dataDir: String,
+                            baseVersion: Long, writer: String)
+
+  private val LogDir = "_log"
+
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, version: Long): Path =
+    new Path(s"$root/$LogDir/$version.manifest")
+
+  /** Highest fully-written manifest, or None for an absent/empty log.
+    * Partially-written manifests are skipped (see class doc). */
+  def current(spark: SparkSession, root: String): Option[Manifest] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(s"$root/$LogDir")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".manifest").toLong).toOption)
+      .sorted(Ordering[Long].reverse)
+      .iterator.flatMap(v => read(fs, root, v)).nextOption()
+  }
+
+  private def read(fs: FileSystem, root: String, version: Long): Option[Manifest] = {
+    val txt = try {
+      val in = fs.open(manifestPath(root, version))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } catch { case _: java.io.IOException => return None }
+    val kv = txt.linesIterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    if (!kv.get("ok").contains("true")) None // torn read: commit in flight
+    else for { data <- kv.get("data"); base <- kv.get("base"); w <- kv.get("writer") }
+      yield Manifest(version, data, base.toLong, w)
+  }
+
+  /** Atomically claim `m.version`. Returns false when another writer
+    * holds it — the caller re-reads current and retries. */
+  def tryCommit(spark: SparkSession, root: String, m: Manifest): Boolean = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new Path(s"$root/$LogDir"))
+    val body =
+      s"data=${m.dataDir}\nbase=${m.baseVersion}\nwriter=${m.writer}\nok=true\n"
+    lockFor(root).synchronized {
+      val p = manifestPath(root, m.version)
+      if (fs.exists(p)) false
+      else {
+        val claimed = try Some(fs.create(p, false))
+        catch { case _: java.io.IOException => None }
+        claimed match {
+          case None => false
+          case Some(out) =>
+            try out.write(body.getBytes("UTF-8")) finally out.close()
+            true
+        }
+      }
+    }
+  }
+
+  /** All committed versions, ascending (for retention / time travel). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(s"$root/$LogDir")
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".manifest").toLong).toOption)
+      .sorted.toSeq
+  }
+
+  /** Manifest of one specific committed version (time travel). */
+  def at(spark: SparkSession, root: String, version: Long): Option[Manifest] =
+    read(fsOf(spark, root), root, version)
+}

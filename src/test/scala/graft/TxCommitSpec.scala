@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.{PkTableSink, TxLog}
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** Transactional commit protocol: concurrent writers, conflict retry,
+  * reader isolation, torn-manifest safety, retention. */
+class TxCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (Long, Long, String, Boolean)*) =
+    rows.toDF("id", "ver", "v", "del")
+
+  private def tmpRoot(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  test("tx: sequential merges commit ascending versions with correct contents") {
+    val root = tmpRoot("txseq")
+    val v0 = PkTableSink.mergeTx(spark, root,
+      batch((1L, 1L, "a", false), (2L, 1L, "b", false)),
+      Seq("id"), Seq("ver"), "del", writer = "w1")
+    val v1 = PkTableSink.mergeTx(spark, root,
+      batch((1L, 2L, "a2", false), (2L, 2L, "x", true), (3L, 1L, "c", false)),
+      Seq("id"), Seq("ver"), "del", writer = "w1")
+    assert(v0 == 0L && v1 == 1L)
+    val t = PkTableSink.readTx(spark, root, batch().drop("del"))
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(t == Seq((1L, "a2"), (3L, "c")))
+    // time travel: version 0 still reads the pre-update snapshot
+    val t0 = PkTableSink.readTxAt(spark, root, 0L)
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(t0 == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("tx: create-exclusive claim — second writer at same version loses") {
+    val root = tmpRoot("txclaim")
+    assert(TxLog.tryCommit(spark, root, TxLog.Manifest(0L, s"$root/d0", -1L, "w1")))
+    assert(!TxLog.tryCommit(spark, root, TxLog.Manifest(0L, s"$root/other", -1L, "w2")))
+    // the winner's manifest is untouched by the losing attempt
+    assert(TxLog.current(spark, root).exists(m =>
+      m.writer == "w1" && m.dataDir == s"$root/d0"))
+  }
+
+  test("tx: loser retries onto the winner's snapshot — no lost batch") {
+    val root = tmpRoot("txretry")
+    // simulate a winner that committed v0 while our writer was planning
+    PkTableSink.mergeTx(spark, root, batch((1L, 1L, "winner", false)),
+      Seq("id"), Seq("ver"), "del", writer = "other-job")
+    // our writer merges a disjoint key; its base re-read must pick up v0
+    val v = PkTableSink.mergeTx(spark, root, batch((2L, 1L, "ours", false)),
+      Seq("id"), Seq("ver"), "del", writer = "this-job")
+    assert(v == 1L)
+    val t = PkTableSink.readTx(spark, root, batch().drop("del"))
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(t == Seq((1L, "winner"), (2L, "ours")))
+  }
+
+  test("tx: two concurrent writers — both batches land, versions distinct") {
+    val root = tmpRoot("txrace")
+    val fa = Future(PkTableSink.mergeTx(spark, root,
+      (1L to 50L).map(i => (i, 1L, s"a$i", false)).toDF("id", "ver", "v", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "wa", maxAttempts = 10))
+    val fb = Future(PkTableSink.mergeTx(spark, root,
+      (51L to 100L).map(i => (i, 1L, s"b$i", false)).toDF("id", "ver", "v", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "wb", maxAttempts = 10))
+    val (va, vb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(Set(va, vb) == Set(0L, 1L))
+    val t = PkTableSink.readTx(spark, root, batch().drop("del"))
+    assert(t.count() == 100L)
+    assert(t.agg(sum("id")).as[Long].head() == (1L to 100L).sum)
+  }
+
+  test("tx: reader skips a torn manifest and lands on the previous version") {
+    val root = tmpRoot("txtorn")
+    PkTableSink.mergeTx(spark, root, batch((1L, 1L, "a", false)),
+      Seq("id"), Seq("ver"), "del", writer = "w1")
+    // hand-write a partial manifest for v1: content present but no
+    // terminal ok=true (a reader racing the commit's content write)
+    val dir = new java.io.File(s"$root/_log")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir.toString, "1.manifest"),
+      s"data=$root/bogus\nbase=0\nwriter=crashed\n")
+    assert(TxLog.current(spark, root).exists(_.version == 0L))
+    val t = PkTableSink.readTx(spark, root, batch().drop("del"))
+      .select("v").as[String].collect().toSeq
+    assert(t == Seq("a"))
+  }
+
+  test("tx: vacuum drops old versions, keeps recent, current stays readable") {
+    val root = tmpRoot("txvac")
+    (1 to 4).foreach(i =>
+      PkTableSink.mergeTx(spark, root, batch((i.toLong, 1L, s"v$i", false)),
+        Seq("id"), Seq("ver"), "del", writer = "w1"))
+    assert(TxLog.versions(spark, root) == Seq(0L, 1L, 2L, 3L))
+    val removed = PkTableSink.vacuumTx(spark, root, keepVersions = 2)
+    assert(removed == Seq(0L, 1L))
+    assert(TxLog.versions(spark, root) == Seq(2L, 3L))
+    assert(PkTableSink.readTx(spark, root, batch().drop("del")).count() == 4L)
+    // vacuumed data dirs are gone from disk
+    val dirs = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(!dirs.exists(_.startsWith("t0-")) && !dirs.exists(_.startsWith("t1-")))
+  }
+}
