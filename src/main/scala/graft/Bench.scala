@@ -27,21 +27,26 @@ object Bench {
       try exec(fn(spark, sfDir))
       catch { case _: Throwable => () }
     }
-    // two timed runs, keep the min — GC pauses in a shared JVM add
-    // multi-second outliers to single observations
+    // three timed runs per query; the artifact carries the MEDIAN
+    // (headline — robust to one GC/load outlier in a shared JVM) and
+    // the MIN (the engine's floor) so suite noise can't masquerade as
+    // a regression across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { exec(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
       }
-      name -> (if (times.forall(_ >= 0)) times.min else -1.0)
+      if (times.forall(_ >= 0)) name -> (times.sorted.apply(times.size / 2), times.min)
+      else name -> (-1.0, -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     // end-to-end streaming CDC rate, measured per round (not
     // self-reported): envelope files → stream → unwrap → keyed upsert
     val (streamRows, streamSecs) =
@@ -50,8 +55,27 @@ object Bench {
         System.err.println(s"[bench] stream FAILED: ${e.getMessage}"); (0L, -1.0)
       }
     val streamRate = if (streamSecs > 0) (streamRows / streamSecs).toLong else -1L
+    // per-row end-to-end latency + delete propagation (reference
+    // benchmark.sh:319,:381 parity) and concurrent transactional load
+    // (benchmark.sh:417) — all measured, not self-reported
+    val (insLat, delLat) =
+      try StreamBench.latencyBench(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] latency FAILED: ${e.getMessage}"); (Nil, Nil)
+      }
+    val (clRows, clSecs, clFinal) =
+      try StreamBench.concurrentLoad(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] concurrent load FAILED: ${e.getMessage}"); (0L, -1.0, 0L)
+      }
+    val clRate = if (clSecs > 0) (clRows / clSecs).toLong else -1L
+    import StreamBench.percentile
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""stream_rows_per_sec":$streamRate,"stream_rows":$streamRows,"sf":"$sfDir"}""")
+      s""""queries_min":$qsMin,""" +
+      s""""stream_rows_per_sec":$streamRate,"stream_rows":$streamRows,""" +
+      s""""latency_ms":{"p50":${percentile(insLat, 0.50)},"p95":${percentile(insLat, 0.95)},"p99":${percentile(insLat, 0.99)}},""" +
+      s""""delete_propagation_ms":{"p50":${percentile(delLat, 0.50)},"p95":${percentile(delLat, 0.95)}},""" +
+      s""""concurrent_load_rows_per_sec":$clRate,"concurrent_load_final_rows":$clFinal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
