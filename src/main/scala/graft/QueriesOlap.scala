@@ -251,6 +251,29 @@ object QueriesOlap {
         .orderBy(col("event_id"))
     },
 
+    // B27: point-in-interval RANGE join — every event that falls inside
+    // a same-user "incident window" (the hour following an error
+    // event). Planned as a bucketed EQUI-join (graft.ops.RangeJoin):
+    // interval side replicated into ≤2 time buckets, point side in
+    // one, exact containment in the join condition — no union sort,
+    // no nested loop (RangeJoinSpec plan-asserts).
+    "q_asof_range" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val pts = ev.select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("esec"))
+      val win = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_event_id"), col("user_id").as("err_user"),
+          unix_timestamp(col("ts")).as("wsec"))
+      val hour = 3600L
+      graft.ops.RangeJoin.pointInInterval(pts, win,
+        leftKey = col("user_id"), point = col("esec"),
+        rightKey = col("err_user"), start = col("wsec"),
+        endExcl = col("wsec") + hour, bucketWidth = hour)
+        .select(col("event_id"), col("user_id"), col("err_event_id"),
+          (col("esec") - col("wsec")).as("offset_sec"))
+        .orderBy(col("event_id"), col("err_event_id"))
+    },
+
     // B22: HLL sketch distinct (approx_count_distinct) — sketch values
     // are engine-specific, so no SQL oracle: the driver's rows-only
     // check applies; the ApproxSpec test bounds the error vs exact
@@ -539,6 +562,15 @@ object QueriesOlap {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_asof_range" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS esec FROM events),
+        |w AS (SELECT event_id AS err_event_id, user_id AS err_user,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS wsec
+        |      FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, w.err_event_id, p.esec - w.wsec AS offset_sec
+        |FROM p JOIN w ON p.user_id = w.err_user
+        | AND p.esec >= w.wsec AND p.esec < w.wsec + 3600
+        |ORDER BY event_id, err_event_id""".stripMargin,
     "q_asof_native" ->
       """WITH u AS (
         |  SELECT o_custkey AS k, o_orderdate AS t, 0 AS kind, o_orderkey AS ordkey,
