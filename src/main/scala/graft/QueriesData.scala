@@ -137,6 +137,20 @@ object QueriesData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // C8c: production-shaped IVF — centroids from deterministic
+    // k-means|| seeding + Lloyd rounds (Similarity.kmeansCentroids)
+    // instead of corpus-row stand-ins. Iterative and md5-seeded, so
+    // no SQL oracle (driver rows-only check, like q_approx_distinct);
+    // KMeansSpec pins determinism and clustering quality.
+    "ann_ivf_kmeans" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansCentroids(emb, col("vec_id"),
+        col("embedding"), k = 16)
+      Similarity.ivfTopkCentroids(emb, col("vec_id"), col("embedding"),
+        cents, isQuery = _ % 40 === 0, k = 3, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // C21: test-set decontamination — flag training docs sharing ≥2
     // distinct 3-gram shingles with the held-out reference slice
     "decontaminate_ngram" -> { (s, dir) =>

@@ -151,6 +151,27 @@ object Similarity {
     val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
     val cent = v.where(isCentroid(col("id")))
       .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    ivfSearch(v, cent, isQuery, k, nprobe)
+  }
+
+  /** IVF search against an explicit centroid set (e.g. from
+    * [[kmeansCentroids]]) instead of corpus-row stand-ins. */
+  def ivfTopkCentroids(df: DataFrame, id: Column, vec: Column,
+                       centroids: Seq[(Long, Array[Double])],
+                       isQuery: Column => Column, k: Int,
+                       nprobe: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cent = centroids.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "cv")
+      .select(col("cid"), col("cv").cast("array<double>").as("cv"))
+      .withColumn("cn2", normSq(col("cv")))
+    val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
+    ivfSearch(v, cent, isQuery, k, nprobe)
+  }
+
+  private def ivfSearch(v: DataFrame, cent: DataFrame,
+                        isQuery: Column => Column, k: Int, nprobe: Int): DataFrame = {
     // one broadcast pass: argmax-cosine cell per vector (ties → lower
     // cid). The aggregation carries only scalars — the vector itself is
     // joined back afterwards, keeping 64-dim arrays out of the agg
@@ -182,5 +203,123 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("cell"), col("rank").cast("long").as("rank"), col("nid"),
         Rounding.r(col("cos"), 4).as("cos"))
+  }
+
+  /** Deterministic k-means|| centroid seeding (Bahmani et al., VLDB
+    * 2012 — the public parallel k-means++ construction) followed by a
+    * fixed number of distributed Lloyd rounds.
+    *
+    * Determinism: all "random" draws are md5-derived uniforms keyed by
+    * (seed, round, vec_id), so the same corpus + seed always yields
+    * the same centroids — replayable across runs and engines, like
+    * every other sampling operator in this library.
+    *
+    * Scale shape: per round the candidate set (≤ overSample·k·rounds,
+    * i.e. tiny) is broadcast and the corpus streams ONCE computing
+    * min-distances; the only driver-side data are the candidates, one
+    * scalar Σd² per round, and k centroids per Lloyd round — the same
+    * legitimate-collect pattern as dedup_clusters' convergence probe.
+    * The corpus is persisted across the ~rounds+lloydIters scans, the
+    * standard iterative-workload trade.
+    *
+    * The final reduction of candidates → k uses the deterministic
+    * weighted farthest-point (maximin) rule at the driver over the
+    * tiny weighted candidate set, as the k-means|| paper prescribes
+    * ("recluster the weighted candidates").
+    */
+  def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int,
+                      overSample: Int = 2, rounds: Int = 4, lloydIters: Int = 4,
+                      seed: String = "graft"): Seq[(Long, Array[Double])] = {
+    require(k >= 1 && rounds >= 1)
+    val v = df.select(id.cast("long").as("id"), toDouble(vec).as("v"))
+      .withColumn("n2", normSq(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def dotS(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      def d2S(a: Array[Double], b: Array[Double]): Double =
+        dotS(a, a) + dotS(b, b) - 2.0 * dotS(a, b)
+      def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+        r.getSeq[Double](1).toArray
+
+      // squared distance to the nearest current candidate, as a column
+      def minD2(cands: Seq[Array[Double]]): Column =
+        cands.map { c =>
+          val cn2 = dotS(c, c)
+          col("n2") + lit(cn2) -
+            lit(2.0) * call_function("double_dot", col("v"), typedLit(c.toSeq))
+        }.reduce(least(_, _))
+      // md5-derived uniform in [0,1), keyed by (seed, tag, id)
+      def uniform(tag: String): Column =
+        conv(substring(md5(concat_ws(":", lit(seed), lit(tag), col("id"))), 1, 8),
+          16, 10).cast("double") / 4294967296.0
+
+      val first = v.orderBy(col("id")).limit(1).collect()(0)
+      var candidates = Vector((first.getLong(0), vecOf(first)))
+      val l = overSample * k
+      var r = 0
+      var exhausted = false
+      while (r < rounds && !exhausted) {
+        val withD2 = v.withColumn("d2", minD2(candidates.map(_._2)))
+        val phi = withD2.agg(sum(col("d2"))).collect()(0).getDouble(0)
+        if (phi <= 0.0) exhausted = true // corpus fully covered
+        else {
+          val drawn = withD2
+            .where(uniform(s"r$r") < least(lit(1.0), lit(l.toDouble) * col("d2") / lit(phi)))
+            .select(col("id"), col("v")).collect()
+          val known = candidates.map(_._1).toSet
+          candidates ++= drawn.toSeq.sortBy(_.getLong(0))
+            .filterNot(row => known.contains(row.getLong(0)))
+            .map(row => (row.getLong(0), vecOf(row)))
+        }
+        r += 1
+      }
+
+      // argmin over candidate structs: array_min orders (d, i)
+      // lexicographically — nearest center, ties to the lower index —
+      // and keeps the expression tree LINEAR in the candidate count
+      // (a pairwise when().otherwise() fold duplicates subtrees
+      // exponentially and OOMs the planner past ~50 candidates)
+      def argminIdx(cands: Seq[Array[Double]]): Column =
+        array_min(array(cands.zipWithIndex.map { case (c, i) =>
+          struct((col("n2") + lit(dotS(c, c)) -
+            lit(2.0) * call_function("double_dot", col("v"), typedLit(c.toSeq))).as("d"),
+            lit(i).as("i"))
+        }: _*)).getField("i")
+
+      // weight candidates by how many corpus points they own
+      val candArr = candidates.map(_._2)
+      val assignIdx: Column = argminIdx(candArr)
+      val weights = v.select(assignIdx.as("i")).groupBy("i").count()
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+
+      // deterministic weighted maximin reduction to k centers
+      val seedIdx = candArr.indices
+        .maxBy(i => (weights.getOrElse(i, 0L), -candidates(i)._1))
+      var chosen = Vector(seedIdx)
+      while (chosen.size < math.min(k, candArr.size)) {
+        val next = candArr.indices.filterNot(chosen.contains)
+          .maxBy { i =>
+            val d = chosen.map(j => d2S(candArr(i), candArr(j))).min
+            (weights.getOrElse(i, 0L) * d, -candidates(i)._1)
+          }
+        chosen :+= next
+      }
+      var centers = chosen.map(candArr).toArray
+
+      // fixed Lloyd rounds: assign + per-component mean; an emptied
+      // cell keeps its previous center (deterministic)
+      val dim = centers(0).length
+      for (_ <- 1 to lloydIters) {
+        val means = v.select(argminIdx(centers.toSeq).as("cell"), col("v"))
+          .groupBy("cell")
+          .agg(array((0 until dim).map(d => avg(col("v")(d))): _*).as("m"))
+          .collect().map(row => row.getInt(0) -> row.getSeq[Double](1).toArray).toMap
+        centers = centers.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+      }
+      centers.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    } finally v.unpersist()
   }
 }
