@@ -85,4 +85,24 @@ object CdcPipeline {
           deleteFlag = "deleted")
         ()
       }
+
+  /** [[toPkTableSink]] on the TRANSACTIONAL commit log
+    * (graft.sinks.TxLog): multiple streaming queries — the reference's
+    * concurrent Routine Load + Stream Load into one PK table — can
+    * target the same root; commit races re-merge onto the winner, and
+    * readers never observe a torn table. `writer` tags the stream's
+    * commits in the manifest log (use distinct ids per query).
+    */
+  def toTxPkTableSink(states: org.apache.spark.sql.Dataset[CdcStream.KeyState],
+                      root: String, writer: String,
+                      maxAttempts: Int = 10): DataStreamWriter[CdcStream.KeyState] =
+    states.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CdcStream.KeyState], batchId: Long) =>
+        graft.sinks.PkTableSink.mergeTx(batch.sparkSession, root, batch.toDF(),
+          keyCols = Seq("key"), versionCols = Seq("versionMs", "seq"),
+          deleteFlag = "deleted", writer = s"$writer-b$batchId",
+          maxAttempts = maxAttempts)
+        ()
+      }
 }

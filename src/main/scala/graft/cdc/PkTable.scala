@@ -40,6 +40,21 @@ object PkTable {
       .select(df.columns.map(c => col(s"__latest.$c").as(c)).toIndexedSeq: _*)
   }
 
+  /** Latest row per key by version, with NO delete handling — rows
+    * marked deleted survive as tombstones. This is the multi-writer
+    * merge primitive: when commits can interleave out of version
+    * order (transactional concurrent writers), the stored table must
+    * keep tombstones so a commit carrying an OLDER insert cannot
+    * resurrect a key deleted by a newer version in an earlier commit.
+    * Same one-hash-aggregation shape as [[compact]].
+    */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], version: Seq[Column]): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, struct(version: _*)).as("__latest"))
+      .select(df.columns.map(c => col(s"__latest.$c").as(c)).toIndexedSeq: _*)
+  }
+
   /** Skew-resistant compaction: two-phase max_by with an explicit salt.
     * Phase 1 aggregates (key, salt) — a hot key's rows spread over
     * `salts` reducers; phase 2 folds the per-salt winners. Because

@@ -120,19 +120,28 @@ object PkTableSink {
     * is the Delta/Iceberg commit shape, which is what survives many
     * concurrent ingest jobs on a 100 TB table.
     */
+  // tombstone marker persisted in TxLog-backed tables: concurrent
+  // writers commit in arbitrary order relative to the VERSIONS they
+  // carry, so the merge must be version-respecting (latestPerKey, not
+  // the epoch-stamped snapshotMerge) and deletes must survive as
+  // stored tombstones — otherwise a commit carrying an older insert
+  // resurrects a key a newer version already deleted.
+  private val Tombstone = "__graft_deleted"
+
   def mergeTx(spark: SparkSession, root: String, changes: DataFrame,
               keyCols: Seq[String], versionCols: Seq[String], deleteFlag: String,
               writer: String, maxAttempts: Int = 5): Long = {
+    val chg = changes.withColumn(Tombstone, coalesce(col(deleteFlag), lit(false)))
+      .drop(deleteFlag)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = TxLog.current(spark, root)
-      val current = (base match {
+      val current = base match {
         case Some(m) => spark.read.parquet(m.dataDir)
-        case None    => changes.drop(deleteFlag).limit(0)
-      }).withColumn(deleteFlag, lit(false))
-      val merged = PkTable.snapshotMerge(current, changes,
-        keyCols, versionCols.map(col), deleteFlag = col(deleteFlag))
-        .drop(deleteFlag)
+        case None    => chg.limit(0)
+      }
+      val merged = PkTable.latestPerKey(current.unionByName(chg),
+        keyCols, versionCols.map(col))
       val next = base.map(_.version + 1).getOrElse(0L)
       val dataDir = s"$root/t$next-$writer-$attempt"
       merged.write.mode(SaveMode.Overwrite).parquet(dataDir)
@@ -148,18 +157,24 @@ object PkTableSink {
       s"mergeTx: lost $maxAttempts consecutive commit races on $root")
   }
 
-  /** Current contents of a [[TxLog]]-backed table (empty frame with
-    * `schemaOf`'s schema if no version is committed yet). */
+  private def dropTombstones(df: DataFrame): DataFrame =
+    if (df.columns.contains(Tombstone))
+      df.where(!col(Tombstone)).drop(Tombstone)
+    else df
+
+  /** Current LIVE contents of a [[TxLog]]-backed table — stored
+    * tombstones filtered out (empty frame with `schemaOf`'s schema if
+    * no version is committed yet). */
   def readTx(spark: SparkSession, root: String, schemaOf: => DataFrame): DataFrame =
     TxLog.current(spark, root) match {
-      case Some(m) => spark.read.parquet(m.dataDir)
+      case Some(m) => dropTombstones(spark.read.parquet(m.dataDir))
       case None    => schemaOf.limit(0)
     }
 
-  /** Contents as of a specific committed version (time travel). */
+  /** Live contents as of a specific committed version (time travel). */
   def readTxAt(spark: SparkSession, root: String, version: Long): DataFrame =
     TxLog.at(spark, root, version) match {
-      case Some(m) => spark.read.parquet(m.dataDir)
+      case Some(m) => dropTombstones(spark.read.parquet(m.dataDir))
       case None => throw new IllegalArgumentException(
         s"no committed version $version under $root")
     }

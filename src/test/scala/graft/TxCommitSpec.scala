@@ -90,6 +90,44 @@ class TxCommitSpec extends SparkSpec {
     assert(t == Seq("a"))
   }
 
+  test("tx: two concurrent STREAMS feed one table through the tx sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    val root = tmpRoot("txstream")
+    val payload = StructType(Seq(
+      StructField("id", LongType), StructField("seq", LongType),
+      StructField("v", StringType)))
+    val cfg = CdcPipeline.Config(payload, keyField = "id", seqField = "seq")
+    def env(id: Long, seq: Long, v: String, op: String, tsMs: Long): String = {
+      val img = s"""{"id":$id,"seq":$seq,"v":"$v"}"""
+      val (before, after) = if (op == "d") (img, "null") else ("null", img)
+      s"""{"before":$before,"after":$after,"op":"$op","ts_ms":$tsMs}"""
+    }
+    val inA = MemoryStream[String]; val inB = MemoryStream[String]
+    inA.addData(env(1, 1, "a1", "c", 10), env(2, 1, "a2", "c", 10))
+    inB.addData(env(3, 1, "b3", "c", 10), env(2, 2, "x", "d", 20)) // B deletes key 2
+    def start(in: MemoryStream[String], w: String) =
+      CdcPipeline.toTxPkTableSink(
+        CdcPipeline.stream(in.toDF().withColumnRenamed("value", "json"), "json", cfg),
+        root, writer = w)
+        .option("checkpointLocation", s"${root}_ckpt_$w")
+        .start()
+    val (qa, qb) = (start(inA, "wa"), start(inB, "wb"))
+    qa.processAllAvailable(); qb.processAllAvailable()
+    inA.addData(env(1, 2, "a1v2", "u", 30))
+    qa.processAllAvailable()
+    qa.stop(); qb.stop()
+    val t = graft.sinks.PkTableSink.readTx(spark, root, spark.emptyDataFrame)
+      .orderBy("key").select(col("key"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(t.map(_._1).toSeq == Seq(1L, 3L)) // 2 deleted by stream B
+    assert(t.toMap.apply(1L).contains("a1v2"))
+    // every stream commit is in the manifest log, writers interleaved
+    val vs = graft.sinks.TxLog.versions(spark, root)
+    assert(vs.size >= 3 && vs == (0L until vs.size.toLong))
+  }
+
   test("tx: vacuum drops old versions, keeps recent, current stays readable") {
     val root = tmpRoot("txvac")
     (1 to 4).foreach(i =>
