@@ -165,6 +165,20 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C21b: same decontamination through the Bloom-pruned path (for
+    // eval suites too big to broadcast exactly) — the Bloom only
+    // prunes the exact join's input, so the result is identical to
+    // C21 and shares its oracle shape
+    "decontaminate_bloom" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      Dedup.ngramOverlapHitsBloom(
+        train = d.where(col("doc_id") % 10 =!= 3), trainId = col("doc_id"), trainText = col("text"),
+        ref = d.where(col("doc_id") % 10 === 3), refText = col("text"),
+        shingleN = 3, minHits = 2)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+
     // C9: stopword-hit language identification
     "text_langid" -> { (s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -555,6 +569,15 @@ object QueriesData {
         |SELECT qid, cell, rank, nid, round(c, 4) AS cos FROM scored
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "decontaminate_ngram" ->
+      s"""WITH $shingleCte,
+         |ref AS (SELECT DISTINCT unnest(s) AS t FROM sh WHERE doc_id % 10 = 3),
+         |tr AS (SELECT doc_id, unnest(s) AS t FROM sh WHERE doc_id % 10 <> 3)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM tr JOIN ref USING (t)
+         |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin,
+    // Bloom path returns the exact result (the filter only prunes the
+    // join input) — same oracle formulation
+    "decontaminate_bloom" ->
       s"""WITH $shingleCte,
          |ref AS (SELECT DISTINCT unnest(s) AS t FROM sh WHERE doc_id % 10 = 3),
          |tr AS (SELECT doc_id, unnest(s) AS t FROM sh WHERE doc_id % 10 <> 3)

@@ -393,6 +393,35 @@ object Dedup {
       .where(col("n_hits") >= minHits)
   }
 
+  /** [[ngramOverlapHits]] with a Bloom-filter pre-prune — the shape
+    * for eval suites whose exact distinct-shingle set is too large to
+    * broadcast (a Bloom at 1% fpp is ~10 bits/shingle vs the raw
+    * strings). The Bloom of the eval shingles is built distributed
+    * (`stat.bloomFilter`), shipped once into codegen
+    * ([[graft.functions.BloomContains]]), and drops non-overlapping
+    * training shingles BEFORE the exact join — the join input shrinks
+    * to true hits + the fpp margin, and the exact join then removes
+    * the false positives, so the RESULT is identical to the exact
+    * operator (same oracle); only the pruning is approximate.
+    */
+  def ngramOverlapHitsBloom(train: DataFrame, trainId: Column, trainText: Column,
+                            ref: DataFrame, refText: Column,
+                            shingleN: Int = 3, minHits: Int = 2,
+                            expectedShingles: Long = 1L << 20,
+                            fpp: Double = 0.01): DataFrame = {
+    val t = shingleRows(train, trainId, trainText, shingleN)
+    val r = shingleRows(ref, lit(0L), refText, shingleN)
+      .select(col("t0")).distinct()
+    val bloom = r.stat.bloomFilter("t0", expectedShingles, fpp)
+    import org.apache.spark.sql.graftshim.DatasetShim
+    val pruned = t.where(DatasetShim.column(
+      graft.functions.BloomContains(DatasetShim.expression(col("t0")), bloom)))
+    pruned.join(r, "t0")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxHamming.
     * Pair generation partitions the fingerprint bits into
     * (maxHamming+1) bands; by pigeonhole any pair within the distance

@@ -58,4 +58,21 @@ object RangeJoin {
           point >= start && point < endExcl)
       .drop("__gr_bucket")
   }
+
+  /** [[pointInInterval]] with the bucket width derived from the
+    * interval side's MEDIAN length (one cheap approx-percentile pass
+    * over just the two bound columns). Median ≈ the replication
+    * sweet spot: typical intervals copy ≤2×, and only the long tail
+    * replicates more — the choice a query author would make by hand
+    * after profiling. */
+  def pointInIntervalAuto(left: DataFrame, right: DataFrame,
+                          leftKey: Column, point: Column,
+                          rightKey: Column, start: Column, endExcl: Column): DataFrame = {
+    val m = right
+      .select(percentile_approx((endExcl.cast("long") - start.cast("long")),
+        lit(0.5), lit(10000)).as("m"))
+      .collect()(0)
+    val width = if (m.isNullAt(0)) 1L else math.max(1L, m.getLong(0))
+    pointInInterval(left, right, leftKey, point, rightKey, start, endExcl, width)
+  }
 }

@@ -13,6 +13,22 @@ class OpsSpec extends SparkSpec {
     (3L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 0
   ).toDF("doc_id", "text")
 
+  test("bloom-pruned decontamination equals the exact operator, plan carries the probe") {
+    import graft.ops.Dedup
+    val d = Tables.documents(spark, sfDir)
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy("id").as[(Long, Long)].collect().toSeq
+    val exact = run(Dedup.ngramOverlapHits(
+      d.where(col("doc_id") % 10 =!= 3), col("doc_id"), col("text"),
+      d.where(col("doc_id") % 10 === 3), col("text")))
+    val bloomed = Dedup.ngramOverlapHitsBloom(
+      d.where(col("doc_id") % 10 =!= 3), col("doc_id"), col("text"),
+      d.where(col("doc_id") % 10 === 3), col("text"))
+    assert(run(bloomed) == exact && exact.nonEmpty)
+    // the prune really is in the plan (pre-join Filter with the probe)
+    assert(bloomed.queryExecution.executedPlan.toString.contains("bloom_contains"))
+  }
+
   test("exact dedup groups exact duplicates, keeps min id") {
     val g = Dedup.exactGroups(docs, col("doc_id"), md5(col("text")))
     assert(g.count() == 3)

@@ -48,6 +48,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(df.count() == naive.count())
   }
 
+  test("auto bucket width (median interval length) matches the naive formulation") {
+    val got = graft.ops.RangeJoin.pointInIntervalAuto(points, intervals,
+      leftKey = col("k"), point = col("p"),
+      rightKey = col("k2"), start = col("s"), endExcl = col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals,
+      col("k") === col("k2") && col("p") >= col("s") && col("p") < col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+  }
+
   test("plans as an equi-join: no nested loop, no cartesian") {
     val df = RangeJoin.pointInInterval(points, intervals,
       leftKey = col("k"), point = col("p"),
