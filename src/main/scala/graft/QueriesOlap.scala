@@ -274,6 +274,31 @@ object QueriesOlap {
         .orderBy(col("event_id"), col("err_event_id"))
     },
 
+    // B28: sequential funnel retention (StarRocks retention()/
+    // window_funnel analogue): per user, r1 = ever signed up, r2 =
+    // purchased AFTER the first signup, r3 = errored AFTER that first
+    // post-signup purchase. Three keyed aggregations — after the first
+    // shuffle on user_id the joins are co-partitioned, so the plan is
+    // one exchange + local work, the shape that holds at corpus scale.
+    "q_retention" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val s0 = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("s0"))
+      val p1 = e.join(s0, "user_id").groupBy(col("user_id"), col("s0"))
+        .agg(min(when(col("event_type") === "purchase" && col("ts") > col("s0"),
+          col("ts"))).as("p1"))
+      val r = e.join(p1, "user_id").groupBy(col("user_id"), col("p1"))
+        .agg(max(when(col("event_type") === "error" && col("ts") > col("p1"), 1L)
+          .otherwise(0L)).as("e3"))
+      p1.select(col("user_id"), col("s0"), col("p1"))
+        .join(r.select(col("user_id"), col("e3")), "user_id")
+        .select(col("user_id"),
+          col("s0").isNotNull.cast("long").as("r1"),
+          col("p1").isNotNull.cast("long").as("r2"),
+          (col("p1").isNotNull && col("e3") === 1L).cast("long").as("r3"))
+        .orderBy(col("user_id"))
+    },
+
     // B22: HLL sketch distinct (approx_count_distinct) — sketch values
     // are engine-specific, so no SQL oracle: the driver's rows-only
     // check applies; the ApproxSpec test bounds the error vs exact
@@ -562,6 +587,20 @@ object QueriesOlap {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_retention" ->
+      """WITH s AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS s0
+        |           FROM events GROUP BY user_id),
+        |p AS (SELECT e.user_id, any_value(s.s0) AS s0,
+        |             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s.s0 THEN e.ts END) AS p1
+        |      FROM events e JOIN s USING (user_id) GROUP BY e.user_id),
+        |r AS (SELECT e.user_id,
+        |             max(CASE WHEN e.event_type = 'error' AND e.ts > p.p1 THEN 1 ELSE 0 END) AS e3
+        |      FROM events e JOIN p USING (user_id) GROUP BY e.user_id)
+        |SELECT p.user_id,
+        |       CAST(p.s0 IS NOT NULL AS BIGINT) AS r1,
+        |       CAST(p.p1 IS NOT NULL AS BIGINT) AS r2,
+        |       CAST(p.p1 IS NOT NULL AND r.e3 = 1 AS BIGINT) AS r3
+        |FROM p JOIN r USING (user_id) ORDER BY user_id""".stripMargin,
     "q_asof_range" ->
       """WITH p AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS esec FROM events),
         |w AS (SELECT event_id AS err_event_id, user_id AS err_user,

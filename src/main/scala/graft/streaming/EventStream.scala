@@ -44,6 +44,21 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /** Streaming ingest dedup — the training-data front door: a crawl /
+    * CDC feed re-delivers documents (at-least-once transport, repeated
+    * crawls), and only the first arrival of each id within the
+    * watermark horizon should flow downstream.
+    * `dropDuplicatesWithinWatermark` keeps one state row per id ONLY
+    * until the watermark passes it (exact dedup with bounded state) —
+    * unlike a bare dropDuplicates whose state grows forever. Re-keyed
+    * content dedup = pass a content hash (e.g. md5(text)) as `idCol`.
+    */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Stream-stream inner join within a time bound: each left event
     * joins right events of the same key within `bound` after it.
     * Watermarks on both sides let Spark expire join state — the

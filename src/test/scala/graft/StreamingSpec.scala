@@ -86,18 +86,23 @@ class StreamingSpec extends SparkSpec {
       && r.getLong(2) == 1L))
   }
 
-  test("streaming dedup: dropDuplicates within watermark removes replayed events") {
+  test("streaming dedup: re-deliveries within the watermark are dropped, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
-    val df = input.toDF().toDF("ts", "event_id")
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+    // dedupStream = dropDuplicatesWithinWatermark: exact dedup whose
+    // state expires with the watermark (a bare dropDuplicates grows
+    // its key set forever — an OOM at crawl scale)
+    val df = EventStream.dedupStream(input.toDF().toDF("ts", "doc_id"),
+      idCol = "doc_id", tsCol = "ts", watermark = "1 hour")
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
-    input.addData((t(1), 1L), (t(2), 2L), (t(2), 1L), (t(3), 2L)) // replays of 1 and 2
     val q = df.writeStream.format("memory").queryName("stream_dedup")
       .outputMode("append").start()
+    input.addData((t(1), 1L), (t(2), 2L), (t(2), 1L)) // same-batch replay of 1
+    q.processAllAvailable()
+    input.addData((t(3), 2L), (t(4), 3L)) // cross-batch replay of 2
     q.processAllAvailable(); q.stop()
-    assert(spark.table("stream_dedup").count() == 2)
+    val ids = spark.table("stream_dedup").select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
   test("session windows: events split by inactivity gap") {
