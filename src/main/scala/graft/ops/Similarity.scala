@@ -168,22 +168,26 @@ object Similarity {
     ivfSearch(v, cent, isQuery, k, nprobe)
   }
 
-  private def ivfSearch(v: DataFrame, cent: DataFrame,
-                        isQuery: Column => Column, k: Int, nprobe: Int): DataFrame = {
-    // one broadcast pass: argmax-cosine cell per vector (ties → lower
-    // cid). The aggregation carries only scalars — the vector itself is
-    // joined back afterwards, keeping 64-dim arrays out of the agg
-    // buffers and the partial-agg shuffle.
+  /** Argmax-cosine cell per vector (ties → lower cid). One broadcast
+    * pass; the aggregation carries only scalars — the vector itself is
+    * joined back afterwards, keeping 64-dim arrays out of the agg
+    * buffers and the partial-agg shuffle. */
+  private[ops] def assignCells(v: DataFrame, cent: DataFrame): DataFrame = {
     val bestCell = v.join(broadcast(cent), lit(true))
       .select(col("id"), col("cid"),
         cosineWithNorms(dot(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"))
-    val assigned = v.join(bestCell, "id")
-    // query side: top-nprobe cells by centroid cosine (same ordering
-    // as the assignment argmax, so probe #1 = assigned cell)
-    val q = v.where(isQuery(col("id")))
-      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    v.join(bestCell, "id")
+  }
+
+  /** Top-k search of pre-assigned corpus vectors: probe the query's
+    * top-`nprobe` cells, exact cosine inside them. `assigned` carries
+    * (id, v, n2, cell), `q` carries (qid, qv, qn2). */
+  private[ops] def searchAssigned(assigned: DataFrame, cent: DataFrame, q: DataFrame,
+                                  k: Int, nprobe: Int): DataFrame = {
+    // top-nprobe cells by centroid cosine (same ordering as the
+    // assignment argmax, so probe #1 = the query's assigned cell)
     val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cid").asc)
     val probes = q.join(broadcast(cent), lit(true))
       .select(col("qid"), col("cid"),
@@ -201,6 +205,14 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("cell"), col("rank").cast("long").as("rank"), col("nid"),
         Rounding.r(col("cos"), 4).as("cos"))
+  }
+
+  private def ivfSearch(v: DataFrame, cent: DataFrame,
+                        isQuery: Column => Column, k: Int, nprobe: Int): DataFrame = {
+    val assigned = assignCells(v, cent)
+    val q = v.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    searchAssigned(assigned, cent, q, k, nprobe)
   }
 
   /** Deterministic k-means|| centroid seeding (Bahmani et al., VLDB

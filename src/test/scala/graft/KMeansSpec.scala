@@ -45,6 +45,40 @@ class KMeansSpec extends SparkSpec {
     assert(ct < cs, s"kmeans cost $ct not below stand-in cost $cs")
   }
 
+  test("persisted IVF index: build once, search matches the in-memory path; add appends") {
+    import graft.ops.{IvfIndex, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    val half = emb.where(col("vec_id") < 250)
+    val n = IvfIndex.build(half, col("vec_id"), col("embedding"), root, k = 8)
+    assert(n == 250)
+    val queries = emb.where(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val fromIndex = IvfIndex.search(spark, root, queries,
+      col("qid"), col("qvec"), k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // oracle: the in-memory path over the same corpus + same centroids
+    val cents = Similarity.kmeansCentroids(half, col("vec_id"), col("embedding"), k = 8)
+    val inMem = Similarity.ivfTopkCentroids(
+      half.unionByName(emb.where(col("vec_id") % 40 === 0)).distinct(),
+      col("vec_id"), col("embedding"), cents, isQuery = _ % 40 === 0, k = 3, nprobe = 2)
+    // in-memory path searches corpus ∪ queries; restrict to corpus hits
+    val inMemSet = inMem.where(col("nid") < 250)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // ranks can shift when the in-memory variant sees extra vectors;
+    // compare the neighbor SETS per query instead
+    def byQ(s: Set[(Long, Long, Long)]) =
+      s.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    assert(byQ(fromIndex) == byQ(inMemSet))
+    // incremental add: new vectors land in cells and become findable
+    val added = IvfIndex.add(emb.where(col("vec_id") >= 250 && col("vec_id") < 260),
+      col("vec_id"), col("embedding"), root)
+    assert(added == 10)
+    assert(spark.read.parquet(s"$root/vectors").count() == 260)
+    // partition pruning: the vectors table is laid out by cell
+    assert(new java.io.File(s"$root/vectors").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+  }
+
   test("ann_ivf_kmeans query returns ranked neighbors for every query point") {
     val df = SparkEntry.queries("ann_ivf_kmeans")(spark, sfDir)
     val rows = df.collect()
