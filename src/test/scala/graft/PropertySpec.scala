@@ -58,6 +58,67 @@ class PropertySpec extends AnyFunSuite {
     }, minTests = 15)
   }
 
+  test("multi-writer merge is commit-order invariant (latestPerKey fold)") {
+    // the transactional sink's correctness claim: for ANY partition of
+    // a changelog into batches and ANY commit order of those batches,
+    // folding with latestPerKey (tombstones retained) reaches the same
+    // final table — because latest-wins by (ver, seq) is associative,
+    // commutative, and idempotent over the union
+    val batchedGen = for {
+      rows  <- changelogGen
+      cuts  <- Gen.choose(1, 4)
+      order <- Gen.choose(0, 5)
+    } yield (rows, cuts, order)
+    checkProp(Prop.forAllNoShrink(batchedGen) { case (rows, nBatches, orderSeed) =>
+      val batches = rows.zipWithIndex.groupMap(_._2 % nBatches)(_._1)
+        .toList.sortBy(_._1).map(_._2)
+      val order = new scala.util.Random(orderSeed).shuffle(batches.indices.toList)
+      def fold(ixs: List[Int]): Map[Long, (Long, Long, Double, Boolean)] = {
+        val start = batches(ixs.head)
+          .toDF("k", "ver", "seq", "v", "del")
+        val acc = ixs.tail.foldLeft(start) { (cur, i) =>
+          PkTable.latestPerKey(
+            cur.unionByName(batches(i).toDF("k", "ver", "seq", "v", "del")),
+            Seq("k"), Seq(col("ver"), col("seq")))
+        }
+        PkTable.latestPerKey(acc, Seq("k"), Seq(col("ver"), col("seq")))
+          .as[(Long, Long, Long, Double, Boolean)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      }
+      val inOrder = fold(batches.indices.toList)
+      val shuffled = fold(order)
+      // live view matches the single-shot compact reference
+      val live = inOrder.collect { case (k, (ver, seq, v, false)) => k -> ((ver, seq, v)) }
+      inOrder == shuffled && live == reference(rows)
+    }, minTests = 10)
+  }
+
+  test("bucketed range join equals the naive formulation for any bucket width") {
+    val rjGen = for {
+      pts <- Gen.listOfN(25, for {
+        k <- Gen.choose(0L, 4L); p <- Gen.choose(0L, 500L)
+      } yield (k, p))
+      ivs <- Gen.listOfN(12, for {
+        k <- Gen.choose(0L, 4L); s <- Gen.choose(0L, 450L); len <- Gen.choose(1L, 120L)
+      } yield (k, s, s + len))
+      width <- Gen.oneOf(1L, 7L, 64L, 128L, 1000L)
+    } yield (pts, ivs, width)
+    checkProp(Prop.forAllNoShrink(rjGen) { case (pts, ivs, width) =>
+      val l = pts.zipWithIndex.map { case ((k, p), i) => (i.toLong, k, p) }
+        .toDF("pid", "k", "p")
+      val r = ivs.zipWithIndex.map { case ((k, s, e), i) => (i.toLong, k, s, e) }
+        .toDF("iid", "k2", "s", "e")
+      val got = graft.ops.RangeJoin.pointInInterval(l, r,
+        leftKey = col("k"), point = col("p"),
+        rightKey = col("k2"), start = col("s"), endExcl = col("e"),
+        bucketWidth = width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val naive = l.join(r, col("k") === col("k2") && col("p") >= col("s") && col("p") < col("e"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      got == naive
+    }, minTests = 10)
+  }
+
   test("lossless widening preserves every value") {
     import org.apache.spark.sql.types._
     val rowsGen = Gen.listOfN(30, for {
