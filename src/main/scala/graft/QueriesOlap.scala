@@ -274,6 +274,27 @@ object QueriesOlap {
         .orderBy(col("event_id"), col("err_event_id"))
     },
 
+    // B29: window_funnel (StarRocks window_funnel() analogue): max
+    // funnel depth signup → click → purchase reached within 1 day of
+    // the FIRST signup (window anchored at step 1, steps strictly
+    // ordered in time). Same staged-aggregation shape as B28.
+    "q_window_funnel" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val day = expr("INTERVAL 1 DAY")
+      val s0 = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("s0"))
+      val c1 = e.join(s0, "user_id").groupBy(col("user_id"), col("s0"))
+        .agg(min(when(col("event_type") === "click" &&
+          col("ts") > col("s0") && col("ts") <= col("s0") + day, col("ts"))).as("c1"))
+      val p2 = e.join(c1, "user_id").groupBy(col("user_id"), col("s0"), col("c1"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts") > col("c1") && col("ts") <= col("s0") + day, col("ts"))).as("p2"))
+      p2.select(col("user_id"),
+        (col("s0").isNotNull.cast("long") + col("c1").isNotNull.cast("long") +
+          col("p2").isNotNull.cast("long")).as("funnel_depth"))
+        .orderBy(col("user_id"))
+    },
+
     // B28: sequential funnel retention (StarRocks retention()/
     // window_funnel analogue): per user, r1 = ever signed up, r2 =
     // purchased AFTER the first signup, r3 = errored AFTER that first
@@ -587,6 +608,21 @@ object QueriesOlap {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_window_funnel" ->
+      """WITH s AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS s0
+        |           FROM events GROUP BY user_id),
+        |c AS (SELECT e.user_id, any_value(s.s0) AS s0,
+        |             min(CASE WHEN e.event_type = 'click' AND e.ts > s.s0
+        |                       AND e.ts <= s.s0 + INTERVAL 1 DAY THEN e.ts END) AS c1
+        |      FROM events e JOIN s USING (user_id) GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, any_value(c.s0) AS s0, any_value(c.c1) AS c1,
+        |             min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.c1
+        |                       AND e.ts <= c.s0 + INTERVAL 1 DAY THEN e.ts END) AS p2
+        |      FROM events e JOIN c USING (user_id) GROUP BY e.user_id)
+        |SELECT user_id,
+        |       CAST(s0 IS NOT NULL AS BIGINT) + CAST(c1 IS NOT NULL AS BIGINT) +
+        |       CAST(p2 IS NOT NULL AS BIGINT) AS funnel_depth
+        |FROM p ORDER BY user_id""".stripMargin,
     "q_retention" ->
       """WITH s AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS s0
         |           FROM events GROUP BY user_id),
