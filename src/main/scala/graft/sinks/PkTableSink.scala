@@ -190,9 +190,12 @@ object PkTableSink {
     val all = TxLog.versions(spark, root)
     val victims = all.dropRight(keepVersions)
     victims.foreach { v =>
-      TxLog.at(spark, root, v).foreach(m =>
-        fs.delete(new org.apache.hadoop.fs.Path(m.dataDir), true))
+      // manifest FIRST: a crash between the two deletes must leave an
+      // orphaned (harmless) data dir, never a live manifest pointing
+      // at deleted data
+      val m = TxLog.at(spark, root, v)
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/_log/$v.manifest"), false)
+      m.foreach(mf => fs.delete(new org.apache.hadoop.fs.Path(mf.dataDir), true))
     }
     victims
   }
