@@ -44,6 +44,8 @@ object HyperplaneBandsImpl {
   */
 case class HyperplaneBands(child: Expression, planes: Array[Array[Double]],
                            planeBits: Int) extends UnaryExpression {
+  require(planeBits > 0 && planeBits <= 64 && planes.length % planeBits == 0,
+    s"planes (${planes.length}) must split into whole $planeBits-bit bands")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_bands"

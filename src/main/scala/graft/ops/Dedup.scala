@@ -410,8 +410,13 @@ object Dedup {
                             expectedShingles: Long = 1L << 20,
                             fpp: Double = 0.01): DataFrame = {
     val t = shingleRows(train, trainId, trainText, shingleN)
+    // persist: the distinct eval-shingle set is materialized by the
+    // bloom build (an eager action) and read again by the exact join —
+    // without the cache the eval corpus would be re-shingled twice,
+    // the very cost this path exists to avoid
     val r = shingleRows(ref, lit(0L), refText, shingleN)
       .select(col("t0")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = r.stat.bloomFilter("t0", expectedShingles, fpp)
     import org.apache.spark.sql.graftshim.DatasetShim
     val pruned = t.where(DatasetShim.column(

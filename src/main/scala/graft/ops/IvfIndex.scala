@@ -61,7 +61,10 @@ object IvfIndex {
   def search(spark: SparkSession, root: String, queries: DataFrame,
              qid: Column, qvec: Column, k: Int, nprobe: Int = 1): DataFrame = {
     val cent = readCentroids(spark, root)
+    // partition-column inference types cell=N dirs as INT; restore the
+    // LongType the in-memory path emits so both outputs union cleanly
     val assigned = spark.read.parquet(s"$root/vectors")
+      .withColumn("cell", col("cell").cast("long"))
     val q = queries.select(qid.as("qid"), qvec.cast("array<double>").as("qv"))
       .withColumn("qn2", Similarity.normSq(col("qv")))
     Similarity.searchAssigned(assigned, cent, q, k, nprobe)

@@ -111,6 +111,8 @@ object Similarity {
     */
   def cosineLshPairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
                      nPlanes: Int = 64, bands: Int = 8): DataFrame = {
+    require(bands > 0 && nPlanes % bands == 0,
+      s"nPlanes ($nPlanes) must divide evenly into bands ($bands)")
     val planeBits = nPlanes / bands
     val planes = hyperplanes(nPlanes, 64)
     val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
@@ -282,7 +284,9 @@ object Similarity {
         conv(substring(md5(concat_ws(":", lit(seed), lit(tag), col("id"))), 1, 8),
           16, 10).cast("double") / 4294967296.0
 
-      val first = v.orderBy(col("id")).limit(1).collect()(0)
+      val firstRows = v.orderBy(col("id")).limit(1).collect()
+      require(firstRows.nonEmpty, "kmeansCentroids: corpus is empty")
+      val first = firstRows(0)
       var candidates = Vector((first.getLong(0), vecOf(first)))
       val l = overSample * k
       var r = 0

@@ -128,9 +128,14 @@ object PkTableSink {
   // resurrects a key a newer version already deleted.
   private val Tombstone = "__graft_deleted"
 
+  /** @param recoverTornAfterMs reclaim a crashed writer's torn
+    *   manifest claim older than this before retrying (a live writer's
+    *   create→content window is milliseconds; default 60 s is far past
+    *   any real flush) */
   def mergeTx(spark: SparkSession, root: String, changes: DataFrame,
               keyCols: Seq[String], versionCols: Seq[String], deleteFlag: String,
-              writer: String, maxAttempts: Int = 5): Long = {
+              writer: String, maxAttempts: Int = 5,
+              recoverTornAfterMs: Long = 60000L): Long = {
     val chg = changes.withColumn(Tombstone, coalesce(col(deleteFlag), lit(false)))
       .drop(deleteFlag)
     var attempt = 0
@@ -143,14 +148,22 @@ object PkTableSink {
       val merged = PkTable.latestPerKey(current.unionByName(chg),
         keyCols, versionCols.map(col))
       val next = base.map(_.version + 1).getOrElse(0L)
-      val dataDir = s"$root/t$next-$writer-$attempt"
+      // unique nonce: two writers (even misconfigured with the SAME
+      // writer tag) can never share a snapshot dir, so the loser's
+      // orphan cleanup can only ever delete its own files
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val dataDir = s"$root/t$next-$writer-$nonce"
       merged.write.mode(SaveMode.Overwrite).parquet(dataDir)
       if (TxLog.tryCommit(spark, root,
           TxLog.Manifest(next, dataDir, base.map(_.version).getOrElse(-1L), writer)))
         return next
-      // conflict: another writer claimed `next` — drop the orphan
-      // snapshot and re-merge on top of theirs
+      // conflict: either another writer committed `next` (re-read and
+      // re-merge on top of theirs), or a crashed writer's TORN claim
+      // holds the slot — reclaim it past the grace so the table can't
+      // be wedged forever
       fsOf(spark, root).delete(new org.apache.hadoop.fs.Path(dataDir), true)
+      if (TxLog.at(spark, root, next).isEmpty)
+        TxLog.reclaimTorn(spark, root, next, recoverTornAfterMs)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -190,12 +203,13 @@ object PkTableSink {
     val all = TxLog.versions(spark, root)
     val victims = all.dropRight(keepVersions)
     victims.foreach { v =>
-      // manifest FIRST: a crash between the two deletes must leave an
+      // manifest FIRST, and only touch data once the manifest is
+      // confirmed gone: a crash or failed delete must leave an
       // orphaned (harmless) data dir, never a live manifest pointing
       // at deleted data
       val m = TxLog.at(spark, root, v)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/_log/$v.manifest"), false)
-      m.foreach(mf => fs.delete(new org.apache.hadoop.fs.Path(mf.dataDir), true))
+      if (TxLog.delete(spark, root, v))
+        m.foreach(mf => fs.delete(new org.apache.hadoop.fs.Path(mf.dataDir), true))
     }
     victims
   }

@@ -102,7 +102,10 @@ object TxLog {
     }
   }
 
-  /** All committed versions, ascending (for retention / time travel). */
+  /** All FULLY-COMMITTED versions, ascending (for retention / time
+    * travel). Torn manifests (crashed mid-commit) are excluded, the
+    * same rule readers apply — so retention math never counts a
+    * version nobody can read. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fsOf(spark, root)
     val dir = new Path(s"$root/$LogDir")
@@ -110,10 +113,40 @@ object TxLog {
     else fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.endsWith(".manifest"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".manifest").toLong).toOption)
+      .filter(v => read(fs, root, v).isDefined)
       .sorted.toSeq
   }
 
   /** Manifest of one specific committed version (time travel). */
   def at(spark: SparkSession, root: String, version: Long): Option[Manifest] =
     read(fsOf(spark, root), root, version)
+
+  /** Delete a version's manifest; returns whether the file is gone. */
+  def delete(spark: SparkSession, root: String, version: Long): Boolean = {
+    val fs = fsOf(spark, root)
+    val p = manifestPath(root, version)
+    fs.delete(p, false) || !fs.exists(p)
+  }
+
+  /** Reclaim a TORN claim: a writer that crashed between creating
+    * `_log/<version>.manifest` and writing its `ok=true` line holds
+    * the version forever — without reclaim, every later commit
+    * re-computes the same next version and loses, wedging the table.
+    * Deletes the manifest iff it exists, does NOT parse as committed,
+    * and is older than `graceMs` (grace covers a LIVE writer between
+    * its create and its content write — that window is milliseconds;
+    * a torn file past the grace is a corpse). Returns true if a claim
+    * was reclaimed. */
+  def reclaimTorn(spark: SparkSession, root: String, version: Long,
+                  graceMs: Long): Boolean = {
+    val fs = fsOf(spark, root)
+    val p = manifestPath(root, version)
+    lockFor(root).synchronized {
+      if (!fs.exists(p) || read(fs, root, version).isDefined) false
+      else {
+        val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+        age >= graceMs && fs.delete(p, false)
+      }
+    }
+  }
 }

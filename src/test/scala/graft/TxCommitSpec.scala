@@ -90,6 +90,25 @@ class TxCommitSpec extends SparkSpec {
     assert(t == Seq("a"))
   }
 
+  test("tx: a crashed writer's torn claim is reclaimed — table never wedges") {
+    val root = tmpRoot("txreclaim")
+    PkTableSink.mergeTx(spark, root, batch((1L, 1L, "a", false)),
+      Seq("id"), Seq("ver"), "del", writer = "w1")
+    // crashed writer: v1 manifest created but content never finished
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$root/_log", "1.manifest"),
+      s"data=$root/bogus\nbase=0\nwriter=crashed\n")
+    // torn claims don't count as committed versions (retention math)
+    assert(TxLog.versions(spark, root) == Seq(0L))
+    // next writer reclaims the corpse (grace 0 in test) and commits v1
+    val v = PkTableSink.mergeTx(spark, root, batch((2L, 1L, "b", false)),
+      Seq("id"), Seq("ver"), "del", writer = "w2", recoverTornAfterMs = 0L)
+    assert(v == 1L)
+    val t = PkTableSink.readTx(spark, root, batch().drop("del"))
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(t == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("tx: two concurrent STREAMS feed one table through the tx sink") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
