@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
 import org.apache.spark.sql.types._
-import graft.cdc.{Envelope, PkTable, RoutineLoad, SchemaEvolution}
+import graft.cdc.{Envelope, PkTable, RoutineLoad, SchemaEvolution, Scd2}
 
 /** CDC / pipeline-core query surface (SURVEY §2 section A).
   *
@@ -250,6 +250,43 @@ object QueriesCdc {
         .orderBy(col("k"))
     },
 
+    // A21: SCD2 temporal view of the changelog — every change becomes
+    // a version with a half-open [valid_from, valid_to) interval (one
+    // window pass; cdc/Scd2.scala). The binlog IS this history; here
+    // it's materialized queryably.
+    "cdc_scd2_intervals" -> { (s, dir) =>
+      val cap = lit("2024-12-31 00:00:00").cast("timestamp")
+      Scd2.intervals(Tables.events(s, dir).select(
+          col("user_id"), col("event_id"), col("ts"), col("value")),
+          keyCol = col("user_id"), tsCol = col("ts"),
+          tiebreak = col("event_id"), cap = cap)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("valid_from"), TsFmt).as("valid_from"),
+          date_format(col("valid_to"), TsFmt).as("valid_to"),
+          graft.functions.Rounding.r(col("value"), 4).as("value"))
+        .orderBy(col("event_id"))
+    },
+
+    // A22: point-in-time lookup ("state AS OF t") — every 7th event is
+    // a probe into the same user's SCD2 timeline; the join runs as the
+    // bucketed range equi-join in exact epoch microseconds.
+    "cdc_scd2_lookup" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val cap = lit("2024-12-31 00:00:00").cast("timestamp")
+      val iv = Scd2.intervals(e.select(
+          col("user_id").as("i_user"), col("event_id").as("s_event"),
+          col("ts").as("i_ts"), col("value")),
+          keyCol = col("i_user"), tsCol = col("i_ts"),
+          tiebreak = col("s_event"), cap = cap)
+      val pts = e.where(col("event_id") % 7 === 0)
+        .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
+      Scd2.asOfLookup(iv, col("i_user"), pts, col("user_id"), col("p_ts"),
+          bucketWidthUs = 86400L * 1000000L)
+        .select(col("p_event"), col("user_id"), col("s_event"),
+          graft.functions.Rounding.r(col("value"), 4).as("value"))
+        .orderBy(col("p_event"))
+    },
+
     // A10: initial snapshot + changelog tail merged into one view
     "cdc_snapshot_then_merge" -> { (s, dir) =>
       val snap = Tables.customer(s, dir).select(
@@ -268,6 +305,28 @@ object QueriesCdc {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_scd2_intervals" ->
+      """WITH iv AS (SELECT user_id, event_id, value, ts AS valid_from,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           TIMESTAMP '2024-12-31 00:00:00') AS valid_to
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  round(value, 4) AS value
+        |FROM iv ORDER BY event_id""".stripMargin,
+    "cdc_scd2_lookup" ->
+      """WITH iv AS (SELECT user_id AS i_user, event_id AS s_event, value,
+        |  epoch_us(ts) AS f_us,
+        |  epoch_us(coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           TIMESTAMP '2024-12-31 00:00:00')) AS t_us
+        |  FROM events),
+        |p AS (SELECT event_id AS p_event, user_id, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_id % 7 = 0)
+        |SELECT p.p_event, p.user_id, iv.s_event, round(iv.value, 4) AS value
+        |FROM p JOIN iv ON p.user_id = iv.i_user
+        | AND p.p_us >= iv.f_us AND p.p_us < iv.t_us
+        |ORDER BY p_event""".stripMargin,
     "cdc_snapshot_read" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority

@@ -1,0 +1,65 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal (SCD-2-style) view of a keyed changelog: every change row
+  * becomes a VERSION with a half-open validity interval
+  * `[valid_from, valid_to)`, where valid_to is the next version's
+  * timestamp (a cap literal for the current version). Point-in-time
+  * lookups ("the row's state AS OF t") then join points into
+  * intervals — executed with the bucketed equi-join of
+  * [[graft.ops.RangeJoin]], not a nested loop.
+  *
+  * This is the row-level complement of the PK table's latest-wins
+  * compaction (PkTable) and the TxLog's version-level time travel:
+  * StarRocks serves "current state"; a warehouse audit query needs
+  * "state at T" — reference analogue: the binlog IS this history
+  * (mysql-cdc-debezium-starrocks docs/ARCHITECTURE.md's ordered
+  * row-change log), here materialized queryably.
+  *
+  * Scale shape: interval construction is ONE window (shuffle+sort by
+  * key) — the standard SCD2 build; the lookup is linear via
+  * bucketization. Ties on (ts, tiebreak) order deterministically;
+  * a version superseded at the same timestamp gets a zero-length
+  * interval and is correctly invisible to lookups.
+  */
+object Scd2 {
+
+  /** Build validity intervals. Output = input columns +
+    * `valid_from`, `valid_to` (timestamps).
+    *
+    * @param cap valid_to for each key's current version — pick any
+    *   literal beyond the corpus horizon (half-open compare keeps it
+    *   exact)
+    */
+  def intervals(changelog: DataFrame, keyCol: Column, tsCol: Column,
+                tiebreak: Column, cap: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tiebreak)
+    changelog
+      .withColumn("valid_from", tsCol)
+      .withColumn("valid_to", coalesce(lead(tsCol, 1).over(w), cap))
+  }
+
+  /** Point-in-time lookup: for each row of `points`, the version of
+    * the same key whose validity interval contains `pointTs`.
+    * Executed as the bucketed range equi-join; both sides' timestamps
+    * compare in exact epoch MICROSECONDS (no sub-second truncation).
+    *
+    * @param bucketWidthUs bucket size in µs; ≈ the median interval
+    *   length (see RangeJoin scaladoc)
+    */
+  def asOfLookup(intervals: DataFrame, intervalKey: Column,
+                 points: DataFrame, pointKey: Column, pointTs: Column,
+                 bucketWidthUs: Long): DataFrame =
+    graft.ops.RangeJoin.pointInInterval(
+      points.withColumn("__p_us", unix_micros(pointTs)),
+      intervals
+        .withColumn("__from_us", unix_micros(col("valid_from")))
+        .withColumn("__to_us", unix_micros(col("valid_to"))),
+      leftKey = pointKey, point = col("__p_us"),
+      rightKey = intervalKey, start = col("__from_us"), endExcl = col("__to_us"),
+      bucketWidth = bucketWidthUs)
+      .drop("__p_us", "__from_us", "__to_us")
+}
