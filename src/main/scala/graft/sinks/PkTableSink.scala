@@ -170,6 +170,95 @@ object PkTableSink {
       s"mergeTx: lost $maxAttempts consecutive commit races on $root")
   }
 
+  /** One table's batch inside a multi-table transactional commit. */
+  final case class TableBatch(changes: DataFrame, keyCols: Seq[String],
+                              versionCols: Seq[String], deleteFlag: String)
+
+  /** Multi-table ATOMIC commit: merge a batch into several PK tables
+    * under one group root and flip them with a SINGLE manifest — a
+    * reader of any committed version sees a cross-table-consistent
+    * snapshot (orders and customers from the same source batch appear
+    * together or not at all; single-table logs cannot promise this).
+    * Tables absent from `batches` carry their previous snapshot dir
+    * forward in the new manifest. Same optimistic protocol, torn-claim
+    * reclaim, and tombstone semantics as [[mergeTx]].
+    */
+  def mergeTxGroup(spark: SparkSession, groupRoot: String,
+                   batches: Map[String, TableBatch], writer: String,
+                   maxAttempts: Int = 5,
+                   recoverTornAfterMs: Long = 60000L): Long = {
+    require(batches.nonEmpty, "mergeTxGroup: no batches")
+    batches.keys.foreach(t => require(
+      t.nonEmpty && !t.exists(c => c == '=' || c == '\n' || c == '/'),
+      s"invalid table name '$t'"))
+    val chgs = batches.map { case (t, b) =>
+      t -> (b, b.changes
+        .withColumn(Tombstone, coalesce(col(b.deleteFlag), lit(false)))
+        .drop(b.deleteFlag))
+    }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = TxLog.current(spark, groupRoot)
+      val prevTables = base.map(_.tables).getOrElse(Map.empty)
+      val next = base.map(_.version + 1).getOrElse(0L)
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val newDirs = chgs.map { case (t, (b, chg)) =>
+        val current = prevTables.get(t) match {
+          case Some(d) => spark.read.parquet(d)
+          case None    => chg.limit(0)
+        }
+        val merged = PkTable.latestPerKey(current.unionByName(chg),
+          b.keyCols, b.versionCols.map(col))
+        val dir = s"$groupRoot/$t/v$next-$writer-$nonce"
+        merged.write.mode(SaveMode.Overwrite).parquet(dir)
+        t -> dir
+      }
+      if (TxLog.tryCommit(spark, groupRoot,
+          TxLog.Manifest(next, "", base.map(_.version).getOrElse(-1L), writer,
+            tables = prevTables ++ newDirs)))
+        return next
+      newDirs.values.foreach(d =>
+        fsOf(spark, groupRoot).delete(new org.apache.hadoop.fs.Path(d), true))
+      if (TxLog.at(spark, groupRoot, next).isEmpty)
+        TxLog.reclaimTorn(spark, groupRoot, next, recoverTornAfterMs)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"mergeTxGroup: lost $maxAttempts consecutive commit races on $groupRoot")
+  }
+
+  /** Live contents of one table of a group-committed snapshot. */
+  def readTxGroup(spark: SparkSession, groupRoot: String, table: String,
+                  schemaOf: => DataFrame): DataFrame =
+    TxLog.current(spark, groupRoot).flatMap(_.tables.get(table)) match {
+      case Some(d) => dropTombstones(spark.read.parquet(d))
+      case None    => schemaOf.limit(0)
+    }
+
+  /** Group retention: drop manifests older than the `keepVersions`
+    * most recent, then delete only data dirs NO KEPT manifest still
+    * references — untouched tables carry dirs forward across
+    * versions, so reference-counting (not age) decides data deletion.
+    */
+  def vacuumTxGroup(spark: SparkSession, groupRoot: String,
+                    keepVersions: Int = 2): Seq[Long] = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val fs = fsOf(spark, groupRoot)
+    val all = TxLog.versions(spark, groupRoot)
+    val victims = all.dropRight(keepVersions)
+    val keptDirs = all.takeRight(keepVersions)
+      .flatMap(v => TxLog.at(spark, groupRoot, v).toSeq)
+      .flatMap(m => m.tables.values ++ Option(m.dataDir).filter(_.nonEmpty))
+      .toSet
+    victims.foreach { v =>
+      val m = TxLog.at(spark, groupRoot, v)
+      if (TxLog.delete(spark, groupRoot, v))
+        m.foreach(_.tables.values.filterNot(keptDirs)
+          .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true)))
+    }
+    victims
+  }
+
   private def dropTombstones(df: DataFrame): DataFrame =
     if (df.columns.contains(Tombstone))
       df.where(!col(Tombstone)).drop(Tombstone)

@@ -39,8 +39,14 @@ import org.apache.spark.sql.SparkSession
   */
 object TxLog {
 
+  /** @param tables multi-table commits: table name → data dir. A
+    *   manifest listing tables flips ALL of them atomically — readers
+    *   of one version see a cross-table-consistent snapshot (the
+    *   property single-table logs can't give a pipeline loading
+    *   several tables from one source). */
   final case class Manifest(version: Long, dataDir: String,
-                            baseVersion: Long, writer: String)
+                            baseVersion: Long, writer: String,
+                            tables: Map[String, String] = Map.empty)
 
   private val LogDir = "_log"
 
@@ -76,7 +82,8 @@ object TxLog {
       .collect { case Array(k, v) => k -> v }.toMap
     if (!kv.get("ok").contains("true")) None // torn read: commit in flight
     else for { data <- kv.get("data"); base <- kv.get("base"); w <- kv.get("writer") }
-      yield Manifest(version, data, base.toLong, w)
+      yield Manifest(version, data, base.toLong, w,
+        kv.collect { case (k, v) if k.startsWith("t.") => k.drop(2) -> v })
   }
 
   /** Atomically claim `m.version`. Returns false when another writer
@@ -84,8 +91,11 @@ object TxLog {
   def tryCommit(spark: SparkSession, root: String, m: Manifest): Boolean = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(s"$root/$LogDir"))
+    val tableLines = m.tables.toSeq.sortBy(_._1)
+      .map { case (t, d) => s"t.$t=$d\n" }.mkString
     val body =
-      s"data=${m.dataDir}\nbase=${m.baseVersion}\nwriter=${m.writer}\nok=true\n"
+      s"data=${m.dataDir}\nbase=${m.baseVersion}\nwriter=${m.writer}\n$tableLines" +
+        "ok=true\n"
     lockFor(root).synchronized {
       val p = manifestPath(root, m.version)
       if (fs.exists(p)) false

@@ -147,6 +147,57 @@ class TxCommitSpec extends SparkSpec {
     assert(vs.size >= 3 && vs == (0L until vs.size.toLong))
   }
 
+  test("tx group: one manifest flips several tables atomically; untouched tables carry forward") {
+    import PkTableSink.TableBatch
+    val root = tmpRoot("txgroup")
+    def tb(rows: (Long, Long, String, Boolean)*) =
+      TableBatch(batch(rows: _*), Seq("id"), Seq("ver"), "del")
+    // commit v0: orders + customers together
+    val v0 = PkTableSink.mergeTxGroup(spark, root, Map(
+      "orders" -> tb((1L, 1L, "o1", false)),
+      "customers" -> tb((9L, 1L, "c9", false))), writer = "loader")
+    assert(v0 == 0L)
+    // commit v1: only orders — customers must carry forward
+    val v1 = PkTableSink.mergeTxGroup(spark, root, Map(
+      "orders" -> tb((2L, 1L, "o2", false))), writer = "loader")
+    assert(v1 == 1L)
+    def readT(t: String) = PkTableSink.readTxGroup(spark, root, t, batch().drop("del"))
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(readT("orders") == Seq((1L, "o1"), (2L, "o2")))
+    assert(readT("customers") == Seq((9L, "c9")))
+    // atomic view: v0's manifest references BOTH tables; v1 carries
+    // customers' v0 dir forward unchanged
+    val m0 = TxLog.at(spark, root, 0L).get
+    val m1 = TxLog.at(spark, root, 1L).get
+    assert(m0.tables.keySet == Set("orders", "customers"))
+    assert(m1.tables("customers") == m0.tables("customers"))
+    assert(m1.tables("orders") != m0.tables("orders"))
+    // vacuum to 1 version: customers' carried-forward dir must survive
+    val removed = PkTableSink.vacuumTxGroup(spark, root, keepVersions = 1)
+    assert(removed == Seq(0L))
+    assert(readT("customers") == Seq((9L, "c9")))
+    assert(readT("orders") == Seq((1L, "o1"), (2L, "o2")))
+    // orders' superseded v0 dir is gone from disk
+    assert(!new java.io.File(m0.tables("orders")).exists())
+  }
+
+  test("tx group: concurrent group writers both land with consistent snapshots") {
+    import PkTableSink.TableBatch
+    val root = tmpRoot("txgrouprace")
+    def tb(rows: (Long, Long, String, Boolean)*) =
+      TableBatch(batch(rows: _*), Seq("id"), Seq("ver"), "del")
+    val fa = Future(PkTableSink.mergeTxGroup(spark, root, Map(
+      "a" -> tb((1L, 1L, "x", false)), "b" -> tb((1L, 1L, "y", false))),
+      writer = "wa", maxAttempts = 10))
+    val fb = Future(PkTableSink.mergeTxGroup(spark, root, Map(
+      "a" -> tb((2L, 1L, "x2", false)), "b" -> tb((2L, 1L, "y2", false))),
+      writer = "wb", maxAttempts = 10))
+    val (va, vb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(Set(va, vb) == Set(0L, 1L))
+    def readT(t: String) = PkTableSink.readTxGroup(spark, root, t, batch().drop("del"))
+    assert(readT("a").count() == 2 && readT("b").count() == 2)
+  }
+
   test("tx: vacuum drops old versions, keeps recent, current stays readable") {
     val root = tmpRoot("txvac")
     (1 to 4).foreach(i =>
