@@ -2,74 +2,186 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sinks.TxLog
 
-/** Persisted IVF index — the train / add / search lifecycle (FAISS's
-  * public split) as parquet artifacts, so the expensive parts run
-  * ONCE per corpus and every search job starts from the stored index:
+/** Persisted TRANSACTIONAL IVF index — the train / add / search
+  * lifecycle (FAISS's public split) on the same commit log the PK
+  * lake uses ([[graft.sinks.TxLog]]):
   *
   * {{{
-  *   <root>/centroids/   (cid, cv double[], cn2)   — k-means|| output
-  *   <root>/vectors/     (id, v double[], n2, cell) — assigned corpus
+  *   <root>/_log/<v>.manifest    t.centroids=<dir>  t.vectors=<d1,d2,…>
+  *   <root>/c-<nonce>/           centroid snapshots (cid, cv, cn2)
+  *   <root>/v-<nonce>/           vector deltas (id, v, n2, cell=…)
   * }}}
   *
-  * `build` trains deterministic k-means|| centroids and materializes
-  * the one-pass cell assignment; `search` reads both back, probes the
-  * query's top-`nprobe` cells and scores exact cosine inside them —
-  * no training or assignment cost at query time. The vectors table is
-  * REPARTITIONED BY CELL on write, so a probe reads only its cells'
-  * files instead of scanning the corpus (partition pruning at 100 TB;
-  * `spark.read.parquet(...).where($"cell" === c)` prunes directories).
-  *
-  * Incremental adds = assign the new batch against the stored
-  * centroids and append its partitions; retrain when drift matters
-  * (the standard IVF operating procedure).
+  * Every maintenance op commits a manifest and never mutates a
+  * committed dir, so concurrent searches are isolated and a crash
+  * mid-op leaves the previous index version current:
+  *  - [[build]]  trains k-means|| centroids, assigns the corpus,
+  *    commits {centroids, vectors};
+  *  - [[add]]    assigns a NEW batch against the CURRENT centroids
+  *    into a fresh delta dir and commits vectors = prev ⧺ delta
+  *    (no retraining — the standard IVF incremental path);
+  *  - [[compact]] rewrites the accumulated deltas into one
+  *    cell-partitioned snapshot (many-small-files cure);
+  *  - [[retrain]] re-trains centroids on the indexed vectors and
+  *    re-assigns everything (the drift cure);
+  *  - [[search]] resolves the current manifest and probes top-nprobe
+  *    cells — cell-partitioned parquet prunes directories, so a probe
+  *    reads its cells, not the corpus;
+  *  - [[vacuum]] drops old manifests and any dir no kept manifest
+  *    references (delegates to the reference-counted group vacuum).
   */
 object IvfIndex {
 
-  /** Train + assign + persist. Returns the number of corpus vectors
-    * indexed. */
-  def build(df: DataFrame, id: Column, vec: Column, root: String,
-            k: Int = 16): Long = {
-    val spark = df.sparkSession
+  private val Centroids = "centroids"
+  private val Vectors = "vectors"
+
+  private def nonce() = java.util.UUID.randomUUID().toString.take(8)
+
+  private def dirs(m: TxLog.Manifest, key: String): Seq[String] =
+    m.tables.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Optimistic commit loop shared by all maintenance ops: `work`
+    * runs against the current manifest, writes ONLY fresh dirs, and
+    * returns (new table map, dirs it wrote). A lost race deletes the
+    * orphan dirs and re-runs `work` against the winner's manifest. */
+  private def commitWith(spark: SparkSession, root: String, writer: String,
+                         maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L)(
+      work: Option[TxLog.Manifest] => (Map[String, String], Seq[String])): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = TxLog.current(spark, root)
+      val (tables, written) = work(base)
+      val next = base.map(_.version + 1).getOrElse(0L)
+      if (TxLog.tryCommit(spark, root,
+          TxLog.Manifest(next, "", base.map(_.version).getOrElse(-1L), writer, tables)))
+        return next
+      written.foreach(d =>
+        fsOf(spark, root).delete(new org.apache.hadoop.fs.Path(d), true))
+      if (TxLog.at(spark, root, next).isEmpty)
+        TxLog.reclaimTorn(spark, root, next, recoverTornAfterMs)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"IvfIndex: lost $maxAttempts consecutive commit races on $root")
+  }
+
+  private def writeCentroids(spark: SparkSession, root: String,
+                             cents: Seq[(Long, Array[Double])]): String = {
     import spark.implicits._
-    val cents = Similarity.kmeansCentroids(df, id, vec, k)
+    val dir = s"$root/c-${nonce()}"
     cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "cv")
       .select(col("cid"), col("cv").cast("array<double>").as("cv"))
       .withColumn("cn2", Similarity.normSq(col("cv")))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/centroids")
-    val v = df.select(id.as("id"), vec.cast("array<double>").as("v"))
-      .withColumn("n2", Similarity.normSq(col("v")))
-    val assigned = Similarity.assignCells(v, readCentroids(spark, root))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$root/vectors")
-    spark.read.parquet(s"$root/vectors").count()
+      .write.parquet(dir)
+    dir
   }
 
-  /** Assign a NEW batch against the stored centroids and append it to
-    * the index (no retraining). Returns rows added. */
-  def add(df: DataFrame, id: Column, vec: Column, root: String): Long = {
+  private def writeAssigned(spark: SparkSession, root: String,
+                            assigned: DataFrame): String = {
+    val dir = s"$root/v-${nonce()}"
+    assigned.write.partitionBy("cell").parquet(dir)
+    dir
+  }
+
+  private def readVectors(spark: SparkSession, m: TxLog.Manifest): DataFrame =
+    // one read per delta dir (each is its own partitioned root — a
+    // multi-path read trips partition discovery), unioned; and restore
+    // cell to the LongType the in-memory path emits (partition-column
+    // inference types cell=N dirs as INT)
+    dirs(m, Vectors).map(d => spark.read.parquet(d))
+      .reduce(_ unionByName _)
+      .withColumn("cell", col("cell").cast("long"))
+
+  private def currentOrFail(spark: SparkSession, root: String): TxLog.Manifest =
+    TxLog.current(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed IVF index under $root"))
+
+  /** Train + assign + commit version 0 (or a full rebuild as the next
+    * version). Returns the committed version. */
+  def build(df: DataFrame, id: Column, vec: Column, root: String,
+            k: Int = 16, writer: String = "build"): Long = {
+    val spark = df.sparkSession
+    val cents = Similarity.kmeansCentroids(df, id, vec, k)
+    val v = df.select(id.as("id"), vec.cast("array<double>").as("v"))
+      .withColumn("n2", Similarity.normSq(col("v")))
+    commitWith(spark, root, writer) { _ =>
+      val cDir = writeCentroids(spark, root, cents)
+      val vDir = writeAssigned(spark, root,
+        Similarity.assignCells(v, spark.read.parquet(cDir)))
+      (Map(Centroids -> cDir, Vectors -> vDir), Seq(cDir, vDir))
+    }
+  }
+
+  /** Assign a new batch against the CURRENT centroids and commit it
+    * as a delta (no retraining). Returns the committed version. */
+  def add(df: DataFrame, id: Column, vec: Column, root: String,
+          writer: String = "add"): Long = {
     val spark = df.sparkSession
     val v = df.select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("n2", Similarity.normSq(col("v")))
-    val assigned = Similarity.assignCells(v, readCentroids(spark, root))
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
-    v.count()
+    commitWith(spark, root, writer) { base =>
+      val m = base.getOrElse(throw new IllegalStateException(
+        s"IvfIndex.add: no committed index under $root — build first"))
+      val cDir = m.tables(Centroids)
+      val delta = writeAssigned(spark, root,
+        Similarity.assignCells(v, spark.read.parquet(cDir)))
+      (m.tables + (Vectors -> (dirs(m, Vectors) :+ delta).mkString(",")),
+        Seq(delta))
+    }
   }
 
-  /** Top-k cosine neighbors from the stored index for a query frame
-    * `(qid, qvec)`. Output: (qid, cell, rank, nid, cos). */
+  /** Rewrite the accumulated vector deltas into ONE cell-partitioned
+    * snapshot (same contents, fewer files). */
+  def compact(spark: SparkSession, root: String,
+              writer: String = "compact"): Long =
+    commitWith(spark, root, writer) { base =>
+      val m = base.getOrElse(throw new IllegalStateException(
+        s"IvfIndex.compact: no committed index under $root"))
+      val merged = readVectors(spark, m).repartition(col("cell"))
+      val vDir = writeAssigned(spark, root, merged)
+      (m.tables + (Vectors -> vDir), Seq(vDir))
+    }
+
+  /** Re-train centroids on everything indexed and re-assign (the
+    * drift cure after many adds). */
+  def retrain(spark: SparkSession, root: String, k: Int = 16,
+              writer: String = "retrain"): Long =
+    commitWith(spark, root, writer) { base =>
+      val m = base.getOrElse(throw new IllegalStateException(
+        s"IvfIndex.retrain: no committed index under $root"))
+      val vectors = readVectors(spark, m).select(col("id"), col("v"))
+      val cents = Similarity.kmeansCentroids(vectors, col("id"), col("v"), k)
+      val cDir = writeCentroids(spark, root, cents)
+      val withNorm = vectors.withColumn("n2", Similarity.normSq(col("v")))
+      val vDir = writeAssigned(spark, root,
+        Similarity.assignCells(withNorm, spark.read.parquet(cDir)))
+      (Map(Centroids -> cDir, Vectors -> vDir), Seq(cDir, vDir))
+    }
+
+  /** Top-k cosine neighbors from the CURRENT index version for a
+    * query frame `(qid, qvec)`. Output: (qid, cell, rank, nid, cos). */
   def search(spark: SparkSession, root: String, queries: DataFrame,
              qid: Column, qvec: Column, k: Int, nprobe: Int = 1): DataFrame = {
-    val cent = readCentroids(spark, root)
-    // partition-column inference types cell=N dirs as INT; restore the
-    // LongType the in-memory path emits so both outputs union cleanly
-    val assigned = spark.read.parquet(s"$root/vectors")
-      .withColumn("cell", col("cell").cast("long"))
+    val m = currentOrFail(spark, root)
+    val cent = spark.read.parquet(m.tables(Centroids))
     val q = queries.select(qid.as("qid"), qvec.cast("array<double>").as("qv"))
       .withColumn("qn2", Similarity.normSq(col("qv")))
-    Similarity.searchAssigned(assigned, cent, q, k, nprobe)
+    Similarity.searchAssigned(readVectors(spark, m), cent, q, k, nprobe)
   }
 
-  private def readCentroids(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/centroids")
+  /** Indexed row count at the current version. */
+  def count(spark: SparkSession, root: String): Long =
+    readVectors(spark, currentOrFail(spark, root)).count()
+
+  /** Retention: reference-counted against kept manifests, so dirs
+    * shared across versions (carried-forward deltas) survive. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Seq[Long] =
+    graft.sinks.PkTableSink.vacuumTxGroup(spark, root, keepVersions)
 }

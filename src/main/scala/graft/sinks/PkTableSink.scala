@@ -244,16 +244,19 @@ object PkTableSink {
                     keepVersions: Int = 2): Seq[Long] = {
     require(keepVersions >= 1, "must keep at least the current version")
     val fs = fsOf(spark, groupRoot)
+    // table values may be comma-joined dir LISTS (IvfIndex deltas)
+    def dirsOf(m: TxLog.Manifest): Seq[String] =
+      (m.tables.values.toSeq.flatMap(_.split(",")) :+ m.dataDir)
+        .filter(_.nonEmpty)
     val all = TxLog.versions(spark, groupRoot)
     val victims = all.dropRight(keepVersions)
     val keptDirs = all.takeRight(keepVersions)
       .flatMap(v => TxLog.at(spark, groupRoot, v).toSeq)
-      .flatMap(m => m.tables.values ++ Option(m.dataDir).filter(_.nonEmpty))
-      .toSet
+      .flatMap(dirsOf).toSet
     victims.foreach { v =>
       val m = TxLog.at(spark, groupRoot, v)
       if (TxLog.delete(spark, groupRoot, v))
-        m.foreach(_.tables.values.filterNot(keptDirs)
+        m.foreach(mf => dirsOf(mf).filterNot(keptDirs)
           .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true)))
     }
     victims

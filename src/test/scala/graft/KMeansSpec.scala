@@ -45,12 +45,13 @@ class KMeansSpec extends SparkSpec {
     assert(ct < cs, s"kmeans cost $ct not below stand-in cost $cs")
   }
 
-  test("persisted IVF index: build once, search matches the in-memory path; add appends") {
+  test("persisted IVF index: build/search matches the in-memory path; lifecycle commits versions") {
     import graft.ops.{IvfIndex, Similarity}
+    import graft.sinks.TxLog
     val root = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
     val half = emb.where(col("vec_id") < 250)
-    val n = IvfIndex.build(half, col("vec_id"), col("embedding"), root, k = 8)
-    assert(n == 250)
+    val v0 = IvfIndex.build(half, col("vec_id"), col("embedding"), root, k = 8)
+    assert(v0 == 0L && IvfIndex.count(spark, root) == 250)
     val queries = emb.where(col("vec_id") % 40 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val fromIndex = IvfIndex.search(spark, root, queries,
@@ -69,14 +70,34 @@ class KMeansSpec extends SparkSpec {
     def byQ(s: Set[(Long, Long, Long)]) =
       s.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
     assert(byQ(fromIndex) == byQ(inMemSet))
-    // incremental add: new vectors land in cells and become findable
-    val added = IvfIndex.add(emb.where(col("vec_id") >= 250 && col("vec_id") < 260),
+
+    // incremental add commits a delta version; contents grow
+    val v1 = IvfIndex.add(emb.where(col("vec_id") >= 250 && col("vec_id") < 260),
       col("vec_id"), col("embedding"), root)
-    assert(added == 10)
-    assert(spark.read.parquet(s"$root/vectors").count() == 260)
-    // partition pruning: the vectors table is laid out by cell
-    assert(new java.io.File(s"$root/vectors").listFiles()
-      .exists(_.getName.startsWith("cell=")))
+    assert(v1 == 1L && IvfIndex.count(spark, root) == 260)
+    // compact folds the deltas into one snapshot, same contents
+    val v2 = IvfIndex.compact(spark, root)
+    assert(v2 == 2L && IvfIndex.count(spark, root) == 260)
+    val afterCompact = IvfIndex.search(spark, root, queries,
+      col("qid"), col("qvec"), k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // retrain commits new centroids over all 260 vectors; search stays sane
+    val v3 = IvfIndex.retrain(spark, root, k = 8)
+    assert(v3 == 3L && IvfIndex.count(spark, root) == 260)
+    val afterRetrain = IvfIndex.search(spark, root, queries,
+      col("qid"), col("qvec"), k = 3, nprobe = 2).collect()
+    assert(afterRetrain.nonEmpty)
+    // vacuum to the last 2 versions; current stays fully readable
+    val removed = IvfIndex.vacuum(spark, root, keepVersions = 2)
+    assert(removed == Seq(0L, 1L))
+    assert(TxLog.versions(spark, root) == Seq(2L, 3L))
+    assert(IvfIndex.count(spark, root) == 260)
+    // compact's v2 snapshot (still kept) must also stay readable: its
+    // dirs are reference-counted against kept manifests
+    val m2 = TxLog.at(spark, root, 2L).get
+    assert(spark.read.parquet(
+      m2.tables("vectors").split(","): _*).count() == 260)
+    assert(afterCompact.nonEmpty)
   }
 
   test("ann_ivf_kmeans query returns ranked neighbors for every query point") {
