@@ -47,19 +47,35 @@ object Scd2 {
     * Executed as the bucketed range equi-join; both sides' timestamps
     * compare in exact epoch MICROSECONDS (no sub-second truncation).
     *
+    * The interval end used for BUCKETIZATION is clamped at
+    * (max point ts + 1 µs) — one cheap scalar aggregate — because
+    * every key's CURRENT version runs to the cap sentinel, and an
+    * unclamped far-future cap would replicate that row into one copy
+    * per bucket up to the cap (a row explosion at any realistic
+    * sentinel). Clamping is lossless: buckets past the last point can
+    * never contain a match.
+    *
     * @param bucketWidthUs bucket size in µs; ≈ the median interval
     *   length (see RangeJoin scaladoc)
     */
   def asOfLookup(intervals: DataFrame, intervalKey: Column,
                  points: DataFrame, pointKey: Column, pointTs: Column,
-                 bucketWidthUs: Long): DataFrame =
+                 bucketWidthUs: Long): DataFrame = {
+    val pts = points.withColumn("__p_us", unix_micros(pointTs))
+    val maxRow = pts.agg(max(col("__p_us"))).collect()(0)
+    val clampUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1L
     graft.ops.RangeJoin.pointInInterval(
-      points.withColumn("__p_us", unix_micros(pointTs)),
+      pts,
       intervals
         .withColumn("__from_us", unix_micros(col("valid_from")))
-        .withColumn("__to_us", unix_micros(col("valid_to"))),
+        // an interval starting after the last point can't match —
+        // dropping it also keeps clamped ends >= starts for sequence()
+        .where(col("__from_us") < lit(clampUs))
+        .withColumn("__to_us",
+          least(unix_micros(col("valid_to")), lit(clampUs))),
       leftKey = pointKey, point = col("__p_us"),
       rightKey = intervalKey, start = col("__from_us"), endExcl = col("__to_us"),
       bucketWidth = bucketWidthUs)
       .drop("__p_us", "__from_us", "__to_us")
+  }
 }

@@ -46,29 +46,17 @@ object IvfIndex {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Optimistic commit loop shared by all maintenance ops: `work`
-    * runs against the current manifest, writes ONLY fresh dirs, and
-    * returns (new table map, dirs it wrote). A lost race deletes the
-    * orphan dirs and re-runs `work` against the winner's manifest. */
+  /** [[graft.sinks.TxLog.commitWith]] adapted to the index's
+    * tables-only manifests, with the ','-in-root guard (',' joins the
+    * delta dir list in manifest values). */
   private def commitWith(spark: SparkSession, root: String, writer: String,
-                         maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L)(
+                         maxAttempts: Int, recoverTornAfterMs: Long)(
       work: Option[TxLog.Manifest] => (Map[String, String], Seq[String])): Long = {
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val base = TxLog.current(spark, root)
+    require(!root.contains(","), s"index root may not contain ',': $root")
+    TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       val (tables, written) = work(base)
-      val next = base.map(_.version + 1).getOrElse(0L)
-      if (TxLog.tryCommit(spark, root,
-          TxLog.Manifest(next, "", base.map(_.version).getOrElse(-1L), writer, tables)))
-        return next
-      written.foreach(d =>
-        fsOf(spark, root).delete(new org.apache.hadoop.fs.Path(d), true))
-      if (TxLog.at(spark, root, next).isEmpty)
-        TxLog.reclaimTorn(spark, root, next, recoverTornAfterMs)
-      attempt += 1
+      ("", tables, written)
     }
-    throw new IllegalStateException(
-      s"IvfIndex: lost $maxAttempts consecutive commit races on $root")
   }
 
   private def writeCentroids(spark: SparkSession, root: String,
@@ -104,14 +92,26 @@ object IvfIndex {
       throw new IllegalStateException(s"no committed IVF index under $root"))
 
   /** Train + assign + commit version 0 (or a full rebuild as the next
-    * version). Returns the committed version. */
+    * version). A full rebuild REPLACES the whole index, so a commit
+    * that lands concurrently (e.g. an add() that was told it
+    * succeeded) must not be silently discarded — build ABORTS loudly
+    * on such a conflict instead of retrying over it, the same rule
+    * Delta/Iceberg apply to full-overwrite transactions. Returns the
+    * committed version. */
   def build(df: DataFrame, id: Column, vec: Column, root: String,
-            k: Int = 16, writer: String = "build"): Long = {
+            k: Int = 16, writer: String = "build",
+            maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L): Long = {
     val spark = df.sparkSession
     val cents = Similarity.kmeansCentroids(df, id, vec, k)
     val v = df.select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("n2", Similarity.normSq(col("v")))
-    commitWith(spark, root, writer) { _ =>
+    val baseAtEntry = TxLog.current(spark, root).map(_.version)
+    commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
+      if (base.map(_.version) != baseAtEntry)
+        throw new IllegalStateException(
+          s"IvfIndex.build: concurrent commit landed on $root during the " +
+            "rebuild (its data would be silently dropped) — re-run build " +
+            "against the new current version")
       val cDir = writeCentroids(spark, root, cents)
       val vDir = writeAssigned(spark, root,
         Similarity.assignCells(v, spark.read.parquet(cDir)))
@@ -122,11 +122,12 @@ object IvfIndex {
   /** Assign a new batch against the CURRENT centroids and commit it
     * as a delta (no retraining). Returns the committed version. */
   def add(df: DataFrame, id: Column, vec: Column, root: String,
-          writer: String = "add"): Long = {
+          writer: String = "add",
+          maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L): Long = {
     val spark = df.sparkSession
     val v = df.select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("n2", Similarity.normSq(col("v")))
-    commitWith(spark, root, writer) { base =>
+    commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       val m = base.getOrElse(throw new IllegalStateException(
         s"IvfIndex.add: no committed index under $root — build first"))
       val cDir = m.tables(Centroids)
@@ -138,10 +139,13 @@ object IvfIndex {
   }
 
   /** Rewrite the accumulated vector deltas into ONE cell-partitioned
-    * snapshot (same contents, fewer files). */
+    * snapshot (same contents, fewer files). Conflict-safe: a retry
+    * re-reads the winner's delta list, so a concurrent add is folded
+    * in, never dropped. */
   def compact(spark: SparkSession, root: String,
-              writer: String = "compact"): Long =
-    commitWith(spark, root, writer) { base =>
+              writer: String = "compact",
+              maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L): Long =
+    commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       val m = base.getOrElse(throw new IllegalStateException(
         s"IvfIndex.compact: no committed index under $root"))
       val merged = readVectors(spark, m).repartition(col("cell"))
@@ -150,10 +154,12 @@ object IvfIndex {
     }
 
   /** Re-train centroids on everything indexed and re-assign (the
-    * drift cure after many adds). */
+    * drift cure after many adds). Conflict-safe like [[compact]]: a
+    * retry re-trains over the winner's vector set. */
   def retrain(spark: SparkSession, root: String, k: Int = 16,
-              writer: String = "retrain"): Long =
-    commitWith(spark, root, writer) { base =>
+              writer: String = "retrain",
+              maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L): Long =
+    commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       val m = base.getOrElse(throw new IllegalStateException(
         s"IvfIndex.retrain: no committed index under $root"))
       val vectors = readVectors(spark, m).select(col("id"), col("v"))

@@ -138,9 +138,7 @@ object PkTableSink {
               recoverTornAfterMs: Long = 60000L): Long = {
     val chg = changes.withColumn(Tombstone, coalesce(col(deleteFlag), lit(false)))
       .drop(deleteFlag)
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val base = TxLog.current(spark, root)
+    TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       val current = base match {
         case Some(m) => spark.read.parquet(m.dataDir)
         case None    => chg.limit(0)
@@ -154,20 +152,8 @@ object PkTableSink {
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       val dataDir = s"$root/t$next-$writer-$nonce"
       merged.write.mode(SaveMode.Overwrite).parquet(dataDir)
-      if (TxLog.tryCommit(spark, root,
-          TxLog.Manifest(next, dataDir, base.map(_.version).getOrElse(-1L), writer)))
-        return next
-      // conflict: either another writer committed `next` (re-read and
-      // re-merge on top of theirs), or a crashed writer's TORN claim
-      // holds the slot — reclaim it past the grace so the table can't
-      // be wedged forever
-      fsOf(spark, root).delete(new org.apache.hadoop.fs.Path(dataDir), true)
-      if (TxLog.at(spark, root, next).isEmpty)
-        TxLog.reclaimTorn(spark, root, next, recoverTornAfterMs)
-      attempt += 1
+      (dataDir, Map.empty[String, String], Seq(dataDir))
     }
-    throw new IllegalStateException(
-      s"mergeTx: lost $maxAttempts consecutive commit races on $root")
   }
 
   /** One table's batch inside a multi-table transactional commit. */
@@ -188,17 +174,18 @@ object PkTableSink {
                    maxAttempts: Int = 5,
                    recoverTornAfterMs: Long = 60000L): Long = {
     require(batches.nonEmpty, "mergeTxGroup: no batches")
+    // ',' joins dir LISTS in manifest values (IvfIndex deltas) — keep
+    // it out of every path component we control
+    require(!groupRoot.contains(","), s"groupRoot may not contain ',': $groupRoot")
     batches.keys.foreach(t => require(
-      t.nonEmpty && !t.exists(c => c == '=' || c == '\n' || c == '/'),
+      t.nonEmpty && !t.exists(c => c == '=' || c == '\n' || c == '/' || c == ','),
       s"invalid table name '$t'"))
     val chgs = batches.map { case (t, b) =>
       t -> (b, b.changes
         .withColumn(Tombstone, coalesce(col(b.deleteFlag), lit(false)))
         .drop(b.deleteFlag))
     }
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val base = TxLog.current(spark, groupRoot)
+    TxLog.commitWith(spark, groupRoot, writer, maxAttempts, recoverTornAfterMs) { base =>
       val prevTables = base.map(_.tables).getOrElse(Map.empty)
       val next = base.map(_.version + 1).getOrElse(0L)
       val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -213,18 +200,8 @@ object PkTableSink {
         merged.write.mode(SaveMode.Overwrite).parquet(dir)
         t -> dir
       }
-      if (TxLog.tryCommit(spark, groupRoot,
-          TxLog.Manifest(next, "", base.map(_.version).getOrElse(-1L), writer,
-            tables = prevTables ++ newDirs)))
-        return next
-      newDirs.values.foreach(d =>
-        fsOf(spark, groupRoot).delete(new org.apache.hadoop.fs.Path(d), true))
-      if (TxLog.at(spark, groupRoot, next).isEmpty)
-        TxLog.reclaimTorn(spark, groupRoot, next, recoverTornAfterMs)
-      attempt += 1
+      ("", prevTables ++ newDirs, newDirs.values.toSeq)
     }
-    throw new IllegalStateException(
-      s"mergeTxGroup: lost $maxAttempts consecutive commit races on $groupRoot")
   }
 
   /** Live contents of one table of a group-committed snapshot. */
@@ -250,8 +227,12 @@ object PkTableSink {
         .filter(_.nonEmpty)
     val all = TxLog.versions(spark, groupRoot)
     val victims = all.dropRight(keepVersions)
+    // a destructive op must be FAIL-SAFE on read errors: a kept
+    // manifest that can't be re-read would silently drop its dirs
+    // from the reference count and let the loop delete live data
     val keptDirs = all.takeRight(keepVersions)
-      .flatMap(v => TxLog.at(spark, groupRoot, v).toSeq)
+      .map(v => TxLog.at(spark, groupRoot, v).getOrElse(throw new IllegalStateException(
+        s"vacuumTxGroup: kept manifest $v under $groupRoot is unreadable — aborting")))
       .flatMap(dirsOf).toSet
     victims.foreach { v =>
       val m = TxLog.at(spark, groupRoot, v)
@@ -267,19 +248,31 @@ object PkTableSink {
       df.where(!col(Tombstone)).drop(Tombstone)
     else df
 
+  // group/index manifests have no top-level dataDir; the single-table
+  // APIs would otherwise fail deep inside a parquet read (or, for
+  // vacuum, AFTER deleting manifests) with an empty-path error
+  private def requireSingleTable(m: TxLog.Manifest, root: String): TxLog.Manifest = {
+    require(m.dataDir.nonEmpty && m.tables.isEmpty,
+      s"$root holds a multi-table/index log (version ${m.version}) — " +
+        "use the Group/IvfIndex APIs")
+    m
+  }
+
   /** Current LIVE contents of a [[TxLog]]-backed table — stored
     * tombstones filtered out (empty frame with `schemaOf`'s schema if
     * no version is committed yet). */
   def readTx(spark: SparkSession, root: String, schemaOf: => DataFrame): DataFrame =
     TxLog.current(spark, root) match {
-      case Some(m) => dropTombstones(spark.read.parquet(m.dataDir))
-      case None    => schemaOf.limit(0)
+      case Some(m) =>
+        dropTombstones(spark.read.parquet(requireSingleTable(m, root).dataDir))
+      case None => schemaOf.limit(0)
     }
 
   /** Live contents as of a specific committed version (time travel). */
   def readTxAt(spark: SparkSession, root: String, version: Long): DataFrame =
     TxLog.at(spark, root, version) match {
-      case Some(m) => dropTombstones(spark.read.parquet(m.dataDir))
+      case Some(m) =>
+        dropTombstones(spark.read.parquet(requireSingleTable(m, root).dataDir))
       case None => throw new IllegalArgumentException(
         s"no committed version $version under $root")
     }
@@ -293,6 +286,10 @@ object PkTableSink {
     require(keepVersions >= 1, "must keep at least the current version")
     val fs = fsOf(spark, root)
     val all = TxLog.versions(spark, root)
+    // fail fast BEFORE any destructive step if this is a group/index
+    // root — those share data dirs across versions and need the
+    // reference-counted vacuum
+    all.flatMap(v => TxLog.at(spark, root, v)).foreach(requireSingleTable(_, root))
     val victims = all.dropRight(keepVersions)
     victims.foreach { v =>
       // manifest FIRST, and only touch data once the manifest is

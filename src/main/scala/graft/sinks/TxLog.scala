@@ -138,6 +138,34 @@ object TxLog {
     fs.delete(p, false) || !fs.exists(p)
   }
 
+  /** The optimistic commit loop every transactional writer shares
+    * (single-table merge, multi-table group, IVF index maintenance —
+    * one implementation, so protocol fixes land once). Per attempt,
+    * `work` runs against the CURRENT manifest, writes only fresh
+    * dirs, and returns (dataDir, tables, dirs it wrote); a lost race
+    * deletes the orphan dirs, reclaims a torn claim past the grace,
+    * and re-runs `work` against the winner's manifest. */
+  def commitWith(spark: SparkSession, root: String, writer: String,
+                 maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L)(
+      work: Option[Manifest] => (String, Map[String, String], Seq[String])): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = current(spark, root)
+      val (dataDir, tables, written) = work(base)
+      val next = base.map(_.version + 1).getOrElse(0L)
+      if (tryCommit(spark, root,
+          Manifest(next, dataDir, base.map(_.version).getOrElse(-1L), writer, tables)))
+        return next
+      val fs = fsOf(spark, root)
+      written.foreach(d => fs.delete(new Path(d), true))
+      if (at(spark, root, next).isEmpty)
+        reclaimTorn(spark, root, next, recoverTornAfterMs)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commit: lost $maxAttempts consecutive commit races on $root")
+  }
+
   /** Reclaim a TORN claim: a writer that crashed between creating
     * `_log/<version>.manifest` and writing its `ok=true` line holds
     * the version forever — without reclaim, every later commit

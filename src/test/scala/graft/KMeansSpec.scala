@@ -71,6 +71,12 @@ class KMeansSpec extends SparkSpec {
       s.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
     assert(byQ(fromIndex) == byQ(inMemSet))
 
+    // physical layout: the committed vectors dir is partitioned by
+    // cell — the property directory-pruning probes depend on
+    val m0 = TxLog.at(spark, root, 0L).get
+    assert(new java.io.File(m0.tables("vectors")).listFiles()
+      .exists(_.getName.startsWith("cell=")))
+
     // incremental add commits a delta version; contents grow
     val v1 = IvfIndex.add(emb.where(col("vec_id") >= 250 && col("vec_id") < 260),
       col("vec_id"), col("embedding"), root)
