@@ -287,6 +287,38 @@ object QueriesCdc {
         .orderBy(col("p_event"))
     },
 
+    // A23: validity-interval OVERLAP join over versioned rows — for
+    // every gap-based session (30-min, as in B12), each SCD2 version
+    // of the same user whose validity intersects the session: "which
+    // states was this user in during this session". Plans as the
+    // bucketed interval-overlap equi-join (RangeJoin.intervalOverlap),
+    // never a per-key nested loop.
+    "cdc_interval_overlap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = e.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("sess",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val cap = lit("2024-12-31 00:00:00").cast("timestamp")
+      val iv = Scd2.intervals(e.select(
+          col("user_id").as("i_user"), col("event_id").as("s_event"),
+          col("ts").as("i_ts")),
+          keyCol = col("i_user"), tsCol = col("i_ts"),
+          tiebreak = col("s_event"), cap = cap)
+      Scd2.overlappingVersions(iv, col("i_user"),
+          sess, col("user_id"), col("s_start"), col("s_end"),
+          bucketWidthUs = 86400L * 1000000L)
+        .select(col("user_id"), col("sess"), col("s_event"))
+        .orderBy(col("user_id"), col("sess"), col("s_event"))
+    },
+
     // A10: initial snapshot + changelog tail merged into one view
     "cdc_snapshot_then_merge" -> { (s, dir) =>
       val snap = Tables.customer(s, dir).select(
@@ -327,6 +359,31 @@ object QueriesCdc {
         |FROM p JOIN iv ON p.user_id = iv.i_user
         | AND p.p_us >= iv.f_us AND p.p_us < iv.t_us
         |ORDER BY p_event""".stripMargin,
+    "cdc_interval_overlap" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, sess, min(ts) AS s_start, max(ts) AS s_end
+        |  FROM numbered GROUP BY user_id, sess),
+        |iv AS (
+        |  SELECT user_id AS i_user, event_id AS s_event, ts AS valid_from,
+        |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |             TIMESTAMP '2024-12-31 00:00:00') AS valid_to
+        |  FROM events)
+        |SELECT s.user_id, CAST(s.sess AS BIGINT) AS sess, iv.s_event
+        |FROM sessions s JOIN iv ON iv.i_user = s.user_id
+        |  AND iv.valid_from < iv.valid_to
+        |  AND iv.valid_from <= s.s_end
+        |  AND iv.valid_to > s.s_start
+        |ORDER BY s.user_id, sess, s_event""".stripMargin,
     "cdc_snapshot_read" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority

@@ -58,6 +58,45 @@ object Scd2 {
     * @param bucketWidthUs bucket size in µs; ≈ the median interval
     *   length (see RangeJoin scaladoc)
     */
+  /** Validity-interval OVERLAP join: for each row of `ranges` (a
+    * closed time range `[rangeStart, rangeEndIncl]`, e.g. a session or
+    * an audit window), every version of the same key whose validity
+    * interval intersects it. Runs as the bucketed interval-overlap
+    * equi-join of [[graft.ops.RangeJoin.intervalOverlap]] in exact
+    * epoch microseconds.
+    *
+    * As in [[asOfLookup]], the version ends used for bucketization are
+    * clamped at (max range end + 1 µs) — current versions run to the
+    * cap sentinel, and unclamped they would replicate into every
+    * bucket up to it. Clamping is lossless here too: with every range
+    * ending at or before the clamp, `valid_to > rangeStart` holds iff
+    * `min(valid_to, clamp) > rangeStart`.
+    *
+    * @param bucketWidthUs bucket size in µs; ≈ the median of version
+    *   validity and range lengths
+    */
+  def overlappingVersions(intervals: DataFrame, intervalKey: Column,
+                          ranges: DataFrame, rangeKey: Column,
+                          rangeStart: Column, rangeEndIncl: Column,
+                          bucketWidthUs: Long): DataFrame = {
+    val rg = ranges
+      .withColumn("__r_from_us", unix_micros(rangeStart))
+      .withColumn("__r_to_us", unix_micros(rangeEndIncl) + lit(1L))
+    val maxRow = rg.agg(max(col("__r_to_us"))).collect()(0)
+    val clampUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    graft.ops.RangeJoin.intervalOverlap(
+      rg,
+      intervals
+        .withColumn("__v_from_us", unix_micros(col("valid_from")))
+        .where(col("__v_from_us") < lit(clampUs))
+        .withColumn("__v_to_us",
+          least(unix_micros(col("valid_to")), lit(clampUs))),
+      leftKey = rangeKey, lStart = col("__r_from_us"), lEndExcl = col("__r_to_us"),
+      rightKey = intervalKey, rStart = col("__v_from_us"), rEndExcl = col("__v_to_us"),
+      bucketWidth = bucketWidthUs)
+      .drop("__r_from_us", "__r_to_us", "__v_from_us", "__v_to_us")
+  }
+
   def asOfLookup(intervals: DataFrame, intervalKey: Column,
                  points: DataFrame, pointKey: Column, pointTs: Column,
                  bucketWidthUs: Long): DataFrame = {

@@ -59,6 +59,43 @@ object RangeJoin {
       .drop("__gr_bucket")
   }
 
+  /** Inner interval-OVERLAP join: rows (l, r) with
+    * `leftKey === rightKey` and `[lStart, lEndExcl) ∩ [rStart, rEndExcl) ≠ ∅`.
+    *
+    * Same bucketization as [[pointInInterval]], applied to BOTH sides:
+    * each interval replicates into the fixed-width buckets it covers
+    * and the join runs as an equi-join on (key, bucket). A pair of
+    * overlapping intervals co-occurs in EVERY bucket their overlap
+    * spans, so the join condition additionally pins the pair to the
+    * single bucket containing the overlap's start
+    * (`max(lStart, rStart)`) — each qualifying pair emits exactly
+    * once, with no post-join distinct (a distinct here would be a
+    * second shuffle carrying the full payload).
+    *
+    * Zero-length intervals (start >= endExcl) contain no points, so
+    * they are dropped up front — which also keeps the bucket
+    * `sequence()` bounds ordered.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      leftKey: Column, lStart: Column, lEndExcl: Column,
+                      rightKey: Column, rStart: Column, rEndExcl: Column,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, s: Column, e: Column): DataFrame =
+      df.where(s.cast("long") < e.cast("long"))
+        .withColumn("__gr_bucket",
+          explode(sequence(floor(s.cast("long") / bucketWidth),
+            floor((e.cast("long") - 1) / bucketWidth))))
+    val lb = buckets(left, lStart, lEndExcl)
+    val rb = buckets(right, rStart, rEndExcl)
+    lb.join(rb,
+        leftKey === rightKey && lb("__gr_bucket") === rb("__gr_bucket") &&
+          lStart < rEndExcl && rStart < lEndExcl &&
+          lb("__gr_bucket") ===
+            floor(greatest(lStart.cast("long"), rStart.cast("long")) / bucketWidth))
+      .drop("__gr_bucket")
+  }
+
   /** [[pointInInterval]] with the bucket width derived from the
     * interval side's MEDIAN length (one cheap approx-percentile pass
     * over just the two bound columns). Median ≈ the replication

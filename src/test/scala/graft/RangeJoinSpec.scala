@@ -71,6 +71,57 @@ class RangeJoinSpec extends SparkSpec {
       s"range join fell back to nested loop:\n$physical")
   }
 
+  private def leftIv = Seq(
+    (1L, 1L, 0L, 100L),   // overlaps 10 and 11
+    (2L, 1L, 250L, 260L), // overlaps 11 only (10's end is exclusive)
+    (3L, 1L, 300L, 301L), // key 1, past both
+    (4L, 2L, 150L, 150L), // zero-length: overlaps nothing
+    (5L, 2L, 100L, 500L)  // long interval spanning many buckets
+  ).toDF("lid", "lk", "ls", "le")
+
+  test("interval overlap matches the naive formulation, each pair exactly once") {
+    for (width <- Seq(7L, 128L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(leftIv, intervals,
+        leftKey = col("lk"), lStart = col("ls"), lEndExcl = col("le"),
+        rightKey = col("k2"), rStart = col("s"), rEndExcl = col("e"),
+        bucketWidth = width)
+        .select("lid", "iid").as[(Long, Long)].collect().toSeq
+      val naive = leftIv.join(intervals,
+        col("lk") === col("k2") && col("ls") < col("le") && col("s") < col("e") &&
+          col("ls") < col("e") && col("s") < col("le"))
+        .select("lid", "iid").as[(Long, Long)].collect().toSet
+      // set equality AND no per-bucket duplicate rows at any width
+      assert(got.toSet == naive, s"width=$width")
+      assert(got.size == naive.size, s"width=$width: duplicate pairs emitted")
+    }
+  }
+
+  test("interval overlap boundaries: touching intervals do not overlap") {
+    val got = RangeJoin.intervalOverlap(leftIv, intervals,
+      leftKey = col("lk"), lStart = col("ls"), lEndExcl = col("le"),
+      rightKey = col("k2"), rStart = col("s"), rEndExcl = col("e"),
+      bucketWidth = 100)
+      .select("lid", "iid").as[(Long, Long)].collect().toSet
+    // [0,100) vs [100,250): touch at 100, half-open → no overlap
+    assert(!got.contains((1L, 10L)))
+    // [250,260) vs [200,300): real overlap
+    assert(got.contains((2L, 11L)))
+    // zero-length [150,150) never matches, even inside [100,200)
+    assert(!got.exists(_._1 == 4L))
+    // long interval [100,500) × [100,200) overlaps once despite 5 shared buckets
+    assert(got.count(_ == (5L, 12L)) == 1)
+  }
+
+  test("interval overlap plans as an equi-join: no nested loop, no cartesian") {
+    val df = RangeJoin.intervalOverlap(leftIv, intervals,
+      leftKey = col("lk"), lStart = col("ls"), lEndExcl = col("le"),
+      rightKey = col("k2"), rStart = col("s"), rEndExcl = col("e"),
+      bucketWidth = 128)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"), physical)
+  }
+
   test("q_asof_range plan has no nested loop at sf0.001") {
     val df = SparkEntry.queries("q_asof_range")(spark, sfDir)
     val physical = df.queryExecution.executedPlan.toString

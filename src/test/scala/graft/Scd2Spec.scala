@@ -51,4 +51,23 @@ class Scd2Spec extends SparkSpec {
     assert(Scd2.asOfLookup(iv, col("k"), pts, col("pk"), col("pt"),
       bucketWidthUs = 1000000L).isEmpty)
   }
+
+  test("overlappingVersions: cap-sentinel version clamps instead of exploding buckets") {
+    val ranges = Seq(
+      // covers v1's whole life and v2's start
+      (200L, 1L, ts("2024-01-01 06:00:00"), ts("2024-01-02 06:00:00")),
+      // after v2 started: hits only the current (cap-sentinel) version
+      (201L, 1L, ts("2024-01-03 00:00:00"), ts("2024-01-03 01:00:00")),
+      // same-ts superseded version is invisible; 21 matches
+      (202L, 2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00")),
+      // before all history → nothing
+      (203L, 1L, ts("2023-01-01 00:00:00"), ts("2023-01-02 00:00:00"))
+    ).toDF("rid", "rk", "rs", "re")
+    val got = Scd2.overlappingVersions(iv, col("k"),
+      ranges, col("rk"), col("rs"), col("re"),
+      bucketWidthUs = 3600L * 1000000L) // 1h buckets vs a 2099 cap: must clamp
+      .select(col("rid"), col("ev")).as[(Long, Long)].collect().toSeq
+    assert(got.size == got.toSet.size, "duplicate (range, version) pairs")
+    assert(got.toSet == Set((200L, 10L), (200L, 11L), (201L, 11L), (202L, 21L)))
+  }
 }
