@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
 import org.apache.spark.sql.expressions.Window
+import graft.ops.Funnel
 
 /** OLAP query surface (SURVEY §2 section B) — the analytics StarRocks
   * serves over the CDC-materialized tables, expressed Spark-first:
@@ -292,6 +293,37 @@ object QueriesOlap {
       p2.select(col("user_id"),
         (col("s0").isNotNull.cast("long") + col("c1").isNotNull.cast("long") +
           col("p2").isNotNull.cast("long")).as("funnel_depth"))
+        .orderBy(col("user_id"))
+    },
+
+    // B30: same funnel as B29 in ONE aggregation pass (ops.Funnel):
+    // collect each user's (ts, type) list once, evaluate every step as
+    // an array expression — one shuffle, no joins, vs B29's k staged
+    // joins. Hash-matches B29's oracle (value-based step semantics are
+    // identical).
+    "q_funnel_native" -> { (s, dir) =>
+      Funnel.depth(
+          Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type")),
+          keyCol = col("user_id"), tsCol = col("ts"), typeCol = col("event_type"),
+          steps = Seq("signup", "click", "purchase"),
+          window = expr("INTERVAL 1 DAY"), dedup = false)
+        .select(col("key").as("user_id"), col("depth").as("funnel_depth"))
+        .orderBy(col("user_id"))
+    },
+
+    // B31: window_funnel DEDUPLICATION mode — a repeat of an
+    // already-matched step type between two matched steps breaks the
+    // funnel (a second signup before the click, or a second
+    // signup/click between click and purchase). Value-based kill
+    // semantics (candidate must be strictly earlier than the repeat),
+    // so same-timestamp races resolve identically in any engine.
+    "q_window_funnel_dedup" -> { (s, dir) =>
+      Funnel.depth(
+          Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type")),
+          keyCol = col("user_id"), tsCol = col("ts"), typeCol = col("event_type"),
+          steps = Seq("signup", "click", "purchase"),
+          window = expr("INTERVAL 1 DAY"), dedup = true)
+        .select(col("key").as("user_id"), col("depth").as("funnel_depth"))
         .orderBy(col("user_id"))
     },
 
@@ -622,6 +654,46 @@ object QueriesOlap {
         |SELECT user_id,
         |       CAST(s0 IS NOT NULL AS BIGINT) + CAST(c1 IS NOT NULL AS BIGINT) +
         |       CAST(p2 IS NOT NULL AS BIGINT) AS funnel_depth
+        |FROM p ORDER BY user_id""".stripMargin,
+    // B30 shares B29's oracle: the one-pass array formulation and the
+    // staged-join formulation compute the same value-based steps
+    "q_funnel_native" ->
+      """WITH s AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS s0
+        |           FROM events GROUP BY user_id),
+        |c AS (SELECT e.user_id, any_value(s.s0) AS s0,
+        |             min(CASE WHEN e.event_type = 'click' AND e.ts > s.s0
+        |                       AND e.ts <= s.s0 + INTERVAL 1 DAY THEN e.ts END) AS c1
+        |      FROM events e JOIN s USING (user_id) GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, any_value(c.s0) AS s0, any_value(c.c1) AS c1,
+        |             min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.c1
+        |                       AND e.ts <= c.s0 + INTERVAL 1 DAY THEN e.ts END) AS p2
+        |      FROM events e JOIN c USING (user_id) GROUP BY e.user_id)
+        |SELECT user_id,
+        |       CAST(s0 IS NOT NULL AS BIGINT) + CAST(c1 IS NOT NULL AS BIGINT) +
+        |       CAST(p2 IS NOT NULL AS BIGINT) AS funnel_depth
+        |FROM p ORDER BY user_id""".stripMargin,
+    "q_window_funnel_dedup" ->
+      """WITH s AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS s0
+        |           FROM events GROUP BY user_id),
+        |c AS (SELECT e.user_id, any_value(s.s0) AS s0,
+        |             min(CASE WHEN e.event_type = 'click' AND e.ts > s.s0
+        |                       AND e.ts <= s.s0 + INTERVAL 1 DAY THEN e.ts END) AS c1r,
+        |             min(CASE WHEN e.event_type = 'signup' AND e.ts > s.s0
+        |                       AND e.ts <= s.s0 + INTERVAL 1 DAY THEN e.ts END) AS k1
+        |      FROM events e JOIN s USING (user_id) GROUP BY e.user_id),
+        |c2 AS (SELECT user_id, s0,
+        |              CASE WHEN c1r IS NOT NULL AND (k1 IS NULL OR c1r < k1)
+        |                   THEN c1r END AS c1
+        |       FROM c),
+        |p AS (SELECT e.user_id, any_value(c2.s0) AS s0, any_value(c2.c1) AS c1,
+        |             min(CASE WHEN e.event_type = 'purchase' AND e.ts > c2.c1
+        |                       AND e.ts <= c2.s0 + INTERVAL 1 DAY THEN e.ts END) AS p2r,
+        |             min(CASE WHEN e.event_type IN ('signup', 'click') AND e.ts > c2.c1
+        |                       AND e.ts <= c2.s0 + INTERVAL 1 DAY THEN e.ts END) AS k2
+        |      FROM events e JOIN c2 USING (user_id) GROUP BY e.user_id)
+        |SELECT user_id,
+        |       CAST(s0 IS NOT NULL AS BIGINT) + CAST(c1 IS NOT NULL AS BIGINT) +
+        |       CAST(p2r IS NOT NULL AND (k2 IS NULL OR p2r < k2) AS BIGINT) AS funnel_depth
         |FROM p ORDER BY user_id""".stripMargin,
     "q_retention" ->
       """WITH s AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS s0

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Funnel
+
+/** One-pass funnel semantics: anchor choice, window bound, strict
+  * ordering, dedup-mode kills (incl. same-timestamp ties), and
+  * equivalence with the staged-join formulation on the corpus. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private val steps = Seq("signup", "click", "purchase")
+  private val day = expr("INTERVAL 1 DAY")
+
+  private def depths(rows: Seq[(Long, java.sql.Timestamp, String)],
+                     dedup: Boolean): Map[Long, Long] =
+    Funnel.depth(rows.toDF("u", "t", "et"),
+        keyCol = col("u"), tsCol = col("t"), typeCol = col("et"),
+        steps = steps, window = day, dedup = dedup)
+      .select(col("key"), col("depth")).as[(Long, Long)].collect().toMap
+
+  test("full funnel, window bound, and strict ordering") {
+    val rows = Seq(
+      // u1: clean signup → click → purchase inside the window
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 01:00:00"), "click"),
+      (1L, ts("2024-01-01 02:00:00"), "purchase"),
+      // u2: purchase lands past the 1-day window from the anchor
+      (2L, ts("2024-01-01 00:00:00"), "signup"),
+      (2L, ts("2024-01-01 01:00:00"), "click"),
+      (2L, ts("2024-01-02 00:00:01"), "purchase"),
+      // u3: click BEFORE signup does not count; none after
+      (3L, ts("2024-01-01 00:00:00"), "click"),
+      (3L, ts("2024-01-01 01:00:00"), "signup"),
+      // u4: no signup at all → depth 0
+      (4L, ts("2024-01-01 00:00:00"), "purchase"),
+      // u5: window is anchored at the FIRST signup, so a click 2 days
+      // later is out even though a second signup is nearer to it
+      (5L, ts("2024-01-01 00:00:00"), "signup"),
+      (5L, ts("2024-01-02 12:00:00"), "signup"),
+      (5L, ts("2024-01-02 13:00:00"), "click"))
+    val got = depths(rows, dedup = false)
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+  }
+
+  test("window boundary is inclusive; same-ts step does not satisfy strict order") {
+    val rows = Seq(
+      // click exactly at anchor + 1 day: included (<=)
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-02 00:00:00"), "click"),
+      // click at the same instant as signup: ts > s0 fails
+      (2L, ts("2024-01-01 00:00:00"), "signup"),
+      (2L, ts("2024-01-01 00:00:00"), "click"))
+    val got = depths(rows, dedup = false)
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("dedup mode: repeats between matched steps break the funnel") {
+    val rows = Seq(
+      // u1: second signup between signup and click → stuck at 1
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 00:30:00"), "signup"),
+      (1L, ts("2024-01-01 01:00:00"), "click"),
+      // u2: second click between click and purchase → stuck at 2
+      (2L, ts("2024-01-01 00:00:00"), "signup"),
+      (2L, ts("2024-01-01 01:00:00"), "click"),
+      (2L, ts("2024-01-01 02:00:00"), "click"),
+      (2L, ts("2024-01-01 03:00:00"), "purchase"),
+      // u3: repeat AFTER completion is irrelevant
+      (3L, ts("2024-01-01 00:00:00"), "signup"),
+      (3L, ts("2024-01-01 01:00:00"), "click"),
+      (3L, ts("2024-01-01 02:00:00"), "purchase"),
+      (3L, ts("2024-01-01 03:00:00"), "signup"),
+      // u4: tie — click and a second signup at the same instant: the
+      // candidate is not strictly earlier than the repeat → killed
+      (4L, ts("2024-01-01 00:00:00"), "signup"),
+      (4L, ts("2024-01-01 01:00:00"), "signup"),
+      (4L, ts("2024-01-01 01:00:00"), "click"),
+      // u5: repeat outside the window cannot kill
+      (5L, ts("2024-01-01 00:00:00"), "signup"),
+      (5L, ts("2024-01-01 01:00:00"), "click"),
+      (5L, ts("2024-01-03 00:00:00"), "signup"))
+    val got = depths(rows, dedup = true)
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L, 5L -> 2L))
+    // without dedup, u1/u2/u4 complete further
+    val plain = depths(rows, dedup = false)
+    assert(plain == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("one-pass funnel equals the staged-join formulation on the corpus") {
+    val native = SparkEntry.queries("q_funnel_native")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val staged = SparkEntry.queries("q_window_funnel")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(native == staged && native.nonEmpty)
+  }
+
+  test("one-pass plan is a single aggregation: no joins") {
+    val df = SparkEntry.queries("q_funnel_native")(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Join"), s"expected a join-free plan:\n$physical")
+  }
+}
