@@ -221,13 +221,17 @@ object QueriesCdc {
     },
 
     // A19: DECIMAL through PK compaction — latest-wins upsert keeps the
-    // decimal column exact end-to-end
+    // decimal column exact end-to-end. The DECIMAL(10,2) flows through
+    // the compaction untouched; the EXPORT is integer cents (decimal
+    // parquet physical encodings differ across engines and defeated
+    // value-level hash comparison twice — integers are
+    // representation-unambiguous).
     "cdc_decimal_upsert" -> { (s, dir) =>
       val chg = changelog(s, dir).withColumn("amount", decimalAmount(col("event_id")))
       PkTable.compact(chg, Seq("user_id"),
         Seq(col("ts"), col("event_id")), col("op") === Envelope.OpDelete)
         .select(col("user_id"),
-          col("amount").cast(DecimalType(18, 2)).as("last_amount"))
+          (col("amount") * 100).cast("long").as("last_amount_cents"))
         .orderBy(col("user_id"))
     },
 
@@ -447,7 +451,7 @@ object QueriesCdc {
          |count(*) AS n
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "cdc_decimal_upsert" ->
-      s"""SELECT user_id, CAST(${decimalAmountSql("event_id")} AS DECIMAL(18,2)) AS last_amount
+      s"""SELECT user_id, CAST(${decimalAmountSql("event_id")} * 100 AS BIGINT) AS last_amount_cents
          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
          |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "cdc_snapshot_then_merge" ->
