@@ -105,56 +105,157 @@ object PkTableSink {
     }
   }
 
-  /** Transactional multi-writer merge on a [[TxLog]]-backed table:
-    * write the merged snapshot to a writer-unique immutable data dir,
-    * then claim the next log version with a create-exclusive manifest.
-    * Losing a commit race costs a re-merge against the winner's
-    * snapshot (optimistic concurrency), never a torn table or a lost
-    * batch; readers resolve the highest fully-written manifest
-    * throughout. Returns the committed version.
+  /** Transactional multi-writer merge on a [[TxLog]]-backed table,
+    * MERGE-ON-READ: a commit writes ONLY its batch (compacted to one
+    * row per key) as a delta dir and claims the next log version with
+    * a create-exclusive manifest carrying base + ordered deltas
+    * forward. Readers apply latest-per-key over base ∪ deltas (the
+    * manifest stores the key/version columns, so the log is
+    * self-describing); [[compactTx]] folds deltas back into a fresh
+    * base on a count trigger. Losing a commit race costs a rewrite of
+    * the (batch-sized) delta, never a torn table or a lost batch.
+    * Returns the committed version.
     *
-    * Scale notes: retry cost is one extra merge+write of the
-    * already-planned batch — no global lock is ever held across the
-    * (long) data write, only across the (tiny) manifest create, so N
-    * concurrent writers serialize on metadata, not on data I/O. This
-    * is the Delta/Iceberg commit shape, which is what survives many
-    * concurrent ingest jobs on a 100 TB table.
+    * Scale notes: commit I/O is proportional to the BATCH, not the
+    * table — the copy-on-write alternative (re-merge + rewrite the
+    * full snapshot per commit) is an O(table) read+write per
+    * micro-batch, which no 100 TB table survives. The trade is a
+    * read-time merge (one hash aggregation over base ∪ deltas), which
+    * auto-compaction keeps bounded at `compactAfterDeltas` layers.
+    * No global lock is ever held across the data write, only across
+    * the (tiny) manifest create, so N concurrent writers serialize on
+    * metadata, not on data I/O — the Delta/Iceberg deletion-vector /
+    * StarRocks PK-table merge-on-read shape.
     */
   // tombstone marker persisted in TxLog-backed tables: concurrent
   // writers commit in arbitrary order relative to the VERSIONS they
   // carry, so the merge must be version-respecting (latestPerKey, not
   // the epoch-stamped snapshotMerge) and deletes must survive as
   // stored tombstones — otherwise a commit carrying an older insert
-  // resurrects a key a newer version already deleted.
+  // resurrects a key a newer version already deleted. Tombstones also
+  // survive COMPACTION for the same reason.
   private val Tombstone = "__graft_deleted"
+  // manifest meta keys persisting the merge configuration
+  private val MetaKeys = "keys"
+  private val MetaVers = "vers"
+  // per-commit layering order for the read-time merge: among EQUAL
+  // versions of a key, the later commit wins (deterministic, where
+  // copy-on-write tie-break was unspecified)
+  private val CommitSeq = "__graft_commit_seq"
+
+  private def metaOf(keyCols: Seq[String], versionCols: Seq[String]): Map[String, String] = {
+    (keyCols ++ versionCols).foreach(c => require(
+      !c.exists(ch => ch == ',' || ch == '=' || ch == '\n'),
+      s"key/version column name '$c' unusable in a manifest"))
+    Map(MetaKeys -> keyCols.mkString(","), MetaVers -> versionCols.mkString(","))
+  }
+
+  /** Latest-per-key view of base ∪ deltas (tombstones retained). */
+  private def mergeDirs(spark: SparkSession, dirs: Seq[String],
+                        meta: Map[String, String]): DataFrame = {
+    if (dirs.size == 1) spark.read.parquet(dirs.head)
+    else {
+      val keys = meta.getOrElse(MetaKeys, throw new IllegalStateException(
+        "manifest has deltas but no stored key columns")).split(",").toSeq
+      val vers = meta(MetaVers).split(",").toSeq
+      val layered = dirs.zipWithIndex
+        .map { case (d, i) => spark.read.parquet(d).withColumn(CommitSeq, lit(i.toLong)) }
+        .reduce(_ unionByName _)
+      PkTable.latestPerKey(layered, keys, vers.map(col) :+ col(CommitSeq))
+        .drop(CommitSeq)
+    }
+  }
+
+  private def mergedTx(spark: SparkSession, m: TxLog.Manifest): DataFrame =
+    mergeDirs(spark, m.dataDir +: m.deltas, m.meta)
 
   /** @param recoverTornAfterMs reclaim a crashed writer's torn
     *   manifest claim older than this before retrying (a live writer's
     *   create→content window is milliseconds; default 60 s is far past
-    *   any real flush) */
+    *   any real flush)
+    * @param compactAfterDeltas fold deltas into a new base once this
+    *   many layers accumulate (post-commit, its own transaction);
+    *   `Int.MaxValue` disables — run [[compactTx]] as maintenance */
   def mergeTx(spark: SparkSession, root: String, changes: DataFrame,
               keyCols: Seq[String], versionCols: Seq[String], deleteFlag: String,
               writer: String, maxAttempts: Int = 5,
-              recoverTornAfterMs: Long = 60000L): Long = {
-    val chg = changes.withColumn(Tombstone, coalesce(col(deleteFlag), lit(false)))
-      .drop(deleteFlag)
-    TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
-      val current = base match {
-        case Some(m) => spark.read.parquet(m.dataDir)
-        case None    => chg.limit(0)
-      }
-      val merged = PkTable.latestPerKey(current.unionByName(chg),
-        keyCols, versionCols.map(col))
+              recoverTornAfterMs: Long = 60000L,
+              compactAfterDeltas: Int = 32): Long = {
+    // one row per key per delta: read-time merge cost scales with keys
+    // TOUCHED per commit, not rows ingested
+    val chg = PkTable.latestPerKey(
+      changes.withColumn(Tombstone, coalesce(col(deleteFlag), lit(false)))
+        .drop(deleteFlag),
+      keyCols, versionCols.map(col))
+    val meta = metaOf(keyCols, versionCols)
+    val v = TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       val next = base.map(_.version + 1).getOrElse(0L)
       // unique nonce: two writers (even misconfigured with the SAME
       // writer tag) can never share a snapshot dir, so the loser's
       // orphan cleanup can only ever delete its own files
       val nonce = java.util.UUID.randomUUID().toString.take(8)
-      val dataDir = s"$root/t$next-$writer-$nonce"
-      merged.write.mode(SaveMode.Overwrite).parquet(dataDir)
-      (dataDir, Map.empty[String, String], Seq(dataDir))
+      base match {
+        case None =>
+          val dataDir = s"$root/t$next-$writer-$nonce"
+          chg.write.mode(SaveMode.Overwrite).parquet(dataDir)
+          TxLog.Prepared(dataDir = dataDir, meta = meta, written = Seq(dataDir))
+        case Some(m) =>
+          m.meta.get(MetaKeys).foreach(k => require(k == meta(MetaKeys) &&
+            m.meta(MetaVers) == meta(MetaVers),
+            s"mergeTx key/version columns differ from the table's " +
+              s"(stored keys=$k vers=${m.meta(MetaVers)})"))
+          val deltaDir = s"$root/d$next-$writer-$nonce"
+          chg.write.mode(SaveMode.Overwrite).parquet(deltaDir)
+          TxLog.Prepared(dataDir = m.dataDir, deltas = m.deltas :+ deltaDir,
+            meta = meta, written = Seq(deltaDir))
+      }
     }
+    if (TxLog.current(spark, root).exists(_.deltas.size >= compactAfterDeltas))
+      compactTx(spark, root, writer, minDeltas = compactAfterDeltas,
+        maxAttempts = maxAttempts, recoverTornAfterMs = recoverTornAfterMs)
+    v
   }
+
+  private final case class CompactSkip(version: Long) extends RuntimeException
+
+  /** Fold base + deltas into ONE fresh base dir, bin-packed to
+    * `targetRowsPerFile` and RANGE-SORTED by the table's key columns —
+    * each output file covers a disjoint key range, so parquet
+    * column-index min/max stats prune point/range lookups to the files
+    * that can match (the small-files cure and the sorted-layout
+    * optimization in one rewrite). Tombstones are RETAINED: a later
+    * commit may still carry an older version of a deleted key, and
+    * only the stored tombstone stops its resurrection. Conflict-safe —
+    * a retry re-reads the winner's manifest, so a concurrent delta
+    * commit is folded in, never dropped.
+    *
+    * @param minDeltas skip (returning the current version, no commit)
+    *   unless at least this many deltas are stacked — lets concurrent
+    *   auto-compacting writers not compact twice */
+  def compactTx(spark: SparkSession, root: String, writer: String,
+                minDeltas: Int = 0, targetRowsPerFile: Long = 4L << 20,
+                maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L): Long =
+    try TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
+      val m = requireSingleTable(base.getOrElse(throw new IllegalStateException(
+        s"compactTx: no committed version under $root")), root)
+      if (m.deltas.size < minDeltas) throw CompactSkip(m.version)
+      val merged = mergedTx(spark, m)
+      val next = m.version + 1
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val dataDir = s"$root/t$next-$writer-$nonce"
+      // count pass sizes the bin-packing; compaction is already an
+      // O(live keys) rewrite, one extra aggregate-only pass is noise
+      val rows = merged.count()
+      val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val keyCols = m.meta.get(MetaKeys).map(_.split(",").toSeq).getOrElse(Nil)
+      val packed =
+        if (keyCols.nonEmpty)
+          merged.repartitionByRange(nFiles, keyCols.map(col): _*)
+            .sortWithinPartitions(keyCols.map(col): _*)
+        else merged.repartition(nFiles)
+      packed.write.mode(SaveMode.Overwrite).parquet(dataDir)
+      TxLog.Prepared(dataDir = dataDir, meta = m.meta, written = Seq(dataDir))
+    } catch { case CompactSkip(v) => v }
 
   /** One table's batch inside a multi-table transactional commit. */
   final case class TableBatch(changes: DataFrame, keyCols: Seq[String],

@@ -43,10 +43,28 @@ object TxLog {
     *   manifest listing tables flips ALL of them atomically — readers
     *   of one version see a cross-table-consistent snapshot (the
     *   property single-table logs can't give a pipeline loading
-    *   several tables from one source). */
+    *   several tables from one source).
+    * @param deltas merge-on-read: ordered delta dirs layered over
+    *   `dataDir` (the base). A commit that appends a delta carries the
+    *   base and earlier deltas FORWARD — data dirs are shared across
+    *   versions, so retention must reference-count, never age out by
+    *   version alone.
+    * @param meta small table metadata (e.g. the PK/version columns a
+    *   reader needs to merge base ∪ deltas) — the log is
+    *   self-describing, readers need no out-of-band schema. */
   final case class Manifest(version: Long, dataDir: String,
                             baseVersion: Long, writer: String,
-                            tables: Map[String, String] = Map.empty)
+                            tables: Map[String, String] = Map.empty,
+                            deltas: Seq[String] = Nil,
+                            meta: Map[String, String] = Map.empty)
+
+  /** What one commit attempt prepared: the manifest payload plus the
+    * dirs this attempt wrote (deleted if the claim is lost). */
+  final case class Prepared(dataDir: String = "",
+                            tables: Map[String, String] = Map.empty,
+                            deltas: Seq[String] = Nil,
+                            meta: Map[String, String] = Map.empty,
+                            written: Seq[String] = Nil)
 
   private val LogDir = "_log"
 
@@ -83,19 +101,33 @@ object TxLog {
     if (!kv.get("ok").contains("true")) None // torn read: commit in flight
     else for { data <- kv.get("data"); base <- kv.get("base"); w <- kv.get("writer") }
       yield Manifest(version, data, base.toLong, w,
-        kv.collect { case (k, v) if k.startsWith("t.") => k.drop(2) -> v })
+        kv.collect { case (k, v) if k.startsWith("t.") => k.drop(2) -> v },
+        kv.get("deltas").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+        kv.collect { case (k, v) if k.startsWith("k.") => k.drop(2) -> v })
   }
 
   /** Atomically claim `m.version`. Returns false when another writer
-    * holds it — the caller re-reads current and retries. */
+    * holds it — the caller re-reads current and retries.
+    *
+    * After writing the body the manifest is RE-READ and must match:
+    * [[reclaimTorn]] may steal the claim of a live writer stalled past
+    * the grace between its create and its content write (long GC / FS
+    * stall); that writer's write then lands on an unlinked file (or a
+    * rival's fresh claim occupies the path). Without the read-back it
+    * would report success while its batch is silently lost. The check
+    * costs one read of a manifest-sized file. */
   def tryCommit(spark: SparkSession, root: String, m: Manifest): Boolean = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(s"$root/$LogDir"))
     val tableLines = m.tables.toSeq.sortBy(_._1)
       .map { case (t, d) => s"t.$t=$d\n" }.mkString
+    val deltaLine =
+      if (m.deltas.isEmpty) "" else s"deltas=${m.deltas.mkString(",")}\n"
+    val metaLines = m.meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"k.$k=$v\n" }.mkString
     val body =
-      s"data=${m.dataDir}\nbase=${m.baseVersion}\nwriter=${m.writer}\n$tableLines" +
-        "ok=true\n"
+      s"data=${m.dataDir}\nbase=${m.baseVersion}\nwriter=${m.writer}\n" +
+        deltaLine + metaLines + tableLines + "ok=true\n"
     lockFor(root).synchronized {
       val p = manifestPath(root, m.version)
       if (fs.exists(p)) false
@@ -106,7 +138,8 @@ object TxLog {
           case None => false
           case Some(out) =>
             try out.write(body.getBytes("UTF-8")) finally out.close()
-            true
+            // read-back: our content, at the path, fully committed
+            read(fs, root, m.version).contains(m)
         }
       }
     }
@@ -147,17 +180,24 @@ object TxLog {
     * and re-runs `work` against the winner's manifest. */
   def commitWith(spark: SparkSession, root: String, writer: String,
                  maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L)(
-      work: Option[Manifest] => (String, Map[String, String], Seq[String])): Long = {
+      work: Option[Manifest] => Prepared): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = current(spark, root)
-      val (dataDir, tables, written) = work(base)
+      val prep = work(base)
+      prep.deltas.foreach(d => require(
+        d.nonEmpty && !d.contains(",") && !d.contains("\n"),
+        s"invalid delta dir '$d'"))
+      prep.meta.foreach { case (k, v) => require(
+        k.nonEmpty && !k.contains("=") && !k.contains("\n") && !v.contains("\n"),
+        s"invalid manifest meta '$k'='$v'") }
       val next = base.map(_.version + 1).getOrElse(0L)
       if (tryCommit(spark, root,
-          Manifest(next, dataDir, base.map(_.version).getOrElse(-1L), writer, tables)))
+          Manifest(next, prep.dataDir, base.map(_.version).getOrElse(-1L), writer,
+            prep.tables, prep.deltas, prep.meta)))
         return next
       val fs = fsOf(spark, root)
-      written.foreach(d => fs.delete(new Path(d), true))
+      prep.written.foreach(d => fs.delete(new Path(d), true))
       if (at(spark, root, next).isEmpty)
         reclaimTorn(spark, root, next, recoverTornAfterMs)
       attempt += 1
