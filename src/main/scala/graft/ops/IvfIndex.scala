@@ -55,7 +55,7 @@ object IvfIndex {
     require(!root.contains(","), s"index root may not contain ',': $root")
     TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       val (tables, written) = work(base)
-      ("", tables, written)
+      TxLog.Prepared(tables = tables, written = written)
     }
   }
 

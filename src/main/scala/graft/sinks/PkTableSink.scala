@@ -301,7 +301,7 @@ object PkTableSink {
         merged.write.mode(SaveMode.Overwrite).parquet(dir)
         t -> dir
       }
-      ("", prevTables ++ newDirs, newDirs.values.toSeq)
+      TxLog.Prepared(tables = prevTables ++ newDirs, written = newDirs.values.toSeq)
     }
   }
 
@@ -359,39 +359,47 @@ object PkTableSink {
     m
   }
 
-  /** Current LIVE contents of a [[TxLog]]-backed table — stored
+  /** Current LIVE contents of a [[TxLog]]-backed table — the
+    * merge-on-read view (latest-per-key over base ∪ deltas), stored
     * tombstones filtered out (empty frame with `schemaOf`'s schema if
     * no version is committed yet). */
   def readTx(spark: SparkSession, root: String, schemaOf: => DataFrame): DataFrame =
     TxLog.current(spark, root) match {
-      case Some(m) =>
-        dropTombstones(spark.read.parquet(requireSingleTable(m, root).dataDir))
-      case None => schemaOf.limit(0)
+      case Some(m) => dropTombstones(mergedTx(spark, requireSingleTable(m, root)))
+      case None    => schemaOf.limit(0)
     }
 
   /** Live contents as of a specific committed version (time travel). */
   def readTxAt(spark: SparkSession, root: String, version: Long): DataFrame =
     TxLog.at(spark, root, version) match {
-      case Some(m) =>
-        dropTombstones(spark.read.parquet(requireSingleTable(m, root).dataDir))
+      case Some(m) => dropTombstones(mergedTx(spark, requireSingleTable(m, root)))
       case None => throw new IllegalArgumentException(
         s"no committed version $version under $root")
     }
 
-  /** Retention for [[TxLog]]-backed tables: drop data dirs (and
-    * manifests) older than the `keepVersions` most recent commits.
-    * Data dirs are immutable and manifest-referenced, so deleting a
-    * version only affects readers time-traveling to it. Returns the
-    * versions removed. */
+  /** Retention for [[TxLog]]-backed tables: drop manifests older than
+    * the `keepVersions` most recent commits, then delete only data/
+    * delta dirs NO KEPT manifest still references. Merge-on-read
+    * shares the base (and earlier deltas) across versions — a delta
+    * commit carries them forward — so deletion must reference-count,
+    * never age out a dir by the version that first wrote it. Returns
+    * the versions removed. */
   def vacuumTx(spark: SparkSession, root: String, keepVersions: Int = 2): Seq[Long] = {
     require(keepVersions >= 1, "must keep at least the current version")
     val fs = fsOf(spark, root)
     val all = TxLog.versions(spark, root)
     // fail fast BEFORE any destructive step if this is a group/index
-    // root — those share data dirs across versions and need the
-    // reference-counted vacuum
+    // root — those need the group vacuum's table-dir handling
     all.flatMap(v => TxLog.at(spark, root, v)).foreach(requireSingleTable(_, root))
+    def dirsOf(m: TxLog.Manifest): Seq[String] = m.dataDir +: m.deltas
     val victims = all.dropRight(keepVersions)
+    // a destructive op must be FAIL-SAFE on read errors: a kept
+    // manifest that can't be re-read would silently drop its dirs
+    // from the reference count and let the loop delete live data
+    val keptDirs = all.takeRight(keepVersions)
+      .map(v => TxLog.at(spark, root, v).getOrElse(throw new IllegalStateException(
+        s"vacuumTx: kept manifest $v under $root is unreadable — aborting")))
+      .flatMap(dirsOf).toSet
     victims.foreach { v =>
       // manifest FIRST, and only touch data once the manifest is
       // confirmed gone: a crash or failed delete must leave an
@@ -399,7 +407,8 @@ object PkTableSink {
       // at deleted data
       val m = TxLog.at(spark, root, v)
       if (TxLog.delete(spark, root, v))
-        m.foreach(mf => fs.delete(new org.apache.hadoop.fs.Path(mf.dataDir), true))
+        m.foreach(mf => dirsOf(mf).filterNot(keptDirs)
+          .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true)))
     }
     victims
   }

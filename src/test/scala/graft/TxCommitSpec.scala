@@ -208,8 +208,16 @@ class TxCommitSpec extends SparkSpec {
     assert(removed == Seq(0L, 1L))
     assert(TxLog.versions(spark, root) == Seq(2L, 3L))
     assert(PkTableSink.readTx(spark, root, batch().drop("del")).count() == 4L)
-    // vacuumed data dirs are gone from disk
-    val dirs = new java.io.File(root).listFiles().map(_.getName).toSet
-    assert(!dirs.exists(_.startsWith("t0-")) && !dirs.exists(_.startsWith("t1-")))
+    // merge-on-read shares the base across versions: kept manifests
+    // still reference t0, so vacuum must NOT delete it (only the
+    // victims' manifests go)
+    def dirs() = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(dirs().exists(_.startsWith("t0-")))
+    // compaction folds base+deltas into a fresh base; a second vacuum
+    // then reference-counts the old base and deltas out of existence
+    PkTableSink.compactTx(spark, root, writer = "w1")
+    PkTableSink.vacuumTx(spark, root, keepVersions = 1)
+    assert(!dirs().exists(_.startsWith("t0-")) && !dirs().exists(_.startsWith("d")))
+    assert(PkTableSink.readTx(spark, root, batch().drop("del")).count() == 4L)
   }
 }
