@@ -198,6 +198,83 @@ class TxCommitSpec extends SparkSpec {
     assert(readT("a").count() == 2 && readT("b").count() == 2)
   }
 
+  test("tx: merge-on-read commit I/O is proportional to the batch, not the table") {
+    val root = tmpRoot("txmor")
+    // big-ish base: 10k keys
+    val base = spark.range(10000)
+      .select(col("id"), lit(1L).as("ver"), concat(lit("r"), col("id")).as("v"),
+        lit(false).as("del"))
+    PkTableSink.mergeTx(spark, root, base, Seq("id"), Seq("ver"), "del", writer = "w1")
+    val fs = new java.io.File(root)
+    def snapshot(prefix: String) = fs.listFiles().filter(_.getName.startsWith(prefix))
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified())).toSet
+    val baseFiles = snapshot("t0-")
+    assert(baseFiles.nonEmpty)
+    // commit a 3-row batch: base dir must be byte-identical (no rewrite),
+    // and the new delta must hold exactly the batch's keys
+    PkTableSink.mergeTx(spark, root, batch((1L, 2L, "upd", false), (2L, 2L, "x", true),
+      (20000L, 1L, "new", false)), Seq("id"), Seq("ver"), "del", writer = "w1")
+    assert(snapshot("t0-") == baseFiles, "delta commit rewrote the base snapshot")
+    val deltaDirs = fs.listFiles().filter(_.getName.startsWith("d1-"))
+    assert(deltaDirs.length == 1)
+    assert(spark.read.parquet(deltaDirs.head.getPath).count() == 3L)
+    // and the merged view is correct: 10000 - 1 delete + 1 insert
+    val t = PkTableSink.readTx(spark, root, base.drop("del"))
+    assert(t.count() == 10000L)
+    assert(t.where(col("id") === 1L).select("v").as[String].head() == "upd")
+  }
+
+  test("tx: merge-on-read view equals the copy-on-write single-writer merge") {
+    // same version-ordered batches through both paths, with updates and
+    // a delete. (Out-of-order batches diverge by design: snapshotMerge
+    // is epoch-stamped — arrival order wins, the binlog contract —
+    // while the multi-writer tx path is version-respecting with stored
+    // tombstones, tested below.)
+    val batches = Seq(
+      batch((1L, 1L, "a1", false), (2L, 1L, "b1", false), (3L, 1L, "c1", false)),
+      batch((2L, 2L, "b2", false), (4L, 1L, "d1", false)),
+      batch((2L, 3L, "b3", false), (3L, 2L, "c2", true)),   // b → b3; c deleted
+      batch((5L, 1L, "e1", false)))
+    val cowRoot = tmpRoot("txcow")
+    val morRoot = tmpRoot("txmor2")
+    batches.foreach { b =>
+      PkTableSink.merge(spark, cowRoot, b, Seq("id"), Seq("ver"), "del")
+      PkTableSink.mergeTx(spark, morRoot, b, Seq("id"), Seq("ver"), "del", writer = "w1")
+    }
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").select("id", "ver", "v").as[(Long, Long, String)].collect().toSeq
+    val cow = dump(PkTableSink.read(spark, cowRoot, batches.head.drop("del")))
+    val mor = dump(PkTableSink.readTx(spark, morRoot, batches.head.drop("del")))
+    assert(mor == cow)
+    // and compaction preserves the view exactly
+    PkTableSink.compactTx(spark, morRoot, writer = "w1")
+    assert(dump(PkTableSink.readTx(spark, morRoot, batches.head.drop("del"))) == cow)
+  }
+
+  test("tx: stored tombstones stop an older straggler resurrecting a deleted key") {
+    val root = tmpRoot("txstraggler")
+    PkTableSink.mergeTx(spark, root, batch((3L, 2L, "c2", true)),
+      Seq("id"), Seq("ver"), "del", writer = "w1")
+    // older version of the deleted key arrives late (commit order ≠
+    // version order under concurrent writers)
+    PkTableSink.mergeTx(spark, root, batch((3L, 1L, "c1", false)),
+      Seq("id"), Seq("ver"), "del", writer = "w2")
+    assert(PkTableSink.readTx(spark, root, batch().drop("del")).count() == 0L)
+    // the tombstone survives compaction too
+    PkTableSink.compactTx(spark, root, writer = "w1")
+    assert(PkTableSink.readTx(spark, root, batch().drop("del")).count() == 0L)
+  }
+
+  test("tx: auto-compaction folds deltas at the threshold") {
+    val root = tmpRoot("txauto")
+    (1 to 6).foreach(i => PkTableSink.mergeTx(spark, root,
+      batch((i.toLong, 1L, s"v$i", false)), Seq("id"), Seq("ver"), "del",
+      writer = "w1", compactAfterDeltas = 3))
+    val m = TxLog.current(spark, root).get
+    assert(m.deltas.size < 3, s"auto-compaction never fired: ${m.deltas.size} deltas")
+    assert(PkTableSink.readTx(spark, root, batch().drop("del")).count() == 6L)
+  }
+
   test("tx: vacuum drops old versions, keeps recent, current stays readable") {
     val root = tmpRoot("txvac")
     (1 to 4).foreach(i =>
