@@ -327,6 +327,22 @@ object QueriesOlap {
         .orderBy(col("user_id"))
     },
 
+    // B32: upstream window_funnel semantics — EVERY signup is a
+    // candidate anchor and the best depth wins (the single-anchor
+    // variants above score signup@d1, signup@d3, click@d3+1h as 1;
+    // StarRocks/ClickHouse — and this query — score it 2). Same
+    // one-shuffle collected-list shape; each anchor re-scans the
+    // per-key step-typed array.
+    "q_window_funnel_multi" -> { (s, dir) =>
+      Funnel.depthMax(
+          Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type")),
+          keyCol = col("user_id"), tsCol = col("ts"), typeCol = col("event_type"),
+          steps = Seq("signup", "click", "purchase"),
+          window = expr("INTERVAL 1 DAY"), dedup = false)
+        .select(col("key").as("user_id"), col("depth").as("funnel_depth"))
+        .orderBy(col("user_id"))
+    },
+
     // B28: sequential funnel retention (StarRocks retention()/
     // window_funnel analogue): per user, r1 = ever signed up, r2 =
     // purchased AFTER the first signup, r3 = errored AFTER that first
@@ -695,6 +711,27 @@ object QueriesOlap {
         |       CAST(s0 IS NOT NULL AS BIGINT) + CAST(c1 IS NOT NULL AS BIGINT) +
         |       CAST(p2r IS NOT NULL AND (k2 IS NULL OR p2r < k2) AS BIGINT) AS funnel_depth
         |FROM p ORDER BY user_id""".stripMargin,
+    // B32: per-anchor trial funnels, max depth wins; users who never
+    // fire the anchor step score 0
+    "q_window_funnel_multi" ->
+      """WITH anchors AS (SELECT user_id, ts AS a FROM events WHERE event_type = 'signup'),
+        |c AS (SELECT an.user_id, an.a, min(e.ts) AS c1
+        |      FROM anchors an LEFT JOIN events e
+        |        ON e.user_id = an.user_id AND e.event_type = 'click'
+        |       AND e.ts > an.a AND e.ts <= an.a + INTERVAL 1 DAY
+        |      GROUP BY an.user_id, an.a),
+        |p AS (SELECT c.user_id, c.a, c.c1, min(e.ts) AS p2
+        |      FROM c LEFT JOIN events e
+        |        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+        |       AND e.ts > c.c1 AND e.ts <= c.a + INTERVAL 1 DAY
+        |      GROUP BY c.user_id, c.a, c.c1),
+        |d AS (SELECT user_id,
+        |             1 + CAST(c1 IS NOT NULL AS BIGINT) + CAST(p2 IS NOT NULL AS BIGINT) AS dep
+        |      FROM p),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, CAST(coalesce(max(d.dep), 0) AS BIGINT) AS funnel_depth
+        |FROM u LEFT JOIN d USING (user_id)
+        |GROUP BY u.user_id ORDER BY user_id""".stripMargin,
     "q_retention" ->
       """WITH s AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS s0
         |           FROM events GROUP BY user_id),

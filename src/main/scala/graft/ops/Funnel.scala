@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   * minimum qualifying timestamp), not scan-order-based, so results are
   * deterministic even when distinct events share a timestamp.
   *
-  * Step rules, mirroring window_funnel:
-  *  - the anchor is the key's FIRST step-0 event (no window bound);
+  * Step rules:
+  *  - [[depth]] anchors at the key's FIRST step-0 event (no window
+  *    bound) — simpler and cheaper, but NOT upstream window_funnel
+  *    semantics: signup@d1, signup@d3, click@d3+1h scores 1 here;
+  *  - [[depthMax]] evaluates EVERY step-0 event as a candidate anchor
+  *    and returns the maximum depth any anchor reaches — the
+  *    StarRocks/ClickHouse window_funnel contract (the example above
+  *    scores 2);
   *  - step i (i ≥ 1) is the first step-i event strictly after step
   *    i−1 and within `window` of the anchor;
   *  - `dedup` mode (window_funnel's DEDUPLICATION): a repeat of any
@@ -25,50 +31,106 @@ import org.apache.spark.sql.functions._
   *    i — ties break (a candidate at the same timestamp as a repeat
   *    does not count).
   *
-  * Scale shape: the collected list is per-key and bounded by per-key
-  * activity — the same working-set assumption any per-user funnel
-  * carries. Memory-bound keys (bot-grade event counts) should be
-  * capped upstream or routed to the staged twin, which never
-  * materializes a key's events together.
+  * Scale shape: only STEP-TYPED events are collected (the step and
+  * dedup predicates inspect nothing else, so the pre-filter is
+  * lossless) — a key's list is bounded by its funnel-relevant
+  * activity, not its raw event volume. For adversarial keys that are
+  * bot-grade even after the filter, `maxEventsPerKey` hard-caps the
+  * list at the EARLIEST n events (deterministic under the value-based
+  * semantics); uncapped bot keys should otherwise route to the staged
+  * twin, which never materializes a key's events together.
   */
 object Funnel {
 
-  /** Per-key funnel depth. Output: one row per key —
-    * `key` (named from keyName), `step_0..step_{n-1}` (matched
-    * timestamps, null past the reached depth) and `depth` (long).
+  private def collectEvs(events: DataFrame, keyCol: Column, tsCol: Column,
+                         typeCol: Column, steps: Seq[String],
+                         maxEventsPerKey: Int): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(maxEventsPerKey > 0, "maxEventsPerKey must be positive")
+    // collect_list skips nulls: the when() collects ONLY step-typed
+    // events (shuffled buffers carry just the funnel working set)
+    // while the groupBy still ranges over every key — keys with no
+    // step events surface with an empty list / depth 0, matching the
+    // aggregate-function contract (a where() pre-filter would drop
+    // them from the output entirely)
+    val grouped = events
+      .groupBy(keyCol.as("key"))
+      .agg(collect_list(when(typeCol.isin(steps: _*),
+        struct(tsCol.as("ts"), typeCol.as("et")))).as("evs"))
+    if (maxEventsPerKey == Int.MaxValue) grouped
+    // struct puts ts first, so array_sort orders by time (type as
+    // tie-break) — the cap keeps the EARLIEST n deterministically
+    else grouped.withColumn("evs",
+      slice(array_sort(col("evs")), 1, maxEventsPerKey))
+  }
+
+  private def minTsExpr(evs: Column, pred: Column => Column): Column =
+    array_min(transform(filter(evs, pred), e => e("ts")))
+
+  /** step_1..step_{n-1} expressions for one anchor; nulls cascade. */
+  private def stepChain(evs: Column, anchor: Column, steps: Seq[String],
+                        window: Column, dedup: Boolean): Seq[Column] =
+    steps.zipWithIndex.drop(1).foldLeft(Seq.empty[Column]) {
+      case (acc, (step, i)) =>
+        val prev = if (i == 1) anchor else acc.last
+        val horizon = anchor + window
+        val cand = minTsExpr(evs, e =>
+          e("et") === step && e("ts") > prev && e("ts") <= horizon)
+        val stepCol = if (dedup) {
+          val repeat = minTsExpr(evs, e =>
+            e("et").isin(steps.take(i): _*) &&
+              e("ts") > prev && e("ts") <= horizon)
+          when(cand.isNotNull && (repeat.isNull || cand < repeat), cand)
+        } else cand
+        acc :+ stepCol
+    }
+
+  /** Per-key funnel depth, FIRST-anchor semantics. Output: one row per
+    * key — `key`, `step_0..step_{n-1}` (matched timestamps, null past
+    * the reached depth) and `depth` (long).
     *
     * @param steps  ordered event-type names, head = anchor step
     * @param window max distance from the anchor, e.g.
     *   `expr("INTERVAL 1 DAY")`
     * @param dedup  break on repeated matched-step types (see scaladoc)
+    * @param maxEventsPerKey hard cap on a key's collected (step-typed)
+    *   events — keeps the earliest n in time order; bot-key memory
+    *   bound at the cost of ignoring events past the cap
     */
   def depth(events: DataFrame, keyCol: Column, tsCol: Column, typeCol: Column,
-            steps: Seq[String], window: Column, dedup: Boolean): DataFrame = {
-    require(steps.nonEmpty, "steps must be non-empty")
-    val grouped = events
-      .groupBy(keyCol.as("key"))
-      .agg(collect_list(struct(tsCol.as("ts"), typeCol.as("et"))).as("evs"))
-
-    def minTs(pred: Column => Column): Column =
-      array_min(transform(filter(col("evs"), pred), e => e("ts")))
-
-    val horizon = col("step_0") + window
-    val withSteps = steps.zipWithIndex.foldLeft(grouped) {
-      case (df, (step, 0)) =>
-        df.withColumn("step_0", minTs(e => e("et") === step))
-      case (df, (step, i)) =>
-        val prev = col(s"step_${i - 1}")
-        val cand = minTs(e =>
-          e("et") === step && e("ts") > prev && e("ts") <= horizon)
-        val stepCol = if (dedup) {
-          val repeat = minTs(e =>
-            e("et").isin(steps.take(i): _*) &&
-              e("ts") > prev && e("ts") <= horizon)
-          when(cand.isNotNull && (repeat.isNull || cand < repeat), cand)
-        } else cand
-        df.withColumn(s"step_$i", stepCol)
+            steps: Seq[String], window: Column, dedup: Boolean,
+            maxEventsPerKey: Int = Int.MaxValue): DataFrame = {
+    val grouped = collectEvs(events, keyCol, tsCol, typeCol, steps, maxEventsPerKey)
+    val withAnchor = grouped.withColumn("step_0",
+      minTsExpr(col("evs"), e => e("et") === steps.head))
+    val chain = stepChain(col("evs"), col("step_0"), steps, window, dedup)
+    val withSteps = chain.zipWithIndex.foldLeft(withAnchor) {
+      case (df, (c, i)) => df.withColumn(s"step_${i + 1}", c)
     }
     withSteps.withColumn("depth",
       steps.indices.map(i => col(s"step_$i").isNotNull.cast("long")).reduce(_ + _))
+  }
+
+  /** Per-key MAXIMUM funnel depth over all candidate anchors — every
+    * step-0 event starts its own trial and the best depth wins
+    * (upstream window_funnel semantics; see class doc). Output: one
+    * row per key with `key` and `depth` (0 when the key never fires
+    * step 0). Cost per key is O(anchors × steps × events) over the
+    * step-typed list — the same working set as [[depth]], scanned once
+    * per anchor.
+    */
+  def depthMax(events: DataFrame, keyCol: Column, tsCol: Column, typeCol: Column,
+               steps: Seq[String], window: Column, dedup: Boolean,
+               maxEventsPerKey: Int = Int.MaxValue): DataFrame = {
+    val grouped = collectEvs(events, keyCol, tsCol, typeCol, steps, maxEventsPerKey)
+    val anchors = transform(
+      filter(col("evs"), e => e("et") === steps.head), e => e("ts"))
+    val perAnchor = transform(anchors, a => {
+      val chain = stepChain(col("evs"), a, steps, window, dedup)
+      chain.map(_.isNotNull.cast("long")).foldLeft(lit(1L))(_ + _)
+    })
+    grouped
+      .withColumn("depth", coalesce(array_max(perAnchor), lit(0L)))
+      .select(col("key"), col("depth"))
   }
 }

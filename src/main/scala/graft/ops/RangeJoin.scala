@@ -48,11 +48,15 @@ object RangeJoin {
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val lb = left.withColumn("__gr_bucket", floor(point.cast("long") / bucketWidth))
+    // empty/inverted intervals (dirty data) contain no points — and
+    // must not reach sequence(), whose step defaults to -1 when
+    // start > stop and would explode into a huge descending array
     // sequence() is inclusive; endExcl-1 keeps an interval ending
     // exactly on a bucket boundary out of the next bucket
-    val rb = right.withColumn("__gr_bucket",
-      explode(sequence(floor(start.cast("long") / bucketWidth),
-        floor((endExcl.cast("long") - 1) / bucketWidth))))
+    val rb = right.where(start.cast("long") < endExcl.cast("long"))
+      .withColumn("__gr_bucket",
+        explode(sequence(floor(start.cast("long") / bucketWidth),
+          floor((endExcl.cast("long") - 1) / bucketWidth))))
     lb.join(rb,
         leftKey === rightKey && lb("__gr_bucket") === rb("__gr_bucket") &&
           point >= start && point < endExcl)

@@ -88,6 +88,74 @@ class FunnelSpec extends SparkSpec {
     assert(plain == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
   }
 
+  private def depthsMax(rows: Seq[(Long, java.sql.Timestamp, String)],
+                        dedup: Boolean): Map[Long, Long] =
+    Funnel.depthMax(rows.toDF("u", "t", "et"),
+        keyCol = col("u"), tsCol = col("t"), typeCol = col("et"),
+        steps = steps, window = day, dedup = dedup)
+      .select(col("key"), col("depth")).as[(Long, Long)].collect().toMap
+
+  test("multi-anchor: every step-0 event is a trial, best depth wins") {
+    val rows = Seq(
+      // u1: the upstream-divergence example — first signup's window
+      // misses the click, the second signup's catches it
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-03 00:00:00"), "signup"),
+      (1L, ts("2024-01-03 01:00:00"), "click"),
+      // u2: later anchor completes the full funnel, earlier stalls
+      (2L, ts("2024-01-01 00:00:00"), "signup"),
+      (2L, ts("2024-01-05 00:00:00"), "signup"),
+      (2L, ts("2024-01-05 01:00:00"), "click"),
+      (2L, ts("2024-01-05 02:00:00"), "purchase"),
+      // u3: no signup → 0
+      (3L, ts("2024-01-01 00:00:00"), "click"),
+      // u4: single anchor behaves like depth()
+      (4L, ts("2024-01-01 00:00:00"), "signup"),
+      (4L, ts("2024-01-01 01:00:00"), "click"))
+    assert(depthsMax(rows, dedup = false) ==
+      Map(1L -> 2L, 2L -> 3L, 3L -> 0L, 4L -> 2L))
+    // single-anchor scores u1/u2 at 1 — the documented divergence
+    assert(depths(rows, dedup = false)(1L) == 1L)
+    assert(depths(rows, dedup = false)(2L) == 1L)
+  }
+
+  test("multi-anchor dedup: a repeat kills one trial, not the others") {
+    val rows = Seq(
+      // anchor 1's trial is killed by anchor 2 (a signup repeat before
+      // the click), but anchor 2's own trial completes cleanly
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 00:30:00"), "signup"),
+      (1L, ts("2024-01-01 01:00:00"), "click"))
+    assert(depthsMax(rows, dedup = true) == Map(1L -> 2L))
+    assert(depths(rows, dedup = true) == Map(1L -> 1L))
+  }
+
+  test("bot key: step-filtered collection + cap bound the working set") {
+    // one key with 200k non-step events and a funnel buried in them:
+    // non-step events never enter the collected list, and the cap
+    // keeps the earliest step events deterministically
+    val bot = (1 to 200000).map(i =>
+      (9L, ts(f"2024-01-01 00:00:00"), "noise"))
+    val funnel = Seq(
+      (9L, ts("2024-01-01 00:00:00"), "signup"),
+      (9L, ts("2024-01-01 01:00:00"), "click"),
+      (9L, ts("2024-01-01 02:00:00"), "purchase"))
+    val got = Funnel.depth((bot ++ funnel).toDF("u", "t", "et"),
+        keyCol = col("u"), tsCol = col("t"), typeCol = col("et"),
+        steps = steps, window = day, dedup = false, maxEventsPerKey = 100)
+      .select(col("key"), col("depth")).as[(Long, Long)].collect().toMap
+    assert(got == Map(9L -> 3L))
+    // cap semantics: events past the earliest-n slice are invisible
+    val manySteps = (1 to 50).map(i =>
+      (7L, ts(f"2024-01-01 00:${i % 60}%02d:00"), "signup")) ++ Seq(
+      (7L, ts("2024-01-01 02:00:00"), "click")) // sorts after the cap
+    val capped = Funnel.depth(manySteps.toDF("u", "t", "et"),
+        keyCol = col("u"), tsCol = col("t"), typeCol = col("et"),
+        steps = steps, window = day, dedup = false, maxEventsPerKey = 10)
+      .select(col("key"), col("depth")).as[(Long, Long)].collect().toMap
+    assert(capped == Map(7L -> 1L))
+  }
+
   test("one-pass funnel equals the staged-join formulation on the corpus") {
     val native = SparkEntry.queries("q_funnel_native")(spark, sfDir)
       .as[(Long, Long)].collect().toMap

@@ -37,6 +37,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.contains((7L, 10L)) && got.contains((7L, 11L)))
   }
 
+  test("inverted/empty intervals (dirty data) emit nothing, never explode") {
+    // an inverted interval would hit sequence()'s default -1 step and
+    // blow up into a huge descending bucket array without the guard
+    val dirty = Seq(
+      (20L, 1L, 250L, 100L),       // inverted
+      (21L, 1L, 100L, 100L),       // empty
+      (22L, 1L, 5000000L, 0L),     // inverted AND wide: the OOM shape
+      (10L, 1L, 100L, 250L)        // one clean interval as control
+    ).toDF("iid", "k2", "s", "e")
+    val got = RangeJoin.pointInInterval(points, dirty,
+      leftKey = col("k"), point = col("p"),
+      rightKey = col("k2"), start = col("s"), endExcl = col("e"),
+      bucketWidth = 128)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got.map(_._2) == Set(10L))
+  }
+
   test("replication is bounded: interval spans ceil(len/width)+1 buckets max") {
     // width == interval length → at most 2 bucket copies per interval
     val df = RangeJoin.pointInInterval(points, intervals,
