@@ -137,17 +137,20 @@ object QueriesData {
         .orderBy(col("qid"), col("rank"))
     },
 
-    // C8c: production-shaped IVF — centroids from deterministic
-    // k-means|| seeding + Lloyd rounds (Similarity.kmeansCentroids)
-    // instead of corpus-row stand-ins. Iterative and md5-seeded, so
-    // no SQL oracle (driver rows-only check, like q_approx_distinct);
-    // KMeansSpec pins determinism and clustering quality.
+    // C8c: production-shaped IVF — TRAINED centroids instead of
+    // corpus-row stand-ins. Trainer is the SQL-replayable Lloyd
+    // k-means (md5-rank seeds, 2 cosine-assignment rounds), so the
+    // full train+search pipeline hash-checks against the DuckDB
+    // oracle; the k-means|| trainer (whose Σd²-conditioned sampling
+    // no second engine reproduces bit-exactly) powers the persisted
+    // IVF index (C8d), spec-checked there.
     "ann_ivf_kmeans" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       // index-build / search split: centroids train once per corpus
       // (deterministic, so a cache hit is byte-identical to retrain)
-      val cents = Similarity.kmeansCentroidsCached(s"$dir|k=16", emb,
-        col("vec_id"), col("embedding"), k = 16)
+      val cents = Similarity.kmeansCentroidsCached(s"$dir|lloyd-seeded|k=16",
+        emb, col("vec_id"), col("embedding"), k = 16,
+        train = Similarity.kmeansLloydSeeded(_, _, _, _))
       Similarity.ivfTopkCentroids(emb, col("vec_id"), col("embedding"),
         cents, isQuery = _ % 40 === 0, k = 3, nprobe = 2)
         .orderBy(col("qid"), col("rank"))
@@ -559,6 +562,61 @@ object QueriesData {
         |      list_dot_product(qe, ce) / sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce)) DESC,
         |      cent.cid) AS pr
         |  FROM q CROSS JOIN cent) WHERE pr <= 2),
+        |scored AS (SELECT p.qid, a.cell, a.vec_id AS nid,
+        |  list_dot_product(qe, a.e) / sqrt(list_dot_product(qe, qe) * list_dot_product(a.e, a.e)) AS c,
+        |  row_number() OVER (PARTITION BY p.qid ORDER BY
+        |    list_dot_product(qe, a.e) / sqrt(list_dot_product(qe, qe) * list_dot_product(a.e, a.e)) DESC,
+        |    a.vec_id) AS rank
+        |  FROM probes p JOIN q ON p.qid = q.qid
+        |  JOIN assigned a ON a.cell = p.cid AND a.vec_id <> p.qid)
+        |SELECT qid, cell, rank, nid, round(c, 4) AS cos FROM scored
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // C8c: full replay of the SQL-expressible trainer — md5-rank seed
+    // selection (string/integer-exact), two unrolled Lloyd rounds
+    // (cosine argmax assignment, ties to lower cid; per-component
+    // mean; emptied cell keeps its center), then the same
+    // nprobe=2 / top-3 search as ann_ivf_nprobe. generate_series is
+    // pinned to the corpus' 64-dim embeddings.
+    "ann_ivf_kmeans" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, ce FROM
+        |  (SELECT md5('graft:' || CAST(vec_id AS VARCHAR)) AS h, vec_id, e AS ce
+        |   FROM v ORDER BY h, vec_id LIMIT 16)),
+        |a0 AS (SELECT vec_id, e, cid AS cell FROM (
+        |  SELECT v.vec_id, v.e, s.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_dot_product(v.e, s.ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(s.ce, s.ce)) DESC,
+        |      s.cid) AS rn
+        |  FROM v CROSS JOIN seeds s) WHERE rn = 1),
+        |m1 AS (SELECT cell AS cid, list(m ORDER BY i) AS ce FROM
+        |  (SELECT cell, i, avg(e[i]) AS m
+        |   FROM a0 CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY cell, i)
+        |  GROUP BY cell),
+        |c1 AS (SELECT s.cid, coalesce(m1.ce, s.ce) AS ce FROM seeds s LEFT JOIN m1 USING (cid)),
+        |a1 AS (SELECT vec_id, e, cid AS cell FROM (
+        |  SELECT v.vec_id, v.e, c.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_dot_product(v.e, c.ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(c.ce, c.ce)) DESC,
+        |      c.cid) AS rn
+        |  FROM v CROSS JOIN c1 c) WHERE rn = 1),
+        |m2 AS (SELECT cell AS cid, list(m ORDER BY i) AS ce FROM
+        |  (SELECT cell, i, avg(e[i]) AS m
+        |   FROM a1 CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY cell, i)
+        |  GROUP BY cell),
+        |c2 AS (SELECT c1.cid, coalesce(m2.ce, c1.ce) AS ce FROM c1 LEFT JOIN m2 USING (cid)),
+        |assigned AS (SELECT vec_id, e, cid AS cell FROM (
+        |  SELECT v.vec_id, v.e, c.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_dot_product(v.e, c.ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(c.ce, c.ce)) DESC,
+        |      c.cid) AS rn
+        |  FROM v CROSS JOIN c2 c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 40 = 0),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      list_dot_product(qe, c.ce) / sqrt(list_dot_product(qe, qe) * list_dot_product(c.ce, c.ce)) DESC,
+        |      c.cid) AS pr
+        |  FROM q CROSS JOIN c2 c) WHERE pr <= 2),
         |scored AS (SELECT p.qid, a.cell, a.vec_id AS nid,
         |  list_dot_product(qe, a.e) / sqrt(list_dot_product(qe, qe) * list_dot_product(a.e, a.e)) AS c,
         |  row_number() OVER (PARTITION BY p.qid ORDER BY

@@ -217,6 +217,56 @@ object Similarity {
     searchAssigned(assigned, cent, q, k, nprobe)
   }
 
+  /** Deterministic Lloyd k-means with md5-RANK seeding: the k initial
+    * centers are the corpus rows ranking lowest by
+    * `md5(seed ":" id)` (a uniform deterministic draw with no
+    * floating-point in the selection), then `lloydIters` fixed Lloyd
+    * rounds of cosine-argmax assignment (ties → lower cid, the same
+    * rule [[assignCells]] applies at search time) + per-component
+    * mean; an emptied cell keeps its previous center.
+    *
+    * Why it exists next to [[kmeansCentroids]]: every step here is
+    * REPLAYABLE IN SQL — seed selection is integer/string-exact and
+    * each round is one assignment + one group-avg, so an external
+    * engine (the DuckDB oracle) can recompute the centroids and the
+    * driver can hash-check the full IVF result. k-means||'s
+    * quality-optimal seeding samples against a running global Σd²,
+    * whose parallel floating-point reduction no two engines order the
+    * same way — it stays the trainer for the persisted IVF index
+    * (spec-checked, not oracle-replayed).
+    */
+  def kmeansLloydSeeded(df: DataFrame, id: Column, vec: Column, k: Int,
+                        lloydIters: Int = 2, seed: String = "graft"): Seq[(Long, Array[Double])] = {
+    require(k >= 1 && lloydIters >= 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(id.cast("long").as("id"), toDouble(vec).as("v"))
+      .withColumn("n2", normSq(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = v
+        .withColumn("h", md5(concat_ws(":", lit(seed), col("id"))))
+        .orderBy(col("h"), col("id")).limit(k)
+        .select(col("v")).collect()
+      require(seeds.nonEmpty, "kmeansLloydSeeded: corpus is empty")
+      var centers: Seq[Array[Double]] = seeds.toSeq.map(_.getSeq[Double](0).toArray)
+      val dim = centers.head.length
+      def centDf(cs: Seq[Array[Double]]) =
+        cs.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv")
+          .select(col("cid"), col("cv").cast("array<double>").as("cv"))
+          .withColumn("cn2", normSq(col("cv")))
+      for (_ <- 1 to lloydIters) {
+        val means = assignCells(v, centDf(centers))
+          .groupBy("cell")
+          .agg(array((0 until dim).map(d => avg(col("v")(d))): _*).as("m"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+        centers = centers.zipWithIndex.map { case (old, i) =>
+          means.getOrElse(i.toLong, old) }
+      }
+      centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    } finally v.unpersist()
+  }
+
   /** Deterministic k-means|| centroid seeding (Bahmani et al., VLDB
     * 2012 — the public parallel k-means++ construction) followed by a
     * fixed number of distributed Lloyd rounds.
@@ -250,10 +300,13 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Double])]]()
 
   /** [[kmeansCentroids]] memoized on `cacheKey` (e.g. corpus path +
-    * k + seed). */
+    * k + seed). `train` swaps the trainer (e.g.
+    * [[kmeansLloydSeeded]]) — the cache key must then name it. */
   def kmeansCentroidsCached(cacheKey: String, df: => DataFrame, id: => Column,
-                            vec: => Column, k: Int): Seq[(Long, Array[Double])] =
-    centroidCache.computeIfAbsent(cacheKey, _ => kmeansCentroids(df, id, vec, k))
+                            vec: => Column, k: Int,
+                            train: (DataFrame, Column, Column, Int) => Seq[(Long, Array[Double])] =
+                              kmeansCentroids(_, _, _, _)): Seq[(Long, Array[Double])] =
+    centroidCache.computeIfAbsent(cacheKey, _ => train(df, id, vec, k))
 
   def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int,
                       overSample: Int = 2, rounds: Int = 4, lloydIters: Int = 4,

@@ -45,6 +45,21 @@ class KMeansSpec extends SparkSpec {
     assert(ct < cs, s"kmeans cost $ct not below stand-in cost $cs")
   }
 
+  test("seeded Lloyd trainer: deterministic, k finite centroids, beats stand-ins") {
+    val a = Similarity.kmeansLloydSeeded(emb, col("vec_id"), col("embedding"), k = 16)
+    val b = Similarity.kmeansLloydSeeded(emb, col("vec_id"), col("embedding"), k = 16)
+    assert(a.map(_._1) == Seq.tabulate(16)(_.toLong))
+    assert(a.zip(b).forall { case ((_, x), (_, y)) => x.sameElements(y) })
+    assert(a.forall(_._2.length == 64))
+    assert(a.forall(_._2.forall(x => !x.isNaN && !x.isInfinite)))
+    // Lloyd rounds must improve on raw corpus-row stand-ins
+    val standIns = emb.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val (ct, cs) = (cost(a), cost(standIns))
+    assert(ct < cs, s"seeded-Lloyd cost $ct not below stand-in cost $cs")
+  }
+
   test("persisted IVF index: build/search matches the in-memory path; lifecycle commits versions") {
     import graft.ops.{IvfIndex, Similarity}
     import graft.sinks.TxLog
