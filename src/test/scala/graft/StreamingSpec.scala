@@ -210,6 +210,61 @@ class StreamingSpec extends SparkSpec {
     assert(Monitor.kafkaLagRows("", "") == -1)
   }
 
+  test("routine-load lifecycle: pause holds position, resume continues exactly-once") {
+    import graft.streaming.RoutineLoadControl
+    val dir = java.nio.file.Files.createTempDirectory("rlsrc").toString
+    val out = java.nio.file.Files.createTempDirectory("rlout").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("rlckpt").toString
+    def write(f: String, lines: String*) = java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, f), lines.mkString("\n"))
+    write("b0.json", env(1, 1, "a", "c", 100), env(2, 1, "b", "c", 100))
+
+    // factory contract: same checkpoint + exactly-once file sink
+    val job = RoutineLoadControl("orders_load") {
+      CdcStream.unwrap(CdcStream.fileSource(spark, dir), "json", payload, "id", "seq")
+        .select(col("key"), col("seq"), col("payload"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+    }
+    assert(job.state == RoutineLoadControl.NeedSchedule)
+    job.start()
+    job.active.get.processAllAvailable()
+    assert(spark.read.parquet(out).count() == 2)
+    assert(job.show()._1 == "RUNNING")
+
+    // PAUSE: new files land while the job is down — no progress
+    job.pause()
+    assert(job.state == RoutineLoadControl.Paused)
+    assert(job.active.isEmpty)
+    write("b1.json", env(3, 1, "c", "c", 200), env(1, 2, "a2", "u", 300))
+    Thread.sleep(200)
+    assert(spark.read.parquet(out).count() == 2, "paused job made progress")
+    // ALTER requires PAUSED and swaps the definition for the restart
+    job.alter {
+      CdcStream.unwrap(CdcStream.fileSource(spark, dir), "json", payload, "id", "seq")
+        .select(col("key"), col("seq"), col("payload"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", "1")
+        .start()
+    }
+
+    // RESUME: continues from the checkpoint — every envelope exactly once
+    job.resume()
+    job.active.get.processAllAvailable()
+    val rows = spark.read.parquet(out).select("key", "seq")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.size == 4, s"expected 4 rows exactly-once, got $rows")
+    assert(rows.distinct.size == 4)
+    assert(rows.toSet == Set((1L, 1L), (2L, 1L), (3L, 1L), (1L, 2L)))
+
+    // STOP is terminal
+    job.stop()
+    assert(job.state == RoutineLoadControl.Stopped)
+    intercept[IllegalArgumentException](job.resume())
+  }
+
   test("D4: file-based CDC stream source feeds the same pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("cdcsrc").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b0.json"),
