@@ -69,13 +69,60 @@ object Bench {
         System.err.println(s"[bench] concurrent load FAILED: ${e.getMessage}"); (0L, -1.0, 0L)
       }
     val clRate = if (clSecs > 0) (clRows / clSecs).toLong else -1L
+    // Asymptotic pass: the heaviest queries re-run on a deterministic
+    // SPARK_GRAFT_SCALE_FACTOR× replica of the corpus (ScaleUp builds
+    // it once under /tmp; per-replica semantics identical to base, so
+    // ground truth is linear). exponent = log(t_scaled/t_base) /
+    // log(factor): ≈1 linear, >1 flags the operator's superlinearity.
+    // dedup_embedding is excluded by design — it is the documented
+    // O(n²) exactness baseline, its scale twin dedup_embedding_lsh is
+    // measured.
+    val scalingJson = try {
+      val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+      if (factor <= 1) """"scaling":null"""
+      else {
+        val heavy = Seq("dedup_clusters", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+          "dedup_embedding_lsh", "dedup_exact", "dedup_incremental",
+          "decontaminate_bloom", "q1_pricing_summary", "q5_region_revenue",
+          "q_window_funnel_multi")
+        val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
+        ScaleUp.ensure(spark, sfDir, dst, factor)
+        val baseTimes = results.toMap
+        val entries = heavy.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            val base = baseTimes(name)._1
+            try {
+              exec(fn(spark, dst)) // untimed warm-up at scale
+              val scaled = (1 to 2).map { _ =>
+                val t0 = System.nanoTime()
+                exec(fn(spark, dst))
+                (System.nanoTime() - t0) / 1e9
+              }.min
+              val expo =
+                if (base > 0 && scaled > 0) math.log(scaled / base) / math.log(factor)
+                else Double.NaN
+              s""""$name":{"base":$base,"scaled":$scaled,""" +
+                s""""exponent":${if (expo.isNaN) "null" else f"$expo%.2f"}}"""
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] scale $name FAILED: ${e.getMessage}")
+              s""""$name":{"base":$base,"scaled":-1,"exponent":null}"""
+            }
+          }
+        }
+        s""""scaling":{"factor":$factor,"queries":{${entries.mkString(",")}}}"""
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] scaling pass FAILED: ${e.getMessage}")
+      """"scaling":null"""
+    }
     import StreamBench.percentile
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,""" +
       s""""stream_rows_per_sec":$streamRate,"stream_rows":$streamRows,""" +
       s""""latency_ms":{"p50":${percentile(insLat, 0.50)},"p95":${percentile(insLat, 0.95)},"p99":${percentile(insLat, 0.99)}},""" +
       s""""delete_propagation_ms":{"p50":${percentile(delLat, 0.50)},"p95":${percentile(delLat, 0.95)}},""" +
-      s""""concurrent_load_rows_per_sec":$clRate,"concurrent_load_final_rows":$clFinal,"sf":"$sfDir"}""")
+      s""""concurrent_load_rows_per_sec":$clRate,"concurrent_load_final_rows":$clFinal,""" +
+      scalingJson + s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

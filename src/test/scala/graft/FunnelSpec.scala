@@ -169,4 +169,13 @@ class FunnelSpec extends SparkSpec {
     val physical = df.queryExecution.executedPlan.toString
     assert(!physical.contains("Join"), s"expected a join-free plan:\n$physical")
   }
+
+  test("multi-anchor plan is also one aggregation: no joins, no explode") {
+    val df = SparkEntry.queries("q_window_funnel_multi")(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Join"), s"expected a join-free plan:\n$physical")
+    // anchors are evaluated inside array expressions — a Generate
+    // (explode) would multiply rows by anchor count before the agg
+    assert(!physical.contains("Generate"), s"expected no row explosion:\n$physical")
+  }
 }
