@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
 import org.apache.spark.sql.types._
-import graft.cdc.{Envelope, PkTable, RoutineLoad, SchemaEvolution, Scd2}
+import graft.cdc.{Envelope, MaterializedAgg, PkTable, RoutineLoad, SchemaEvolution, Scd2}
 
 /** CDC / pipeline-core query surface (SURVEY §2 section A).
   *
@@ -323,6 +323,30 @@ object QueriesCdc {
         .orderBy(col("user_id"), col("sess"), col("s_event"))
     },
 
+    // A24: incremental materialized aggregate view (StarRocks MV
+    // analogue): per-event_type count + sum(value) over the LIVE
+    // latest state of every user, maintained across 4 interleaved
+    // changelog batches with sign-based retraction deltas — never a
+    // full recompute. Batching by event_id % 4 deliberately delivers
+    // versions out of order across batches: the state-diff delta
+    // construction must absorb stale versions (they lose
+    // latestPerKey and cancel). Oracle computes the final state
+    // aggregate directly — equality proves incremental == recompute.
+    "cdc_mv_incremental" -> { (s, dir) =>
+      val chg = changelog(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"), col("op"))
+      val batches = (0 until 4).map(i =>
+        chg.where(pmod(col("event_id"), lit(4)) === i))
+      MaterializedAgg.maintain(batches,
+          keyCols = Seq("user_id"), version = Seq(col("ts"), col("event_id")),
+          deleteFlag = col("op") === Envelope.OpDelete,
+          groupCols = Seq("event_type"), sums = Seq("total" -> col("value")))
+        .select(col("event_type"), col("n"),
+          Rounding.r(col("total"), 4).as("total"))
+        .orderBy(col("event_type"))
+    },
+
     // A10: initial snapshot + changelog tail merged into one view
     "cdc_snapshot_then_merge" -> { (s, dir) =>
       val snap = Tables.customer(s, dir).select(
@@ -412,6 +436,13 @@ object QueriesCdc {
         |CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_live
         |FROM (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    // final-state aggregate computed directly (no increments): the MV
+    // invariant is incremental maintenance == recompute
+    "cdc_mv_incremental" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "cdc_routine_load" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority

@@ -1,0 +1,108 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized AGGREGATE view over a keyed CDC changelog
+  * — the StarRocks materialized-view analogue (the reference keeps
+  * hand-run aggregate queries warm against the PK table;
+  * create-starrocks-tables.sh + monitor.sh's count reconciliation):
+  * the view tracks `GROUP BY g: count, sum(v)` over the LIVE latest
+  * state of every key, and each batch updates it with signed deltas
+  * instead of a full recompute.
+  *
+  * Mechanism (sign-based retraction, the classic incremental
+  * view-maintenance construction — Flink retract streams / DBSP):
+  * a batch changes some keys' latest rows; for each touched key the
+  * OLD live row (if any) enters the delta with sign −1 and the NEW
+  * live row (if any) with sign +1. Aggregating the signed delta by
+  * group yields per-group adjustments (Σsign for count, Σsign·v for
+  * sums) that merge into the stored view. Group-changing updates move
+  * a key between groups via the same −1/+1 pair; deletes retract
+  * without inserting.
+  *
+  * Deltas are computed as a STATE DIFF (old latest-per-key vs new
+  * latest-per-key on the touched keys) rather than from the raw
+  * change rows, so out-of-order and duplicate deliveries are
+  * harmless: a stale version loses `latestPerKey` and produces a
+  * −row/+row pair that cancels to zero. Tombstones stay in the state
+  * (the multi-writer rule from [[PkTable.latestPerKey]]), so a late
+  * older insert cannot resurrect a deleted key's contribution.
+  *
+  * Scale shape: each step is two hash aggregations over
+  * state ∪ batch (the state merge and the group delta) plus a
+  * broadcast-sized semi-join on the touched keys — commit work is
+  * proportional to the batch and the touched keys, never to the
+  * view's history. The MV itself stays group-cardinality-sized.
+  */
+object MaterializedAgg {
+
+  private val Sign = "__mv_sign"
+  private val Del = "__mv_del"
+
+  /** One maintenance step's outputs: the successor key-state and the
+    * signed row delta (old live rows −1, new live rows +1, only for
+    * keys the batch touched). */
+  final case class Step(state: DataFrame, signedDelta: DataFrame)
+
+  /** Empty key-state with the right schema for `step`. */
+  def emptyState(batch: DataFrame, deleteFlag: Column): DataFrame =
+    batch.withColumn(Del, coalesce(deleteFlag, lit(false))).limit(0)
+
+  /** Advance the key-state by one batch and emit the signed delta.
+    * The caller should checkpoint/persist `state` between steps — it
+    * is referenced twice (as the old image and inside the successor).
+    */
+  def step(state: DataFrame, batch: DataFrame, keyCols: Seq[String],
+           version: Seq[Column], deleteFlag: Column): Step = {
+    val b = PkTable.latestPerKey(
+      batch.withColumn(Del, coalesce(deleteFlag, lit(false))), keyCols, version)
+    val newState = PkTable.latestPerKey(state.unionByName(b), keyCols, version)
+    val touched = b.select(keyCols.map(col): _*)
+    def liveTouched(df: DataFrame) =
+      df.join(touched, keyCols, "left_semi").where(!col(Del))
+    Step(newState,
+      liveTouched(state).withColumn(Sign, lit(-1L))
+        .unionByName(liveTouched(newState).withColumn(Sign, lit(1L))))
+  }
+
+  /** Per-group adjustment of a signed delta: `n` (Σsign) plus
+    * Σ sign·expr for each named sum. */
+  def groupDelta(signedDelta: DataFrame, groupCols: Seq[String],
+                 sums: Seq[(String, Column)]): DataFrame =
+    signedDelta.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(Sign)).as("n"),
+        sums.map { case (n, c) => sum(col(Sign) * c).as(n) }: _*)
+
+  /** Merge a group delta into the view; groups whose count reaches
+    * zero vanish (all their keys deleted or migrated away). */
+  def mergeMv(mv: Option[DataFrame], delta: DataFrame, groupCols: Seq[String],
+              sumNames: Seq[String]): DataFrame = {
+    val unioned = mv.map(_.unionByName(delta)).getOrElse(delta)
+    unioned.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sumNames.map(n => sum(col(n)).as(n)): _*)
+      .where(col("n") > 0)
+  }
+
+  /** Drive a whole batch sequence: returns the final view
+    * (groupCols, n, named sums). Convenience for queries/specs; a
+    * streaming deployment calls [[step]]/[[groupDelta]]/[[mergeMv]]
+    * from foreachBatch with the state in a PK lake table.
+    */
+  def maintain(batches: Seq[DataFrame], keyCols: Seq[String],
+               version: Seq[Column], deleteFlag: Column,
+               groupCols: Seq[String], sums: Seq[(String, Column)]): DataFrame = {
+    require(batches.nonEmpty, "maintain: no batches")
+    var state = emptyState(batches.head, deleteFlag)
+    var mv: Option[DataFrame] = None
+    batches.foreach { batch =>
+      val s = step(state, batch, keyCols, version, deleteFlag)
+      // checkpoint bounds the lazy-plan depth across steps and pins
+      // the state each side of the diff reads the same snapshot of
+      state = s.state.localCheckpoint(true)
+      mv = Some(mergeMv(mv, groupDelta(s.signedDelta, groupCols, sums),
+        groupCols, sums.map(_._1)).localCheckpoint(true))
+    }
+    mv.get
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.cdc.MaterializedAgg
+
+/** Incremental materialized-view maintenance: signed-delta updates
+  * must equal a full recompute under updates, deletes, group
+  * migration, out-of-order and duplicate delivery. */
+class MaterializedAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  // changelog rows: (key, version, group, value, deleted)
+  private def chg(rows: (Long, Long, String, Double, Boolean)*): DataFrame =
+    rows.toDF("k", "ver", "g", "v", "del")
+
+  private def mvOf(batches: Seq[DataFrame]): Map[String, (Long, Double)] =
+    MaterializedAgg.maintain(batches, keyCols = Seq("k"),
+        version = Seq(col("ver")), deleteFlag = col("del"),
+        groupCols = Seq("g"), sums = Seq("total" -> col("v")))
+      .select(col("g"), col("n"), col("total"))
+      .as[(String, Long, Double)].collect()
+      .map { case (g, n, t) => g -> (n, t) }.toMap
+
+  // ground truth: live latest row per key, aggregated directly
+  private def recompute(all: DataFrame): Map[String, (Long, Double)] =
+    graft.cdc.PkTable.compact(all, Seq("k"), Seq(col("ver")), col("del"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .as[(String, Long, Double)].collect()
+      .map { case (g, n, t) => g -> (n, t) }.toMap
+
+  test("updates, deletes, and group migration match a full recompute") {
+    val b1 = chg((1L, 1L, "a", 10.0, false), (2L, 1L, "a", 20.0, false),
+      (3L, 1L, "b", 5.0, false))
+    val b2 = chg((1L, 2L, "a", 11.0, false),  // in-place update
+      (2L, 2L, "b", 20.0, false),             // migrates a → b
+      (4L, 1L, "b", 7.0, false))
+    val b3 = chg((3L, 2L, "b", 0.0, true),    // delete
+      (5L, 1L, "c", 1.5, false))
+    val got = mvOf(Seq(b1, b2, b3))
+    val want = recompute(b1.unionByName(b2).unionByName(b3))
+    assert(got == want)
+    assert(got("a") == ((1L, 11.0)))          // only key 1 left in a
+    assert(!got.contains("x"))
+  }
+
+  test("group vanishes when its count reaches zero") {
+    val b1 = chg((1L, 1L, "solo", 3.0, false))
+    val b2 = chg((1L, 2L, "solo", 0.0, true))
+    val got = mvOf(Seq(b1, b2))
+    assert(got.isEmpty)
+  }
+
+  test("out-of-order and duplicate deliveries cancel to a no-op") {
+    val b1 = chg((1L, 5L, "a", 50.0, false), (2L, 5L, "a", 60.0, false))
+    // stale older versions + an exact duplicate of a delivered row
+    val b2 = chg((1L, 3L, "a", 999.0, false), (1L, 5L, "a", 50.0, false),
+      (2L, 1L, "b", 999.0, false))
+    val got = mvOf(Seq(b1, b2))
+    assert(got == Map("a" -> ((2L, 110.0))))
+    // a late older insert must not resurrect a deleted key
+    val b3 = chg((3L, 9L, "a", 1.0, true))
+    val b4 = chg((3L, 2L, "a", 123.0, false))
+    assert(mvOf(Seq(b1, b2, b3, b4)) == Map("a" -> ((2L, 110.0))))
+  }
+
+  test("corpus-scale: 4 interleaved batches equal the direct aggregate") {
+    val q = SparkEntry.queries("cdc_mv_incremental")(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSeq
+    val e = Tables.events(spark, sfDir)
+    val direct = graft.cdc.PkTable.compact(
+        e.withColumn("del", col("event_type") === "error"),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), col("del"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Rounding.r(sum("value"), 4).as("total"))
+      .orderBy("event_type")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(q == direct && q.nonEmpty)
+  }
+}
