@@ -155,8 +155,9 @@ object PkTableSink {
                         meta: Map[String, String]): DataFrame = {
     if (dirs.size == 1) spark.read.parquet(dirs.head)
     else {
-      val keys = meta.getOrElse(MetaKeys, throw new IllegalStateException(
-        "manifest has deltas but no stored key columns")).split(",").toSeq
+      val keys = meta.get(MetaKeys).filter(_.nonEmpty).getOrElse(
+        throw new IllegalStateException(
+          "manifest has deltas but no stored key columns")).split(",").toSeq
       val vers = meta(MetaVers).split(",").toSeq
       val layered = dirs.zipWithIndex
         .map { case (d, i) => spark.read.parquet(d).withColumn(CommitSeq, lit(i.toLong)) }
@@ -261,57 +262,102 @@ object PkTableSink {
   final case class TableBatch(changes: DataFrame, keyCols: Seq[String],
                               versionCols: Seq[String], deleteFlag: String)
 
-  /** Multi-table ATOMIC commit: merge a batch into several PK tables
-    * under one group root and flip them with a SINGLE manifest — a
-    * reader of any committed version sees a cross-table-consistent
-    * snapshot (orders and customers from the same source batch appear
-    * together or not at all; single-table logs cannot promise this).
-    * Tables absent from `batches` carry their previous snapshot dir
-    * forward in the new manifest. Same optimistic protocol, torn-claim
-    * reclaim, and tombstone semantics as [[mergeTx]].
+  private def groupMetaOf(table: String, keyCols: Seq[String],
+                          versionCols: Seq[String]): Map[String, String] =
+    metaOf(keyCols, versionCols).map { case (k, v) => s"$k.$table" -> v }
+
+  /** Multi-table ATOMIC commit, MERGE-ON-READ like [[mergeTx]]: each
+    * touched table's batch (compacted to one row per key) lands as a
+    * NEW delta dir appended to that table's comma-joined dir list, and
+    * one manifest flips every table — a reader of any committed
+    * version sees a cross-table-consistent snapshot (orders and
+    * customers from the same source batch appear together or not at
+    * all; single-table logs cannot promise this). Commit I/O is
+    * proportional to the batch, never to any table. Tables absent
+    * from `batches` carry their dir lists forward. Same optimistic
+    * protocol, torn-claim reclaim, and tombstone semantics as
+    * [[mergeTx]]; [[compactTxGroup]] folds a table's list back to one
+    * dir; [[vacuumTxGroup]] reference-counts shared dirs.
     */
   def mergeTxGroup(spark: SparkSession, groupRoot: String,
                    batches: Map[String, TableBatch], writer: String,
                    maxAttempts: Int = 5,
                    recoverTornAfterMs: Long = 60000L): Long = {
     require(batches.nonEmpty, "mergeTxGroup: no batches")
-    // ',' joins dir LISTS in manifest values (IvfIndex deltas) — keep
-    // it out of every path component we control
+    // ',' joins dir LISTS in manifest values — keep it out of every
+    // path component we control
     require(!groupRoot.contains(","), s"groupRoot may not contain ',': $groupRoot")
     batches.keys.foreach(t => require(
-      t.nonEmpty && !t.exists(c => c == '=' || c == '\n' || c == '/' || c == ','),
+      t.nonEmpty && !t.exists(c => c == '=' || c == '\n' || c == '/' ||
+        c == ',' || c == '.'),
       s"invalid table name '$t'"))
     val chgs = batches.map { case (t, b) =>
-      t -> (b, b.changes
+      t -> (b, PkTable.latestPerKey(b.changes
         .withColumn(Tombstone, coalesce(col(b.deleteFlag), lit(false)))
-        .drop(b.deleteFlag))
+        .drop(b.deleteFlag), b.keyCols, b.versionCols.map(col)))
     }
     TxLog.commitWith(spark, groupRoot, writer, maxAttempts, recoverTornAfterMs) { base =>
       val prevTables = base.map(_.tables).getOrElse(Map.empty)
+      val prevMeta = base.map(_.meta).getOrElse(Map.empty)
       val next = base.map(_.version + 1).getOrElse(0L)
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       val newDirs = chgs.map { case (t, (b, chg)) =>
-        val current = prevTables.get(t) match {
-          case Some(d) => spark.read.parquet(d)
-          case None    => chg.limit(0)
-        }
-        val merged = PkTable.latestPerKey(current.unionByName(chg),
-          b.keyCols, b.versionCols.map(col))
-        val dir = s"$groupRoot/$t/v$next-$writer-$nonce"
-        merged.write.mode(SaveMode.Overwrite).parquet(dir)
-        t -> dir
+        val meta = groupMetaOf(t, b.keyCols, b.versionCols)
+        meta.foreach { case (k, v) => prevMeta.get(k).foreach(pv => require(pv == v,
+          s"mergeTxGroup: $t key/version columns differ from the table's ($pv)")) }
+        val dir = s"$groupRoot/$t/d$next-$writer-$nonce"
+        chg.write.mode(SaveMode.Overwrite).parquet(dir)
+        val dirs = prevTables.get(t).toSeq.filter(_.nonEmpty) :+ dir
+        (t, dirs.mkString(","), dir, meta)
       }
-      TxLog.Prepared(tables = prevTables ++ newDirs, written = newDirs.values.toSeq)
+      TxLog.Prepared(
+        tables = prevTables ++ newDirs.map { case (t, list, _, _) => t -> list },
+        meta = prevMeta ++ newDirs.flatMap(_._4),
+        written = newDirs.map(_._3).toSeq)
     }
   }
 
-  /** Live contents of one table of a group-committed snapshot. */
+  /** Fold one group table's base + deltas into a single fresh dir
+    * (same key-range-sorted bin-packing as [[compactTx]]); other
+    * tables carry forward untouched. */
+  def compactTxGroup(spark: SparkSession, groupRoot: String, table: String,
+                     writer: String, minDeltas: Int = 0,
+                     targetRowsPerFile: Long = 4L << 20,
+                     maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L): Long =
+    try TxLog.commitWith(spark, groupRoot, writer, maxAttempts, recoverTornAfterMs) { base =>
+      val m = base.getOrElse(throw new IllegalStateException(
+        s"compactTxGroup: no committed version under $groupRoot"))
+      val dirs = m.tables.getOrElse(table, throw new IllegalArgumentException(
+        s"compactTxGroup: no table '$table' under $groupRoot")).split(",").toSeq
+      if (dirs.size < math.max(minDeltas, 2)) throw CompactSkip(m.version)
+      val keyCols = m.meta.getOrElse(s"$MetaKeys.$table", "").split(",").toSeq
+      val vers = m.meta(s"$MetaVers.$table").split(",").toSeq
+      val merged = mergeDirs(spark, dirs,
+        Map(MetaKeys -> keyCols.mkString(","), MetaVers -> vers.mkString(",")))
+      val next = m.version + 1
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val dataDir = s"$groupRoot/$table/t$next-$writer-$nonce"
+      val rows = merged.count()
+      val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val packed = merged.repartitionByRange(nFiles, keyCols.map(col): _*)
+        .sortWithinPartitions(keyCols.map(col): _*)
+      packed.write.mode(SaveMode.Overwrite).parquet(dataDir)
+      TxLog.Prepared(tables = m.tables + (table -> dataDir), meta = m.meta,
+        written = Seq(dataDir))
+    } catch { case CompactSkip(v) => v }
+
+  /** Live contents of one table of a group-committed snapshot —
+    * merge-on-read over the table's dir list. */
   def readTxGroup(spark: SparkSession, groupRoot: String, table: String,
                   schemaOf: => DataFrame): DataFrame =
-    TxLog.current(spark, groupRoot).flatMap(_.tables.get(table)) match {
-      case Some(d) => dropTombstones(spark.read.parquet(d))
-      case None    => schemaOf.limit(0)
-    }
+    TxLog.current(spark, groupRoot).flatMap { m =>
+      m.tables.get(table).map { list =>
+        val dirs = list.split(",").toSeq.filter(_.nonEmpty)
+        dropTombstones(mergeDirs(spark, dirs, Map(
+          MetaKeys -> m.meta.getOrElse(s"$MetaKeys.$table", ""),
+          MetaVers -> m.meta.getOrElse(s"$MetaVers.$table", ""))))
+      }
+    }.getOrElse(schemaOf.limit(0))
 
   /** Group retention: drop manifests older than the `keepVersions`
     * most recent, then delete only data dirs NO KEPT manifest still

@@ -177,8 +177,48 @@ class TxCommitSpec extends SparkSpec {
     assert(removed == Seq(0L))
     assert(readT("customers") == Seq((9L, "c9")))
     assert(readT("orders") == Seq((1L, "o1"), (2L, "o2")))
-    // orders' superseded v0 dir is gone from disk
+    // merge-on-read: orders' v0 dir is the BASE of v1's dir list —
+    // vacuum must keep it while the kept manifest references it
+    assert(m1.tables("orders").split(",").contains(m0.tables("orders")))
+    assert(new java.io.File(m0.tables("orders")).exists())
+    // compaction folds orders' list to one dir; the next vacuum
+    // reference-counts the old base + delta out of existence
+    PkTableSink.compactTxGroup(spark, root, "orders", writer = "loader")
+    PkTableSink.vacuumTxGroup(spark, root, keepVersions = 1)
     assert(!new java.io.File(m0.tables("orders")).exists())
+    assert(TxLog.current(spark, root).get.tables("orders").split(",").length == 1)
+    assert(readT("orders") == Seq((1L, "o1"), (2L, "o2")))
+    assert(readT("customers") == Seq((9L, "c9")))
+  }
+
+  test("tx group: commit I/O is batch-proportional and deletes don't resurrect") {
+    import PkTableSink.TableBatch
+    val root = tmpRoot("txgroupmor")
+    def tb(rows: (Long, Long, String, Boolean)*) =
+      TableBatch(batch(rows: _*), Seq("id"), Seq("ver"), "del")
+    val big = spark.range(5000)
+      .select(col("id"), lit(1L).as("ver"), concat(lit("r"), col("id")).as("v"),
+        lit(false).as("del"))
+    PkTableSink.mergeTxGroup(spark, root,
+      Map("orders" -> TableBatch(big, Seq("id"), Seq("ver"), "del")), writer = "w")
+    val ordersRoot = new java.io.File(s"$root/orders")
+    def snapshot(prefix: String) = ordersRoot.listFiles()
+      .filter(_.getName.startsWith(prefix))
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified())).toSet
+    val baseFiles = snapshot("d0-")
+    assert(baseFiles.nonEmpty)
+    // small second commit: base untouched, delta holds just the batch
+    PkTableSink.mergeTxGroup(spark, root, Map(
+      "orders" -> tb((1L, 2L, "upd", false), (2L, 2L, "x", true))), writer = "w")
+    assert(snapshot("d0-") == baseFiles, "group delta commit rewrote the base")
+    val delta = ordersRoot.listFiles().filter(_.getName.startsWith("d1-"))
+    assert(delta.length == 1 && spark.read.parquet(delta.head.getPath).count() == 2L)
+    def readT() = PkTableSink.readTxGroup(spark, root, "orders", batch().drop("del"))
+    assert(readT().count() == 4999L) // 5000 − 1 delete
+    // an older straggler of the deleted key stays dead (tombstone)
+    PkTableSink.mergeTxGroup(spark, root, Map(
+      "orders" -> tb((2L, 1L, "ghost", false))), writer = "w")
+    assert(readT().count() == 4999L)
   }
 
   test("tx group: concurrent group writers both land with consistent snapshots") {
