@@ -64,6 +64,34 @@ class MaterializedAggSpec extends SparkSpec {
     assert(mvOf(Seq(b1, b2, b3, b4)) == Map("a" -> ((2L, 110.0))))
   }
 
+  test("streaming deployment: foreachBatch maintains the view over a live stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Double, Boolean)]
+    var state = MaterializedAgg.emptyState(
+      chg().toDF("k", "ver", "g", "v", "del"), col("del"))
+    var mv: Option[DataFrame] = None
+    val q = input.toDF().toDF("k", "ver", "g", "v", "del")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = MaterializedAgg.step(state, batch,
+          Seq("k"), Seq(col("ver")), col("del"))
+        state = s.state.localCheckpoint(true)
+        mv = Some(MaterializedAgg.mergeMv(mv,
+          MaterializedAgg.groupDelta(s.signedDelta, Seq("g"),
+            Seq("total" -> col("v"))),
+          Seq("g"), Seq("total")).localCheckpoint(true))
+      }.start()
+    input.addData((1L, 1L, "a", 10.0, false), (2L, 1L, "b", 4.0, false))
+    q.processAllAvailable()
+    input.addData((1L, 2L, "b", 11.0, false), (2L, 2L, "b", 0.0, true))
+    q.processAllAvailable(); q.stop()
+    val got = mv.get.select(col("g"), col("n"), col("total"))
+      .as[(String, Long, Double)].collect()
+      .map { case (g, n, t) => g -> (n, t) }.toMap
+    assert(got == Map("b" -> ((1L, 11.0))))
+  }
+
   test("corpus-scale: 4 interleaved batches equal the direct aggregate") {
     val q = SparkEntry.queries("cdc_mv_incremental")(spark, sfDir)
       .as[(String, Long, Double)].collect().toSeq
