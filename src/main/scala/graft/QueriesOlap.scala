@@ -338,7 +338,7 @@ object QueriesOlap {
           Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type")),
           keyCol = col("user_id"), tsCol = col("ts"), typeCol = col("event_type"),
           steps = Seq("signup", "click", "purchase"),
-          window = expr("INTERVAL 1 DAY"), dedup = false)
+          windowMicros = 86400000000L, dedup = false)
         .select(col("key").as("user_id"), col("depth").as("funnel_depth"))
         .orderBy(col("user_id"))
     },

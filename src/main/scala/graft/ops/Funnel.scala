@@ -115,22 +115,38 @@ object Funnel {
     * step-0 event starts its own trial and the best depth wins
     * (upstream window_funnel semantics; see class doc). Output: one
     * row per key with `key` and `depth` (0 when the key never fires
-    * step 0). Cost per key is O(anchors × steps × events) over the
-    * step-typed list — the same working set as [[depth]], scanned once
-    * per anchor.
+    * step 0).
+    *
+    * The per-key evaluation is the native
+    * [[graft.functions.WindowFunnelMax]] kernel — per-step sorted
+    * timestamp arrays + binary search,
+    * O(E log E + anchors × steps² × log E) — instead of nested
+    * higher-order lambdas re-scanning the list per anchor
+    * (O(anchors × E × steps), interpreted). Identical value-based
+    * semantics, same DuckDB oracle.
+    *
+    * @param windowMicros max distance from the anchor in MICROSECONDS
+    *   (e.g. 1 day = 86400000000L) — a compile-time constant of the
+    *   kernel, hence not a Column
     */
   def depthMax(events: DataFrame, keyCol: Column, tsCol: Column, typeCol: Column,
-               steps: Seq[String], window: Column, dedup: Boolean,
+               steps: Seq[String], windowMicros: Long, dedup: Boolean,
                maxEventsPerKey: Int = Int.MaxValue): DataFrame = {
-    val grouped = collectEvs(events, keyCol, tsCol, typeCol, steps, maxEventsPerKey)
-    val anchors = transform(
-      filter(col("evs"), e => e("et") === steps.head), e => e("ts"))
-    val perAnchor = transform(anchors, a => {
-      val chain = stepChain(col("evs"), a, steps, window, dedup)
-      chain.map(_.isNotNull.cast("long")).foldLeft(lit(1L))(_ + _)
-    })
-    grouped
-      .withColumn("depth", coalesce(array_max(perAnchor), lit(0L)))
-      .select(col("key"), col("depth"))
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(maxEventsPerKey > 0, "maxEventsPerKey must be positive")
+    // same null-skipping collection contract as collectEvs, with ts
+    // pre-lowered to epoch micros for the native kernel
+    val grouped = events
+      .groupBy(keyCol.as("key"))
+      .agg(collect_list(when(typeCol.isin(steps: _*),
+        struct(unix_micros(tsCol).as("ts"), typeCol.as("et")))).as("evs"))
+    val capped =
+      if (maxEventsPerKey == Int.MaxValue) grouped
+      else grouped.withColumn("evs",
+        slice(array_sort(col("evs")), 1, maxEventsPerKey))
+    import org.apache.spark.sql.graftshim.DatasetShim
+    val depthCol = DatasetShim.column(graft.functions.WindowFunnelMax(
+      DatasetShim.expression(col("evs")), steps, windowMicros, dedup))
+    capped.select(col("key"), depthCol.as("depth"))
   }
 }

@@ -92,7 +92,7 @@ class FunnelSpec extends SparkSpec {
                         dedup: Boolean): Map[Long, Long] =
     Funnel.depthMax(rows.toDF("u", "t", "et"),
         keyCol = col("u"), tsCol = col("t"), typeCol = col("et"),
-        steps = steps, window = day, dedup = dedup)
+        steps = steps, windowMicros = 86400000000L, dedup = dedup)
       .select(col("key"), col("depth")).as[(Long, Long)].collect().toMap
 
   test("multi-anchor: every step-0 event is a trial, best depth wins") {
@@ -154,6 +154,40 @@ class FunnelSpec extends SparkSpec {
         steps = steps, window = day, dedup = false, maxEventsPerKey = 10)
       .select(col("key"), col("depth")).as[(Long, Long)].collect().toMap
     assert(capped == Map(7L -> 1L))
+  }
+
+  test("native depthMax kernel equals a brute-force evaluation on the corpus") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3)).toSeq).toMap
+    val w = 86400000000L
+    def brute(events: Seq[(Long, String)], dedup: Boolean): Long = {
+      val anchors = events.filter(_._2 == steps.head).map(_._1)
+      val trials = anchors.map { a =>
+        var prev = a; var depth = 1L; var broken = false
+        for (i <- 1 until steps.size if !broken) {
+          val cand = events.filter(e => e._2 == steps(i) && e._1 > prev && e._1 <= a + w)
+            .map(_._1).minOption
+          val rep = events.filter(e => steps.take(i).contains(e._2) &&
+            e._1 > prev && e._1 <= a + w).map(_._1).minOption
+          cand match {
+            case Some(c) if !dedup || rep.forall(c < _) => depth += 1; prev = c
+            case _ => broken = true
+          }
+        }
+        depth
+      }
+      trials.maxOption.getOrElse(0L)
+    }
+    for (dedup <- Seq(false, true)) {
+      val got = Funnel.depthMax(Tables.events(spark, sfDir),
+          keyCol = col("user_id"), tsCol = col("ts"), typeCol = col("event_type"),
+          steps = steps, windowMicros = w, dedup = dedup)
+        .select(col("key"), col("depth")).as[(Long, Long)].collect().toMap
+      val want = evs.map { case (u, es) => u -> brute(es, dedup) }
+      assert(got == want, s"native kernel diverges from brute force (dedup=$dedup)")
+    }
   }
 
   test("one-pass funnel equals the staged-join formulation on the corpus") {
