@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
-import graft.ops.{Dedup, Multimodal, Profiling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Profiling, Similarity, TextAnalysis}
 
 /** Training-data pipeline query surface (SURVEY §2 section C):
   * dedup, similarity search, text analysis, multimodal plumbing.
@@ -81,6 +81,19 @@ object QueriesData {
         .where(col("cum_tokens") <= 2000)
         .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
         .orderBy(col("lang"), col("cum_tokens"))
+    },
+
+    // C29: training-batch sequence packing — deterministic per-lang
+    // layout cut into 1024-token packs by the fixed-boundary greedy
+    // rule (pack = div of the doc's cumulative start offset); one
+    // window function, no iterative state
+    "pack_sequences" -> { (s, dir) =>
+      Packing.packContiguous(Tables.documents(s, dir),
+          streamCol = col("lang"), idCol = col("doc_id"),
+          tokensCol = size(split(col("text"), " ")), budgetTokens = 1024L)
+        .select(col("id").as("doc_id"), col("stream").as("lang"),
+          col("n_tok"), col("start_tok"), col("pack_id"))
+        .orderBy(col("doc_id"))
     },
 
     // C20: duplicate clusters — connected components over the exact
@@ -439,6 +452,17 @@ object QueriesData {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM documents)
         |WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens""".stripMargin,
+    // C29: fixed-boundary greedy packing — pack = integer div of the
+    // doc's cumulative start offset within its language stream
+    "pack_sequences" ->
+      """SELECT doc_id, lang, n_tok,
+        |  CAST(cum - n_tok AS BIGINT) AS start_tok,
+        |  CAST((cum - n_tok) // 1024 AS BIGINT) AS pack_id
+        |FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+        |        sum(len(string_split(text, ' '))) OVER (
+        |          PARTITION BY lang ORDER BY doc_id) AS cum
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |szd AS (SELECT doc_id, s, len(s) AS sz FROM sh),
