@@ -315,6 +315,36 @@ class TxCommitSpec extends SparkSpec {
     assert(PkTableSink.readTx(spark, root, batch().drop("del")).count() == 6L)
   }
 
+  test("tx: compaction bin-packs to target size with disjoint sorted key ranges") {
+    val root = tmpRoot("txpack")
+    val rows = spark.range(4000)
+      .select(col("id"), lit(1L).as("ver"), concat(lit("v"), col("id")).as("v"),
+        lit(false).as("del"))
+    PkTableSink.mergeTx(spark, root, rows, Seq("id"), Seq("ver"), "del", writer = "w")
+    PkTableSink.mergeTx(spark, root, batch((99999L, 1L, "x", false)),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    // 4001 live keys at 1000 rows/file → 5 files
+    PkTableSink.compactTx(spark, root, writer = "w", targetRowsPerFile = 1000L)
+    val dataDir = TxLog.current(spark, root).get.dataDir
+    val files = new java.io.File(dataDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 5, s"expected 5 bin-packed files, got ${files.length}")
+    // each file covers a key range disjoint from every other — the
+    // layout parquet min/max stats need to prune point/range lookups
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("id"), max("id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping file key ranges: $sorted")
+    }
+    // and a filtered read returns exactly the looked-up key
+    val hit = PkTableSink.readTx(spark, root, rows.drop("del"))
+      .where(col("id") === 2024L)
+    assert(hit.count() == 1L)
+  }
+
   test("tx: vacuum drops old versions, keeps recent, current stays readable") {
     val root = tmpRoot("txvac")
     (1 to 4).foreach(i =>
