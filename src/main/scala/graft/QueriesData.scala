@@ -262,6 +262,30 @@ object QueriesData {
         .orderBy(col("col_name"))
     },
 
+    // C31: per-language corpus report — the first dashboard a training
+    // pipeline builds: volume, token mass, length spread, exact-dup
+    // rate. One hash aggregation; every ratio derives from exact
+    // integer sums (token counts < 2^53), so the doubles are
+    // order-independent and engine-exact before rounding.
+    "corpus_stats" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("h", md5(col("text")))
+      d.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          count_distinct(col("h")).as("n_unique_texts"))
+        .withColumn("avg_tokens",
+          Rounding.r(col("n_tokens").cast("double") / col("n_docs"), 4))
+        .withColumn("dup_rate",
+          Rounding.r((col("n_docs") - col("n_unique_texts")).cast("double") / col("n_docs"), 4))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("avg_tokens"),
+          col("min_chars"), col("max_chars"), col("n_unique_texts"), col("dup_rate"))
+        .orderBy(col("lang"))
+    },
+
     // C15: deterministic hash sampling — md5-keyed Bernoulli, stable
     // across runs/engines/partitionings (unlike rand()-based sample)
     "sample_deterministic" -> { (s, dir) =>
@@ -782,6 +806,14 @@ object QueriesData {
            |count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    "corpus_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  count(DISTINCT md5(text)) AS n_unique_texts,
+        |  round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*), 4) AS dup_rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "sample_deterministic" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST('0x' || substr(md5(doc_id || ':sample'), 1, 8) AS BIGINT) % 100 < 20
