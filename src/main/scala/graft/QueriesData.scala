@@ -262,6 +262,19 @@ object QueriesData {
         .orderBy(col("col_name"))
     },
 
+    // C32: segment-level boilerplate removal (CCNet/RefinedWeb
+    // paragraph dedup, chunk-segmented): 3-token segments appearing
+    // verbatim in ≥3 distinct docs are corpus boilerplate; docs
+    // re-assemble from surviving segments (docs that were ALL
+    // boilerplate drop out). clean text exported as md5 (compact,
+    // still exact equality)
+    "dedup_segments" -> { (s, dir) =>
+      Dedup.segmentDedup(Tables.documents(s, dir), col("doc_id"), col("text"),
+          segLen = 3, minDocs = 3)
+        .select(col("doc_id"), col("n_kept"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // C31: per-language corpus report — the first dashboard a training
     // pipeline builds: volume, token mass, length spread, exact-dup
     // rate. One hash aggregation; every ratio derives from exact
@@ -806,6 +819,15 @@ object QueriesData {
            |count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    "dedup_segments" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |seg0 AS (SELECT doc_id, unnest(range(CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS pos, toks FROM t),
+        |segs AS (SELECT doc_id, pos, array_to_string(toks[pos*3+1 : pos*3+3], ' ') AS seg FROM seg0),
+        |common AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM common))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(seg, ' ' ORDER BY pos)) AS clean_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "corpus_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

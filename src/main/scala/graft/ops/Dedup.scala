@@ -462,4 +462,41 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Segment-level boilerplate removal (the CCNet/RefinedWeb
+    * paragraph-dedup stage, chunk-segmented for corpora without line
+    * structure): a document is cut into consecutive `segLen`-token
+    * segments, any segment appearing VERBATIM in ≥ `minDocs` distinct
+    * documents is corpus boilerplate, and each document is
+    * re-assembled from its surviving segments in order.
+    *
+    * Scale shape: explode to segments → one hash-aggregate counting
+    * distinct docs per segment (shuffle carries segment text once per
+    * distinct value, not per occurrence, thanks to partial
+    * aggregation) → anti-join back → one per-doc re-assembly
+    * aggregation. Nothing is quadratic and no driver-side state;
+    * the boilerplate set stays distributed (no broadcast assumption —
+    * corpus-wide boilerplate can be huge).
+    */
+  def segmentDedup(df: DataFrame, id: Column, text: Column,
+                   segLen: Int = 3, minDocs: Int = 3): DataFrame = {
+    require(segLen > 0 && minDocs >= 2)
+    val toks = split(text, " ")
+    val nSegs = ceil(size(toks) / lit(segLen.toDouble)).cast("long")
+    val segs = df
+      .select(id.as("doc_id"),
+        posexplode(transform(sequence(lit(0L), nSegs - 1),
+          i => array_join(slice(toks, (i * segLen).cast("int") + 1, lit(segLen)), " ")))
+          .as(Seq("pos", "seg")))
+    val common = segs.groupBy(col("seg"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("seg"))
+    segs.join(common, Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("pos"), col("seg")))), s => s("seg")), " ")
+          .as("clean_text"))
+  }
 }
