@@ -84,10 +84,88 @@ object MaterializedAgg {
       .where(col("n") > 0)
   }
 
+  /** EXACTLY-ONCE transactional maintenance for the streaming
+    * deployment (foreachBatch): key-state, the view, and a per-writer
+    * batch watermark commit ATOMICALLY as three tables of one
+    * [[graft.sinks.PkTableSink.mergeTxGroup]] manifest. foreachBatch
+    * replays a batch after a crash — and a signed delta is NOT
+    * idempotent (re-applying doubles it) — so the watermark decides:
+    * `batchId ≤` the committed watermark means the manifest landed and
+    * the replay is a no-op (returns false). Either the crash happened
+    * before the commit (nothing landed, replay re-applies cleanly) or
+    * after (everything landed, replay skips) — no partial state is
+    * reachable because the three tables flip in one manifest.
+    *
+    * Single-writer per `writer` id (the routine-load shape: one job
+    * owns one view); concurrent DIFFERENT writers are serialized by
+    * the commit protocol but must partition the key space.
+    *
+    * Read the live view with
+    * `PkTableSink.readTxGroup(spark, root, "mv", …)` — groups whose
+    * count reached zero are tombstoned out.
+    */
+  def maintainTx(root: String, batch: DataFrame, batchId: Long,
+                 keyCols: Seq[String], versionCols: Seq[String], deleteFlag: Column,
+                 groupCols: Seq[String], sums: Seq[(String, Column)],
+                 writer: String): Boolean = {
+    import graft.sinks.PkTableSink
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    val spark = batch.sparkSession
+    val sumNames = sums.map(_._1)
+    val emptyCommits = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("writer_id", StringType),
+        StructField("batch_id", LongType))))
+    val applied = PkTableSink.readTxGroup(spark, root, "commits", emptyCommits)
+      .where(col("writer_id") === writer)
+      .agg(max(col("batch_id"))).collect()(0)
+    if (!applied.isNullAt(0) && batchId <= applied.getLong(0)) return false
+
+    // state WITH tombstones: a deleted key's version must stay visible
+    // so a straggler insert loses latestPerKey here exactly as it does
+    // in the stored table — view and table can never diverge
+    val state = PkTableSink.readTxGroupAll(spark, root, "state",
+      emptyState(batch, deleteFlag), deletedCol = Del)
+    val s = step(state, batch, keyCols, versionCols.map(col), deleteFlag)
+    val delta = groupDelta(s.signedDelta, groupCols, sums)
+      .localCheckpoint(true)
+    // new rows for TOUCHED groups only: current view restricted to the
+    // delta's groups, merged additively; n = 0 becomes a tombstone
+    val curMv = PkTableSink.readTxGroup(spark, root, "mv", delta)
+    val touched = delta.select(groupCols.map(col): _*)
+    val newMv = mergeMvAllowZero(
+        curMv.join(touched, groupCols, "left_semi"), delta, groupCols, sumNames)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("__mv_gone", col("n") <= 0)
+    PkTableSink.mergeTxGroup(spark, root, Map(
+      "state" -> PkTableSink.TableBatch(
+        batch.withColumn("__state_del", coalesce(deleteFlag, lit(false))),
+        keyCols, versionCols, "__state_del"),
+      "mv" -> PkTableSink.TableBatch(newMv, groupCols, Seq("batch_id"), "__mv_gone"),
+      "commits" -> PkTableSink.TableBatch(
+        spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(writer, batchId, false)),
+          StructType(emptyCommits.schema.fields :+
+            StructField("__c_del", BooleanType))),
+        Seq("writer_id"), Seq("batch_id"), "__c_del")),
+      writer = writer)
+    true
+  }
+
+  /** [[mergeMv]] but keeping zero-count groups (the caller tombstones
+    * them instead of dropping the rows). */
+  private def mergeMvAllowZero(mv: DataFrame, delta: DataFrame,
+                               groupCols: Seq[String], sumNames: Seq[String]): DataFrame =
+    mv.unionByName(delta, allowMissingColumns = true)
+      .select((groupCols.map(col) :+ col("n")) ++ sumNames.map(col): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sumNames.map(n => sum(col(n)).as(n)): _*)
+
   /** Drive a whole batch sequence: returns the final view
     * (groupCols, n, named sums). Convenience for queries/specs; a
     * streaming deployment calls [[step]]/[[groupDelta]]/[[mergeMv]]
-    * from foreachBatch with the state in a PK lake table.
+    * from foreachBatch with the state in a PK lake table — or
+    * [[maintainTx]] for the exactly-once transactional variant.
     */
   def maintain(batches: Seq[DataFrame], keyCols: Seq[String],
                version: Seq[Column], deleteFlag: Column,

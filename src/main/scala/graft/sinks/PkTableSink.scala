@@ -359,6 +359,26 @@ object PkTableSink {
       }
     }.getOrElse(schemaOf.limit(0))
 
+  /** Like [[readTxGroup]] but RETAINING stored tombstones, surfaced
+    * as boolean `deletedCol` (false when the table predates deletes).
+    * For maintenance jobs whose own derived state must see deleted
+    * keys' versions — e.g. incremental view maintenance, where a
+    * tombstone's version is what stops a straggler insert from
+    * diverging the view from the table. */
+  def readTxGroupAll(spark: SparkSession, groupRoot: String, table: String,
+                     schemaOf: => DataFrame, deletedCol: String): DataFrame =
+    TxLog.current(spark, groupRoot).flatMap { m =>
+      m.tables.get(table).map { list =>
+        val dirs = list.split(",").toSeq.filter(_.nonEmpty)
+        val merged = mergeDirs(spark, dirs, Map(
+          MetaKeys -> m.meta.getOrElse(s"$MetaKeys.$table", ""),
+          MetaVers -> m.meta.getOrElse(s"$MetaVers.$table", "")))
+        if (merged.columns.contains(Tombstone))
+          merged.withColumnRenamed(Tombstone, deletedCol)
+        else merged.withColumn(deletedCol, lit(false))
+      }
+    }.getOrElse(schemaOf.limit(0))
+
   /** Group retention: drop manifests older than the `keepVersions`
     * most recent, then delete only data dirs NO KEPT manifest still
     * references — untouched tables carry dirs forward across

@@ -92,6 +92,38 @@ class MaterializedAggSpec extends SparkSpec {
     assert(got == Map("b" -> ((1L, 11.0))))
   }
 
+  test("transactional maintenance: exactly-once under batch replay, atomic three-table commit") {
+    import graft.sinks.PkTableSink
+    val root = java.nio.file.Files.createTempDirectory("mvtx").toString + "/g"
+    def apply(b: DataFrame, id: Long) = MaterializedAgg.maintainTx(root, b, id,
+      Seq("k"), Seq("ver"), col("del"), Seq("g"),
+      Seq("total" -> col("v")), writer = "job1")
+    def mv(): Map[String, (Long, Double)] =
+      PkTableSink.readTxGroup(spark, root, "mv", chg().toDF("k", "ver", "g", "v", "del"))
+        .select(col("g"), col("n"), col("total"))
+        .as[(String, Long, Double)].collect()
+        .map { case (g, n, t) => g -> (n, t) }.toMap
+
+    assert(apply(chg((1L, 1L, "a", 10.0, false), (2L, 1L, "b", 4.0, false)), 1L))
+    assert(apply(chg((1L, 2L, "b", 11.0, false), (2L, 2L, "b", 0.0, true)), 2L))
+    assert(mv() == Map("b" -> ((1L, 11.0))))  // a emptied out, tombstoned
+
+    // foreachBatch replay of an already-committed batch is a no-op —
+    // the signed delta must not double-apply
+    assert(!apply(chg((1L, 2L, "b", 11.0, false), (2L, 2L, "b", 0.0, true)), 2L))
+    assert(mv() == Map("b" -> ((1L, 11.0))))
+
+    // straggler insert of the deleted key: the state tombstone's
+    // version wins, view stays consistent with the table
+    assert(apply(chg((2L, 1L, "a", 99.0, false)), 3L))
+    assert(mv() == Map("b" -> ((1L, 11.0))))
+
+    // and the state table agrees with the view's inputs
+    val live = PkTableSink.readTxGroup(spark, root, "state",
+      chg().toDF("k", "ver", "g", "v", "del"))
+    assert(live.select("k").as[Long].collect().toSet == Set(1L))
+  }
+
   test("corpus-scale: 4 interleaved batches equal the direct aggregate") {
     val q = SparkEntry.queries("cdc_mv_incremental")(spark, sfDir)
       .as[(String, Long, Double)].collect().toSeq
