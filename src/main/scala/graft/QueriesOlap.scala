@@ -317,12 +317,15 @@ object QueriesOlap {
     // signup/click between click and purchase). Value-based kill
     // semantics (candidate must be strictly earlier than the repeat),
     // so same-timestamp races resolve identically in any engine.
+    // Only the depth is exported, so this runs on the native kernel
+    // (first-anchor mode) — the interpreted dedup predicate re-scans
+    // the per-key list once per matched step.
     "q_window_funnel_dedup" -> { (s, dir) =>
-      Funnel.depth(
+      Funnel.depthFirst(
           Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type")),
           keyCol = col("user_id"), tsCol = col("ts"), typeCol = col("event_type"),
           steps = Seq("signup", "click", "purchase"),
-          window = expr("INTERVAL 1 DAY"), dedup = true)
+          windowMicros = 86400000000L, dedup = true)
         .select(col("key").as("user_id"), col("depth").as("funnel_depth"))
         .orderBy(col("user_id"))
     },

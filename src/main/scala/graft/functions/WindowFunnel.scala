@@ -26,7 +26,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
 object WindowFunnelImpl {
 
   def maxDepth(arr: ArrayData, stepNames: Array[String],
-               windowMicros: Long, dedup: Boolean): Long = {
+               windowMicros: Long, dedup: Boolean): Long =
+    depth(arr, stepNames, windowMicros, dedup, firstAnchorOnly = false)
+
+  def depth(arr: ArrayData, stepNames: Array[String],
+            windowMicros: Long, dedup: Boolean,
+            firstAnchorOnly: Boolean): Long = {
     val k = stepNames.length
     val n = arr.numElements()
     val counts = new Array[Int](k)
@@ -69,10 +74,14 @@ object WindowFunnelImpl {
       if (lo < a.length) a(lo) else Long.MaxValue
     }
 
+    // first-anchor mode (ops.Funnel.depth semantics): only the
+    // earliest step-0 event — steps(0)(0) after the sort — runs a trial
     val anchors = steps(0)
+    val anchorLimit = if (firstAnchorOnly) math.min(1, anchors.length)
+                      else anchors.length
     var best = 0L
     var ai = 0
-    while (ai < anchors.length && best < k) {
+    while (ai < anchorLimit && best < k) {
       val a = anchors(ai)
       val horizon = a + windowMicros
       var prev = a
@@ -107,7 +116,8 @@ object WindowFunnelImpl {
   * single native expression inside whole-stage codegen.
   */
 case class WindowFunnelMax(child: Expression, stepNames: Seq[String],
-                           windowMicros: Long, dedup: Boolean)
+                           windowMicros: Long, dedup: Boolean,
+                           firstAnchorOnly: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -116,14 +126,14 @@ case class WindowFunnelMax(child: Expression, stepNames: Seq[String],
   @transient private lazy val stepArr = stepNames.toArray
 
   override def nullSafeEval(input: Any): Any =
-    WindowFunnelImpl.maxDepth(input.asInstanceOf[ArrayData], stepArr,
-      windowMicros, dedup)
+    WindowFunnelImpl.depth(input.asInstanceOf[ArrayData], stepArr,
+      windowMicros, dedup, firstAnchorOnly)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val stepsRef = ctx.addReferenceObj("funnelSteps", stepArr,
       classOf[Array[String]].getName)
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WindowFunnelImpl.maxDepth($c, $stepsRef, ${windowMicros}L, $dedup)")
+      s"graft.functions.WindowFunnelImpl.depth($c, $stepsRef, ${windowMicros}L, $dedup, $firstAnchorOnly)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

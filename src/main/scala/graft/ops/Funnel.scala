@@ -131,7 +131,27 @@ object Funnel {
     */
   def depthMax(events: DataFrame, keyCol: Column, tsCol: Column, typeCol: Column,
                steps: Seq[String], windowMicros: Long, dedup: Boolean,
-               maxEventsPerKey: Int = Int.MaxValue): DataFrame = {
+               maxEventsPerKey: Int = Int.MaxValue): DataFrame =
+    kernelDepth(events, keyCol, tsCol, typeCol, steps, windowMicros, dedup,
+      maxEventsPerKey, firstAnchorOnly = false)
+
+  /** [[depth]]'s FIRST-anchor semantics on the native kernel, when only
+    * the depth (not the per-step timestamps) is needed: same collected
+    * per-key list, but the chain walk is primitive binary searches
+    * instead of nested higher-order lambdas — the dedup predicate in
+    * particular re-scans the list once per already-matched step when
+    * interpreted (measured 2.7 s → ~0.3 s at sf0.1). Differentially
+    * pinned to [[depth]] in FunnelSpec. */
+  def depthFirst(events: DataFrame, keyCol: Column, tsCol: Column, typeCol: Column,
+                 steps: Seq[String], windowMicros: Long, dedup: Boolean,
+                 maxEventsPerKey: Int = Int.MaxValue): DataFrame =
+    kernelDepth(events, keyCol, tsCol, typeCol, steps, windowMicros, dedup,
+      maxEventsPerKey, firstAnchorOnly = true)
+
+  private def kernelDepth(events: DataFrame, keyCol: Column, tsCol: Column,
+                          typeCol: Column, steps: Seq[String], windowMicros: Long,
+                          dedup: Boolean, maxEventsPerKey: Int,
+                          firstAnchorOnly: Boolean): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     require(maxEventsPerKey > 0, "maxEventsPerKey must be positive")
     // same null-skipping collection contract as collectEvs, with ts
@@ -146,7 +166,8 @@ object Funnel {
         slice(array_sort(col("evs")), 1, maxEventsPerKey))
     import org.apache.spark.sql.graftshim.DatasetShim
     val depthCol = DatasetShim.column(graft.functions.WindowFunnelMax(
-      DatasetShim.expression(col("evs")), steps, windowMicros, dedup))
+      DatasetShim.expression(col("evs")), steps, windowMicros, dedup,
+      firstAnchorOnly))
     capped.select(col("key"), depthCol.as("depth"))
   }
 }

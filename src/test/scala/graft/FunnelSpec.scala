@@ -212,4 +212,19 @@ class FunnelSpec extends SparkSpec {
     // (explode) would multiply rows by anchor count before the agg
     assert(!physical.contains("Generate"), s"expected no row explosion:\n$physical")
   }
+
+  test("depthFirst (native first-anchor kernel) equals depth on the corpus") {
+    for (dedup <- Seq(false, true)) {
+      val declarative = Funnel.depth(Tables.events(spark, sfDir),
+          keyCol = col("user_id"), tsCol = col("ts"), typeCol = col("event_type"),
+          steps = steps, window = day, dedup = dedup)
+        .select(col("key"), col("depth")).as[(Long, Long)].collect().toMap
+      val native = Funnel.depthFirst(Tables.events(spark, sfDir),
+          keyCol = col("user_id"), tsCol = col("ts"), typeCol = col("event_type"),
+          steps = steps, windowMicros = 86400000000L, dedup = dedup)
+        .select(col("key"), col("depth")).as[(Long, Long)].collect().toMap
+      assert(native == declarative && native.nonEmpty,
+        s"first-anchor kernel diverges from the declarative chain (dedup=$dedup)")
+    }
+  }
 }
