@@ -487,6 +487,90 @@ object QueriesOlap {
         .select(col("event_id"), col("k").as("user_id"),
           date_format(col("t"), TsFmt).as("ts"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))
+    },
+
+    // B33: native PIVOT — revenue by status × market segment, the
+    // segment list pinned so the output schema is static (dynamic
+    // pivot would first scan for distinct values: one extra job).
+    // One hash aggregation; each segment a conditional sum column.
+    "q_pivot_native" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderstatus"))
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(Rounding.r(sum(col("o_totalprice")), 2))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // B34: UNPIVOT (melt) — the wide per-flag aggregate turned long:
+    // one row per (flag, metric). Spark's native unpivot, no UNION of
+    // re-scans — the wide aggregate computes once.
+    "q_unpivot" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(Rounding.r(sum(col("l_quantity")), 2).as("sum_qty"),
+          Rounding.r(sum(col("l_extendedprice")), 2).as("sum_price"),
+          Rounding.r(sum(col("l_discount")), 4).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+
+    // B35: distribution-rank window surface — ntile/percent_rank/
+    // cume_dist per nation (partitioned window: each nation sorts
+    // independently, no global single-partition sort at scale)
+    "q_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          Rounding.r(percent_rank().over(w), 6).as("pr"),
+          Rounding.r(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // B36: fixed-width histogram — bin math in the group key (no
+    // width_bucket UDF), count + bin extremes per bucket; a single
+    // hash aggregation whatever the row count
+    "q_histogram" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 20000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          Rounding.r(min(col("o_totalprice")), 2).as("lo"),
+          Rounding.r(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bin"))
+    },
+
+    // B37: lateral explode — tokenize and flatten with position
+    // (posexplode = LATERAL unnest WITH ORDINALITY); the position
+    // filter lands before the generate output is wide
+    "q_lateral_explode" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .where(col("pos") < 10)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("word"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // B38: value-picking window frames — first/last/nth over the full
+    // partition (explicit unbounded frame: last_value under the
+    // default frame would read the current row, a classic silent bug)
+    "q_first_last" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+        .where(col("event_id") % 100 === 0)
+        .orderBy(col("event_id"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -787,5 +871,56 @@ object QueriesOlap {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, k AS user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS ts,
         |       o_orderkey, o_totalprice
-        |FROM j WHERE kind = 1 ORDER BY event_id""".stripMargin)
+        |FROM j WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "q_pivot_native" ->
+      """SELECT o_orderstatus,
+        |round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN o_totalprice END), 2) AS "AUTOMOBILE",
+        |round(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN o_totalprice END), 2) AS "BUILDING",
+        |round(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN o_totalprice END), 2) AS "FURNITURE",
+        |round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN o_totalprice END), 2) AS "HOUSEHOLD",
+        |round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN o_totalprice END), 2) AS "MACHINERY"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_price,
+        |         round(sum(l_discount), 4) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, m.metric AS metric, m.value AS value FROM wide,
+        |  unnest([{'metric': 'sum_qty', 'value': sum_qty},
+        |          {'metric': 'sum_price', 'value': sum_price},
+        |          {'metric': 'sum_disc', 'value': sum_disc}]) AS t(m)
+        |ORDER BY l_returnflag, m.metric""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bin,
+        |  count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_lateral_explode" ->
+      """SELECT doc_id, s.pos AS pos, s.word AS word FROM (
+        |  SELECT doc_id, unnest([{'pos': CAST(i-1 AS BIGINT), 'word': w[i]}
+        |    for i in range(1, least(len(w), 10)+1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id < 200))
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_first_last" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id,
+        |    first_value(event_type) OVER w AS first_type,
+        |    last_value(event_type) OVER w AS last_type,
+        |    nth_value(event_type, 2) OVER w AS second_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)
 }
