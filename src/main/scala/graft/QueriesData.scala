@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
-import graft.ops.{Dedup, Multimodal, Packing, Profiling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Mixture, Multimodal, Packing, Profiling, Similarity, TextAnalysis}
 
 /** Training-data pipeline query surface (SURVEY §2 section C):
   * dedup, similarity search, text analysis, multimodal plumbing.
@@ -414,6 +414,40 @@ object QueriesData {
         .where(col("rn") <= 30)
         .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
         .orderBy(col("lang"), col("rn"))
+    },
+
+    // C33: sliding-window chunking — 64-token chunks every 48 tokens
+    // (overlapping training context windows); row-local explode, no
+    // shuffle, chunk identified by md5 so output stays compact
+    "chunk_documents" -> { (s, dir) =>
+      Packing.chunkSliding(Tables.documents(s, dir),
+          idCol = col("doc_id"), textCol = col("text"),
+          chunkTokens = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // C34: adjacent-pair frequencies — the first BPE merge step's
+    // count table; top-50 with deterministic tie-break
+    "bpe_pair_counts" -> { (s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), col("text"), topK = 50)
+    },
+
+    // C35: temperature-scaled mixture weights per language —
+    // p_i ∝ √n_i (α = 0.5 so both engines' doubles agree bit-exactly;
+    // see ops.Mixture scaladoc for why pow is banned here)
+    "mix_weights" -> { (s, dir) =>
+      Mixture.temperatureWeights(Tables.documents(s, dir),
+          stratumCol = col("lang"),
+          tokensCol = size(split(col("text"), " ")))
+        .orderBy(col("stratum"))
+    },
+
+    // C36: composed Gopher-rule quality filter with per-rule
+    // accounting — every rule a boolean column, keep = conjunction
+    "quality_filter_pipeline" -> { (s, dir) =>
+      TextAnalysis.gopherFilter(Tables.documents(s, dir),
+          id = col("doc_id"), text = col("text"))
+        .orderBy(col("doc_id"))
     })
 
   // 64-bit SimHash oracle runs in DuckDB's UBIGINT domain (BIGINT hex
@@ -899,5 +933,55 @@ object QueriesData {
         |f AS (SELECT doc_id, unnest([i for i in range(0, nb)]) AS frame_idx, t FROM d)
         |SELECT doc_id, frame_idx,
         |  md5(substr(t, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
-        |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+    "chunk_documents" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+        |             FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |c AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS s FROM tok)
+        |SELECT doc_id,
+        |  CAST(s // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(least(len(w) - s, 64) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(w[s+1 : s+64], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "bpe_pair_counts" ->
+      """SELECT pair, count(*) AS n FROM (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS pair
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2)
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "mix_weights" ->
+      """WITH pl AS (SELECT lang AS stratum,
+        |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |            FROM documents GROUP BY lang),
+        |l AS (SELECT list_sort(list({'stratum': stratum, 'n_tok': n_tok})) AS ls FROM pl),
+        |d AS (SELECT ls,
+        |        list_reduce([sqrt(CAST(x.n_tok AS DOUBLE)) for x in ls],
+        |                    (a, b) -> a + b) AS denom
+        |      FROM l)
+        |SELECT u.stratum AS stratum, u.n_tok AS n_tok,
+        |  round(sqrt(CAST(u.n_tok AS DOUBLE)) / denom, 6) AS weight
+        |FROM d, unnest(ls) AS t(u) ORDER BY stratum""".stripMargin,
+    "quality_filter_pipeline" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(text) - len(replace(replace(replace(replace(replace(replace(text,
+        |    '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_frac,
+        |  round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS mean_token_len,
+        |  round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio
+        |  FROM m)
+        |SELECT doc_id, n_tokens, dup_frac, mean_token_len, punct_ratio,
+        |  (n_tokens >= 20 AND n_tokens <= 100000) AS r_len,
+        |  (mean_token_len >= 2.0 AND mean_token_len <= 12.0) AS r_word_len,
+        |  (dup_frac <= 0.6) AS r_dup,
+        |  (punct_ratio <= 0.2) AS r_punct,
+        |  ((n_tokens >= 20 AND n_tokens <= 100000)
+        |    AND (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+        |    AND (dup_frac <= 0.6) AND (punct_ratio <= 0.2)) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

@@ -47,4 +47,32 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
       .withColumn("fill",
         graft.functions.Rounding.r(col("n_tok") / lit(budgetTokens.toDouble), 4))
+
+  /** Sliding-window chunking: each document's token stream cut into
+    * chunks of `chunkTokens` starting every `stride` tokens
+    * (stride < chunk → overlapping context windows, the standard
+    * training-example construction). Chunk starts are every multiple
+    * of `stride` below the token count; a document's final chunks may
+    * run short. Output is one row per (doc, chunk) with the chunk
+    * identified by md5 of its joined tokens — compact at any scale
+    * (chunk text itself never leaves the expression).
+    *
+    * Scale shape: row-local explode, no shuffle at all — chunk rows
+    * inherit the scan's partitioning; output size ∝ tokens/stride.
+    */
+  def chunkSliding(docs: DataFrame, idCol: Column, textCol: Column,
+                   chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    docs.select(idCol.as("doc_id"), split(textCol, " ").as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long"),
+        least(size(col("toks")) - col("start_tok"), lit(chunkTokens))
+          .cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("start_tok") + 1, lit(chunkTokens)))).as("chunk_hash"))
+  }
 }

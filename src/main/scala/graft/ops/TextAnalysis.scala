@@ -144,4 +144,59 @@ object TextAnalysis {
       }
     }.toDF("doc_id", "n_fingerprints", "fp_min", "fp_max")
   }
+
+  /** Corpus-wide adjacent-token-pair frequencies — the statistic the
+    * first BPE merge step ranks on (Sennrich et al. 2016's count
+    * table, here over whitespace tokens). Top `topK` pairs by count,
+    * ties broken by pair text so the cutoff is engine-deterministic.
+    *
+    * Scale shape: pair explode is row-local; one hash aggregation on
+    * pair (map-side partial combine collapses each partition's
+    * repeats before the exchange), then a TakeOrdered top-k — never a
+    * full sort of the pair vocabulary.
+    */
+  def bpePairCounts(df: DataFrame, text: Column, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    df.select(split(text, " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(topK)
+  }
+
+  /** Composed quality-filter pipeline (Gopher/RefinedWeb-style rule
+    * stack) with per-rule accounting: every rule is a boolean column,
+    * `keep` is their conjunction — so the output both filters and
+    * explains each rejection (which rule fired). All metrics are
+    * row-local integer/ratio math; no shuffle.
+    *
+    * Rules: token count in [minTokens, maxTokens]; mean token length
+    * in [2, 12]; duplicate-token fraction ≤ maxDupFrac; punctuation
+    * ratio ≤ 0.2.
+    */
+  def gopherFilter(df: DataFrame, id: Column, text: Column,
+                   minTokens: Int = 20, maxTokens: Int = 100000,
+                   maxDupFrac: Double = 0.6): DataFrame = {
+    val m = df.select(id.as("doc_id"), text.as("t"), split(text, " ").as("toks"))
+      .withColumn("n_chars", length(col("t")).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_punct",
+        (length(col("t")) - length(regexp_replace(col("t"), "[.,!?;:]", ""))).cast("long"))
+      .withColumn("dup_frac", Rounding.r(
+        lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_tokens"), 4))
+      .withColumn("mean_token_len", Rounding.r(
+        (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4))
+      .withColumn("punct_ratio", Rounding.r(
+        col("n_punct").cast("double") / col("n_chars"), 4))
+    m.select(col("doc_id"), col("n_tokens"), col("dup_frac"),
+        col("mean_token_len"), col("punct_ratio"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("r_len"),
+        (col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0).as("r_word_len"),
+        (col("dup_frac") <= maxDupFrac).as("r_dup"),
+        (col("punct_ratio") <= 0.2).as("r_punct"))
+      .withColumn("keep",
+        col("r_len") && col("r_word_len") && col("r_dup") && col("r_punct"))
+  }
 }

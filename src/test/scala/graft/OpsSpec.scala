@@ -290,4 +290,45 @@ class OpsSpec extends SparkSpec {
       .orderBy("frame_idx").collect()
     assert(frames.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 4L))
   }
+
+  test("BPE pair counts rank adjacent pairs with deterministic ties") {
+    val d = Seq((1L, "a b a b c"), (2L, "a b z"), (3L, "q")).toDF("doc_id", "text")
+    // pairs: doc1 → "a b","b a","a b","b c"; doc2 → "a b","b z";
+    // doc3 has one token → contributes nothing
+    val got = TextAnalysis.bpePairCounts(d, col("text"), topK = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("mixture weights: sqrt temperature, weights sum to 1") {
+    val d = Seq(
+      ("en", "one two three four"), ("en", "five six seven eight"),
+      ("de", "eins zwei")
+    ).toDF("lang", "text")
+    val got = graft.ops.Mixture.temperatureWeights(d, col("lang"),
+        size(split(col("text"), " ")))
+      .orderBy(col("stratum"))
+      .as[(String, Long, Double)].collect().toSeq
+    // n: de=2, en=8 → √2/(√2+√8), √8/(√2+√8) = 1/3, 2/3
+    assert(got.map(t => (t._1, t._2)) == Seq(("de", 2L), ("en", 8L)))
+    assert(math.abs(got(0)._3 - 1.0 / 3) < 1e-6)
+    assert(math.abs(got(1)._3 - 2.0 / 3) < 1e-6)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-5)
+  }
+
+  test("gopher filter: each rule fires independently and keep is their AND") {
+    val longOk = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, longOk),                                  // passes everything
+      (2L, "too short to pass"),                     // fails r_len
+      (3L, (1 to 30).map(_ => "same").mkString(" ")) // fails r_dup (29/30 dup)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(d, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("r_len"), col("r_dup"), col("keep"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(got(1L) == ((true, true, true)))
+    assert(got(2L) == ((false, true, false)))
+    assert(got(3L) == ((true, false, false)))
+  }
 }

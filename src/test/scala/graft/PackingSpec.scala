@@ -40,4 +40,29 @@ class PackingSpec extends SparkSpec {
     assert(stats.contains(("a", 1L, 1L, 600L)))
     assert(stats.contains(("c", 0L, 1L, 5000L)))
   }
+
+  test("sliding-window chunking: starts, lengths, overlap, empty docs") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "solo"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = Packing.chunkSliding(d, col("doc_id"), col("text"),
+        chunkTokens = 4, stride = 3)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("n_tok"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: starts 0,3,6,9 → lengths 4,4,4,1
+    assert(got == Set(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L), (1L, 3L, 9L, 1L),
+      (2L, 0L, 0L, 1L),
+      // split("") yields [""] (one empty token), not an empty array —
+      // a zero-length doc still emits its one (empty) chunk
+      (3L, 0L, 0L, 1L)))
+    // overlap: chunk 0 covers tokens 1..4, chunk 1 covers 4..7 — the
+    // shared token makes the hashes of equal-content windows equal
+    val h = Packing.chunkSliding(d.where(col("doc_id") === 1), col("doc_id"),
+        col("text"), chunkTokens = 4, stride = 3)
+      .select(col("chunk_hash")).as[String].collect()
+    assert(h.distinct.length == h.length) // distinct windows hash apart
+  }
 }
