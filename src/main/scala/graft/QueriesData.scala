@@ -448,6 +448,29 @@ object QueriesData {
       TextAnalysis.gopherFilter(Tables.documents(s, dir),
           id = col("doc_id"), text = col("text"))
         .orderBy(col("doc_id"))
+    },
+
+    // C37: exact heavy hitters via Misra–Gries prune: the MG sketch
+    // (shuffle ≤ k counters per partition, whatever the token domain)
+    // yields a candidate superset of every token with freq > n/(k+1);
+    // an exact count of the candidates + integer cross-multiplied
+    // threshold reproduces the EXACT heavy set — sketch bounds the
+    // work, verify restores exactness (the LSH-then-verify shape).
+    // Merge-order noise in the sketch cannot reach the output.
+    "q_heavy_hitters" -> { (s, dir) =>
+      val k = 50
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val cands = toks
+        .agg(graft.functions.HeavyHitters.mgSketch(col("tok"), k).as("mg"))
+        .select(explode(map_keys(col("mg"))).as("tok")) // ≤ k rows
+      val total = toks.agg(count(lit(1)).as("total"))
+      toks.join(broadcast(cands), Seq("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .where(col("n") * (k + 1) > col("total"))
+        .select(col("tok"), col("n"))
+        .orderBy(col("tok"))
     })
 
   // 64-bit SimHash oracle runs in DuckDB's UBIGINT domain (BIGINT hex
@@ -983,5 +1006,11 @@ object QueriesData {
         |  ((n_tokens >= 20 AND n_tokens <= 100000)
         |    AND (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
         |    AND (dup_frac <= 0.6) AND (punct_ratio <= 0.2)) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT count(*) AS total FROM t)
+        |SELECT tok, count(*) AS n FROM t, tot
+        |GROUP BY tok, total HAVING count(*) * 51 > total
+        |ORDER BY tok""".stripMargin)
 }

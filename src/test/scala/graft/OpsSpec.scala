@@ -316,6 +316,44 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-5)
   }
 
+  test("Misra-Gries sketch: candidate superset + undercount bound, any partitioning") {
+    // skewed stream: item i appears 2^(10-i) times, i = 0..9, plus
+    // 200 singleton tail items; n = 2046 + 200 = 2246
+    val rows = (0 to 9).flatMap(i => Seq.fill(1 << (10 - i))(s"hot$i")) ++
+      (1 to 200).map(i => s"tail$i")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val k = 5
+    val heavy = exact.filter { case (_, c) => c > n / (k + 1) }.keySet
+    assert(heavy.nonEmpty && heavy.size <= k) // the test is non-vacuous
+    for (parts <- Seq(1, 2, 7)) { // vary partitioning → vary merge order
+      val sketch = spark.createDataset(scala.util.Random.shuffle(rows))
+        .repartition(parts)
+        .select(graft.functions.HeavyHitters.mgSketch(col("value"), k).as("mg"))
+        .as[Map[String, Long]].head()
+      assert(sketch.size <= k, s"sketch over capacity at parts=$parts")
+      assert(heavy.subsetOf(sketch.keySet),
+        s"guarantee broken at parts=$parts: $heavy not in ${sketch.keySet}")
+      // each kept counter is a lower bound, short by at most n/(k+1)
+      sketch.foreach { case (item, c) =>
+        val e = exact(item)
+        assert(c <= e && e - c <= n / (k + 1),
+          s"counter bound broken for $item: kept=$c exact=$e")
+      }
+    }
+  }
+
+  test("heavy-hitters query equals the exact thresholded counts") {
+    val got = SparkEntry.queries("q_heavy_hitters")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok")).as[String].collect()
+    val n = toks.length.toLong
+    val want = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 51 > n }.toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("gopher filter: each rule fires independently and keep is their AND") {
     val longOk = (1 to 30).map(i => s"tok$i").mkString(" ")
     val d = Seq(
