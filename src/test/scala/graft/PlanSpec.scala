@@ -132,4 +132,21 @@ class PlanSpec extends SparkSpec {
     val p = plan("ann_topk_bruteforce")
     assert(p.contains("WindowGroupLimit"))
   }
+
+  test("heavy hitters: sketch aggregates map-side, candidate join broadcasts") {
+    val p = plan("q_heavy_hitters")
+    // partial MG runs before the exchange — the shuffle carries ≤ k
+    // counters per partition, never the token stream
+    assert(p.contains("partial_heavyhitters"), s"no map-side sketch phase:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"candidate set should broadcast:\n$p")
+  }
+
+  test("sliding-window chunking is shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.ops.Packing.chunkSliding(Tables.documents(spark, sfDir),
+        col("doc_id"), col("text"), chunkTokens = 64, stride = 48)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking should stay row-local:\n$p")
+  }
 }
