@@ -557,6 +557,39 @@ object QueriesOlap {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // B39: explicit GROUPING SETS with grouping_id — finer than
+    // cube/rollup (caller picks exactly which set combinations
+    // materialize; here detail + per-status + grand total), gid
+    // disambiguates a NULL group value from a rolled-up level
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          Rounding.r(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("gid"), col("n"), col("total"))
+        .orderBy(col("gid"), col("status"), col("prio"))
+    },
+
+    // B40: statistical aggregate surface — corr/covar/stddev/var per
+    // group (engines differ in merge algorithm but agree to well past
+    // 4dp; single hash aggregation, partial map-side merge)
+    "q_stats_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Rounding.r(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          Rounding.r(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          Rounding.r(var_samp(col("l_quantity")), 4).as("var_qty"),
+          Rounding.r(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // B38: value-picking window frames — first/last/nth over the full
     // partition (explicit unbounded frame: last_value under the
     // default frame would read the current row, a classic silent bug)
@@ -913,6 +946,22 @@ object QueriesOlap {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
         |        FROM documents WHERE doc_id < 200))
         |ORDER BY doc_id, pos""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, status, prio""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_first_last" ->
       """SELECT * FROM (
         |  SELECT event_id, user_id,
