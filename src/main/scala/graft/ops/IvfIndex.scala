@@ -36,8 +36,20 @@ object IvfIndex {
 
   private val Centroids = "centroids"
   private val Vectors = "vectors"
+  private val Tombstones = "tombstones"
 
   private def nonce() = java.util.UUID.randomUUID().toString.take(8)
+
+  /** A tombstone dir's kill ordinal: the Vectors-list LENGTH at delete
+    * time, embedded in the dir name (`t<ord>-<nonce>`), so it kills
+    * ids only in vector dirs committed BEFORE it (list positions
+    * 0..ord-1) — an add after the delete resurrects the id. In the
+    * name rather than manifest meta so vacuum's reference counting
+    * keeps seeing plain paths. */
+  private def tombOrd(dir: String): Int = {
+    val name = dir.substring(dir.lastIndexOf('/') + 1)
+    name.stripPrefix("t").takeWhile(_.isDigit).toInt
+  }
 
   private def dirs(m: TxLog.Manifest, key: String): Seq[String] =
     m.tables.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
@@ -78,14 +90,30 @@ object IvfIndex {
     dir
   }
 
-  private def readVectors(spark: SparkSession, m: TxLog.Manifest): DataFrame =
+  private def readVectors(spark: SparkSession, m: TxLog.Manifest): DataFrame = {
     // one read per delta dir (each is its own partitioned root — a
     // multi-path read trips partition discovery), unioned; and restore
     // cell to the LongType the in-memory path emits (partition-column
     // inference types cell=N dirs as INT)
-    dirs(m, Vectors).map(d => spark.read.parquet(d))
+    val base = dirs(m, Vectors).zipWithIndex
+      .map { case (d, i) => spark.read.parquet(d)
+        .withColumn("cell", col("cell").cast("long"))
+        .withColumn("_ord", lit(i)) }
       .reduce(_ unionByName _)
-      .withColumn("cell", col("cell").cast("long"))
+    val tdirs = dirs(m, Tombstones)
+    if (tdirs.isEmpty) base.drop("_ord")
+    else {
+      // a row survives unless SOME tombstone was committed after its
+      // dir: max kill-ordinal per id vs the row's dir position
+      val tomb = tdirs
+        .map(d => spark.read.parquet(d).withColumn("_tord", lit(tombOrd(d))))
+        .reduce(_ unionByName _)
+        .groupBy(col("id")).agg(max(col("_tord")).as("_tord"))
+      base.join(tomb, Seq("id"), "left")
+        .where(col("_tord").isNull || col("_tord") <= col("_ord"))
+        .drop("_ord", "_tord")
+    }
+  }
 
   private def currentOrFail(spark: SparkSession, root: String): TxLog.Manifest =
     TxLog.current(spark, root).getOrElse(
@@ -138,10 +166,32 @@ object IvfIndex {
     }
   }
 
+  /** Tombstone a batch of vector ids as a delta commit (no rewrite of
+    * any vector file — commit I/O ∝ the id batch). The tombstone
+    * applies to vectors committed BEFORE it; a subsequent [[add]] of
+    * the same id resurrects it (version-ordered semantics, same rule
+    * as the PK lake's stored tombstones). [[compact]] folds deletes
+    * into the files and drops the tombstone list. Returns the
+    * committed version. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame, idCol: Column,
+             writer: String = "delete",
+             maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L): Long =
+    commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
+      val m = base.getOrElse(throw new IllegalStateException(
+        s"IvfIndex.delete: no committed index under $root"))
+      val ord = dirs(m, Vectors).length
+      val dir = s"$root/t$ord-${nonce()}"
+      ids.select(idCol.cast("long").as("id")).distinct().write.parquet(dir)
+      (m.tables + (Tombstones -> (dirs(m, Tombstones) :+ dir).mkString(",")),
+        Seq(dir))
+    }
+
   /** Rewrite the accumulated vector deltas into ONE cell-partitioned
-    * snapshot (same contents, fewer files). Conflict-safe: a retry
-    * re-reads the winner's delta list, so a concurrent add is folded
-    * in, never dropped. */
+    * snapshot (same contents, fewer files) and fold tombstones in
+    * physically (deleted rows leave the files, the tombstone list
+    * empties). Conflict-safe: a retry re-reads the winner's delta
+    * list, so a concurrent add or delete is folded in, never
+    * dropped. */
   def compact(spark: SparkSession, root: String,
               writer: String = "compact",
               maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L): Long =
@@ -150,7 +200,7 @@ object IvfIndex {
         s"IvfIndex.compact: no committed index under $root"))
       val merged = readVectors(spark, m).repartition(col("cell"))
       val vDir = writeAssigned(spark, root, merged)
-      (m.tables + (Vectors -> vDir), Seq(vDir))
+      (m.tables - Tombstones + (Vectors -> vDir), Seq(vDir))
     }
 
   /** Re-train centroids on everything indexed and re-assign (the

@@ -138,6 +138,42 @@ class KMeansSpec extends SparkSpec {
     assert(afterCompact.nonEmpty)
   }
 
+  test("IVF index deletes: tombstone delta, resurrection by re-add, physical fold on compact") {
+    import graft.ops.IvfIndex
+    import graft.sinks.TxLog
+    val root = java.nio.file.Files.createTempDirectory("ivfdel").toString + "/idx"
+    val corpus = emb.where(col("vec_id") < 100)
+    IvfIndex.build(corpus, col("vec_id"), col("embedding"), root, k = 4)
+    assert(IvfIndex.count(spark, root) == 100)
+
+    // delete a batch: count drops, searches stop returning the ids
+    import spark.implicits._
+    val victims = (0L until 20L).toDF("id")
+    IvfIndex.delete(spark, root, victims, col("id"))
+    assert(IvfIndex.count(spark, root) == 80)
+    val queries = emb.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val hits = IvfIndex.search(spark, root, queries,
+      col("qid"), col("qvec"), k = 5, nprobe = 4)
+      .select(col("nid")).as[Long].collect().toSet
+    assert(hits.nonEmpty && hits.forall(_ >= 20),
+      s"deleted ids surfaced in search: ${hits.filter(_ < 20)}")
+
+    // re-add one deleted id AFTER the tombstone: it resurrects
+    IvfIndex.add(emb.where(col("vec_id") === 5), col("vec_id"), col("embedding"), root)
+    assert(IvfIndex.count(spark, root) == 81)
+
+    // compact folds the delete physically: tombstone key gone from the
+    // manifest, raw vector files no longer contain the dead ids
+    IvfIndex.compact(spark, root)
+    val m = TxLog.current(spark, root).get
+    assert(!m.tables.contains("tombstones"))
+    val raw = spark.read.parquet(m.tables("vectors").split(","): _*)
+      .select(col("id")).as[Long].collect().toSet
+    assert(raw.size == 81 && !raw.exists(i => i < 20 && i != 5))
+    assert(raw.contains(5L))
+  }
+
   test("ann_ivf_kmeans query returns ranked neighbors for every query point") {
     val df = SparkEntry.queries("ann_ivf_kmeans")(spark, sfDir)
     val rows = df.collect()
