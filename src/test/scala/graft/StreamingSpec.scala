@@ -277,4 +277,28 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("cdc_file").orderBy(col("versionMs").desc).collect()
     assert(out.nonEmpty && out.head.getAs[String]("payload").contains("x2"))
   }
+
+  test("streaming Misra-Gries sketch keeps the heavy-hitter guarantee across micro-batches") {
+    // the MG Aggregator's buffer lives in the streaming state store,
+    // so the sketch accumulates over the whole stream: items heavy
+    // over ALL batches must be present even if light within each
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val sketch = input.toDF()
+      .select(graft.functions.HeavyHitters.mgSketch(col("value"), 5).as("mg"))
+    val q = sketch.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    // hot0 is spread across batches (40 per batch, 120 total of 245:
+    // > n/6 ≈ 41); tail items churn through the counters
+    for (b <- 0 until 3) {
+      input.addData(Seq.fill(40)("hot0") ++ (1 to 15).map(i => s"tail-$b-$i"): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val mg = spark.table("mg_stream").as[Map[String, Long]].head()
+    assert(mg.size <= 5 && mg.contains("hot0"),
+      s"cross-batch heavy item missing from streaming sketch: $mg")
+    val n = 3 * (40 + 15)
+    assert(mg("hot0") >= 120L - n / 6 && mg("hot0") <= 120L)
+  }
 }
