@@ -135,4 +135,75 @@ class PropertySpec extends AnyFunSuite {
       wide == expect
     }, minTests = 8)
   }
+
+  test("window-funnel kernel: first-anchor depth never exceeds max-anchor depth") {
+    // random event streams over 3 step types + noise; both kernel
+    // modes run pure-JVM via a crafted ArrayData
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val steps = Array("s0", "s1", "s2")
+    val evGen = Gen.listOfN(25, for {
+      ts <- Gen.choose(0L, 50L)
+      et <- Gen.oneOf("s0", "s1", "s2", "zz")
+    } yield (ts, et))
+    checkProp(Prop.forAllNoShrink(evGen, Gen.oneOf(true, false)) { (evs, dedup) =>
+      val arr = ArrayData.toArrayData(evs.map { case (ts, et) =>
+        InternalRow(ts, UTF8String.fromString(et))
+      }.toArray)
+      val first = graft.functions.WindowFunnelImpl.depth(
+        arr, steps, 20L, dedup, firstAnchorOnly = true)
+      val best = graft.functions.WindowFunnelImpl.depth(
+        arr, steps, 20L, dedup, firstAnchorOnly = false)
+      first <= best && best <= steps.length &&
+        (first > 0) == evs.exists(_._2 == "s0")
+    }, minTests = 200)
+  }
+
+  test("Misra-Gries: superset + undercount bound for any stream and capacity") {
+    val streamGen = for {
+      n     <- Gen.choose(30, 300)
+      items <- Gen.listOfN(n, Gen.choose(0, 20).map(i => s"i$i"))
+      k     <- Gen.choose(2, 8)
+    } yield (items, k)
+    checkProp(Prop.forAllNoShrink(streamGen) { case (items, k) =>
+      val agg = new graft.functions.HeavyHitters(k)
+      // split the stream into chunks, reduce each, merge pairwise —
+      // exercises the PODS'12 merge path, not just sequential reduce
+      val sketch = items.grouped(math.max(1, items.size / 4))
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      val n = items.size.toLong
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val heavy = exact.filter { case (_, c) => c > n / (k + 1) }.keySet
+      sketch.size <= k &&
+        heavy.subsetOf(sketch.keySet) &&
+        sketch.forall { case (i, c) => c <= exact(i) && exact(i) - c <= n / (k + 1) }
+    }, minTests = 300)
+  }
+
+  test("sliding chunks: full coverage, stride-aligned starts, hash locality") {
+    val docGen = for {
+      n      <- Gen.choose(1, 40)
+      toks   <- Gen.listOfN(n, Gen.alphaLowerStr.map(s => "t" + s.take(3)))
+      chunk  <- Gen.choose(1, 10)
+      stride <- Gen.choose(1, 10)
+    } yield (toks, chunk, stride)
+    checkProp(Prop.forAllNoShrink(docGen) { case (toks, chunk, stride) =>
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val rows = graft.ops.Packing.chunkSliding(df, col("doc_id"), col("text"),
+          chunk, stride)
+        .select(col("chunk_idx"), col("start_tok"), col("n_tok"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+      val starts = rows.map(_._2)
+      val expectStarts = (0L until toks.size.toLong by stride.toLong).toList
+      starts == expectStarts &&
+        rows.forall { case (i, s, n) =>
+          i == s / stride && n == math.min(chunk.toLong, toks.size - s) } &&
+        // overlapping mode (chunk ≥ stride) covers every token; a
+        // stride larger than the chunk legitimately samples with gaps
+        (stride > chunk ||
+          toks.indices.forall(p => rows.exists { case (_, s, n) => p >= s && p < s + n }))
+    }, minTests = 60)
+  }
 }
