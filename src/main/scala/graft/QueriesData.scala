@@ -450,6 +450,26 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C38: embedding-corpus health profile — the pre-flight check an
+    // ANN/dedup pipeline runs before trusting a vector column: per
+    // label, count, dimension spread (a ragged dim breaks every
+    // kernel), zero-norm count (cosine is undefined there), norm
+    // stats. One hash aggregation; norms via the native double_dot
+    // sequential fold (the established cross-engine construct).
+    "profile_embeddings" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .withColumn("norm", sqrt(Similarity.normSq(col("embedding"))))
+      e.groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+          min(size(col("embedding"))).cast("long").as("dim_min"),
+          max(size(col("embedding"))).cast("long").as("dim_max"),
+          sum((col("norm") === 0.0).cast("long")).as("n_zero"),
+          Rounding.r(min(col("norm")), 4).as("norm_min"),
+          Rounding.r(max(col("norm")), 4).as("norm_max"),
+          Rounding.r(avg(col("norm")), 4).as("norm_avg"))
+        .orderBy(col("label"))
+    },
+
     // C37: exact heavy hitters via Misra–Gries prune: the MG sketch
     // (shuffle ≤ k counters per partition, whatever the token domain)
     // yields a candidate superset of every token with freq > n/(k+1);
@@ -1007,6 +1027,19 @@ object QueriesData {
         |    AND (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
         |    AND (dup_frac <= 0.6) AND (punct_ratio <= 0.2)) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    "profile_embeddings" ->
+      """WITH e AS (SELECT label, embedding,
+        |  sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding],
+        |                   (a, b) -> a + b)) AS norm
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+        |  CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+        |  CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+        |  CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  round(min(norm), 4) AS norm_min,
+        |  round(max(norm), 4) AS norm_max,
+        |  round(avg(norm), 4) AS norm_avg
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
     "q_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |tot AS (SELECT count(*) AS total FROM t)
