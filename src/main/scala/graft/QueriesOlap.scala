@@ -557,6 +557,26 @@ object QueriesOlap {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // B41: date/time function surface — trunc granularities, ISO week
+    // fields, interval arithmetic, month boundaries; evaluated
+    // identically by the oracle (UTC session, string-exported
+    // timestamps per SURVEY §5)
+    "q_datetime_funcs" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          date_format(date_trunc("week", col("o_orderdate")), TsFmt).as("wk_start"),
+          date_format(date_trunc("quarter", col("o_orderdate")), TsFmt).as("q_start"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(col("o_orderdate") + expr("INTERVAL 90 DAY"), TsFmt).as("due_90d"),
+          datediff(lit("2026-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("age_days"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // B39: explicit GROUPING SETS with grouping_id — finer than
     // cube/rollup (caller picks exactly which set combinations
     // materialize; here detail + per-status + grand total), gid
@@ -946,6 +966,17 @@ object QueriesOlap {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
         |        FROM documents WHERE doc_id < 200))
         |ORDER BY doc_id, pos""".stripMargin,
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(date_trunc('week', o_orderdate), '%Y-%m-%d %H:%M:%S') AS wk_start,
+        |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d %H:%M:%S') AS q_start,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d %H:%M:%S') AS due_90d,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS BIGINT) AS age_days
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS prio,
