@@ -32,32 +32,48 @@ object WindowFunnelImpl {
   def depth(arr: ArrayData, stepNames: Array[String],
             windowMicros: Long, dedup: Boolean,
             firstAnchorOnly: Boolean): Long = {
-    val k = stepNames.length
     val n = arr.numElements()
-    val counts = new Array[Int](k)
+    val ts = new Array[Long](n)
+    val ets = new Array[String](n)
     var i = 0
+    var m = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val row = arr.getStruct(i, 2)
-        val et = row.getUTF8String(1).toString
-        var s = 0
-        while (s < k) { if (stepNames(s) == et) counts(s) += 1; s += 1 }
+        ts(m) = row.getLong(0)
+        ets(m) = row.getUTF8String(1).toString
+        m += 1
       }
+      i += 1
+    }
+    depthArrays(ts, ets, m, stepNames, windowMicros, dedup, firstAnchorOnly)
+  }
+
+  /** Pure-JVM entry over parallel (ts, type) arrays — shared by the
+    * codegen expression above and the streaming state machine
+    * ([[graft.streaming.EventStream.funnelDepthStream]]). Only the
+    * first `m` slots of each array are read. */
+  def depthArrays(ts: Array[Long], ets: Array[String], m: Int,
+                  stepNames: Array[String], windowMicros: Long,
+                  dedup: Boolean, firstAnchorOnly: Boolean): Long = {
+    val k = stepNames.length
+    val counts = new Array[Int](k)
+    var i = 0
+    while (i < m) {
+      val et = ets(i)
+      var s = 0
+      while (s < k) { if (stepNames(s) == et) counts(s) += 1; s += 1 }
       i += 1
     }
     val steps = Array.tabulate(k)(s => new Array[Long](counts(s)))
     val fill = new Array[Int](k)
     i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val row = arr.getStruct(i, 2)
-        val ts = row.getLong(0)
-        val et = row.getUTF8String(1).toString
-        var s = 0
-        while (s < k) {
-          if (stepNames(s) == et) { steps(s)(fill(s)) = ts; fill(s) += 1 }
-          s += 1
-        }
+    while (i < m) {
+      val et = ets(i)
+      var s = 0
+      while (s < k) {
+        if (stepNames(s) == et) { steps(s)(fill(s)) = ts(i); fill(s) += 1 }
+        s += 1
       }
       i += 1
     }

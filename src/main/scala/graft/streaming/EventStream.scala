@@ -75,4 +75,59 @@ object EventStream {
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $bound"))
       .drop(r(keyCol))
   }
+
+  /** Per-key step events kept by the streaming funnel (sorted by
+    * (ts, type)); `depth` is the last emitted value, kept to suppress
+    * no-change re-emits. */
+  case class FunnelState(ts: Seq[Long], ets: Seq[String], depth: Long)
+
+  /** Streaming window_funnel: incremental per-key funnel depth over an
+    * event stream, exactly the batch semantics of
+    * [[graft.ops.Funnel.depth]] / `depthFirst` (value-based FIRST-anchor
+    * chain) under ANY arrival order — late or out-of-order events
+    * re-evaluate the chain because the state keeps the key's step-typed
+    * events, not just the chain tips (a late-arriving earlier signup
+    * legitimately moves the anchor and can change every later step).
+    * Emits (key, depth) in Update mode whenever a batch changes a
+    * key's depth.
+    *
+    * State shape mirrors the batch operator's working set: only
+    * STEP-TYPED events are stored (filtered before the shuffle) and
+    * `maxEventsPerKey` hard-caps a key at its EARLIEST n step events —
+    * the same deterministic bound as the batch twin, so bot-grade keys
+    * cannot grow state without limit. Depth evaluation is the shared
+    * native kernel ([[graft.functions.WindowFunnelImpl.depthArrays]]).
+    *
+    * Input columns: key (long), ts (timestamp), et (string).
+    */
+  def funnelDepthStream(events: DataFrame, keyCol: String, tsCol: String,
+                        typeCol: String, steps: Seq[String], windowMicros: Long,
+                        dedup: Boolean = false,
+                        maxEventsPerKey: Int = 10000): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+    events
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("t"), col(typeCol).as("et"))
+      .where(col("et").isin(steps: _*))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(Nil, Nil, -1L))
+          val merged = (prev.ts.zip(prev.ets) ++ rows.map(r => (r._2, r._3)))
+            .sorted.take(maxEventsPerKey)
+          val ts = merged.map(_._1).toArray
+          val ets = merged.map(_._2).toArray
+          val depth = graft.functions.WindowFunnelImpl.depthArrays(
+            ts, ets, ts.length, stepArr, windowMicros, dedup,
+            firstAnchorOnly = true)
+          state.update(FunnelState(ts.toSeq, ets.toSeq, depth))
+          if (depth != prev.depth) Iterator.single((key, depth)) else Iterator.empty
+      }
+  }
 }

@@ -278,6 +278,50 @@ class StreamingSpec extends SparkSpec {
     assert(out.nonEmpty && out.head.getAs[String]("payload").contains("x2"))
   }
 
+  test("streaming funnel equals the batch funnel under out-of-order cross-batch delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "click", "purchase")
+    val w = 86400000000L // 1 day in micros
+    def ev(u: Long, t: String, et: String) =
+      (u, java.sql.Timestamp.valueOf(t), et)
+    // u1 completes the funnel but its ANCHOR arrives LAST (the late
+    // earlier-signup case that chain-tip-only state gets wrong:
+    // the d2 signup anchors first, then the d1 signup re-anchors and
+    // pulls the d1 click+purchase into range);
+    // u2 only ever signs up; u3's purchase is outside the window
+    val all = Seq(
+      ev(1, "2024-01-02 09:00:00", "signup"),
+      ev(1, "2024-01-01 10:00:00", "click"),
+      ev(1, "2024-01-01 11:00:00", "purchase"),
+      ev(1, "2024-01-01 09:00:00", "signup"), // late anchor, last batch
+      ev(2, "2024-01-01 09:00:00", "signup"),
+      ev(3, "2024-01-01 09:00:00", "signup"),
+      ev(3, "2024-01-03 09:00:00", "purchase"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val depths = EventStream.funnelDepthStream(
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, w)
+    val q = depths.toDF("user_id", "depth")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    for (batch <- all.grouped(2)) {
+      input.addData(batch: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // last emitted depth per key
+    val got = spark.table("funnel_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2).toMap
+    val want = graft.ops.Funnel.depthFirst(
+        all.toDF("user_id", "ts", "event_type"),
+        keyCol = col("user_id"), tsCol = col("ts"), typeCol = col("event_type"),
+        steps = steps, windowMicros = w, dedup = false)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"streaming=$got batch=$want")
+    assert(want == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("streaming Misra-Gries sketch keeps the heavy-hitter guarantee across micro-batches") {
     // the MG Aggregator's buffer lives in the streaming state store,
     // so the sketch accumulates over the whole stream: items heavy
