@@ -381,6 +381,23 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B42: approximate percentiles (StarRocks percentile_approx
+    // analogue) — the KLL/GK-style mergeable quantile sketch: shuffle
+    // carries one bounded sketch per group, never the value stream.
+    // Sketch contents are engine-specific → rows-only like
+    // q_approx_distinct; ApproxSpec bounds the rank error vs exact.
+    "q_approx_percentile" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("approx_p"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("approx_p")(0).as("p25"), col("approx_p")(1).as("p50"),
+          col("approx_p")(2).as("p75"), col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // B21: set operations — INTERSECT / EXCEPT semantics
     "q_set_ops" -> { (s, dir) =>
       val highBal = Tables.customer(s, dir)
