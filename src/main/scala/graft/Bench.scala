@@ -92,7 +92,8 @@ object Bench {
         val heavy = Seq("dedup_clusters", "dedup_ngram_jaccard", "dedup_minhash_lsh",
           "dedup_embedding_lsh", "dedup_exact", "dedup_incremental",
           "decontaminate_bloom", "q1_pricing_summary", "q5_region_revenue",
-          "q_window_funnel_multi")
+          "q_window_funnel_multi", "dedup_segments", "q_heavy_hitters",
+          "chunk_documents")
         val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
         ScaleUp.ensure(spark, sfDir, dst, factor)
         val baseTimes = results.toMap
