@@ -450,6 +450,39 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C39: the composed corpus pipeline — quality filter → exact
+    // dedup → eval-set decontamination → deterministic sample, as ONE
+    // lazily-planned query (no intermediate materialization): the
+    // stages are the already-verified operators C36→C1→C21→C15
+    // chained on their natural keys, proving the library composes the
+    // way a production curation run would. Catalyst sees the whole
+    // chain (pushdown through all four stages); every stage's
+    // reduction is semi/anti-join-shaped, so the plan carries doc ids
+    // between stages, not texts.
+    "pipeline_corpus" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val train = d.where(col("doc_id") % 10 =!= 3)
+      val evalSlice = d.where(col("doc_id") % 10 === 3)
+      val kept = TextAnalysis.gopherFilter(train, col("doc_id"), col("text"))
+        .where(col("keep")).select(col("doc_id"))
+      val docs1 = train.join(kept, "doc_id")
+      val reps = Dedup.exactGroups(docs1, col("doc_id"), md5(col("text")))
+        .select(col("keep_id").as("doc_id"))
+      val docs2 = docs1.join(reps, "doc_id")
+      val contaminated = Dedup.ngramOverlapHits(
+          train = docs2, trainId = col("doc_id"), trainText = col("text"),
+          ref = evalSlice, refText = col("text"), shingleN = 3, minHits = 2)
+        .select(col("id").as("doc_id"))
+      val docs3 = docs2.join(contaminated, Seq("doc_id"), "left_anti")
+      docs3
+        .where(conv(substring(md5(concat(col("doc_id"), lit(":sample"))), 1, 8),
+          16, 10).cast("long") % 100 < 20)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .orderBy(col("lang"))
+    },
+
     // C38: embedding-corpus health profile — the pre-flight check an
     // ANN/dedup pipeline runs before trusting a vector column: per
     // label, count, dimension spread (a ragged dim breaks every
@@ -1027,6 +1060,37 @@ object QueriesData {
         |    AND (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
         |    AND (dup_frac <= 0.6) AND (punct_ratio <= 0.2)) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    "pipeline_corpus" ->
+      """WITH m AS (SELECT doc_id, text, lang,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(text) - len(replace(replace(replace(replace(replace(replace(text,
+        |    '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |k AS (SELECT doc_id, text, lang, n_tokens FROM (
+        |  SELECT *, round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_frac,
+        |         round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS mtl,
+        |         round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS pr FROM m)
+        |  WHERE n_tokens >= 20 AND n_tokens <= 100000
+        |    AND mtl >= 2.0 AND mtl <= 12.0 AND dup_frac <= 0.6 AND pr <= 0.2),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(text)),
+        |d2 AS (SELECT k.* FROM k JOIN dd USING (doc_id)),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |         for i in range(1, len(w) - 1)]) AS s
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d2)
+        |       WHERE len(w) >= 3),
+        |ref AS (SELECT DISTINCT unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |          for i in range(1, len(w) - 1)])) AS t
+        |        FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |              WHERE doc_id % 10 = 3) WHERE len(w) >= 3),
+        |bad AS (SELECT doc_id FROM (SELECT doc_id, unnest(s) AS t FROM sh)
+        |        JOIN ref USING (t) GROUP BY doc_id HAVING count(*) >= 2),
+        |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |s4 AS (SELECT * FROM d3
+        |       WHERE CAST('0x' || substr(md5(doc_id || ':sample'), 1, 8) AS BIGINT) % 100 < 20)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM s4 GROUP BY lang ORDER BY lang""".stripMargin,
     "profile_embeddings" ->
       """WITH e AS (SELECT label, embedding,
         |  sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding],
