@@ -188,8 +188,11 @@ object TextAnalysis {
         lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_tokens"), 4))
       .withColumn("mean_token_len", Rounding.r(
         (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4))
+      // n_chars = 0 (empty doc) would make the ratio NaN and poison
+      // every comparison downstream; an empty doc is punct-free
       .withColumn("punct_ratio", Rounding.r(
-        col("n_punct").cast("double") / col("n_chars"), 4))
+        when(col("n_chars") === 0, 0.0)
+          .otherwise(col("n_punct").cast("double") / col("n_chars")), 4))
     m.select(col("doc_id"), col("n_tokens"), col("dup_frac"),
         col("mean_token_len"), col("punct_ratio"),
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("r_len"),

@@ -74,4 +74,42 @@ class EdgeCaseSpec extends SparkSpec {
     assert(table.count() > 0)
     assert(table.select("id").distinct().count() == table.count()) // PK property
   }
+
+  test("r6 ops tolerate degenerate inputs") {
+    import graft.ops.{Mixture, Packing, TextAnalysis}
+    // empty corpus: every new op yields an empty (not failing) frame
+    assert(Packing.chunkSliding(emptyDocs, col("doc_id"), col("text"), 64, 48).count() == 0)
+    assert(TextAnalysis.bpePairCounts(emptyDocs, col("text"), 10).count() == 0)
+    assert(TextAnalysis.gopherFilter(emptyDocs, col("doc_id"), col("text")).count() == 0)
+    assert(Mixture.temperatureWeights(emptyDocs.withColumn("lang", lit("en")),
+      col("lang"), lit(1L)).count() == 0)
+
+    // empty TEXT: no NaN poisoning — the doc is cleanly rejected
+    val withEmpty = Seq((1L, ""), (2L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val gf = TextAnalysis.gopherFilter(withEmpty, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("punct_ratio"), col("keep"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(!gf(1L)._1.isNaN && !gf(1L)._2) // rejected, ratio finite
+    assert(gf(2L)._2)
+
+    // single stratum: mixture weight is exactly 1
+    val one = Seq(("en", 10L), ("en", 20L)).toDF("lang", "n")
+    val w = Mixture.temperatureWeights(one, col("lang"), col("n"))
+      .select(col("weight")).as[Double].head()
+    assert(w == 1.0)
+
+    // sketch capacity above the domain: MG is exact
+    val agg = new graft.functions.HeavyHitters(10)
+    val exact = List("a", "b", "a", "c", "a", "b")
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(exact == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+
+    // unicode tokens survive chunk hashing and pair counting
+    val uni = Seq((1L, "naïve café naïve café")).toDF("doc_id", "text")
+    assert(Packing.chunkSliding(uni, col("doc_id"), col("text"), 2, 2).count() == 2)
+    val pairs = TextAnalysis.bpePairCounts(uni, col("text"), 5)
+      .as[(String, Long)].collect().toMap
+    assert(pairs("café naïve") == 1L && pairs("naïve café") == 2L)
+  }
 }
