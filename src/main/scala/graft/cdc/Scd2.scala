@@ -82,39 +82,41 @@ object Scd2 {
     val rg = ranges
       .withColumn("__r_from_us", unix_micros(rangeStart))
       .withColumn("__r_to_us", unix_micros(rangeEndIncl) + lit(1L))
-    val maxRow = rg.agg(max(col("__r_to_us"))).collect()(0)
-    val clampUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    // the clamp (last range end — bounds the open current version) is
+    // a broadcast scalar in the same job, not a driver-side collect
+    val clamp = rg.agg(coalesce(max(col("__r_to_us")), lit(0L)).as("__sc_clamp"))
     graft.ops.RangeJoin.intervalOverlap(
       rg,
-      intervals
+      intervals.crossJoin(broadcast(clamp))
         .withColumn("__v_from_us", unix_micros(col("valid_from")))
-        .where(col("__v_from_us") < lit(clampUs))
+        .where(col("__v_from_us") < col("__sc_clamp"))
         .withColumn("__v_to_us",
-          least(unix_micros(col("valid_to")), lit(clampUs))),
+          least(unix_micros(col("valid_to")), col("__sc_clamp"))),
       leftKey = rangeKey, lStart = col("__r_from_us"), lEndExcl = col("__r_to_us"),
       rightKey = intervalKey, rStart = col("__v_from_us"), rEndExcl = col("__v_to_us"),
       bucketWidth = bucketWidthUs)
-      .drop("__r_from_us", "__r_to_us", "__v_from_us", "__v_to_us")
+      .drop("__r_from_us", "__r_to_us", "__v_from_us", "__v_to_us", "__sc_clamp")
   }
 
   def asOfLookup(intervals: DataFrame, intervalKey: Column,
                  points: DataFrame, pointKey: Column, pointTs: Column,
                  bucketWidthUs: Long): DataFrame = {
     val pts = points.withColumn("__p_us", unix_micros(pointTs))
-    val maxRow = pts.agg(max(col("__p_us"))).collect()(0)
-    val clampUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1L
+    // clamp = last point + 1, as a broadcast scalar in the same job
+    val clamp = pts.agg(
+      coalesce(max(col("__p_us")) + lit(1L), lit(0L)).as("__sc_clamp"))
     graft.ops.RangeJoin.pointInInterval(
       pts,
-      intervals
+      intervals.crossJoin(broadcast(clamp))
         .withColumn("__from_us", unix_micros(col("valid_from")))
         // an interval starting after the last point can't match —
         // dropping it also keeps clamped ends >= starts for sequence()
-        .where(col("__from_us") < lit(clampUs))
+        .where(col("__from_us") < col("__sc_clamp"))
         .withColumn("__to_us",
-          least(unix_micros(col("valid_to")), lit(clampUs))),
+          least(unix_micros(col("valid_to")), col("__sc_clamp"))),
       leftKey = pointKey, point = col("__p_us"),
       rightKey = intervalKey, start = col("__from_us"), endExcl = col("__to_us"),
       bucketWidth = bucketWidthUs)
-      .drop("__p_us", "__from_us", "__to_us")
+      .drop("__p_us", "__from_us", "__to_us", "__sc_clamp")
   }
 }

@@ -47,7 +47,19 @@ object RangeJoin {
                       rightKey: Column, start: Column, endExcl: Column,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val lb = left.withColumn("__gr_bucket", floor(point.cast("long") / bucketWidth))
+    pointInIntervalW(left, right, leftKey, point, rightKey, start, endExcl,
+      lit(bucketWidth))
+  }
+
+  /** [[pointInInterval]] with the width as a COLUMN (every row must
+    * carry the same positive value — the broadcast-scalar pattern
+    * [[pointInIntervalAuto]] uses to keep width derivation inside the
+    * one job). */
+  private def pointInIntervalW(left: DataFrame, right: DataFrame,
+                               leftKey: Column, point: Column,
+                               rightKey: Column, start: Column, endExcl: Column,
+                               width: Column): DataFrame = {
+    val lb = left.withColumn("__gr_bucket", floor(point.cast("long") / width))
     // empty/inverted intervals (dirty data) contain no points — and
     // must not reach sequence(), whose step defaults to -1 when
     // start > stop and would explode into a huge descending array
@@ -55,8 +67,8 @@ object RangeJoin {
     // exactly on a bucket boundary out of the next bucket
     val rb = right.where(start.cast("long") < endExcl.cast("long"))
       .withColumn("__gr_bucket",
-        explode(sequence(floor(start.cast("long") / bucketWidth),
-          floor((endExcl.cast("long") - 1) / bucketWidth))))
+        explode(sequence(floor(start.cast("long") / width),
+          floor((endExcl.cast("long") - 1) / width))))
     lb.join(rb,
         leftKey === rightKey && lb("__gr_bucket") === rb("__gr_bucket") &&
           point >= start && point < endExcl)
@@ -101,19 +113,26 @@ object RangeJoin {
   }
 
   /** [[pointInInterval]] with the bucket width derived from the
-    * interval side's MEDIAN length (one cheap approx-percentile pass
-    * over just the two bound columns). Median ≈ the replication
-    * sweet spot: typical intervals copy ≤2×, and only the long tail
+    * interval side's MEDIAN length. Median ≈ the replication sweet
+    * spot: typical intervals copy ≤2×, and only the long tail
     * replicates more — the choice a query author would make by hand
-    * after profiling. */
+    * after profiling.
+    *
+    * The width is a BROADCAST SCALAR inside the same job (a 1-row
+    * approx-percentile aggregate cross-joined onto both sides), not a
+    * driver-side `.collect()` — no separate action, no extra pass
+    * scheduled ahead of the join. */
   def pointInIntervalAuto(left: DataFrame, right: DataFrame,
                           leftKey: Column, point: Column,
                           rightKey: Column, start: Column, endExcl: Column): DataFrame = {
-    val m = right
+    val stats = right
       .select(percentile_approx((endExcl.cast("long") - start.cast("long")),
-        lit(0.5), lit(10000)).as("m"))
-      .collect()(0)
-    val width = if (m.isNullAt(0)) 1L else math.max(1L, m.getLong(0))
-    pointInInterval(left, right, leftKey, point, rightKey, start, endExcl, width)
+        lit(0.5), lit(10000)).as("__gr_m"))
+      .select(greatest(coalesce(col("__gr_m"), lit(1L)), lit(1L)).as("__gr_width"))
+    val lw = left.crossJoin(broadcast(stats))
+    val rw = right.crossJoin(broadcast(stats))
+    pointInIntervalW(lw, rw, leftKey, point, rightKey, start, endExcl,
+      col("__gr_width"))
+      .drop("__gr_width")
   }
 }
