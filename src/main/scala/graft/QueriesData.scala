@@ -241,6 +241,14 @@ object QueriesData {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // C40: resize/downsample plumbing — every 4th payload unit up to
+    // 256 kept (deterministic decimation stub; real scaler drops into
+    // the same shape), row-local, payload never leaves the expression
+    "mm_thumbnail" -> { (s, dir) =>
+      Multimodal.thumbnail(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // C23: the multimodal→embedding→ANN bridge — feature-extract every
     // document payload (decode stubbed deterministically; see
     // Multimodal.fakeEmbedding) and run exact top-k cosine retrieval
@@ -1003,6 +1011,13 @@ object QueriesData {
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id || ':bal'), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 30 ORDER BY lang, rn""".stripMargin,
+    "mm_thumbnail" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_units,
+        |  CAST(len(th) AS BIGINT) AS thumb_units, md5(th) AS thumb_md5
+        |FROM (SELECT doc_id, text,
+        |  array_to_string([text[i] for i in range(1, least(len(text), 1024)+1, 4)], '') AS th
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id, text AS t,
         |  CAST(floor((len(text) - 1) / 64) AS BIGINT) + 1 AS nb FROM documents),

@@ -76,6 +76,26 @@ object Multimodal {
         .cast("long") % 2001 - 1000).cast("double") / 1000.0)
     }: _*)
 
+  /** STUB resize — the downsample plumbing of an image/audio resize
+    * stage: keep every `step`-th payload unit up to `maxUnits` kept
+    * units (deterministic pixel-decimation stand-in; on a cluster the
+    * selection becomes a real scaler with the identical in/out
+    * shape). Output per doc: original size, resized size, digest of
+    * the resized payload. Row-local, no shuffle; resized payload
+    * never leaves the expression.
+    */
+  def thumbnail(df: DataFrame, id: Column, text: Column,
+                step: Int = 4, maxUnits: Int = 256): DataFrame = {
+    require(step > 0 && maxUnits > 0, "step and maxUnits must be positive")
+    val t = text
+    val idxs = sequence(lit(1), least(length(t), lit(maxUnits * step)), lit(step))
+    val resized = concat_ws("", transform(idxs, i => t.substr(i, lit(1))))
+    df.select(id.as("doc_id"),
+      length(t).cast("long").as("n_units"),
+      length(resized).cast("long").as("thumb_units"),
+      md5(resized).as("thumb_md5"))
+  }
+
   /** Frame sampling plumbing: split the payload into fixed-size blocks
     * and keep every `stride`-th block as a "frame" with its digest —
     * the shape of video frame extraction, over fake frames.
