@@ -241,6 +241,23 @@ object QueriesData {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // C41: deterministic three-way corpus split — md5-bucketed
+    // train/val/test assignment (98/1/1), stable across runs, engines
+    // and partitionings, disjoint and exhaustive by construction; the
+    // summary proves the proportions and that no doc is dropped
+    "sample_split" -> { (s, dir) =>
+      val bucket = conv(substring(md5(concat(col("doc_id"), lit(":split"))), 1, 8),
+        16, 10).cast("long") % 100
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(bucket < 98, "train").when(bucket === 98, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    },
+
     // C40: resize/downsample plumbing — every 4th payload unit up to
     // 256 kept (deterministic decimation stub; real scaler drops into
     // the same shape), row-local, payload never leaves the expression
@@ -1011,6 +1028,16 @@ object QueriesData {
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id || ':bal'), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 30 ORDER BY lang, rn""".stripMargin,
+    "sample_split" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST('0x' || substr(md5(doc_id || ':split'), 1, 8) AS BIGINT) % 100 AS bk
+        |  FROM documents)
+        |SELECT CASE WHEN bk < 98 THEN 'train' WHEN bk = 98 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "mm_thumbnail" ->
       """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_units,
         |  CAST(len(th) AS BIGINT) AS thumb_units, md5(th) AS thumb_md5

@@ -455,6 +455,27 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B43: bitmap set algebra (StarRocks bitmap_and_count analogue) —
+    // each cohort folds to ONE fixed-size bitmap (map-side OR-merge,
+    // shuffle = capacity/8 bytes per cohort, not the user stream);
+    // the intersection is then pure array math on two buffers. The
+    // exact-distinct way to ask "users who did BOTH".
+    "q_bitmap_intersect" -> { (s, dir) =>
+      import graft.functions.BitmapDistinct._
+      val e = Tables.events(s, dir)
+      val cap = 1 << 20
+      val su = e.where(col("event_type") === "signup")
+        .agg(bitmapOf(col("user_id"), cap).as("b1"))
+      val pu = e.where(col("event_type") === "purchase")
+        .agg(bitmapOf(col("user_id"), cap).as("b2"))
+      su.crossJoin(pu).select(
+        aggregate(transform(col("b1"), w => bit_count(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_signup"),
+        aggregate(transform(col("b2"), w => bit_count(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_purchase"),
+        bitmapAndCount(col("b1"), col("b2")).as("n_both"))
+    },
+
     // B15: exact interpolated percentiles per group
     "q_percentiles" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -983,6 +1004,14 @@ object QueriesOlap {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
         |        FROM documents WHERE doc_id < 200))
         |ORDER BY doc_id, pos""".stripMargin,
+    "q_bitmap_intersect" ->
+      """SELECT
+        |  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'signup') AS n_signup,
+        |  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS n_purchase,
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |     INTERSECT
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS n_both""".stripMargin,
     "q_datetime_funcs" ->
       """SELECT o_orderkey,
         |  strftime(date_trunc('week', o_orderdate), '%Y-%m-%d %H:%M:%S') AS wk_start,

@@ -46,8 +46,36 @@ class BitmapDistinct(capacity: Int) extends Aggregator[Long, Array[Long], Long] 
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
+/** [[BitmapDistinct]] that RETURNS the bitmap (long words) instead of
+  * its popcount — the mergeable-bitmap value StarRocks' `bitmap_union`
+  * exposes: downstream set algebra (AND/OR/ANDNOT + popcount) runs as
+  * plain array expressions on the buffers, no re-scan of the rows. */
+class BitmapOf(capacity: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val inner = new BitmapDistinct(capacity)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(buf: Array[Long], v: Long): Array[Long] = inner.reduce(buf, v)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 object BitmapDistinct {
   /** Column function: exact distinct count of `key` (0 ≤ key < capacity). */
   def bitmapDistinct(key: Column, capacity: Int = 1 << 24): Column =
     udaf(new BitmapDistinct(capacity)).apply(key)
+
+  /** Column function: the bitmap itself as `array<long>` words. */
+  def bitmapOf(key: Column, capacity: Int = 1 << 24): Column =
+    udaf(new BitmapOf(capacity)).apply(key)
+
+  /** Popcount of the word-wise AND of two equal-capacity bitmaps —
+    * `bitmap_and_count`: |A ∩ B| without touching the row data again. */
+  def bitmapAndCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
 }
