@@ -354,6 +354,18 @@ class OpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("bitmap algebra: AND popcount equals exact intersection across word boundaries") {
+    import graft.functions.BitmapDistinct._
+    // ids straddle the 64-bit word boundary to catch word-indexing bugs
+    val a = Seq(1L, 63L, 64L, 65L, 200L).toDF("id")
+      .agg(bitmapOf(col("id"), 256).as("b")).as[Array[Long]].head()
+    val b = Seq(63L, 64L, 100L, 200L).toDF("id")
+      .agg(bitmapOf(col("id"), 256).as("b")).as[Array[Long]].head()
+    val n = Seq((a, b)).toDF("a", "b")
+      .select(bitmapAndCount(col("a"), col("b")).as("n")).as[Long].head()
+    assert(n == 3L) // {63, 64, 200}
+  }
+
   test("gopher filter: each rule fires independently and keep is their AND") {
     val longOk = (1 to 30).map(i => s"tok$i").mkString(" ")
     val d = Seq(
