@@ -508,6 +508,27 @@ object QueriesData {
         .orderBy(col("lang"))
     },
 
+    // C42: GROUPED heavy hitters — per-language exact heavy tokens via
+    // one MG sketch per group (the approx_top_k GROUP BY shape): the
+    // per-group sketch bounds shuffle at k counters per (partition,
+    // group); candidates exact-verify per group, so merge-order noise
+    // never reaches the output (same contract as C37, per stratum)
+    "q_heavy_hitters_grouped" -> { (s, dir) =>
+      val k = 40
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val cands = toks.groupBy(col("lang"))
+        .agg(graft.functions.HeavyHitters.mgSketch(col("tok"), k).as("mg"))
+        .select(col("lang"), explode(map_keys(col("mg"))).as("tok"))
+      val totals = toks.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+      toks.join(broadcast(cands), Seq("lang", "tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), Seq("lang"))
+        .where(col("n") * (k + 1) > col("total"))
+        .select(col("lang"), col("tok"), col("n"))
+        .orderBy(col("lang"), col("tok"))
+    },
+
     // C38: embedding-corpus health profile — the pre-flight check an
     // ANN/dedup pipeline runs before trusting a vector column: per
     // label, count, dimension spread (a ragged dim breaks every
@@ -1146,6 +1167,12 @@ object QueriesData {
         |  round(max(norm), 4) AS norm_max,
         |  round(avg(norm), 4) AS norm_avg
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    "q_heavy_hitters_grouped" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT lang, count(*) AS total FROM t GROUP BY lang)
+        |SELECT t.lang, tok, count(*) AS n FROM t JOIN tot USING (lang)
+        |GROUP BY t.lang, tok, total HAVING count(*) * 41 > total
+        |ORDER BY lang, tok""".stripMargin,
     "q_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |tot AS (SELECT count(*) AS total FROM t)
