@@ -179,6 +179,20 @@ object QueriesData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // C43: product-quantized ANN + exact rerank (FAISS IVFPQ's PQ
+    // stage): 4 subspaces × 64 md5-rank codewords, dots-only L2²
+    // encoding, explicitly-ordered ADC sum, top-50 pool → exact top-3.
+    // Codebooks are derivation-replayable, so even the trained-index
+    // shape stays hash-green. (Isotropic synthetic embeddings are
+    // PQ's worst case — hence the generous codebook/pool; KMeansSpec
+    // pins recall ≥ 0.6 against brute force.)
+    "ann_pq" -> { (s, dir) =>
+      Similarity.pqTopkRerank(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), isQuery = _ % 40 === 0, m = 4, codes = 64,
+        k = 3, rerankK = 50)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // C21: test-set decontamination — flag training docs sharing ≥2
     // distinct 3-gram shingles with the held-out reference slice
     "decontaminate_ngram" -> { (s, dir) =>
@@ -1167,6 +1181,43 @@ object QueriesData {
         |  round(max(norm), 4) AS norm_max,
         |  round(avg(norm), 4) AS norm_avg
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    "ann_pq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sdim AS (SELECT unnest([0, 1, 2, 3]) AS s),
+        |rkd AS (SELECT s, vec_id, row_number() OVER (PARTITION BY s
+        |          ORDER BY md5(vec_id || ':pq' || s), vec_id) AS rk FROM v, sdim),
+        |cb AS (SELECT r.s, r.rk AS crank, v.e[r.s*16+1 : r.s*16+16] AS cw
+        |       FROM rkd r JOIN v USING (vec_id) WHERE r.rk <= 64),
+        |enc AS (SELECT vec_id, s, crank FROM (
+        |    SELECT v.vec_id, c.s, c.crank,
+        |      row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
+        |        list_dot_product(v.e[c.s*16+1 : c.s*16+16], v.e[c.s*16+1 : c.s*16+16])
+        |        + list_dot_product(c.cw, c.cw)
+        |        - 2 * list_dot_product(v.e[c.s*16+1 : c.s*16+16], c.cw),
+        |        c.crank) AS erk
+        |    FROM v, cb c) WHERE erk = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 40 = 0),
+        |pp AS (SELECT q.qid, e2.vec_id AS nid, e2.s,
+        |         list_dot_product(q.qe[e2.s*16+1 : e2.s*16+16], c.cw) AS p
+        |       FROM enc e2 JOIN cb c ON c.s = e2.s AND c.crank = e2.crank, q
+        |       WHERE e2.vec_id <> q.qid),
+        |adc AS (SELECT qid, nid,
+        |         sum(CASE WHEN s = 0 THEN p END) + sum(CASE WHEN s = 1 THEN p END)
+        |         + sum(CASE WHEN s = 2 THEN p END) + sum(CASE WHEN s = 3 THEN p END) AS adc
+        |        FROM pp GROUP BY qid, nid),
+        |pool AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |           ORDER BY adc DESC, nid) AS cr2 FROM adc),
+        |scored AS (SELECT p.qid, p.nid,
+        |    list_dot_product(q.qe, v.e)
+        |      / sqrt(list_dot_product(q.qe, q.qe) * list_dot_product(v.e, v.e)) AS c,
+        |    row_number() OVER (PARTITION BY p.qid ORDER BY
+        |      list_dot_product(q.qe, v.e)
+        |        / sqrt(list_dot_product(q.qe, q.qe) * list_dot_product(v.e, v.e)) DESC,
+        |      p.nid) AS rank
+        |  FROM pool p JOIN q ON q.qid = p.qid JOIN v ON v.vec_id = p.nid
+        |  WHERE p.cr2 <= 50)
+        |SELECT qid, rank, nid, round(c, 4) AS cos FROM scored
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "q_heavy_hitters_grouped" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |tot AS (SELECT lang, count(*) AS total FROM t GROUP BY lang)

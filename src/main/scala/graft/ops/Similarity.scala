@@ -129,6 +129,92 @@ object Similarity {
         Rounding.r(col("cos"), 4).as("cos"))
   }
 
+  /** Product-quantized ANN with exact rerank (FAISS IVFPQ's PQ stage,
+    * Jégou et al. 2011): vectors split into `m` subspaces, each
+    * subvector coded as its nearest codeword, and the asymmetric
+    * distance computation (ADC) estimates a query's dot product as
+    * the sum of per-subspace query·codeword dots — the scanned corpus
+    * shrinks from d doubles to m small codes per vector. The top
+    * `rerankK` ADC candidates pay an exact cosine; the final top-`k`
+    * is exact within that pool.
+    *
+    * Oracle-exactness design: codebooks are NOT k-means-trained here —
+    * codewords are the corpus subvectors with the m·`codes` smallest
+    * `md5(id || ':pq' || s)` digests (md5-rank selection, the same
+    * device as `kmeansLloydSeeded`'s seeding), so any engine derives
+    * the identical codebook with no iterative training to replay.
+    * Every distance is written in dots only
+    * (`|x−c|² = |x|² + |c|² − 2x·c`) so both engines run the same
+    * arithmetic; the per-vector ADC sum is four explicitly-written
+    * partial columns added in fixed order, not an unordered SUM.
+    *
+    * Scale shape: the codebook is m·codes rows (broadcast); encoding
+    * is corpus × (m·codes) — a constant fan-out scan, one window per
+    * (id, s) argmin; ADC candidates rank per query like every other
+    * ANN path here.
+    */
+  def pqTopkRerank(df: DataFrame, id: Column, vec: Column,
+                   isQuery: Column => Column, m: Int, codes: Int,
+                   k: Int, rerankK: Int): DataFrame = {
+    require(m > 0 && codes > 0 && rerankK >= k, "bad PQ parameters")
+    val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
+    val dim = 64 // corpus embedding width; subWidth = dim / m
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sw = dim / m
+    val spark = df.sparkSession
+    import spark.implicits._
+    val subs = spark.createDataset(0 until m).toDF("s")
+    // codebook: per subspace, the `codes` corpus subvectors with the
+    // smallest md5(id||':pq'||s) — deterministic in any engine
+    val ranked = v.crossJoin(broadcast(subs))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("s"))
+        .orderBy(md5(concat(col("id"), lit(":pq"), col("s"))), col("id"))))
+      .where(col("rk") <= codes)
+    val cb = ranked.select(col("s"), col("rk").as("crank"),
+        expr(s"slice(v, s * $sw + 1, $sw)").as("cw"))
+      .withColumn("cn2", normSq(col("cw")))
+    // encode: nearest codeword per (vector, subspace), dots-only L2²,
+    // ties to the lowest codeword rank
+    val enc = v.crossJoin(broadcast(subs))
+      .withColumn("sub", expr(s"slice(v, s * $sw + 1, $sw)"))
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("d2", normSq(col("sub")) + col("cn2") - lit(2.0) * dot(col("sub"), col("cw")))
+      .withColumn("erk", row_number().over(Window.partitionBy(col("id"), col("s"))
+        .orderBy(col("d2"), col("crank"))))
+      .where(col("erk") === 1)
+      .select(col("id"), col("s"), col("crank"))
+    val q = v.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    // ADC partials: dot(query subvector, assigned codeword) per
+    // subspace, pivoted so the total is an explicitly-ordered sum
+    val parts = enc.join(broadcast(cb), Seq("s", "crank"))
+      .crossJoin(broadcast(q))
+      .where(col("id") =!= col("qid"))
+      .withColumn("p", dot(expr(s"slice(qv, s * $sw + 1, $sw)"), col("cw")))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(when(col("s") === 0, col("p"))).as("p0"),
+        (1 until m).map(i =>
+          sum(when(col("s") === i, col("p"))).as(s"p$i")): _*)
+    val adc = parts.withColumn("adc",
+      (0 until m).map(i => col(s"p$i")).reduce(_ + _))
+    val pool = adc
+      .withColumn("crank2", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("id").asc)))
+      .where(col("crank2") <= rerankK)
+      .select(col("qid"), col("id").as("nid"))
+    // exact rerank of the ADC pool
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    pool
+      .join(v.withColumnRenamed("id", "nid"), "nid")
+      .join(q, "qid")
+      .select(col("qid"), col("nid"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        Rounding.r(col("cos"), 4).as("cos"))
+  }
+
   /** Deterministic random-hyperplane set for cosine LSH (Charikar's
     * SimHash for vectors, public construction): plane p's component d
     * is an md5-derived integer in [-1000, 1000], computed once at plan

@@ -77,6 +77,25 @@ class KMeansSpec extends SparkSpec {
       s"int8 top-1 recall ${hit.toDouble / exact.size} below 0.9")
   }
 
+  test("PQ rerank: deterministic, and recalls most exact top-1 neighbors") {
+    val exact = Similarity.topkBruteForce(emb, col("vec_id"), col("embedding"),
+        isQuery = _ % 40 === 0, k = 1)
+      .select(col("qid"), col("nid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def run() = Similarity.pqTopkRerank(emb, col("vec_id"), col("embedding"),
+        isQuery = _ % 40 === 0, m = 4, codes = 64, k = 3, rerankK = 50)
+      .select(col("qid"), col("rank"), col("nid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    val got = run()
+    assert(got == run(), "PQ result not deterministic across runs")
+    assert(got.keySet == exact.keySet)
+    // ADC with 4×16 md5-sampled codewords is a coarse estimator —
+    // rerank@20 still recovers the exact top-1 for most queries
+    val hit = exact.count { case (q, n1) => got(q).map(_._2).contains(n1) }
+    assert(hit.toDouble / exact.size >= 0.6,
+      s"PQ top-1 recall ${hit.toDouble / exact.size} below 0.6")
+  }
+
   test("persisted IVF index: build/search matches the in-memory path; lifecycle commits versions") {
     import graft.ops.{IvfIndex, Similarity}
     import graft.sinks.TxLog
