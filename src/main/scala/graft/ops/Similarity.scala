@@ -174,15 +174,17 @@ object Similarity {
         expr(s"slice(v, s * $sw + 1, $sw)").as("cw"))
       .withColumn("cn2", normSq(col("cw")))
     // encode: nearest codeword per (vector, subspace), dots-only L2²,
-    // ties to the lowest codeword rank
+    // ties to the lowest codeword rank. argmin as min(struct) — a
+    // hash aggregation with map-side partials, not a window sort of
+    // the corpus × codebook fan-out (same lexicographic semantics as
+    // the oracle's row_number ORDER BY d2, crank)
     val enc = v.crossJoin(broadcast(subs))
       .withColumn("sub", expr(s"slice(v, s * $sw + 1, $sw)"))
       .join(broadcast(cb), Seq("s"))
       .withColumn("d2", normSq(col("sub")) + col("cn2") - lit(2.0) * dot(col("sub"), col("cw")))
-      .withColumn("erk", row_number().over(Window.partitionBy(col("id"), col("s"))
-        .orderBy(col("d2"), col("crank"))))
-      .where(col("erk") === 1)
-      .select(col("id"), col("s"), col("crank"))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("d2"), col("crank"))).as("best"))
+      .select(col("id"), col("s"), col("best.crank").as("crank"))
     val q = v.where(isQuery(col("id")))
       .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     // ADC partials: dot(query subvector, assigned codeword) per
