@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{MapType, StringType}
 import graft.ops.Funnel
 
 /** OLAP query surface (SURVEY §2 section B) — the analytics StarRocks
@@ -595,6 +596,54 @@ object QueriesOlap {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // B44: correlated scalar subquery — Catalyst DECORRELATES the
+    // per-row subquery into an aggregate + left join (RewriteCorrelated
+    // ScalarSubquery); without that rewrite this shape is a per-row
+    // table scan. Exercised through the SQL surface (temp view), the
+    // form users actually write.
+    "q_correlated_subquery" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("gq_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("gq_orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment,
+          (SELECT COUNT(*) FROM gq_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          (SELECT COALESCE(floor(SUM(o_totalprice) * 100 + 0.5) / 100, 0.0)
+           FROM gq_orders o WHERE o.o_custkey = c.c_custkey) AS total_spent
+        FROM gq_customer c
+        WHERE c_custkey < 300
+        ORDER BY c_custkey""")
+    },
+
+    // B45: JSON map explode — parse the props JSON into a map and
+    // LATERAL-explode its entries (schema-on-read over semi-structured
+    // payloads); one Generate, grouped tally per key
+    "q_map_explode" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .where(col("props").isNotNull)
+        .select(explode(from_json(col("props"), MapType(StringType, StringType)))
+          .as(Seq("pkey", "pval")))
+        .groupBy(col("pkey"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("pval")).as("n_vals"))
+        .orderBy(col("pkey"))
+    },
+
+    // B46: null-safe equality join (<=> / IS NOT DISTINCT FROM):
+    // derived nullable keys join with NULL <=> NULL matching — the
+    // semantics a plain = join silently drops
+    "q_null_safe_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      c.join(o, c("seg") <=> o("seg"))
+        .groupBy(coalesce(c("seg"), lit("NULL_SEG")).as("seg"))
+        .agg(count_distinct(col("c_custkey")).as("n_cust"),
+          count_distinct(col("o_orderkey")).as("n_ord"))
+        .orderBy(col("seg"))
+    },
+
     // B41: date/time function surface — trunc granularities, ISO week
     // fields, interval arithmetic, month boundaries; evaluated
     // identically by the oracle (UTC session, string-exported
@@ -1004,6 +1053,25 @@ object QueriesOlap {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
         |        FROM documents WHERE doc_id < 200))
         |ORDER BY doc_id, pos""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT COALESCE(round(SUM(o_totalprice), 2), 0.0)
+        |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spent
+        |FROM customer c WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
+    "q_map_explode" ->
+      """SELECT k AS pkey, count(*) AS n, count(DISTINCT props ->> k) AS n_vals
+        |FROM (SELECT props, unnest(json_keys(props)) AS k
+        |      FROM events WHERE props IS NOT NULL)
+        |GROUP BY 1 ORDER BY pkey""".stripMargin,
+    "q_null_safe_join" ->
+      """WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer),
+        |o AS (SELECT o_orderkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        |      FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT coalesce(c.seg, 'NULL_SEG') AS seg,
+        |  count(DISTINCT c_custkey) AS n_cust, count(DISTINCT o_orderkey) AS n_ord
+        |FROM c JOIN o ON c.seg IS NOT DISTINCT FROM o.seg
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
     "q_bitmap_intersect" ->
       """SELECT
         |  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'signup') AS n_signup,
