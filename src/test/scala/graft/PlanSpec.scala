@@ -142,6 +142,15 @@ class PlanSpec extends SparkSpec {
       s"candidate set should broadcast:\n$p")
   }
 
+  test("correlated scalar subqueries decorrelate to aggregate joins") {
+    val p = plan("q_correlated_subquery")
+    // per-row subquery execution would surface as ScalarSubquery in
+    // the physical plan; Catalyst's rewrite leaves joins + aggregates
+    assert(!p.contains("ScalarSubquery"), s"subquery not decorrelated:\n$p")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")))
+  }
+
   test("sliding-window chunking is shuffle-free") {
     import org.apache.spark.sql.functions.col
     val p = graft.ops.Packing.chunkSliding(Tables.documents(spark, sfDir),
