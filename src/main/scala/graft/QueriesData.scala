@@ -169,6 +169,16 @@ object QueriesData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // C44: brute-force top-k through the bounded TopKBy AGGREGATOR —
+    // the per-group TOPN shape: exchange carries ≤ k pairs per
+    // partition per query instead of window-sorting each query's full
+    // scored stream in one task; exact, same oracle as C7
+    "ann_topk_agg" -> { (s, dir) =>
+      Similarity.topkAgg(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), isQuery = _ % 50 === 0, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // C30: int8-quantized ANN + exact rerank (FAISS SQ8 shape): codes
     // rank candidates 4× cheaper, top-20 pay exact cosine, top-3 out.
     // Quantized scores are small integers — exact in doubles — so the
@@ -1181,6 +1191,17 @@ object QueriesData {
         |  round(max(norm), 4) AS norm_max,
         |  round(avg(norm), 4) AS norm_avg
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    "ann_topk_agg" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
+        |scored AS (SELECT qid, v.vec_id AS nid,
+        |  list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) AS c,
+        |  row_number() OVER (PARTITION BY qid ORDER BY
+        |    list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) DESC,
+        |    v.vec_id) AS rank
+        |  FROM q JOIN v ON v.vec_id <> qid)
+        |SELECT qid, rank, nid, round(c, 4) AS cos FROM scored
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "ann_pq" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |sdim AS (SELECT unnest([0, 1, 2, 3]) AS s),

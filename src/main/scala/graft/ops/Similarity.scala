@@ -79,6 +79,29 @@ object Similarity {
         Rounding.r(col("cos"), 4).as("cos"))
   }
 
+  /** [[topkBruteForce]] semantics through the bounded
+    * [[graft.functions.TopKBy]] AGGREGATOR instead of a rank window:
+    * partial top-k buffers merge map-side, so the exchange carries
+    * ≤ k pairs per partition per query rather than the full scored
+    * stream sorted in one task per query — the per-group TOPN shape
+    * that survives hot queries at corpus scale. Exact (top-k by a
+    * total order is associative); hash-matches the same oracle.
+    */
+  def topkAgg(df: DataFrame, id: Column, vec: Column,
+              isQuery: Column => Column, k: Int): DataFrame = {
+    val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
+    val q = v.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    v.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKBy.topKBy(col("cos"), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("e._2").as("nid"), Rounding.r(col("e._1"), 4).as("cos"))
+  }
+
   /** Int8-quantized ANN with exact rerank — the memory-bandwidth play
     * every production vector store makes (FAISS SQ8): per-dimension
     * affine quantization to [0, 255] shrinks the scanned corpus 4×

@@ -133,6 +133,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("bounded top-k aggregator has a map-side partial phase") {
+    val p = plan("ann_topk_agg")
+    assert(p.contains("partial_topkby"),
+      s"top-k buffers should merge before the exchange:\n$p")
+  }
+
   test("heavy hitters: sketch aggregates map-side, candidate join broadcasts") {
     val p = plan("q_heavy_hitters")
     // partial MG runs before the exchange — the shuffle carries ≤ k
