@@ -104,6 +104,32 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C45: cluster-representative selection — the real-world dedup
+    // DECISION stage: within each near-dup cluster keep the
+    // HIGHEST-QUALITY member (min-id is the toy rule; production
+    // curation keeps the best copy). Composes C20's connected
+    // components with C10's quality score; clusters are small, so
+    // the per-cluster argmax window is cheap after the heavy pair
+    // work. Docs outside any cluster are their own representative.
+    "dedup_keep_best" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"))
+      val clusters = Dedup.duplicateClusters(pairs) // (doc_id, cluster)
+      val quality = TextAnalysis.qualityScore(d, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("quality"))
+      val members = d.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .join(quality, "doc_id")
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      members.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("keep_id"), col("quality"))
+        .orderBy(col("cluster"))
+    },
+
     // C5: SimHash near-dup pairs (hamming ≤ 3) — 64-bit fingerprint so
     // the lossless banding carries 16 bits/band (65,536 buckets; the
     // 32-bit/8-bit-band variant is O(n²/256) at corpus scale)
@@ -720,6 +746,43 @@ object QueriesData {
          |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m)
          |SELECT id AS doc_id, min(m) AS cluster FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |szd AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+         |tok AS (SELECT doc_id, sz, unnest(s) AS t FROM szd),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+         |    AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 4
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING count(*) * 5 >= (a.sz + b.sz - count(*)) * 4),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |cl AS (SELECT id AS doc_id, min(m) AS cluster FROM reach GROUP BY id),
+         |qm AS (SELECT doc_id, len(text) AS n_chars,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |  len(list_filter(string_split(text, ' '),
+         |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'))) AS n_stop
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(0.4::DOUBLE * (n_stop::DOUBLE / n_tokens)
+         |    + 0.3::DOUBLE * (least(n_tokens, 100)::DOUBLE / 100)
+         |    + 0.3::DOUBLE * (1.0::DOUBLE - n_punct::DOUBLE / n_chars), 4) AS quality
+         |  FROM qm),
+         |members AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster, q.quality
+         |            FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |            JOIN q ON q.doc_id = d.doc_id),
+         |best AS (SELECT cluster, doc_id, quality,
+         |  row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn
+         |  FROM members)
+         |SELECT cluster, doc_id AS keep_id, quality FROM best
+         |WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
          |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS h FROM tok),
