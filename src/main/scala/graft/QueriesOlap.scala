@@ -629,18 +629,25 @@ object QueriesOlap {
 
     // B46: null-safe equality join (<=> / IS NOT DISTINCT FROM):
     // derived nullable keys join with NULL <=> NULL matching — the
-    // semantics a plain = join silently drops
+    // semantics a plain = join silently drops. Both sides AGGREGATE
+    // to segment cardinality BEFORE the join: the join key has ~5
+    // values, so joining the raw rows first would fan out
+    // |customers_seg| × |orders_seg| per segment (measured 121 s at
+    // sf0.1) for the same answer the 5×5-row join gives.
     "q_null_safe_join" -> { (s, dir) =>
-      val c = Tables.customer(s, dir)
+      val cAgg = Tables.customer(s, dir)
         .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
-      val o = Tables.orders(s, dir)
+        .groupBy(col("seg"))
+        .agg(count_distinct(col("c_custkey")).as("n_cust"))
+      val oAgg = Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"),
-          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
-      c.join(o, c("seg") <=> o("seg"))
-        .groupBy(coalesce(c("seg"), lit("NULL_SEG")).as("seg"))
-        .agg(count_distinct(col("c_custkey")).as("n_cust"),
-          count_distinct(col("o_orderkey")).as("n_ord"))
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("oseg"))
+        .groupBy(col("oseg"))
+        .agg(count_distinct(col("o_orderkey")).as("n_ord"))
+      cAgg.join(oAgg, col("seg") <=> col("oseg"))
+        .select(coalesce(col("seg"), lit("NULL_SEG")).as("seg"),
+          col("n_cust"), col("n_ord"))
         .orderBy(col("seg"))
     },
 
@@ -1065,13 +1072,15 @@ object QueriesOlap {
         |      FROM events WHERE props IS NOT NULL)
         |GROUP BY 1 ORDER BY pkey""".stripMargin,
     "q_null_safe_join" ->
-      """WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer),
-        |o AS (SELECT o_orderkey, nullif(c_mktsegment, 'BUILDING') AS seg
-        |      FROM orders JOIN customer ON o_custkey = c_custkey)
-        |SELECT coalesce(c.seg, 'NULL_SEG') AS seg,
-        |  count(DISTINCT c_custkey) AS n_cust, count(DISTINCT o_orderkey) AS n_ord
-        |FROM c JOIN o ON c.seg IS NOT DISTINCT FROM o.seg
-        |GROUP BY 1 ORDER BY seg""".stripMargin,
+      """WITH c AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+        |             count(DISTINCT c_custkey) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |o AS (SELECT nullif(c_mktsegment, 'BUILDING') AS oseg,
+        |        count(DISTINCT o_orderkey) AS n_ord
+        |      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT coalesce(c.seg, 'NULL_SEG') AS seg, n_cust, n_ord
+        |FROM c JOIN o ON c.seg IS NOT DISTINCT FROM o.oseg
+        |ORDER BY seg""".stripMargin,
     "q_bitmap_intersect" ->
       """SELECT
         |  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'signup') AS n_signup,
