@@ -322,6 +322,46 @@ class StreamingSpec extends SparkSpec {
     assert(want == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("streaming funnel dedup mode matches the batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, t: String, et: String) = (u, java.sql.Timestamp.valueOf(t), et)
+    // u1: second signup lands between click and purchase → dedup kills
+    // step 3 (depth 2); non-dedup still reaches 3
+    val all = Seq(
+      ev(1, "2024-01-01 09:00:00", "signup"),
+      ev(1, "2024-01-01 10:00:00", "click"),
+      ev(1, "2024-01-01 10:30:00", "signup"),
+      ev(1, "2024-01-01 11:00:00", "purchase"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val depths = EventStream.funnelDepthStream(
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", Seq("signup", "click", "purchase"),
+      86400000000L, dedup = true)
+    val q = depths.toDF("user_id", "depth")
+      .writeStream.format("memory").queryName("funnel_dedup_stream")
+      .outputMode("update").start()
+    all.foreach { e => input.addData(e); q.processAllAvailable() }
+    q.stop()
+    val last = spark.table("funnel_dedup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).lastOption
+    assert(last.contains((1L, 2L)), s"dedup mode should stop at depth 2: $last")
+  }
+
+  test("streaming bounded top-k keeps exact leaders across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Double, Long)]
+    val top = input.toDF().toDF("score", "id")
+      .select(graft.functions.TopKBy.topKBy(col("score"), col("id"), 3).as("top"))
+    val q = top.writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").start()
+    input.addData((1.0, 1L), (5.0, 2L), (3.0, 3L)); q.processAllAvailable()
+    input.addData((9.0, 4L), (2.0, 5L), (5.0, 6L)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("topk_stream").as[Seq[(Double, Long)]].head()
+    // ties at 5.0 break to the smaller id
+    assert(got == Seq((9.0, 4L), (5.0, 2L), (5.0, 6L)), s"got $got")
+  }
+
   test("streaming Misra-Gries sketch keeps the heavy-hitter guarantee across micro-batches") {
     // the MG Aggregator's buffer lives in the streaming state store,
     // so the sketch accumulates over the whole stream: items heavy
