@@ -596,6 +596,44 @@ object QueriesOlap {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // B47: exact DISCRETE percentiles (PERCENTILE_DISC semantics: an
+    // actual data value, not an interpolation) via an explicit
+    // rank-position formula — value at row_number ceil(p·n) — so both
+    // engines compute the identical rule rather than each library's
+    // edge convention; tie order within equal values cannot change
+    // the picked value
+    "q_percentile_disc" -> { (s, dir) =>
+      val pw = Window.partitionBy(col("l_returnflag"))
+      val ranked = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rn", row_number().over(pw.orderBy(col("l_quantity"))))
+        .withColumn("n", count(lit(1)).over(pw))
+      ranked.groupBy(col("l_returnflag"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.25), col("l_quantity"))).as("p25_disc"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("l_quantity"))).as("p50_disc"),
+          max(when(col("rn") === ceil(col("n") * 0.75), col("l_quantity"))).as("p75_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // B48: centered time-RANGE window — activity within ±30 minutes of
+    // every event (the symmetric twin of B24's trailing frame);
+    // epoch-seconds RANGE bounds evaluate identically in any engine
+    "q_window_centered" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"))
+        .rangeBetween(-1800L, 1800L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+        .withColumn("n_window", count(lit(1)).over(w))
+        .withColumn("sum_window", Rounding.r(sum(col("value")).over(w), 4))
+        .where(col("event_id") % 100 === 0)
+        .select(col("event_id"), col("user_id"), col("n_window"), col("sum_window"))
+        .orderBy(col("event_id"))
+    },
+
     // B44: correlated scalar subquery — Catalyst DECORRELATES the
     // per-row subquery into an aggregate + left join (RewriteCorrelated
     // ScalarSubquery); without that rewrite this shape is a per-row
@@ -1060,6 +1098,27 @@ object QueriesOlap {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
         |        FROM documents WHERE doc_id < 200))
         |ORDER BY doc_id, pos""".stripMargin,
+    "q_percentile_disc" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = ceil(n * 0.25) THEN l_quantity END) AS p25_disc,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN l_quantity END) AS p50_disc,
+        |  max(CASE WHEN rn = ceil(n * 0.75) THEN l_quantity END) AS p75_disc,
+        |  count(*) AS n
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_centered" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        |SELECT event_id, user_id, n_window, sum_window FROM (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER w AS n_window,
+        |    round(sum(value) OVER w, 4) AS sum_window
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 1800 PRECEDING AND 1800 FOLLOWING))
+        |WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin,
     "q_correlated_subquery" ->
       """SELECT c_custkey, c_mktsegment,
         |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
