@@ -182,6 +182,25 @@ class PropertySpec extends AnyFunSuite {
     }, minTests = 300)
   }
 
+  test("bounded top-k: any chunked merge equals the exact sorted head") {
+    val streamGen = for {
+      n     <- Gen.choose(0, 120)
+      rows  <- Gen.listOfN(n, Gen.zip(Gen.choose(0.0, 10.0), Gen.choose(0L, 50L)))
+      k     <- Gen.choose(1, 8)
+      parts <- Gen.choose(1, 6)
+    } yield (rows, k, parts)
+    checkProp(Prop.forAllNoShrink(streamGen) { case (rows, k, parts) =>
+      val agg = new graft.functions.TopKBy(k)
+      val merged = if (rows.isEmpty) agg.zero
+        else rows.grouped(math.max(1, rows.size / parts))
+          .map(_.foldLeft(agg.zero)(agg.reduce))
+          .reduce(agg.merge)
+      val exact = rows.sortWith((a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(k)
+      merged == exact
+    }, minTests = 300)
+  }
+
   test("sliding chunks: full coverage, stride-aligned starts, hash locality") {
     val docGen = for {
       n      <- Gen.choose(1, 40)
