@@ -1199,7 +1199,8 @@ object QueriesData {
         |r AS (SELECT doc_id, n_tokens,
         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_frac,
         |  round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS mean_token_len,
-        |  round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |       ELSE round(CAST(n_punct AS DOUBLE) / n_chars, 4) END AS punct_ratio
         |  FROM m)
         |SELECT doc_id, n_tokens, dup_frac, mean_token_len, punct_ratio,
         |  (n_tokens >= 20 AND n_tokens <= 100000) AS r_len,
@@ -1221,7 +1222,8 @@ object QueriesData {
         |k AS (SELECT doc_id, text, lang, n_tokens FROM (
         |  SELECT *, round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_frac,
         |         round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS mtl,
-        |         round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS pr FROM m)
+        |         CASE WHEN n_chars = 0 THEN 0.0
+        |           ELSE round(CAST(n_punct AS DOUBLE) / n_chars, 4) END AS pr FROM m)
         |  WHERE n_tokens >= 20 AND n_tokens <= 100000
         |    AND mtl >= 2.0 AND mtl <= 12.0 AND dup_frac <= 0.6 AND pr <= 0.2),
         |dd AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(text)),

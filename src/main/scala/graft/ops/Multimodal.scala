@@ -88,7 +88,11 @@ object Multimodal {
                 step: Int = 4, maxUnits: Int = 256): DataFrame = {
     require(step > 0 && maxUnits > 0, "step and maxUnits must be positive")
     val t = text
-    val idxs = sequence(lit(1), least(length(t), lit(maxUnits * step)), lit(step))
+    // sequence(1, 0, step) throws "Illegal sequence boundaries" — an
+    // empty payload must yield an empty thumb (md5('')), not a crash
+    val idxs = when(length(t) > 0,
+      sequence(lit(1), least(length(t), lit(maxUnits * step)), lit(step)))
+      .otherwise(array().cast("array<int>"))
     val resized = concat_ws("", transform(idxs, i => t.substr(i, lit(1))))
     df.select(id.as("doc_id"),
       length(t).cast("long").as("n_units"),

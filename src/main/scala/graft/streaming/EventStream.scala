@@ -95,7 +95,13 @@ object EventStream {
     * STEP-TYPED events are stored (filtered before the shuffle) and
     * `maxEventsPerKey` hard-caps a key at its EARLIEST n step events —
     * the same deterministic bound as the batch twin, so bot-grade keys
-    * cannot grow state without limit. Depth evaluation is the shared
+    * cannot grow state without limit PER KEY. Total state is still
+    * ∝ distinct key cardinality: with no TTL, a key seen once is
+    * retained forever (user-id domains are unbounded). For bounded
+    * total state pass `stateTtlMs > 0` — keys idle longer than the TTL
+    * (processing time) are evicted; a key that reappears after
+    * eviction restarts its funnel from the post-eviction events, the
+    * standard retention trade-off. Depth evaluation is the shared
     * native kernel ([[graft.functions.WindowFunnelImpl.depthArrays]]).
     *
     * Input columns: key (long), ts (timestamp), et (string).
@@ -103,7 +109,8 @@ object EventStream {
   def funnelDepthStream(events: DataFrame, keyCol: String, tsCol: String,
                         typeCol: String, steps: Seq[String], windowMicros: Long,
                         dedup: Boolean = false,
-                        maxEventsPerKey: Int = 10000): org.apache.spark.sql.Dataset[(Long, Long)] = {
+                        maxEventsPerKey: Int = 10000,
+                        stateTtlMs: Long = 0L): org.apache.spark.sql.Dataset[(Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -115,19 +122,27 @@ object EventStream {
       .as[(Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, (Long, Long)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(),
+        if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[(Long, Long, String)],
          state: GroupState[FunnelState]) =>
-          val prev = state.getOption.getOrElse(FunnelState(Nil, Nil, -1L))
-          val merged = (prev.ts.zip(prev.ets) ++ rows.map(r => (r._2, r._3)))
-            .sorted.take(maxEventsPerKey)
-          val ts = merged.map(_._1).toArray
-          val ets = merged.map(_._2).toArray
-          val depth = graft.functions.WindowFunnelImpl.depthArrays(
-            ts, ets, ts.length, stepArr, windowMicros, dedup,
-            firstAnchorOnly = true)
-          state.update(FunnelState(ts.toSeq, ets.toSeq, depth))
-          if (depth != prev.depth) Iterator.single((key, depth)) else Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(FunnelState(Nil, Nil, -1L))
+            val merged = (prev.ts.zip(prev.ets) ++ rows.map(r => (r._2, r._3)))
+              .sorted.take(maxEventsPerKey)
+            val ts = merged.map(_._1).toArray
+            val ets = merged.map(_._2).toArray
+            val depth = graft.functions.WindowFunnelImpl.depthArrays(
+              ts, ets, ts.length, stepArr, windowMicros, dedup,
+              firstAnchorOnly = true)
+            state.update(FunnelState(ts.toSeq, ets.toSeq, depth))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            if (depth != prev.depth) Iterator.single((key, depth)) else Iterator.empty
+          }
       }
   }
 }

@@ -112,4 +112,15 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(pairs("café naïve") == 1L && pairs("naïve café") == 2L)
   }
+
+  test("thumbnail tolerates an empty payload (sequence(1,0) trap)") {
+    import graft.ops.Multimodal
+    val withEmpty = Seq((1L, ""), (2L, "abcdefgh")).toDF("doc_id", "text")
+    val rows = Multimodal.thumbnail(withEmpty, col("doc_id"), col("text"), step = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // empty payload → empty thumb, md5(''), like the oracle's range(1,1,4)
+    assert(rows(1L) == ((0L, 0L, "d41d8cd98f00b204e9800998ecf8427e")))
+    assert(rows(2L)._2 == 2L) // chars 1 and 5 kept
+  }
 }
