@@ -446,35 +446,34 @@ object QueriesOlap {
         .orderBy(col("seg"), col("status"))
     },
 
-    // B18: exact distinct via the custom bitmap aggregate (StarRocks
-    // bitmap_union_count analogue) — must equal count(DISTINCT …)
+    // B18: exact distinct via the compressed-bitmap aggregate (StarRocks
+    // bitmap_union_count over a roaring BITMAP) — must equal
+    // count(DISTINCT …). No capacity parameter: the id domain is
+    // unbounded, shuffle ∝ occupied 2^16 buckets.
     "q_bitmap_distinct" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(graft.functions.BitmapDistinct.bitmapDistinct(col("user_id"), 1 << 20)
-          .as("n_users"))
+        .agg(graft.functions.Rbm.rbmDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
     },
 
     // B43: bitmap set algebra (StarRocks bitmap_and_count analogue) —
-    // each cohort folds to ONE fixed-size bitmap (map-side OR-merge,
-    // shuffle = capacity/8 bytes per cohort, not the user stream);
-    // the intersection is then pure array math on two buffers. The
-    // exact-distinct way to ask "users who did BOTH".
+    // each cohort folds to ONE compressed bitmap (map-side OR-merge;
+    // shuffle ∝ occupied id buckets — ≤8 KiB per dense bucket,
+    // ∝ cardinality per sparse bucket — never ∝ the id domain);
+    // the intersection is then pure per-bucket column math on the two
+    // map values. The exact-distinct way to ask "users who did BOTH".
     "q_bitmap_intersect" -> { (s, dir) =>
-      import graft.functions.BitmapDistinct._
+      import graft.functions.Rbm
       val e = Tables.events(s, dir)
-      val cap = 1 << 20
       val su = e.where(col("event_type") === "signup")
-        .agg(bitmapOf(col("user_id"), cap).as("b1"))
+        .agg(Rbm.rbmOf(col("user_id")).as("b1"))
       val pu = e.where(col("event_type") === "purchase")
-        .agg(bitmapOf(col("user_id"), cap).as("b2"))
+        .agg(Rbm.rbmOf(col("user_id")).as("b2"))
       su.crossJoin(pu).select(
-        aggregate(transform(col("b1"), w => bit_count(w).cast("long")),
-          lit(0L), (a, x) => a + x).as("n_signup"),
-        aggregate(transform(col("b2"), w => bit_count(w).cast("long")),
-          lit(0L), (a, x) => a + x).as("n_purchase"),
-        bitmapAndCount(col("b1"), col("b2")).as("n_both"))
+        Rbm.cardinality(col("b1")).as("n_signup"),
+        Rbm.cardinality(col("b2")).as("n_purchase"),
+        Rbm.andCardinality(col("b1"), col("b2")).as("n_both"))
     },
 
     // B15: exact interpolated percentiles per group
