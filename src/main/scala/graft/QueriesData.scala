@@ -350,6 +350,27 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C46: exact long-span substring dedup (ExactSubstr, Lee et al.
+    // 2022) — maximal ≥ k-token spans whose every k-window repeats in
+    // the corpus, at ARBITRARY offsets (the duplication fixed-boundary
+    // C32 and doc-level MinHash both miss). k=20 at this scale (docs
+    // average ~54 tokens); production default is 50.
+    "dedup_substring" -> { (s, dir) =>
+      Dedup.substringSpans(Tables.documents(s, dir), col("doc_id"), col("text"),
+          k = 20)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // C46b: the dedup action — duplicated ≥ k-spans removed, text
+    // reassembled (exported as md5; exact equality, compact rows)
+    "dedup_substring_clean" -> { (s, dir) =>
+      Dedup.substringClean(Tables.documents(s, dir), col("doc_id"), col("text"),
+          k = 20)
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // C31: per-language corpus report — the first dashboard a training
     // pipeline builds: volume, token mass, length spread, exact-dup
     // rate. One hash aggregation; every ratio derives from exact
@@ -1071,6 +1092,48 @@ object QueriesData {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
         |  md5(string_agg(seg, ' ' ORDER BY pos)) AS clean_md5
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(range(1, len(w) - 18)) AS pos,
+        |  unnest([md5(array_to_string(w[i:i+19], ' ')) for i in range(1, len(w) - 18)]) AS h
+        |  FROM t WHERE len(w) >= 20),
+        |d AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM d)),
+        |b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) > 20 THEN 1 ELSE 0 END AS brk FROM m),
+        |i AS (SELECT doc_id, pos, sum(brk)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 19 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 19 - min(pos) + 1 AS BIGINT) AS span_tokens
+        |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substring_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(range(1, len(w) - 18)) AS pos,
+        |  unnest([md5(array_to_string(w[i:i+19], ' ')) for i in range(1, len(w) - 18)]) AS h
+        |  FROM t WHERE len(w) >= 20),
+        |d AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM d)),
+        |b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) > 20 THEN 1 ELSE 0 END AS brk FROM m),
+        |i AS (SELECT doc_id, pos, sum(brk)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+        |    FROM i GROUP BY doc_id, island),
+        |dt AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        |    FROM sp GROUP BY doc_id),
+        |tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS tk FROM t),
+        |kept AS (SELECT tk.doc_id, tk.pos, tk.tk FROM tok tk
+        |  LEFT JOIN (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp) cov
+        |  ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |ct AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean
+        |    FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(dt.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  md5(coalesce(ct.clean, '')) AS clean_md5
+        |FROM t LEFT JOIN dt USING (doc_id) LEFT JOIN ct USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "corpus_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

@@ -499,4 +499,91 @@ object Dedup {
           collect_list(struct(col("pos"), col("seg")))), s => s("seg")), " ")
           .as("clean_text"))
   }
+
+  /** Exact long-span substring dedup (the ExactSubstr modality of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): find every maximal token span of length ≥ k
+    * whose every k-token window occurs ≥ 2 times in the corpus — the
+    * duplication [[segmentDedup]] misses when a verbatim repeat sits
+    * at an arbitrary offset (fixed segment boundaries almost never
+    * line up with it), and MinHash misses when the shared span is a
+    * small fraction of each document.
+    *
+    * Distributed shape (bucketed, never all-pairs):
+    *  1. every token position anchors one k-token window, keyed by the
+    *     md5 of its text (128-bit: collision-safe at corpus scale, and
+    *     replayable bit-for-bit by the DuckDB oracle);
+    *  2. one hash-aggregate counts occurrences per window hash —
+    *     map-side partial combine collapses hot boilerplate windows
+    *     before the exchange, so the shuffle carries ≤ one digest per
+    *     distinct window per partition;
+    *  3. a shuffle semi-join marks the anchor positions of duplicated
+    *     windows (no broadcast assumption — the duplicated-window set
+    *     can be huge at corpus scale);
+    *  4. per-doc gaps-and-islands over the marked positions merges
+    *     overlapping/abutting windows into maximal spans (one window
+    *     function, shuffle keyed by doc).
+    *
+    * A span is emitted iff all its k-windows are duplicated — exactly
+    * the ≥ k-token verbatim repeats (a span repeated elsewhere
+    * duplicates every one of its windows). Consecutive windows may
+    * match *different* sources; such chimera spans are still ≥ k-token
+    * text whose every window exists elsewhere, the standard relaxation
+    * distributed ExactSubstr implementations make.
+    *
+    * Output: one row per maximal span — (doc_id, span_start, span_end,
+    * span_tokens), token positions 1-based inclusive.
+    */
+  def substringSpans(df: DataFrame, id: Column, text: Column, k: Int = 50): DataFrame = {
+    require(k >= 2, "span length must be at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    // project the words array FIRST: lambda bodies below reference it
+    // many times, and Catalyst would substitute an inline split() into
+    // every reference (O(words²) re-splits per row)
+    val sh = df.select(id.cast("long").as("doc_id"), split(text, " ").as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (k - 1)),
+        i => struct(i.cast("long").as("pos"),
+          md5(concat_ws(" ", slice(col("w"), i, lit(k)))).as("h")))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("h"))
+    val marked = sh.join(dup, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      // windows [p, p+k-1] and [q, q+k-1] merge while q ≤ p + k
+      // (overlapping or abutting coverage)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** The dedup ACTION over [[substringSpans]]: drop every token
+    * covered by a duplicated ≥ k-span and reassemble the survivors —
+    * per doc: original token count, duplicated token count, cleaned
+    * text. Row-local after the span join (token filtering never
+    * shuffles the text again).
+    */
+  def substringClean(df: DataFrame, id: Column, text: Column, k: Int = 50): DataFrame = {
+    val spans = substringSpans(df, id, text, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+    df.select(id.cast("long").as("doc_id"), split(text, " ").as("w"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("spans").isNull, concat_ws(" ", col("w")))
+          .otherwise(concat_ws(" ", filter(col("w"), (_, i0) =>
+            !exists(col("spans"), sp =>
+              i0 + 1 >= sp("span_start") && i0 + 1 <= sp("span_end")))))
+          .as("clean_text"))
+  }
 }
