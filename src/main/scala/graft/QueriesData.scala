@@ -528,6 +528,20 @@ object QueriesData {
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), col("text"), topK = 50)
     },
 
+    // C34b: BPE APPLY — the tokenizer step itself. Merge table =
+    // top-16 pairs from C34's statistic (k-sized driver fetch);
+    // encoding is one row-local codegen expression; ids are dense
+    // ranks over the post-merge vocabulary. The oracle replays the
+    // greedy merge loop as one CTE round per rank (sound because
+    // base-word merges can never create new table-pair occurrences;
+    // see functions.BpeImpl scaladoc).
+    "bpe_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = graft.ops.Bpe.mergeTable(docs, col("text"), k = 16)
+      graft.ops.Bpe.encodeWithIds(docs, col("doc_id"), col("text"), merges)
+        .orderBy(col("doc_id"), col("seq"))
+    },
+
     // C35: temperature-scaled mixture weights per language —
     // p_i ∝ √n_i (α = 0.5 so both engines' doubles agree bit-exactly;
     // see ops.Mixture scaladoc for why pow is banned here)
@@ -1239,6 +1253,49 @@ object QueriesData {
         |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
         |  WHERE len(w) >= 2)
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // the greedy BPE apply replayed as one CTE round per merge rank:
+    // round r marks adjacent pairs equal to rank-r's pair, selects
+    // non-overlapping occurrences left-to-right (islands of
+    // consecutive marks + even-offset parity — identical to a scan),
+    // rewrites the taken left unit to the merged token and drops the
+    // consumed right unit. 16 rounds = the query's merge-table size.
+    "bpe_encode" -> {
+      val rounds = (1 to 16).map { r =>
+        val prev = s"s${r - 1}"
+        s"""a$r AS (SELECT doc_id, unit,
+           |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seq FROM $prev),
+           |b$r AS (SELECT doc_id, unit, seq,
+           |  lead(unit) OVER (PARTITION BY doc_id ORDER BY seq) AS nxt,
+           |  CASE WHEN unit || ' ' || lead(unit) OVER (PARTITION BY doc_id ORDER BY seq)
+           |    = (SELECT pair FROM mg WHERE rnk = $r) THEN 1 ELSE 0 END AS m FROM a$r),
+           |c$r AS (SELECT *, seq - row_number()
+           |  OVER (PARTITION BY doc_id, m ORDER BY seq) AS isl FROM b$r),
+           |d$r AS (SELECT *, CASE WHEN m = 1 AND (seq - min(seq)
+           |  OVER (PARTITION BY doc_id, m, isl)) % 2 = 0 THEN 1 ELSE 0 END AS take FROM c$r),
+           |e$r AS (SELECT doc_id, seq, unit, nxt, take,
+           |  lag(take) OVER (PARTITION BY doc_id ORDER BY seq) AS ptake FROM d$r),
+           |s$r AS (SELECT doc_id, seq AS pos,
+           |  CASE WHEN take = 1 THEN unit || ' ' || nxt ELSE unit END AS unit
+           |  FROM e$r WHERE coalesce(ptake, 0) = 0)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mg AS (SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+         |  FROM (SELECT pair, count(*) AS n FROM (
+         |    SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS pair
+         |    FROM (SELECT string_split(text, ' ') AS w FROM documents)
+         |    WHERE len(w) >= 2)
+         |  GROUP BY pair ORDER BY n DESC, pair LIMIT 16)),
+         |s0 AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS unit
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |$rounds,
+         |vocab AS (SELECT unit, CAST(row_number() OVER (ORDER BY unit) AS BIGINT) AS token_id
+         |  FROM (SELECT DISTINCT unit FROM s16)),
+         |fin AS (SELECT s.doc_id,
+         |  CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS BIGINT) AS seq,
+         |  s.unit AS token, v.token_id
+         |  FROM s16 s JOIN vocab v USING (unit))
+         |SELECT doc_id, seq, token, token_id FROM fin
+         |ORDER BY doc_id, seq""".stripMargin
+    },
     "mix_weights" ->
       """WITH pl AS (SELECT lang AS stratum,
         |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok

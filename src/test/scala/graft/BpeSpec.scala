@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.BpeImpl
+import graft.ops.Bpe
+
+/** BPE apply: kernel vs an independent one-merge-at-a-time reference,
+  * hierarchical merge tables, and the Spark column/id plumbing. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deliberately elementary reference: find the lowest-(rank, position)
+    * occurrence of any table pair, merge that SINGLE occurrence, and
+    * start over — no batching, no per-rank passes. */
+  private def reference(words: Seq[String], merges: Seq[(String, String)]): Seq[String] = {
+    var units = words.toVector
+    var go = true
+    while (go) {
+      val hits = for {
+        (p, r) <- merges.zipWithIndex
+        i <- units.indices.dropRight(1)
+        if units(i) == p._1 && units(i + 1) == p._2
+      } yield (r, i)
+      if (hits.isEmpty) go = false
+      else {
+        val (_, i) = hits.min
+        units = (units.take(i) :+ (units(i) + " " + units(i + 1))) ++ units.drop(i + 2)
+      }
+    }
+    units
+  }
+
+  private def kernel(words: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    BpeImpl.encode(words.toArray, merges.map(_._1).toArray, merges.map(_._2).toArray).toSeq
+
+  test("kernel equals the one-merge-at-a-time reference on randomized corpora") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 200) {
+      val words = Seq.fill(2 + rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.size)))
+      // random base-word merge table (distinct pairs, random order = ranks)
+      val merges = rnd.shuffle(
+        (for (x <- alphabet; y <- alphabet) yield (x, y)).toVector).take(1 + rnd.nextInt(8))
+      assert(kernel(words, merges) == reference(words, merges),
+        s"trial $trial: words=$words merges=$merges")
+    }
+  }
+
+  test("hierarchical merge tables (components that are merged units) work") {
+    // rank1 builds "a b"; rank2 merges the MERGED unit with c
+    val merges = Seq(("a", "b"), ("a b", "c"))
+    assert(kernel(Seq("a", "b", "c", "d"), merges) == Seq("a b c", "d"))
+    assert(reference(Seq("a", "b", "c", "d"), merges) == Seq("a b c", "d"))
+    // rank order decides: with the pair rank flipped, (a,b) still wins
+    // first wherever it occurs, and the hierarchy still resolves
+    val flipped = Seq(("b", "c"), ("a", "b c"))
+    assert(kernel(Seq("a", "b", "c"), flipped) == Seq("a b c"))
+    // overlapping same-rank occurrences merge left-to-right
+    assert(kernel(Seq("a", "a", "a"), Seq(("a", "a"))) == Seq("a a", "a"))
+    assert(kernel(Seq("a", "a", "a", "a"), Seq(("a", "a"))) == Seq("a a", "a a"))
+  }
+
+  test("mergeTable ranks by (count desc, pair asc) and encodeWithIds is dense") {
+    val df = Seq(
+      (1L, "x y x y z w"),
+      (2L, "x y q"),
+      (3L, "z w")).toDF("doc_id", "text")
+    val merges = Bpe.mergeTable(df, col("text"), k = 2)
+    // "x y" occurs 3×, "z w" 2× → ranks 1, 2
+    assert(merges == Seq(("x", "y"), ("z", "w")))
+    val out = Bpe.encodeWithIds(df, col("doc_id"), col("text"), merges)
+      .orderBy(col("doc_id"), col("seq"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val tokens = out.map(_._3)
+    assert(out.filter(_._1 == 1L).map(_._3) == Seq("x y", "x y", "z w"))
+    assert(out.filter(_._1 == 2L).map(_._3) == Seq("x y", "q"))
+    // ids are dense 1..|vocab| in lexicographic token order
+    val vocab = tokens.distinct.sorted
+    val idOf = out.map(r => r._3 -> r._4).toMap
+    assert(vocab.zipWithIndex.forall { case (t, i) => idOf(t) == i + 1 })
+  }
+}
