@@ -316,6 +316,23 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C40b: REAL image codec roundtrip (JDK ImageIO, no external
+    // deps): md5-derived 8×8 test image per doc → real PNG encode →
+    // byte-sniff → decode → digest of the DECODED samples. The oracle
+    // replays only the pixel construction, so a hash match proves the
+    // PNG roundtrip is bit-exact end to end.
+    "mm_decode_roundtrip" -> { (s, dir) =>
+      Multimodal.decodeRoundtrip(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C40c: REAL thumbnail — decode the PNG and area-mean downsample
+    // 8×8 → 4×4 (floor-mean box filter, integer-exact in SQL)
+    "mm_thumbnail_real" -> { (s, dir) =>
+      Multimodal.thumbnailReal(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // C23: the multimodal→embedding→ANN bridge — feature-extract every
     // document payload (decode stubbed deterministically; see
     // Multimodal.fakeEmbedding) and run exact top-k cosine retrieval
@@ -1230,6 +1247,21 @@ object QueriesData {
         |  array_to_string([text[i] for i in range(1, least(len(text), 1024)+1, 4)], '') AS th
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "mm_decode_roundtrip" ->
+      """SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  'png' AS fmt,
+        |  md5(array_to_string(
+        |    [substr(md5(text || ':' || i), 1, 2) for i in range(0, 64)], '')) AS pixel_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_thumbnail_real" ->
+      """SELECT doc_id, CAST(4 AS BIGINT) AS thumb_w, CAST(4 AS BIGINT) AS thumb_h,
+        |  md5(array_to_string([printf('%02x',
+        |     (CAST('0x' || substr(md5(text || ':' || (16*(j//4) + 2*(j%4))), 1, 2) AS INT)
+        |    + CAST('0x' || substr(md5(text || ':' || (16*(j//4) + 2*(j%4) + 1)), 1, 2) AS INT)
+        |    + CAST('0x' || substr(md5(text || ':' || (16*(j//4) + 2*(j%4) + 8)), 1, 2) AS INT)
+        |    + CAST('0x' || substr(md5(text || ':' || (16*(j//4) + 2*(j%4) + 9)), 1, 2) AS INT)) // 4)
+        |    for j in range(0, 16)], '')) AS thumb_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id, text AS t,
         |  CAST(floor((len(text) - 1) / 64) AS BIGINT) + 1 AS nb FROM documents),

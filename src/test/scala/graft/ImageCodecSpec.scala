@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+import graft.ops.Multimodal.ImageCodec
+
+/** Real javax.imageio decode path: byte-sniffing, lossless roundtrips,
+  * true dimensions, and the area-mean scaler — on real encoded bytes,
+  * not stubs. */
+class ImageCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pix4x2 = Array(0, 64, 128, 255, 17, 34, 51, 68)
+
+  test("PNG roundtrip is lossless and sniffed from bytes") {
+    val png = ImageCodec.encodeGray(pix4x2, 4, 2, "png")
+    // PNG magic, not a filename, drives the sniff
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte)
+    val dec = ImageCodec.decode(1L, png)
+    assert(dec.format == "png" && dec.width == 4 && dec.height == 2)
+    assert(dec.gray.sameElements(pix4x2))
+  }
+
+  test("BMP roundtrip is lossless; JPEG decodes with true dims and sniffs lossy") {
+    val bmp = ImageCodec.encodeGray(pix4x2, 4, 2, "bmp")
+    val decB = ImageCodec.decode(2L, bmp)
+    assert(decB.format == "bmp" && decB.width == 4 && decB.height == 2)
+    assert(decB.gray.sameElements(pix4x2))
+
+    val jpg = ImageCodec.encodeGray(Array.fill(64)(200), 8, 8, "jpeg")
+    val decJ = ImageCodec.decode(3L, jpg)
+    assert(decJ.format.startsWith("jp") && decJ.width == 8 && decJ.height == 8)
+    // lossy: values near but not asserted equal
+    assert(decJ.gray.forall(v => math.abs(v - 200) < 32))
+  }
+
+  test("garbage bytes fail loudly, not silently") {
+    val e = intercept[IllegalArgumentException] {
+      ImageCodec.decode(4L, "not an image".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("unrecognized"))
+  }
+
+  test("box downsample is an exact floor-mean, including non-square") {
+    // 4x2, factor 2 → 2x1: means (0+64+17+34)/4=28, (128+255+51+68)/4=125
+    assert(ImageCodec.boxDownsample(pix4x2, 4, 2, 2).sameElements(Array(28, 125)))
+    // identity at factor 1
+    assert(ImageCodec.boxDownsample(pix4x2, 4, 2, 1).sameElements(pix4x2))
+    // 4x4 → 1x1: floor of the 16-sample mean
+    val p = Array.tabulate(16)(i => i * 3)
+    assert(ImageCodec.boxDownsample(p, 4, 4, 4).sameElements(
+      Array(p.sum / 16)))
+  }
+
+  test("decodeRoundtrip runs the distributed path and matches the direct digest") {
+    val df = Seq((10L, "alpha"), (11L, "")).toDF("doc_id", "text")
+    val got = Multimodal.decodeRoundtrip(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((docId, text) <- Seq(10L -> "alpha", 11L -> "")) {
+      val want = ImageCodec.hexDigest(ImageCodec.mdImage(text))
+      assert(got(docId) == ((docId, 8L, 8L, "png", want)))
+    }
+    val th = Multimodal.thumbnailReal(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val wantThumb = ImageCodec.hexDigest(
+      ImageCodec.boxDownsample(ImageCodec.mdImage("alpha"), 8, 8, 2))
+    assert(th(10L) == ((10L, 4L, 4L, wantThumb)))
+  }
+}
