@@ -85,16 +85,22 @@ object MaterializedAgg {
   }
 
   /** EXACTLY-ONCE transactional maintenance for the streaming
-    * deployment (foreachBatch): key-state, the view, and a per-writer
-    * batch watermark commit ATOMICALLY as three tables of one
-    * [[graft.sinks.PkTableSink.mergeTxGroup]] manifest. foreachBatch
-    * replays a batch after a crash — and a signed delta is NOT
-    * idempotent (re-applying doubles it) — so the watermark decides:
-    * `batchId ≤` the committed watermark means the manifest landed and
-    * the replay is a no-op (returns false). Either the crash happened
-    * before the commit (nothing landed, replay re-applies cleanly) or
-    * after (everything landed, replay skips) — no partial state is
-    * reachable because the three tables flip in one manifest.
+    * deployment (foreachBatch): key-state and the view commit
+    * ATOMICALLY in one [[graft.sinks.PkTableSink.mergeTxGroup]]
+    * manifest, with the per-writer batch watermark riding in the SAME
+    * manifest's meta map (`wm.<writer>`). foreachBatch replays a batch
+    * after a crash — and a signed delta is NOT idempotent (re-applying
+    * doubles it) — so the watermark decides: `batchId ≤` the committed
+    * watermark means the manifest landed and the replay is a no-op
+    * (returns false). Either the crash happened before the commit
+    * (nothing landed, replay re-applies cleanly) or after (everything
+    * landed, replay skips) — no partial state is reachable because
+    * state, view, and watermark flip in one manifest. The watermark
+    * check is a driver-side manifest read: a stale replay runs ZERO
+    * Spark jobs, and each live batch saves the 1-row commits-table
+    * scan+write the pre-meta protocol paid. Lakes written by that
+    * older protocol (a `commits` table, no meta key) are honored via a
+    * one-time fallback scan; their next commit upgrades them to meta.
     *
     * Single-writer per `writer` id (the routine-load shape: one job
     * owns one view); concurrent DIFFERENT writers are serialized by
@@ -108,18 +114,26 @@ object MaterializedAgg {
                  keyCols: Seq[String], versionCols: Seq[String], deleteFlag: Column,
                  groupCols: Seq[String], sums: Seq[(String, Column)],
                  writer: String): Boolean = {
-    import graft.sinks.PkTableSink
-    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    import graft.sinks.{PkTableSink, TxLog}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val spark = batch.sparkSession
     val sumNames = sums.map(_._1)
-    val emptyCommits = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("writer_id", StringType),
-        StructField("batch_id", LongType))))
-    val applied = PkTableSink.readTxGroup(spark, root, "commits", emptyCommits)
-      .where(col("writer_id") === writer)
-      .agg(max(col("batch_id"))).collect()(0)
-    if (!applied.isNullAt(0) && batchId <= applied.getLong(0)) return false
+    val wmKey = s"wm.$writer"
+    val manifest = TxLog.current(spark, root)
+    val applied: Option[Long] = manifest.flatMap(_.meta.get(wmKey)).map(_.toLong)
+      .orElse(manifest.filter(_.tables.contains("commits")).flatMap { _ =>
+        // pre-meta lake: one fallback scan of the 1-row-per-writer
+        // commits table; the next commit writes the meta key
+        val r = PkTableSink.readTxGroup(spark, root, "commits",
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("writer_id", StringType),
+              StructField("batch_id", LongType)))))
+          .where(col("writer_id") === writer)
+          .agg(max(col("batch_id"))).collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      })
+    if (applied.exists(batchId <= _)) return false
 
     // state WITH tombstones: a deleted key's version must stay visible
     // so a straggler insert loses latestPerKey here exactly as it does
@@ -141,14 +155,9 @@ object MaterializedAgg {
       "state" -> PkTableSink.TableBatch(
         batch.withColumn("__state_del", coalesce(deleteFlag, lit(false))),
         keyCols, versionCols, "__state_del"),
-      "mv" -> PkTableSink.TableBatch(newMv, groupCols, Seq("batch_id"), "__mv_gone"),
-      "commits" -> PkTableSink.TableBatch(
-        spark.createDataFrame(java.util.List.of(
-          org.apache.spark.sql.Row(writer, batchId, false)),
-          StructType(emptyCommits.schema.fields :+
-            StructField("__c_del", BooleanType))),
-        Seq("writer_id"), Seq("batch_id"), "__c_del")),
-      writer = writer)
+      "mv" -> PkTableSink.TableBatch(newMv, groupCols, Seq("batch_id"), "__mv_gone")),
+      writer = writer,
+      extraMeta = Map(wmKey -> batchId.toString))
     true
   }
 

@@ -282,7 +282,8 @@ object PkTableSink {
   def mergeTxGroup(spark: SparkSession, groupRoot: String,
                    batches: Map[String, TableBatch], writer: String,
                    maxAttempts: Int = 5,
-                   recoverTornAfterMs: Long = 60000L): Long = {
+                   recoverTornAfterMs: Long = 60000L,
+                   extraMeta: Map[String, String] = Map.empty): Long = {
     require(batches.nonEmpty, "mergeTxGroup: no batches")
     // ',' joins dir LISTS in manifest values — keep it out of every
     // path component we control
@@ -310,9 +311,12 @@ object PkTableSink {
         val dirs = prevTables.get(t).toSeq.filter(_.nonEmpty) :+ dir
         (t, dirs.mkString(","), dir, meta)
       }
+      // caller meta (e.g. per-writer batch watermarks) rides in the
+      // same manifest flip — readable driver-side with zero jobs;
+      // table key/version meta wins on any key collision
       TxLog.Prepared(
         tables = prevTables ++ newDirs.map { case (t, list, _, _) => t -> list },
-        meta = prevMeta ++ newDirs.flatMap(_._4),
+        meta = prevMeta ++ extraMeta ++ newDirs.flatMap(_._4),
         written = newDirs.map(_._3).toSeq)
     }
   }

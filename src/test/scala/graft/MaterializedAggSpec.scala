@@ -109,9 +109,18 @@ class MaterializedAggSpec extends SparkSpec {
     assert(mv() == Map("b" -> ((1L, 11.0))))  // a emptied out, tombstoned
 
     // foreachBatch replay of an already-committed batch is a no-op —
-    // the signed delta must not double-apply
+    // the signed delta must not double-apply. The watermark lives in
+    // the commit manifest's meta, so the staleness check is pure
+    // driver work: the replay must launch ZERO Spark jobs.
+    spark.sparkContext.setJobGroup("mv-stale-replay", "stale replay must run no jobs")
     assert(!apply(chg((1L, 2L, "b", 11.0, false), (2L, 2L, "b", 0.0, true)), 2L))
+    spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup("mv-stale-replay").isEmpty)
     assert(mv() == Map("b" -> ((1L, 11.0))))
+    // and the watermark is in the manifest meta, not a scanned table
+    assert(graft.sinks.TxLog.current(spark, root)
+      .flatMap(_.meta.get("wm.job1")).contains("2"))
 
     // straggler insert of the deleted key: the state tombstone's
     // version wins, view stays consistent with the table
