@@ -199,6 +199,7 @@ object PkTableSink {
         case None =>
           val dataDir = s"$root/t$next-$writer-$nonce"
           chg.write.mode(SaveMode.Overwrite).parquet(dataDir)
+          ZoneMap.write(spark, dataDir, keyCols)
           TxLog.Prepared(dataDir = dataDir, meta = meta, written = Seq(dataDir))
         case Some(m) =>
           m.meta.get(MetaKeys).foreach(k => require(k == meta(MetaKeys) &&
@@ -207,6 +208,7 @@ object PkTableSink {
               s"(stored keys=$k vers=${m.meta(MetaVers)})"))
           val deltaDir = s"$root/d$next-$writer-$nonce"
           chg.write.mode(SaveMode.Overwrite).parquet(deltaDir)
+          ZoneMap.write(spark, deltaDir, keyCols)
           TxLog.Prepared(dataDir = m.dataDir, deltas = m.deltas :+ deltaDir,
             meta = meta, written = Seq(deltaDir))
       }
@@ -255,6 +257,7 @@ object PkTableSink {
             .sortWithinPartitions(keyCols.map(col): _*)
         else merged.repartition(nFiles)
       packed.write.mode(SaveMode.Overwrite).parquet(dataDir)
+      ZoneMap.write(spark, dataDir, keyCols)
       TxLog.Prepared(dataDir = dataDir, meta = m.meta, written = Seq(dataDir))
     } catch { case CompactSkip(v) => v }
 
@@ -438,6 +441,71 @@ object PkTableSink {
       case Some(m) => dropTombstones(mergedTx(spark, requireSingleTable(m, root)))
       case None    => schemaOf.limit(0)
     }
+
+  /** Point/range lookup on a [[TxLog]]-backed table, ZONE-MAP PRUNED:
+    * resolves the key range [lo,hi] (inclusive, on the table's FIRST
+    * key column) against each dir's `_zonemap` sidecar and scans ONLY
+    * the files whose recorded range can match — after [[compactTx]]'s
+    * key-range-sorted bin-packing that is typically one file per dir,
+    * so a point lookup on a million-file table reads a handful of
+    * files instead of listing-and-opening every footer.
+    *
+    * Correctness under merge-on-read: every stored version of a key k
+    * lives in files whose [min,max] contains k, so pruning by zone can
+    * never hide a newer version from the latest-per-key merge; keys
+    * outside [lo,hi] that ride along in kept files are filtered after
+    * the merge. Dirs without a sidecar (legacy) scan fully. Returns
+    * the same rows as `readTx(...).where(key between lo and hi)`.
+    */
+  def readTxRange(spark: SparkSession, root: String, schemaOf: => DataFrame,
+                  lo: Long, hi: Long): DataFrame =
+    TxLog.current(spark, root) match {
+      case None => schemaOf.limit(0)
+      case Some(m0) =>
+        val m = requireSingleTable(m0, root)
+        val keys = m.meta.get(MetaKeys).filter(_.nonEmpty).getOrElse(
+          throw new IllegalStateException(
+            s"readTxRange: $root has no stored key columns")).split(",").toSeq
+        val keyCol = keys.head
+        val dirs = m.dataDir +: m.deltas
+        val perDir = dirs.zipWithIndex.flatMap { case (d, i) =>
+          val files = ZoneMap.pruneFiles(spark, d, keyCol, lo.toString, hi.toString)
+          if (files.isEmpty) None
+          else Some(spark.read.parquet(files: _*).withColumn(CommitSeq, lit(i.toLong)))
+        }
+        val range = col(keyCol).between(lo, hi)
+        perDir match {
+          case Seq() => dropTombstones(spark.read.parquet(m.dataDir).limit(0))
+          case Seq(one) if dirs.size == 1 =>
+            // single-dir table: same no-merge path as readTx
+            dropTombstones(one.drop(CommitSeq)).where(range)
+          case some =>
+            val vers = m.meta(MetaVers).split(",").toSeq
+            val merged = PkTable.latestPerKey(
+              some.reduce(_ unionByName _).where(range),
+              keys, vers.map(col) :+ col(CommitSeq)).drop(CommitSeq)
+            dropTombstones(merged)
+        }
+    }
+
+  /** Zone-map pruning decision for [lo,hi] on a table's first key
+    * column, without reading data: (files that would be scanned, total
+    * data files across the current version's dirs). For plan asserts
+    * and ops introspection. */
+  def pruneStats(spark: SparkSession, root: String,
+                 lo: Long, hi: Long): (Seq[String], Int) = {
+    val m = TxLog.current(spark, root).map(requireSingleTable(_, root))
+      .getOrElse(throw new IllegalStateException(s"no committed version under $root"))
+    val keyCol = m.meta(MetaKeys).split(",").head
+    val dirs = m.dataDir +: m.deltas
+    val fs = fsOf(spark, m.dataDir)
+    val total = dirs.map(d => fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .count { s =>
+        val n = s.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+      }).sum
+    (dirs.flatMap(d => ZoneMap.pruneFiles(spark, d, keyCol, lo.toString, hi.toString)),
+      total)
+  }
 
   /** Live contents as of a specific committed version (time travel). */
   def readTxAt(spark: SparkSession, root: String, version: Long): DataFrame =

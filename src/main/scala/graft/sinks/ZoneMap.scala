@@ -1,0 +1,156 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-file key-range sidecars ("zone maps") for [[TxLog]]-backed lake
+  * dirs: after a data dir is fully written, one small Spark job records
+  * each file's min/max of the table's key columns into `<dir>/_zonemap`,
+  * and point/range reads prune to the files whose range can match —
+  * DRIVER-SIDE, before any parquet footer is opened.
+  *
+  * Why this matters at 100 TB: parquet row-group stats also prune, but
+  * only after the scan has LISTED and OPENED every file's footer — at a
+  * million files that is a million round trips per query. A manifest-
+  * adjacent zone map makes a point lookup's file set ∝ files that can
+  * contain the key (after [[PkTableSink.compactTx]]'s key-range-sorted
+  * bin-packing: usually exactly one per dir), the same role file-level
+  * min/max stats play in Delta's checkpoint / Iceberg's manifest
+  * entries, and zone maps in the reference's StarRocks storage engine
+  * (segment-level short-key index; create-starrocks-tables.sh:1-51
+  * tables are all `PRIMARY KEY` + `DISTRIBUTED BY HASH`).
+  *
+  * Cost: the stats job reads ONLY the just-written dir (∝ batch, never
+  * the table) and collects one row per file. The sidecar is written
+  * INSIDE the data dir before the manifest commit claims it, so every
+  * committed dir either carries a sidecar or (legacy dirs) none —
+  * readers treat a missing sidecar as "all files may match".
+  *
+  * Ordering contract: stats come from Spark's own min/max, and pruning
+  * compares with the same total order (numeric for numeric key types,
+  * UTF8 binary for strings — Spark's string ordering), so a file is
+  * never pruned while holding a matching key.
+  */
+object ZoneMap {
+
+  private val FileName = "_zonemap"
+
+  /** One file's recorded key ranges: values are the STRING renderings
+    * of Spark's min/max, tagged with the column's type kind so the
+    * pruner compares in the right order. */
+  final case class FileStat(file: String, rows: Long,
+                            mins: Map[String, String], maxs: Map[String, String],
+                            kinds: Map[String, String])
+
+  private def kindOf(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => Some("long")
+      case DoubleType | FloatType                        => Some("double")
+      case StringType                                    => Some("string")
+      case _: DecimalType                                => Some("double")
+      case DateType | TimestampType                      => Some("long") // internal numeric order
+      case _                                             => None // unsupported: column not recorded
+    }
+  }
+
+  /** Record per-file min/max of `keyCols` for every parquet file under
+    * `dir`. One job over the just-written dir; one collected row per
+    * file. Columns of unsupported types are skipped (the pruner then
+    * never prunes on them). */
+  def write(spark: SparkSession, dir: String, keyCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(dir)
+    val usable = keyCols.filter(c => df.schema.fields.exists(f =>
+      f.name == c && kindOf(f.dataType).isDefined))
+    val kinds = usable.map(c => c ->
+      kindOf(df.schema(c).dataType).get).toMap
+    val aggs = usable.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val stats = df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"), aggs: _*)
+      .collect() // one row per file in ONE dir — batch-sized by construction
+    val body = stats.map { r =>
+      val fname = new Path(r.getString(0)).getName
+      val cols = usable.flatMap { c =>
+        val mn = r.getAs[String](s"min_$c"); val mx = r.getAs[String](s"max_$c")
+        if (mn == null || mx == null) Nil // all-null key file: never prunable
+        else Seq(s"${c}.kind=${kinds(c)}", s"${c}.min=${esc(mn)}", s"${c}.max=${esc(mx)}")
+      }
+      (Seq(s"f=${esc(fname)}", s"n=${r.getAs[Long]("rows")}") ++ cols).mkString("\t")
+    }.sorted.mkString("", "\n", "\n")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(dir, FileName), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  // tab/newline are the record separators; escape them plus backslash
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"; case '\t' => "\\t"; case '\n' => "\\n"
+    case c => c.toString
+  }
+  private def unesc(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b += '\t'; case 'n' => b += '\n'; case x => b += x
+        }
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** The sidecar's stats, or None when the dir predates zone maps. */
+  def read(spark: SparkSession, dir: String): Option[Seq[FileStat]] = {
+    val p = new Path(dir, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val txt = { val in = fs.open(p); try new String(in.readAllBytes(), "UTF-8") finally in.close() }
+    Some(txt.linesIterator.filter(_.nonEmpty).map { line =>
+      val kv = line.split("\t").map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> unesc(v) }.toMap
+      val cols = kv.keys.collect { case k if k.endsWith(".kind") => k.dropRight(5) }
+      FileStat(kv("f"), kv("n").toLong,
+        cols.flatMap(c => kv.get(s"$c.min").map(c -> _)).toMap,
+        cols.flatMap(c => kv.get(s"$c.max").map(c -> _)).toMap,
+        cols.map(c => c -> kv(s"$c.kind")).toMap)
+    }.toSeq)
+  }
+
+  /** True when the recorded range [min,max] of `keyCol` can intersect
+    * the query range [lo,hi] (inclusive). A file with no recorded
+    * stats for the column is never pruned. */
+  private[sinks] def mayMatch(st: FileStat, keyCol: String, lo: String, hi: String): Boolean =
+    (st.mins.get(keyCol), st.maxs.get(keyCol), st.kinds.get(keyCol)) match {
+      case (Some(mn), Some(mx), Some(kind)) =>
+        def cmp(a: String, b: String): Int = kind match {
+          case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+          case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+          case _        => a.compareTo(b)
+        }
+        cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
+      case _ => true
+    }
+
+  /** Absolute paths of the parquet files under `dir` whose zone can
+    * intersect [lo,hi] on `keyCol`. Without a sidecar, ALL files (the
+    * reader stays correct on legacy dirs, it just doesn't skip). */
+  def pruneFiles(spark: SparkSession, dir: String, keyCol: String,
+                 lo: String, hi: String): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles: Seq[String] = fs.listStatus(new Path(dir))
+      .map(_.getPath).filter { p =>
+        val n = p.getName; !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.toString).toSeq
+    read(spark, dir) match {
+      case None => dataFiles
+      case Some(stats) =>
+        stats.filter(mayMatch(_, keyCol, lo, hi))
+          .map(st => new Path(dir, st.file).toString)
+    }
+  }
+}

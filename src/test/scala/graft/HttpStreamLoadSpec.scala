@@ -1,0 +1,110 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.sinks.{HttpStreamLoad, StarRocksSink}
+
+/** D15: the real Stream Load HTTP transport against an in-process fake
+  * StarRocks (JDK HttpServer): FE 307-redirect → BE accept, label
+  * dedup, transient-failure retry — the full wire protocol minus the
+  * database. */
+class HttpStreamLoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  // fake cluster state
+  private val applied = new ConcurrentHashMap[String, String]() // label → payload
+  private val beHits = new AtomicInteger(0)
+  private val feHits = new AtomicInteger(0)
+  private val failNext = new AtomicBoolean(false)
+  private val sawAuth = new AtomicBoolean(true)
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(StandardCharsets.UTF_8)
+    x.sendResponseHeaders(code, b.length)
+    x.getResponseBody.write(b); x.close()
+  }
+
+  private lazy val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val port = () => s.getAddress.getPort
+    // FE: redirect every load to the "BE" without consuming the body
+    s.createContext("/api/", { x =>
+      feHits.incrementAndGet()
+      if (x.getRequestHeaders.getFirst("Authorization") == null) sawAuth.set(false)
+      x.getResponseHeaders.add("Location",
+        s"http://127.0.0.1:${port()}/be${x.getRequestURI.getPath}")
+      x.sendResponseHeaders(307, -1); x.close()
+    })
+    // BE: apply the body once per label; an armed failNext dies with a
+    // 500 BEFORE applying, so the client must retry under the same label
+    s.createContext("/be/api/", { x =>
+      beHits.incrementAndGet()
+      val label = x.getRequestHeaders.getFirst("label")
+      val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (failNext.getAndSet(false))
+        respond(x, 500, """{"Status":"Fail","Message":"injected"}""")
+      else if (applied.putIfAbsent(label, body) != null)
+        respond(x, 200,
+          """{"Status":"Label Already Exists","ExistingJobStatus":"FINISHED"}""")
+      else respond(x, 200,
+        s"""{"TxnId":${beHits.get()},"Label":"$label","Status":"Success"}""")
+    })
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    s.start(); s
+  }
+
+  private def loader(maxAttempts: Int = 4) = HttpStreamLoad(
+    feUrl = s"http://127.0.0.1:${server.getAddress.getPort}",
+    db = "testdb", table = "orders", backoffMs = 10L, maxAttempts = maxAttempts)
+
+  test("chunks land exactly once through FE redirect + BE accept") {
+    applied.clear(); beHits.set(0); feHits.set(0)
+    val df = (1 to 200).map(i => (i.toLong, s"n$i")).toDF("id", "name").repartition(4)
+    val chunks = StarRocksSink.write(df, "loadA", loader().transport, maxChunkBytes = 1024)
+    assert(chunks.toInt == applied.size)
+    assert(applied.keySet().asScala.forall(_.startsWith("loadA-")))
+    val lines = applied.values().asScala.toSeq.flatMap(_.linesIterator)
+    assert(lines.size == 200 && lines.forall(_.contains("\"id\":")))
+    assert(feHits.get() >= chunks, "every chunk goes through the FE redirect")
+    assert(sawAuth.get(), "every FE request carried Basic auth")
+  }
+
+  test("a transient BE 500 retries under the same label and lands once") {
+    applied.clear(); failNext.set(true)
+    val df = Seq((1L, "x")).toDF("id", "name").coalesce(1)
+    val chunks = StarRocksSink.write(df, "loadB", loader().transport)
+    assert(chunks == 1L && applied.size == 1)
+    assert(!failNext.get(), "injected failure was consumed")
+  }
+
+  test("a full re-run (task retry / job restart) dedupes by label") {
+    applied.clear()
+    val df = (1 to 50).map(i => (i.toLong, s"n$i")).toDF("id", "name").repartition(2)
+    StarRocksSink.write(df, "loadC", loader().transport, maxChunkBytes = 512)
+    val snapshot = new java.util.HashMap(applied)
+    StarRocksSink.write(df, "loadC", loader().transport, maxChunkBytes = 512) // replay
+    assert(applied == snapshot, "replayed chunks must not re-apply")
+  }
+
+  test("a permanent failure surfaces after maxAttempts") {
+    applied.clear()
+    server.createContext("/be/api/testdb/permfail/_stream_load", { x =>
+      x.getRequestBody.readAllBytes()
+      respond(x, 500, """{"Status":"Fail","Message":"always"}""")
+    })
+    val bad = loader(maxAttempts = 2).copy(table = "permfail")
+    val df = Seq((1L, "x")).toDF("id", "name").coalesce(1)
+    val e = intercept[Exception] {
+      StarRocksSink.write(df, "loadD", bad.transport)
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("attempts failed")), messages.mkString(" | "))
+  }
+}
