@@ -321,20 +321,25 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .transform(materialize)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .transform(materialize)
-    // Convergence probe without a join: every node's label is monotone
-    // non-increasing (min over self+neighbors, then min with the jump
-    // target), so Σ cluster strictly decreases every non-fixpoint
-    // round — an unchanged exact sum IS the fixpoint. Decimal(38,0)
-    // keeps the sum exact at any corpus size.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("cluster")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-        .collect()(0).getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d
+    // Convergence probe without a join OR an extra job: every node's
+    // label is monotone non-increasing (min over self+neighbors, then
+    // min with the jump target), so Σ cluster strictly decreases every
+    // non-fixpoint round — an unchanged exact sum IS the fixpoint.
+    // Decimal(38,0) keeps the sum exact at any corpus size, and
+    // observe() piggybacks the sum on the checkpoint's own action
+    // (accumulator-side), so each round runs exactly ONE job.
+    def materializeWithSum(df: DataFrame, name: String): (DataFrame, java.math.BigDecimal) = {
+      val obs = new org.apache.spark.sql.Observation(name)
+      val mat = materialize(df.observe(obs,
+        sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("lsum")))
+      val d = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
+      (mat, if (d == null) java.math.BigDecimal.ZERO else d)
     }
-    var prevSum = labelSum(labels)
+    val probeNonce = java.util.UUID.randomUUID().toString.take(8)
+    var (labels, prevSum) = materializeWithSum(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")),
+      s"cc-$probeNonce-init")
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -347,15 +352,13 @@ object Dedup {
       // pointer jumping: follow cluster → label(cluster) one hop.
       // Labels are always node ids, so the lookup join hits (left +
       // coalesce is belt-and-braces). min() keeps monotonicity.
-      val next = folded.as("x")
-        .join(labels.select(col("id").as("cid"), col("cluster").as("ccl")).as("l"),
-          col("x.cluster") === col("l.cid"), "left")
-        .select(col("x.id"),
-          least(col("x.cluster"), coalesce(col("l.ccl"), col("x.cluster"))).as("cluster"))
-        // checkpoint BEFORE the convergence probe so each round
-        // executes the propagation exactly once
-        .transform(materialize)
-      val newSum = labelSum(next)
+      val (next, newSum) = materializeWithSum(
+        folded.as("x")
+          .join(labels.select(col("id").as("cid"), col("cluster").as("ccl")).as("l"),
+            col("x.cluster") === col("l.cid"), "left")
+          .select(col("x.id"),
+            least(col("x.cluster"), coalesce(col("l.ccl"), col("x.cluster"))).as("cluster")),
+        s"cc-$probeNonce-r$rounds")
       labels = next
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
