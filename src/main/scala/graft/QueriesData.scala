@@ -15,6 +15,44 @@ import graft.ops.{Dedup, Mixture, Multimodal, Packing, Profiling, Similarity, Te
   */
 object QueriesData {
 
+  /** SQL replay of the deterministic Lloyd trainer (md5-rank seeds,
+    * two unrolled cosine-argmax rounds) ending in the final `assigned`
+    * (vec_id, e, cell) CTE — shared by the ann_ivf_kmeans and
+    * dedup_semantic oracles so both check the SAME trained cells. */
+  private val kmeansAssignCte =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, ce FROM
+      |  (SELECT md5('graft:' || CAST(vec_id AS VARCHAR)) AS h, vec_id, e AS ce
+      |   FROM v ORDER BY h, vec_id LIMIT 16)),
+      |a0 AS (SELECT vec_id, e, cid AS cell FROM (
+      |  SELECT v.vec_id, v.e, s.cid,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      list_dot_product(v.e, s.ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(s.ce, s.ce)) DESC,
+      |      s.cid) AS rn
+      |  FROM v CROSS JOIN seeds s) WHERE rn = 1),
+      |m1 AS (SELECT cell AS cid, list(m ORDER BY i) AS ce FROM
+      |  (SELECT cell, i, avg(e[i]) AS m
+      |   FROM a0 CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY cell, i)
+      |  GROUP BY cell),
+      |c1 AS (SELECT s.cid, coalesce(m1.ce, s.ce) AS ce FROM seeds s LEFT JOIN m1 USING (cid)),
+      |a1 AS (SELECT vec_id, e, cid AS cell FROM (
+      |  SELECT v.vec_id, v.e, c.cid,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      list_dot_product(v.e, c.ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(c.ce, c.ce)) DESC,
+      |      c.cid) AS rn
+      |  FROM v CROSS JOIN c1 c) WHERE rn = 1),
+      |m2 AS (SELECT cell AS cid, list(m ORDER BY i) AS ce FROM
+      |  (SELECT cell, i, avg(e[i]) AS m
+      |   FROM a1 CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY cell, i)
+      |  GROUP BY cell),
+      |c2 AS (SELECT c1.cid, coalesce(m2.ce, c1.ce) AS ce FROM c1 LEFT JOIN m2 USING (cid)),
+      |assigned AS (SELECT vec_id, e, cid AS cell FROM (
+      |  SELECT v.vec_id, v.e, c.cid,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      list_dot_product(v.e, c.ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(c.ce, c.ce)) DESC,
+      |      c.cid) AS rn
+      |  FROM v CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+
   private val shingleCte =
     """sh AS (
       |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -152,6 +190,20 @@ object QueriesData {
       Similarity.cosineLshPairs(Tables.embeddings(s, dir), col("vec_id"),
         col("embedding"), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C46: SemDeDup — semantic dedup inside k-means cells (Abbas et
+    // al. 2023). Shares the SQL-replayable Lloyd trainer (and its
+    // per-corpus centroid cache) with ann_ivf_kmeans, so the oracle
+    // replays cluster → within-cell pairs → min-id keep end to end.
+    "dedup_semantic" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansCentroidsCached(s"$dir|lloyd-seeded|k=16",
+        emb, col("vec_id"), col("embedding"), k = 16,
+        train = Similarity.kmeansLloydSeeded(_, _, _, _))
+      Similarity.semDedup(emb, col("vec_id"), col("embedding"), cents,
+        threshold = 0.4)
+        .orderBy(col("id"))
     },
 
     // C7: exact top-k cosine neighbors (brute-force baseline)
@@ -854,6 +906,16 @@ object QueriesData {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(c, 4) AS cos FROM p
         |WHERE round(c, 4) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // C46: replay trained cells, then within-cell pairs ≥ threshold
+    // (4dp-rounded cosine) drop the higher id — min-id representative
+    "dedup_semantic" ->
+      s"""WITH $kmeansAssignCte,
+        |dup AS (SELECT DISTINCT b.vec_id AS id FROM assigned a JOIN assigned b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 4) >= 0.4)
+        |SELECT s.vec_id AS id, s.cell, (d.id IS NOT NULL) AS dropped
+        |FROM assigned s LEFT JOIN dup d ON s.vec_id = d.id
+        |ORDER BY id""".stripMargin,
     "dedup_embedding_lsh" -> {
       // 64 planes / 8 bands × 8 bits — band values computed per-band
       // (no packed-64-bit shift: bit 63 would go negative), mirroring
@@ -969,38 +1031,7 @@ object QueriesData {
     // nprobe=2 / top-3 search as ann_ivf_nprobe. generate_series is
     // pinned to the corpus' 64-dim embeddings.
     "ann_ivf_kmeans" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, ce FROM
-        |  (SELECT md5('graft:' || CAST(vec_id AS VARCHAR)) AS h, vec_id, e AS ce
-        |   FROM v ORDER BY h, vec_id LIMIT 16)),
-        |a0 AS (SELECT vec_id, e, cid AS cell FROM (
-        |  SELECT v.vec_id, v.e, s.cid,
-        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |      list_dot_product(v.e, s.ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(s.ce, s.ce)) DESC,
-        |      s.cid) AS rn
-        |  FROM v CROSS JOIN seeds s) WHERE rn = 1),
-        |m1 AS (SELECT cell AS cid, list(m ORDER BY i) AS ce FROM
-        |  (SELECT cell, i, avg(e[i]) AS m
-        |   FROM a0 CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY cell, i)
-        |  GROUP BY cell),
-        |c1 AS (SELECT s.cid, coalesce(m1.ce, s.ce) AS ce FROM seeds s LEFT JOIN m1 USING (cid)),
-        |a1 AS (SELECT vec_id, e, cid AS cell FROM (
-        |  SELECT v.vec_id, v.e, c.cid,
-        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |      list_dot_product(v.e, c.ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(c.ce, c.ce)) DESC,
-        |      c.cid) AS rn
-        |  FROM v CROSS JOIN c1 c) WHERE rn = 1),
-        |m2 AS (SELECT cell AS cid, list(m ORDER BY i) AS ce FROM
-        |  (SELECT cell, i, avg(e[i]) AS m
-        |   FROM a1 CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY cell, i)
-        |  GROUP BY cell),
-        |c2 AS (SELECT c1.cid, coalesce(m2.ce, c1.ce) AS ce FROM c1 LEFT JOIN m2 USING (cid)),
-        |assigned AS (SELECT vec_id, e, cid AS cell FROM (
-        |  SELECT v.vec_id, v.e, c.cid,
-        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |      list_dot_product(v.e, c.ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(c.ce, c.ce)) DESC,
-        |      c.cid) AS rn
-        |  FROM v CROSS JOIN c2 c) WHERE rn = 1),
+      s"""WITH $kmeansAssignCte,
         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 40 = 0),
         |probes AS (SELECT qid, cid FROM (
         |  SELECT q.qid, c.cid,

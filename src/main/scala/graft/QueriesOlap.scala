@@ -65,7 +65,17 @@ object QueriesOlap {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(Rounding.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // money in exact integer 1e-4 units: l_extendedprice/l_discount
+        // are 2dp, so floor(x·100+0.5) recovers exact cents/basis-points
+        // and the sum is an associative integer — the double-sum form
+        // diverged from the oracle by one cent at sf1 (6M rows), where
+        // FP summation order crosses the 2dp boundary. Decimal(38,0)
+        // accumulation never overflows at any corpus size.
+        .agg(Rounding.r(
+          sum((floor(col("l_extendedprice") * 100 + 0.5) *
+            (lit(100L) - floor(col("l_discount") * 100 + 0.5)))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+            .cast("double") / 1e4, 2).as("revenue"))
         .orderBy(col("n_name"))
     },
 
@@ -782,7 +792,8 @@ object QueriesOlap {
         |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
-        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |  (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey

@@ -331,6 +331,47 @@ object Similarity {
     ivfSearch(v, cent, isQuery, k, nprobe)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate removal INSIDE k-means cells — cluster the
+    * embedding space, then within each cell drop every vector with
+    * cosine ≥ threshold to a lower-id cell-mate (min-id is the kept
+    * representative: the deterministic, oracle-replayable stand-in
+    * for the paper's centroid-distance pick). Returns one row per
+    * input vector: (id, cell, dropped).
+    *
+    * Scale shape: the quadratic is CONFINED to a cell — production
+    * runs size k ∝ corpus (the paper uses 50k cells at LAION-440M
+    * scale), so per-cell pair counts stay bounded and the cell join
+    * never goes all-pairs. Centroids broadcast with the assignment
+    * pass; pair generation shuffles on (cell), which AQE splits if a
+    * cell skews. Threshold compares on the 4dp-rounded cosine (the
+    * repo-wide cross-engine FP rule, SURVEY §5). */
+  def semDedup(df: DataFrame, id: Column, vec: Column,
+               centroids: Seq[(Long, Array[Double])],
+               threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cent = centroids.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "cv")
+      .select(col("cid"), col("cv").cast("array<double>").as("cv"))
+      .withColumn("cn2", normSq(col("cv")))
+    val v = df.select(id.as("id"), toDouble(vec).as("v"))
+      .withColumn("n2", normSq(col("v")))
+    val assigned = assignCells(v, cent)
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("n2").as("na"))
+    val b = assigned.select(col("cell").as("cell_b"), col("id").as("id_b"),
+      col("v").as("vb"), col("n2").as("nb"))
+    val dropped = a.join(b, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .where(Rounding.r(
+        cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 4) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cell"))
+      .join(dropped.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("dropped"))
+  }
+
   /** Argmax-cosine cell per vector (ties → lower cid). One broadcast
     * pass; the aggregation carries only scalars — the vector itself is
     * joined back afterwards, keeping 64-dim arrays out of the agg

@@ -16,7 +16,25 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver testdata is one file per table; ScaleUp-written corpora are
+    # Spark parquet DIRECTORIES named <table>.parquet
+    src = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(src):
+        src = f"{src}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+# Spark roundtrips the events table's TIMESTAMP(NANOS) as a plain
+# BIGINT (nanosAsLong); mirror Tables.events' integer-div conversion so
+# oracle SQL sees the same TIMESTAMP column at every scale
+ts_type = dict(zip(*[con.sql("DESCRIBE events").df()[c].tolist()
+                     for c in ("column_name", "column_type")])).get("ts")
+if ts_type == "BIGINT":
+    esrc = f"{sfdir}/events.parquet"
+    if os.path.isdir(esrc):
+        esrc = f"{esrc}/*.parquet"
+    con.sql(f"""CREATE OR REPLACE VIEW events AS
+               SELECT event_id, make_timestamp(ts // 1000) AS ts,
+                      user_id, event_type, value, props
+               FROM '{esrc}'""")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = ok = 0
