@@ -489,6 +489,15 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C47: BM25 relevance scoring against a fixed query-term set —
+    // the retrieval-style quality/relevance ranker a curation pipeline
+    // uses for targeted corpus selection
+    "text_bm25" -> { (s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir), col("doc_id"), col("text"),
+        Seq("scan", "merge", "stream", "filter"))
+        .orderBy(col("doc_id"))
+    },
+
     // C19: global vocabulary head — top-k tokens by corpus frequency
     "text_top_tokens" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -1215,6 +1224,23 @@ object QueriesData {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(sum(ln(c / total)) / count(*), 4) AS avg_logprob
         |FROM tok JOIN freq USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // C47: stats (N, total tokens), per-(doc, term) tf, per-term df —
+    // all integer aggregates; the score is the only FP step, 4dp-
+    // rounded (k1=1.2, b=0.75; idf with the +1 floor)
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM d),
+        |tok AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS t FROM d),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+        |  FROM tok WHERE t IN ('scan', 'merge', 'stream', 'filter')
+        |  GROUP BY doc_id, t),
+        |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dft FROM tf GROUP BY t)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(sum(ln(1 + (n - dft + 0.5) / (dft + 0.5)) * tf * 2.2 /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM tf JOIN dft USING (t) CROSS JOIN stats
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_top_tokens" ->
       """SELECT t, count(*) AS c

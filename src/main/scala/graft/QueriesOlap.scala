@@ -643,6 +643,43 @@ object QueriesOlap {
         .orderBy(col("event_id"))
     },
 
+    // B49: forward-fill (LOCF) — the gap-filling window shape: each
+    // user's last purchase value carries forward to later events
+    // (last + IGNORE NULLS over an unbounded-preceding ROWS frame;
+    // (ts, event_id) makes the order total, so the fill is
+    // deterministic)
+    "q_gap_fill" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "purchase", col("value")).as("v"))
+        .withColumn("filled", Rounding.r(last(col("v"), ignoreNulls = true).over(w), 4))
+        .where(col("event_id") % 50 === 0)
+        .select(col("event_id"), col("user_id"), col("filled"))
+        .orderBy(col("event_id"))
+    },
+
+    // B50: deterministic mode + exact median per group. Library mode()
+    // tie-breaking is engine-specific, so the mode is the explicit
+    // (count desc, bucket asc) argmax — one partial-agg'd count pass
+    // plus a 5-row argmax; the median is the exact interpolating
+    // percentile both engines define identically.
+    "q_mode_median" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          floor(col("value")).cast("long").as("bucket"))
+      val counts = e.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val mode = counts.groupBy(col("event_type"))
+        .agg(max_by(col("bucket"), struct(col("c"), -col("bucket"))).as("mode_bucket"))
+      val med = e.groupBy(col("event_type"))
+        .agg(Rounding.r(median(col("value")), 4).as("median_value"),
+          count(lit(1)).as("n"))
+      mode.join(med, "event_type").orderBy(col("event_type"))
+    },
+
     // B44: correlated scalar subquery — Catalyst DECORRELATES the
     // per-row subquery into an aggregate + left join (RewriteCorrelated
     // ScalarSubquery); without that rewrite this shape is a per-row
@@ -1129,6 +1166,28 @@ object QueriesOlap {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |    RANGE BETWEEN 1800 PRECEDING AND 1800 FOLLOWING))
         |WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN event_type = 'purchase' THEN value END AS v FROM events)
+        |SELECT event_id, user_id, filled FROM (
+        |  SELECT event_id, user_id,
+        |    round(last_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+        |  FROM e)
+        |WHERE event_id % 50 = 0 ORDER BY event_id""".stripMargin,
+    "q_mode_median" ->
+      """WITH e AS (SELECT event_type, value,
+        |  CAST(floor(value) AS BIGINT) AS bucket FROM events),
+        |cnt AS (SELECT event_type, bucket, count(*) AS c FROM e GROUP BY 1, 2),
+        |md AS (SELECT event_type, bucket AS mode_bucket FROM (
+        |  SELECT event_type, bucket,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c DESC, bucket) AS rn
+        |  FROM cnt) WHERE rn = 1),
+        |m2 AS (SELECT event_type, round(median(value), 4) AS median_value,
+        |  count(*) AS n FROM e GROUP BY 1)
+        |SELECT event_type, mode_bucket, median_value, n
+        |FROM md JOIN m2 USING (event_type) ORDER BY event_type""".stripMargin,
     "q_correlated_subquery" ->
       """SELECT c_custkey, c_mktsegment,
         |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,

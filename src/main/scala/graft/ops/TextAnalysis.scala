@@ -202,4 +202,42 @@ object TextAnalysis {
       .withColumn("keep",
         col("r_len") && col("r_word_len") && col("r_dup") && col("r_punct"))
   }
+
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson–Spärck Jones; the Okapi formulation with the +1 idf
+    * floor). Returns (doc_id, n_terms, score) for docs containing ≥1
+    * query term.
+    *
+    * Scale shape: the token explode is FILTERED to the query terms
+    * before any shuffle (only matching tokens reach the (doc, term)
+    * aggregation); corpus stats (N, avgdl) and the per-term document
+    * frequencies are tiny aggregates broadcast into the scoring join.
+    * Exactness: N, dl, avgdl's numerator, tf, and df are integer
+    * aggregates (order-independent); the only FP is the final per-term
+    * score, summed per doc and 4dp-rounded — the same ln-then-round
+    * contract text_unigram_logprob proves cross-engine.
+    */
+  def bm25(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query")
+    val d = docs.select(id.as("doc_id"), split(text, " ").as("w"))
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
+    val tok = d.select(col("doc_id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("t"))
+      .where(col("t").isin(terms: _*))
+    val tf = tok.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dft = tf.groupBy(col("t"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("dft"))
+    tf.join(broadcast(dft), "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n") - col("dft") + 0.5) / (col("dft") + 0.5)) *
+          col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), Rounding.r(sum(col("s")), 4).as("score"))
+  }
 }
