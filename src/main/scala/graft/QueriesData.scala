@@ -108,6 +108,34 @@ object QueriesData {
     // language); with few-language/100 TB corpora, pre-thin with a
     // cheap md5-rate filter (sample_deterministic) sized from corpus
     // stats so the windowed pass sees ~budget-sized strata only.
+    // C49: APPLY the mixture — C35's √-temperature weights become
+    // per-stratum token targets (weight · ¼ of the corpus token mass)
+    // and the sampled corpus materializes by the same md5-ordered
+    // running-sum cut as C25. Closes the weights → corpus loop: what a
+    // pretraining run actually reads. Targets are a stratum-cardinality
+    // broadcast; the only row-scale work is one window pass.
+    "mix_apply" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val d = docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val weights = Mixture.temperatureWeights(docs, col("lang"),
+        size(split(col("text"), " ")))
+      val tgt = weights
+        .crossJoin(broadcast(weights.agg(sum(col("n_tok")).as("total"))))
+        .select(col("stratum"),
+          floor(col("weight") * floor(col("total") / lit(4)).cast("double"))
+            .cast("long").as("target"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(col("doc_id"), lit(":mix"))), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .join(broadcast(tgt), col("lang") === col("stratum"))
+        .where(col("cum_tokens") <= col("target"))
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("lang"), col("cum_tokens"))
+    },
+
     "sample_token_budget" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
@@ -192,7 +220,7 @@ object QueriesData {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // C46: SemDeDup — semantic dedup inside k-means cells (Abbas et
+    // C47: SemDeDup — semantic dedup inside k-means cells (Abbas et
     // al. 2023). Shares the SQL-replayable Lloyd trainer (and its
     // per-corpus centroid cache) with ann_ivf_kmeans, so the oracle
     // replays cluster → within-cell pairs → min-id keep end to end.
@@ -489,7 +517,7 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
-    // C47: BM25 relevance scoring against a fixed query-term set —
+    // C48: BM25 relevance scoring against a fixed query-term set —
     // the retrieval-style quality/relevance ranker a curation pipeline
     // uses for targeted corpus selection
     "text_bm25" -> { (s, dir) =>
@@ -915,7 +943,7 @@ object QueriesData {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(c, 4) AS cos FROM p
         |WHERE round(c, 4) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
-    // C46: replay trained cells, then within-cell pairs ≥ threshold
+    // C47: replay trained cells, then within-cell pairs ≥ threshold
     // (4dp-rounded cosine) drop the higher id — min-id representative
     "dedup_semantic" ->
       s"""WITH $kmeansAssignCte,
@@ -1225,7 +1253,7 @@ object QueriesData {
         |  round(sum(ln(c / total)) / count(*), 4) AS avg_logprob
         |FROM tok JOIN freq USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // C47: stats (N, total tokens), per-(doc, term) tf, per-term df —
+    // C48: stats (N, total tokens), per-(doc, term) tf, per-term df —
     // all integer aggregates; the score is the only FP step, 4dp-
     // rounded (k1=1.2, b=0.75; idf with the +1 floor)
     "text_bm25" ->
@@ -1385,6 +1413,33 @@ object QueriesData {
          |SELECT doc_id, seq, token, token_id FROM fin
          |ORDER BY doc_id, seq""".stripMargin
     },
+    // C49: replay the weight construction, derive the same floored
+    // targets, and cut each stratum at the md5-ordered running sum
+    "mix_apply" ->
+      """WITH pl AS (SELECT lang AS stratum,
+        |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |            FROM documents GROUP BY lang),
+        |l AS (SELECT list_sort(list({'stratum': stratum, 'n_tok': n_tok})) AS ls FROM pl),
+        |d AS (SELECT ls,
+        |        list_reduce([sqrt(CAST(x.n_tok AS DOUBLE)) for x in ls],
+        |                    (a, b) -> a + b) AS denom
+        |      FROM l),
+        |wt AS (SELECT u.stratum AS stratum, u.n_tok AS n_tok,
+        |  round(sqrt(CAST(u.n_tok AS DOUBLE)) / denom, 6) AS weight
+        |  FROM d, unnest(ls) AS t(u)),
+        |tgt AS (SELECT stratum,
+        |  CAST(floor(weight * floor((SELECT sum(n_tok) FROM wt) / 4)) AS BIGINT) AS target
+        |  FROM wt),
+        |doc AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR) || ':mix') AS h FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM doc)
+        |SELECT lang, doc_id, n_tokens, cum_tokens
+        |FROM c JOIN tgt ON lang = tgt.stratum
+        |WHERE cum_tokens <= target ORDER BY lang, cum_tokens""".stripMargin,
     "mix_weights" ->
       """WITH pl AS (SELECT lang AS stratum,
         |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
