@@ -311,6 +311,7 @@ object PkTableSink {
           s"mergeTxGroup: $t key/version columns differ from the table's ($pv)")) }
         val dir = s"$groupRoot/$t/d$next-$writer-$nonce"
         chg.write.mode(SaveMode.Overwrite).parquet(dir)
+        ZoneMap.write(spark, dir, b.keyCols)
         val dirs = prevTables.get(t).toSeq.filter(_.nonEmpty) :+ dir
         (t, dirs.mkString(","), dir, meta)
       }
@@ -349,6 +350,7 @@ object PkTableSink {
       val packed = merged.repartitionByRange(nFiles, keyCols.map(col): _*)
         .sortWithinPartitions(keyCols.map(col): _*)
       packed.write.mode(SaveMode.Overwrite).parquet(dataDir)
+      ZoneMap.write(spark, dataDir, keyCols)
       TxLog.Prepared(tables = m.tables + (table -> dataDir), meta = m.meta,
         written = Seq(dataDir))
     } catch { case CompactSkip(v) => v }
@@ -466,27 +468,46 @@ object PkTableSink {
         val keys = m.meta.get(MetaKeys).filter(_.nonEmpty).getOrElse(
           throw new IllegalStateException(
             s"readTxRange: $root has no stored key columns")).split(",").toSeq
-        val keyCol = keys.head
-        val dirs = m.dataDir +: m.deltas
-        val perDir = dirs.zipWithIndex.flatMap { case (d, i) =>
-          val files = ZoneMap.pruneFiles(spark, d, keyCol, lo.toString, hi.toString)
-          if (files.isEmpty) None
-          else Some(spark.read.parquet(files: _*).withColumn(CommitSeq, lit(i.toLong)))
-        }
-        val range = col(keyCol).between(lo, hi)
-        perDir match {
-          case Seq() => dropTombstones(spark.read.parquet(m.dataDir).limit(0))
-          case Seq(one) if dirs.size == 1 =>
-            // single-dir table: same no-merge path as readTx
-            dropTombstones(one.drop(CommitSeq)).where(range)
-          case some =>
-            val vers = m.meta(MetaVers).split(",").toSeq
-            val merged = PkTable.latestPerKey(
-              some.reduce(_ unionByName _).where(range),
-              keys, vers.map(col) :+ col(CommitSeq)).drop(CommitSeq)
-            dropTombstones(merged)
-        }
+        readPrunedDirs(spark, m.dataDir +: m.deltas, keys,
+          m.meta(MetaVers).split(",").toSeq, lo, hi)
     }
+
+  /** [[readTxRange]] for one table of a multi-table group commit. */
+  def readTxGroupRange(spark: SparkSession, groupRoot: String, table: String,
+                       schemaOf: => DataFrame, lo: Long, hi: Long): DataFrame =
+    TxLog.current(spark, groupRoot).flatMap { m =>
+      m.tables.get(table).map { list =>
+        val keys = m.meta.getOrElse(s"$MetaKeys.$table",
+          throw new IllegalStateException(
+            s"readTxGroupRange: no stored key columns for '$table'")).split(",").toSeq
+        readPrunedDirs(spark, list.split(",").toSeq.filter(_.nonEmpty), keys,
+          m.meta(s"$MetaVers.$table").split(",").toSeq, lo, hi)
+      }
+    }.getOrElse(schemaOf.limit(0))
+
+  // zone-map-pruned latest-per-key merge over an ordered dir list
+  private def readPrunedDirs(spark: SparkSession, dirs: Seq[String],
+                             keys: Seq[String], vers: Seq[String],
+                             lo: Long, hi: Long): DataFrame = {
+    val keyCol = keys.head
+    val perDir = dirs.zipWithIndex.flatMap { case (d, i) =>
+      val files = ZoneMap.pruneFiles(spark, d, keyCol, lo.toString, hi.toString)
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*).withColumn(CommitSeq, lit(i.toLong)))
+    }
+    val range = col(keyCol).between(lo, hi)
+    perDir match {
+      case Seq() => dropTombstones(spark.read.parquet(dirs.head).limit(0))
+      case Seq(one) if dirs.size == 1 =>
+        // single-dir table: same no-merge path as readTx
+        dropTombstones(one.drop(CommitSeq)).where(range)
+      case some =>
+        val merged = PkTable.latestPerKey(
+          some.reduce(_ unionByName _).where(range),
+          keys, vers.map(col) :+ col(CommitSeq)).drop(CommitSeq)
+        dropTombstones(merged)
+    }
+  }
 
   /** Zone-map pruning decision for [lo,hi] on a table's first key
     * column, without reading data: (files that would be scanned, total

@@ -92,6 +92,41 @@ class HttpStreamLoadSpec extends SparkSpec {
     assert(applied == snapshot, "replayed chunks must not re-apply")
   }
 
+  test("streaming CDC pipeline lands on the HTTP endpoint end to end") {
+    // the reference's full shape: envelope stream → keyed upsert state
+    // → labeled Stream Load over the REAL wire protocol
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    applied.clear()
+    implicit val sqlCtx = spark.sqlContext
+    val payload = StructType(Seq(
+      StructField("id", LongType), StructField("seq", LongType),
+      StructField("v", StringType)))
+    def env(id: Long, seq: Long, v: String, op: String, tsMs: Long): String = {
+      val img = s"""{"id":$id,"seq":$seq,"v":"$v"}"""
+      val (b, a) = if (op == "d") (img, "null") else ("null", img)
+      s"""{"before":$b,"after":$a,"op":"$op","ts_ms":$tsMs}"""
+    }
+    val input = MemoryStream[String]
+    input.addData(
+      env(1, 1, "a", "c", 100), env(1, 2, "a2", "u", 200),
+      env(2, 1, "b", "c", 100))
+    val cfg = CdcPipeline.Config(payload, keyField = "id", seqField = "seq")
+    val states = CdcPipeline.stream(
+      input.toDF().withColumnRenamed("value", "json"), "json", cfg)
+    val q = CdcPipeline.toStreamLoadSink(states, "e2e", loader().transport)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val lines = applied.values().asScala.toSeq.flatMap(_.linesIterator)
+    // latest-wins state per key: key 1 at seq 2 ("a2"), key 2 at seq 1
+    // (the payload rides as an escaped JSON string inside the row)
+    assert(lines.size == 2, s"expected 2 state rows, got: $lines")
+    assert(lines.exists(l => l.contains("\"key\":1") && l.contains("a2")) &&
+      lines.exists(l => l.contains("\"key\":2")))
+    assert(applied.keySet().asScala.forall(_.startsWith("e2e-b")))
+  }
+
   test("a permanent failure surfaces after maxAttempts") {
     applied.clear()
     server.createContext("/be/api/testdb/permfail/_stream_load", { x =>

@@ -88,6 +88,26 @@ class ZoneMapSpec extends SparkSpec {
     assert(got == Set((5L, "a5")))
   }
 
+  test("group tables prune per-table dir lists (readTxGroupRange)") {
+    val root = freshRoot()
+    def commit(t: String, rows: (Long, Long, String, Boolean)*) =
+      PkTableSink.mergeTxGroup(spark, root,
+        Map(t -> PkTableSink.TableBatch(batch(rows: _*),
+          Seq("id"), Seq("ver"), "del")), writer = "w")
+    commit("orders", (0L until 100L).map(i => (i, 1L, s"o$i", false)): _*)
+    commit("orders", (5000L, 1L, "far", false))
+    commit("items", (0L until 50L).map(i => (i, 1L, s"i$i", false)): _*)
+    val got = PkTableSink.readTxGroupRange(spark, root, "orders",
+      batch().drop("del"), 10, 20)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got == (10L to 20L).map(i => (i, s"o$i")).toSet)
+    // the far-away delta dir contributes zero files to the pruned scan
+    val m = TxLog.current(spark, root).get
+    val dirs = m.tables("orders").split(",").toSeq
+    assert(dirs.size == 2)
+    assert(ZoneMap.pruneFiles(spark, dirs(1), "id", "10", "20").isEmpty)
+  }
+
   test("sidecar rides inside the data dir and survives the commit race loser's cleanup") {
     val root = freshRoot()
     PkTableSink.mergeTx(spark, root,
