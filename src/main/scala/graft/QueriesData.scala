@@ -275,6 +275,21 @@ object QueriesData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // C43b: TRUE IVFPQ (FAISS IndexIVFPQ, by_residual=false) — C8c's
+    // trained cells prune candidates, C43's PQ codes score them (ADC),
+    // exact rerank on the pool; the full billion-scale ANN shape in
+    // one query, oracle-replayed end to end
+    "ann_ivfpq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansCentroidsCached(s"$dir|lloyd-seeded|k=16",
+        emb, col("vec_id"), col("embedding"), k = 16,
+        train = Similarity.kmeansLloydSeeded(_, _, _, _))
+      Similarity.ivfpqTopk(emb, col("vec_id"), col("embedding"), cents,
+        isQuery = _ % 40 === 0, m = 4, codes = 64, k = 3, rerankK = 20,
+        nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // C44: brute-force top-k through the bounded TopKBy AGGREGATOR —
     // the per-group TOPN shape: exchange carries ≤ k pairs per
     // partition per query instead of window-sorting each query's full
@@ -514,6 +529,37 @@ object QueriesData {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           Rounding.r(sum(log(col("c") / col("total"))) / count(lit(1)), 4).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C18b: interpolated bigram LM scoring — the actual perplexity-
+    // filter shape (KenLM-style backoff approximated by linear
+    // interpolation, λ=0.8): p(b|a) = λ·C(a,b)/C(a) + (1−λ)·C(b)/T.
+    // Counts are integer aggregates; bigram/unigram count joins are
+    // plain shuffle joins keyed by the n-gram (broadcast when small);
+    // per-doc mean log-prob is the ln-then-round contract of C18.
+    "text_bigram_logprob" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val tok = d.select(col("doc_id"), explode(col("w")).as("t"))
+      val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).cast("double").as("total"))
+      val bg = d.where(size(col("w")) >= 2)
+        .withColumn("wa", slice(col("w"), lit(1), size(col("w")) - 1))
+        .withColumn("wb", slice(col("w"), lit(2), size(col("w")) - 1))
+        .select(col("doc_id"), explode(arrays_zip(col("wa"), col("wb"))).as("p"))
+        .select(col("doc_id"), col("p.wa").as("a"), col("p.wb").as("b"))
+      val bgc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      bg.join(bgc, Seq("a", "b"))
+        .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
+        .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          Rounding.r(sum(log(
+            lit(0.8) * col("cab") / col("ca") +
+              lit(0.2) * col("cb") / col("total"))) / count(lit(1)), 4)
+            .as("avg_logprob"))
         .orderBy(col("doc_id"))
     },
 
@@ -1253,6 +1299,25 @@ object QueriesData {
         |  round(sum(ln(c / total)) / count(*), 4) AS avg_logprob
         |FROM tok JOIN freq USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // C18b: same interpolation, bigram pairs via 1-based list
+    // comprehension (i, i+1), counts joined back per bigram token
+    "text_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+        |uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+        |bg AS (SELECT doc_id, u.a AS a, u.b AS b
+        |  FROM d, unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS t(u)
+        |  WHERE len(w) >= 2),
+        |bgc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(ln(0.8 * cab / ua.c + 0.2 * ub.c / total)) / count(*), 4) AS avg_logprob
+        |FROM bg JOIN bgc USING (a, b)
+        |JOIN uni ua ON bg.a = ua.t
+        |JOIN uni ub ON bg.b = ub.t
+        |CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // C48: stats (N, total tokens), per-(doc, term) tf, per-term df —
     // all integer aggregates; the score is the only FP step, 4dp-
     // rounded (k1=1.2, b=0.75; idf with the +1 floor)
@@ -1531,6 +1596,54 @@ object QueriesData {
         |  FROM q JOIN v ON v.vec_id <> qid)
         |SELECT qid, rank, nid, round(c, 4) AS cos FROM scored
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // C43b: trained-cell replay (shared CTE) + PQ codebook/encode/ADC
+    // replay (C43's fragments) + probe-pruned candidates
+    "ann_ivfpq" ->
+      s"""WITH $kmeansAssignCte,
+        |sdim AS (SELECT unnest([0, 1, 2, 3]) AS s),
+        |rkd AS (SELECT s, vec_id, row_number() OVER (PARTITION BY s
+        |          ORDER BY md5(vec_id || ':pq' || s), vec_id) AS rk FROM v, sdim),
+        |cb AS (SELECT r.s, r.rk AS crank, v.e[r.s*16+1 : r.s*16+16] AS cw
+        |       FROM rkd r JOIN v USING (vec_id) WHERE r.rk <= 64),
+        |enc AS (SELECT vec_id, s, crank FROM (
+        |    SELECT v.vec_id, c.s, c.crank,
+        |      row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
+        |        list_dot_product(v.e[c.s*16+1 : c.s*16+16], v.e[c.s*16+1 : c.s*16+16])
+        |        + list_dot_product(c.cw, c.cw)
+        |        - 2 * list_dot_product(v.e[c.s*16+1 : c.s*16+16], c.cw),
+        |        c.crank) AS erk
+        |    FROM v, cb c) WHERE erk = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 40 = 0),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      list_dot_product(qe, c.ce) / sqrt(list_dot_product(qe, qe) * list_dot_product(c.ce, c.ce)) DESC,
+        |      c.cid) AS pr
+        |  FROM q CROSS JOIN c2 c) WHERE pr <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS nid FROM probes p
+        |  JOIN assigned a ON a.cell = p.cid WHERE a.vec_id <> p.qid),
+        |pp AS (SELECT cd.qid, cd.nid, e2.s,
+        |         list_dot_product(q.qe[e2.s*16+1 : e2.s*16+16], c.cw) AS p
+        |       FROM cand cd JOIN enc e2 ON e2.vec_id = cd.nid
+        |       JOIN cb c ON c.s = e2.s AND c.crank = e2.crank
+        |       JOIN q ON q.qid = cd.qid),
+        |adc AS (SELECT qid, nid,
+        |         sum(CASE WHEN s = 0 THEN p END) + sum(CASE WHEN s = 1 THEN p END)
+        |         + sum(CASE WHEN s = 2 THEN p END) + sum(CASE WHEN s = 3 THEN p END) AS adc
+        |        FROM pp GROUP BY qid, nid),
+        |pool AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |           ORDER BY adc DESC, nid) AS cr2 FROM adc),
+        |scored AS (SELECT p.qid, p.nid,
+        |    list_dot_product(q.qe, v.e)
+        |      / sqrt(list_dot_product(q.qe, q.qe) * list_dot_product(v.e, v.e)) AS c,
+        |    row_number() OVER (PARTITION BY p.qid ORDER BY
+        |      list_dot_product(q.qe, v.e)
+        |        / sqrt(list_dot_product(q.qe, q.qe) * list_dot_product(v.e, v.e)) DESC,
+        |      p.nid) AS rank
+        |  FROM pool p JOIN q ON q.qid = p.qid JOIN v ON v.vec_id = p.nid
+        |  WHERE p.cr2 <= 20)
+        |SELECT qid, rank, nid, round(c, 4) AS cos FROM scored
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "ann_pq" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |sdim AS (SELECT unnest([0, 1, 2, 3]) AS s),

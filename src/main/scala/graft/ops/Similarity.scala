@@ -176,6 +176,33 @@ object Similarity {
     * (id, s) argmin; ADC candidates rank per query like every other
     * ANN path here.
     */
+  /** PQ codebook: per subspace, the `codes` corpus subvectors ranking
+    * lowest by md5(id||':pq'||s) — deterministic in any engine.
+    * Returns (s, crank, cw, cn2). */
+  private def pqCodebook(v: DataFrame, subs: DataFrame, codes: Int, sw: Int): DataFrame =
+    v.crossJoin(broadcast(subs))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("s"))
+        .orderBy(md5(concat(col("id"), lit(":pq"), col("s"))), col("id"))))
+      .where(col("rk") <= codes)
+      .select(col("s"), col("rk").as("crank"),
+        expr(s"slice(v, s * $sw + 1, $sw)").as("cw"))
+      .withColumn("cn2", normSq(col("cw")))
+
+  /** PQ encoding: nearest codeword per (vector, subspace), dots-only
+    * L2², ties to the lowest codeword rank. argmin as min(struct) — a
+    * hash aggregation with map-side partials, not a window sort of
+    * the corpus × codebook fan-out (same lexicographic semantics as
+    * the oracle's row_number ORDER BY d2, crank). Returns
+    * (id, s, crank). */
+  private def pqEncode(v: DataFrame, subs: DataFrame, cb: DataFrame, sw: Int): DataFrame =
+    v.crossJoin(broadcast(subs))
+      .withColumn("sub", expr(s"slice(v, s * $sw + 1, $sw)"))
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("d2", normSq(col("sub")) + col("cn2") - lit(2.0) * dot(col("sub"), col("cw")))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("d2"), col("crank"))).as("best"))
+      .select(col("id"), col("s"), col("best.crank").as("crank"))
+
   def pqTopkRerank(df: DataFrame, id: Column, vec: Column,
                    isQuery: Column => Column, m: Int, codes: Int,
                    k: Int, rerankK: Int): DataFrame = {
@@ -187,27 +214,8 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val subs = spark.createDataset(0 until m).toDF("s")
-    // codebook: per subspace, the `codes` corpus subvectors with the
-    // smallest md5(id||':pq'||s) — deterministic in any engine
-    val ranked = v.crossJoin(broadcast(subs))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("s"))
-        .orderBy(md5(concat(col("id"), lit(":pq"), col("s"))), col("id"))))
-      .where(col("rk") <= codes)
-    val cb = ranked.select(col("s"), col("rk").as("crank"),
-        expr(s"slice(v, s * $sw + 1, $sw)").as("cw"))
-      .withColumn("cn2", normSq(col("cw")))
-    // encode: nearest codeword per (vector, subspace), dots-only L2²,
-    // ties to the lowest codeword rank. argmin as min(struct) — a
-    // hash aggregation with map-side partials, not a window sort of
-    // the corpus × codebook fan-out (same lexicographic semantics as
-    // the oracle's row_number ORDER BY d2, crank)
-    val enc = v.crossJoin(broadcast(subs))
-      .withColumn("sub", expr(s"slice(v, s * $sw + 1, $sw)"))
-      .join(broadcast(cb), Seq("s"))
-      .withColumn("d2", normSq(col("sub")) + col("cn2") - lit(2.0) * dot(col("sub"), col("cw")))
-      .groupBy(col("id"), col("s"))
-      .agg(min(struct(col("d2"), col("crank"))).as("best"))
-      .select(col("id"), col("s"), col("best.crank").as("crank"))
+    val cb = pqCodebook(v, subs, codes, sw)
+    val enc = pqEncode(v, subs, cb, sw)
     val q = v.where(isQuery(col("id")))
       .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     // ADC partials: dot(query subvector, assigned codeword) per
@@ -329,6 +337,74 @@ object Similarity {
       .withColumn("cn2", normSq(col("cv")))
     val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
     ivfSearch(v, cent, isQuery, k, nprobe)
+  }
+
+  /** True IVFPQ (FAISS IndexIVFPQ with by_residual=false): probe the
+    * query's top-nprobe k-means cells, score ONLY the probed cells'
+    * vectors by PQ asymmetric distance (ADC over the md5-rank
+    * codebooks), exact-cosine rerank the top-rerankK. Combines the
+    * trained-cell pruning of [[ivfTopkCentroids]] with the code-dot
+    * scoring of [[pqTopkRerank]] — candidate work ∝ probed cells, ADC
+    * per candidate ∝ m dots of width dim/m; centroids, codebooks, and
+    * the query set broadcast, the candidate join shuffles on cell. */
+  def ivfpqTopk(df: DataFrame, id: Column, vec: Column,
+                centroids: Seq[(Long, Array[Double])],
+                isQuery: Column => Column, m: Int, codes: Int,
+                k: Int, rerankK: Int, nprobe: Int): DataFrame = {
+    require(m > 0 && codes > 0 && rerankK >= k && nprobe >= 1, "bad IVFPQ parameters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cent = centroids.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "cv")
+      .select(col("cid"), col("cv").cast("array<double>").as("cv"))
+      .withColumn("cn2", normSq(col("cv")))
+    val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
+    val dim = 64
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sw = dim / m
+    val subs = spark.createDataset(0 until m).toDF("s")
+    val cb = pqCodebook(v, subs, codes, sw)
+    val enc = pqEncode(v, subs, cb, sw)
+    val assigned = assignCells(v, cent).select(col("id"), col("cell"))
+    val q = v.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    // top-nprobe cells by centroid cosine — same ordering rule as the
+    // assignment argmax, so probe #1 is the query's own cell
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cid").asc)
+    val probes = q.join(broadcast(cent), lit(true))
+      .select(col("qid"), col("cid"),
+        cosineWithNorms(dot(col("qv"), col("cv")), col("qn2"), col("cn2")).as("pcos"))
+      .withColumn("prank", row_number().over(wp))
+      .where(col("prank") <= nprobe)
+      .select(col("qid"), col("cid").as("probe_cell"))
+    val cand = assigned.join(broadcast(probes),
+        col("cell") === col("probe_cell") && col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+    // ADC partials pivoted to an explicitly-ordered sum (C43's rule)
+    val parts = cand
+      .join(enc, "id")
+      .join(broadcast(cb.drop("cn2")), Seq("s", "crank"))
+      .join(broadcast(q), "qid")
+      .withColumn("p", dot(expr(s"slice(qv, s * $sw + 1, $sw)"), col("cw")))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(when(col("s") === 0, col("p"))).as("p0"),
+        (1 until m).map(i => sum(when(col("s") === i, col("p"))).as(s"p$i")): _*)
+    val adc = parts.withColumn("adc", (0 until m).map(i => col(s"p$i")).reduce(_ + _))
+    val pool = adc
+      .withColumn("crank2", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("id").asc)))
+      .where(col("crank2") <= rerankK)
+      .select(col("qid"), col("id").as("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    pool
+      .join(v.withColumnRenamed("id", "nid"), "nid")
+      .join(q, "qid")
+      .select(col("qid"), col("nid"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        Rounding.r(col("cos"), 4).as("cos"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -157,6 +157,26 @@ class PlanSpec extends SparkSpec {
       (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")))
   }
 
+  test("text_bm25: the query-term filter runs before the first exchange") {
+    val p = SparkEntry.queries("text_bm25")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val filterAt = p.linesIterator.zipWithIndex
+      .find { case (l, _) => l.contains("Filter") && l.contains("IN (scan") }
+    assert(filterAt.isDefined, s"query-term IN filter missing:\n$p")
+    // the filter's subtree must contain the scan directly — i.e. no
+    // Exchange between the token explode and the term filter
+    val below = p.linesIterator.drop(filterAt.get._2).takeWhile(!_.contains("Exchange"))
+    assert(below.exists(_.contains("Scan parquet") ),
+      s"term filter should sit on the scan side of the first exchange:\n$p")
+  }
+
+  test("mix_apply: one window pass does the row-scale work") {
+    val p = SparkEntry.queries("mix_apply")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"expected exactly one Window operator:\n$p")
+  }
+
   test("sliding-window chunking is shuffle-free") {
     import org.apache.spark.sql.functions.col
     val p = graft.ops.Packing.chunkSliding(Tables.documents(spark, sfDir),
