@@ -802,9 +802,94 @@ object QueriesOlap {
           nth_value(col("event_type"), 2).over(w).as("second_type"))
         .where(col("event_id") % 100 === 0)
         .orderBy(col("event_id"))
+    },
+
+    // B51: sequence pattern match (ClickHouse/StarRocks
+    // sequenceMatch('(?1).*(?2).*(?3)') analogue, no window bound):
+    // per user, did the steps occur in strict time order anywhere in
+    // the history. Earliest-chain min-chaining — matched iff
+    // ∃ t1<t2<t3 — in B29's staged-aggregation shape (the stages
+    // co-partition on user_id after one exchange); two patterns
+    // evaluated from the same stages.
+    "q_sequence_match" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val s1 = e.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+        min(when(col("event_type") === "view", col("ts"))).as("v1"))
+      val s2 = e.join(s1, "user_id").groupBy(col("user_id"), col("t1"), col("v1")).agg(
+        min(when(col("event_type") === "purchase" && col("ts") > col("t1"), col("ts"))).as("t2"),
+        min(when(col("event_type") === "click" && col("ts") > col("v1"), col("ts"))).as("v2"))
+      val s3 = e.join(s2, "user_id").groupBy(col("user_id"), col("t2"), col("v2")).agg(
+        min(when(col("event_type") === "error" && col("ts") > col("t2"), col("ts"))).as("t3"))
+      s3.select(col("user_id"),
+          col("t3").isNotNull.as("m_signup_purchase_error"),
+          col("v2").isNotNull.as("m_view_click"))
+        .orderBy(col("user_id"))
+    },
+
+    // B52: non-overlapping sequence count (ClickHouse sequenceCount
+    // analogue): per user, how many disjoint signup→purchase chains,
+    // greedy state machine over the time-ordered history. ONE
+    // aggregation pass: collect the step-filtered (ts, event_id, step)
+    // list, sort, left-fold the state machine as an array expression —
+    // the fold order is the (ts, event_id) total order, so both
+    // engines replay the identical transition sequence. Shuffle
+    // carries only signup/purchase events (step-filtered before the
+    // exchange, the ops.Funnel working-set bound).
+    "q_sequence_count" -> { (s, dir) =>
+      Funnel.sequenceCount(Tables.events(s, dir),
+          keyCol = col("user_id"), tsCol = col("ts"), tieCol = col("event_id"),
+          typeCol = col("event_type"),
+          openType = "signup", closeType = "purchase")
+        .select(col("key").as("user_id"), col("n_matches"))
+        .orderBy(col("user_id"))
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q_sequence_match" ->
+      """WITH s1 AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS v1
+        |  FROM events GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, any_value(s1.t1) AS t1, any_value(s1.v1) AS v1,
+        |  min(CASE WHEN e.event_type = 'purchase' AND e.ts > s1.t1 THEN e.ts END) AS t2,
+        |  min(CASE WHEN e.event_type = 'click' AND e.ts > s1.v1 THEN e.ts END) AS v2
+        |  FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, any_value(s2.v2) AS v2,
+        |  min(CASE WHEN e.event_type = 'error' AND e.ts > s2.t2 THEN e.ts END) AS t3
+        |  FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id)
+        |SELECT user_id,
+        |  t3 IS NOT NULL AS m_signup_purchase_error,
+        |  v2 IS NOT NULL AS m_view_click
+        |FROM s3 ORDER BY user_id""".stripMargin,
+    // the recursion replays Spark's aggregate() fold
+    // transition-for-transition: same (ts, event_id) order, same state
+    // variables, one recursion step per event (depth = max events per
+    // user). NOT list_reduce: DuckDB 1.0's list_reduce mis-evaluates
+    // struct-accumulator folds under multi-row vectorization (verified:
+    // a fold returning cnt=5 for a user standalone returns 0 when 150
+    // rows fold in one vector) — the recursive CTE is the same pattern
+    // dedup_clusters' oracle already relies on.
+    "q_sequence_count" ->
+      """WITH RECURSIVE f AS (SELECT user_id,
+        |  CASE WHEN event_type = 'signup' THEN 1 ELSE 2 END AS step,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |m AS (SELECT user_id, max(seq) AS mx FROM f GROUP BY user_id),
+        |st AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS open,
+        |         CAST(0 AS BIGINT) AS cnt
+        |  FROM m
+        |  UNION ALL
+        |  SELECT s.user_id, s.seq + 1,
+        |    CASE WHEN f.step = 1 THEN 1
+        |         WHEN f.step = 2 AND s.open = 1 THEN 0
+        |         ELSE s.open END,
+        |    s.cnt + CASE WHEN f.step = 2 AND s.open = 1 THEN 1 ELSE 0 END
+        |  FROM st s JOIN f ON f.user_id = s.user_id AND f.seq = s.seq + 1)
+        |SELECT st.user_id AS user_id, st.cnt AS n_matches
+        |FROM st JOIN m ON st.user_id = m.user_id AND st.seq = m.mx
+        |ORDER BY st.user_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity), 2) AS sum_qty,

@@ -148,6 +148,47 @@ object Funnel {
     kernelDepth(events, keyCol, tsCol, typeCol, steps, windowMicros, dedup,
       maxEventsPerKey, firstAnchorOnly = true)
 
+  /** Non-overlapping sequence count (ClickHouse `sequenceCount`
+    * analogue for a 2-step pattern): per key, how many DISJOINT
+    * open→close chains occur in time order — the greedy state machine
+    * over the key's history (an open event arms the pattern if it is
+    * not already armed; a close event while armed completes one match
+    * and disarms). Greedy left-to-right matching is optimal for
+    * non-overlapping 2-step patterns, so this is also the maximum
+    * number of disjoint chains.
+    *
+    * ONE aggregation pass: only open/close-typed events are collected
+    * (the working-set bound [[depth]] uses), the list sorts on the
+    * (ts, tie) total order, and the machine runs as a left-fold array
+    * expression — both engines replay the identical transition
+    * sequence, so ties are deterministic. Shuffle ∝ pattern-typed
+    * events per key.
+    *
+    * @param tieCol unique-per-event column (e.g. event_id) making the
+    *   fold order total when timestamps collide
+    */
+  def sequenceCount(events: DataFrame, keyCol: Column, tsCol: Column,
+                    tieCol: Column, typeCol: Column,
+                    openType: String, closeType: String): DataFrame = {
+    val e = events
+      .where(typeCol.isin(openType, closeType))
+      .select(keyCol.as("key"),
+        struct(tsCol.as("ts"), tieCol.as("tie"),
+          when(typeCol === openType, 1).otherwise(2).as("step")).as("ev"))
+    e.groupBy(col("key"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(col("key"),
+        aggregate(col("evs"),
+          struct(lit(0).as("open"), lit(0L).as("cnt")),
+          (acc, x) => struct(
+            when(x.getField("step") === 1, 1)
+              .when(x.getField("step") === 2 && acc.getField("open") === 1, 0)
+              .otherwise(acc.getField("open")).as("open"),
+            (acc.getField("cnt") + when(x.getField("step") === 2 &&
+              acc.getField("open") === 1, 1L).otherwise(0L)).as("cnt")),
+          acc => acc.getField("cnt")).as("n_matches"))
+  }
+
   private def kernelDepth(events: DataFrame, keyCol: Column, tsCol: Column,
                           typeCol: Column, steps: Seq[String], windowMicros: Long,
                           dedup: Boolean, maxEventsPerKey: Int,

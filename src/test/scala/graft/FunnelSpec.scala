@@ -213,6 +213,65 @@ class FunnelSpec extends SparkSpec {
     assert(!physical.contains("Generate"), s"expected no row explosion:\n$physical")
   }
 
+  test("sequenceCount: greedy non-overlapping state machine, deterministic ties") {
+    def counts(rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Map[Long, Long] =
+      Funnel.sequenceCount(rows.toDF("u", "t", "id", "et"),
+          keyCol = col("u"), tsCol = col("t"), tieCol = col("id"),
+          typeCol = col("et"), openType = "signup", closeType = "purchase")
+        .select(col("key"), col("n_matches")).as[(Long, Long)].collect().toMap
+    val rows = Seq(
+      // u1: S P S P → 2 disjoint chains
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "purchase"),
+      (1L, ts("2024-01-01 02:00:00"), 3L, "signup"),
+      (1L, ts("2024-01-01 03:00:00"), 4L, "purchase"),
+      // u2: S S P P → only ONE chain (second P has no unconsumed S:
+      // the machine disarms on the first close)
+      (2L, ts("2024-01-01 00:00:00"), 5L, "signup"),
+      (2L, ts("2024-01-01 01:00:00"), 6L, "signup"),
+      (2L, ts("2024-01-01 02:00:00"), 7L, "purchase"),
+      (2L, ts("2024-01-01 03:00:00"), 8L, "purchase"),
+      // u3: P before any S → 0; trailing S unmatched
+      (3L, ts("2024-01-01 00:00:00"), 9L, "purchase"),
+      (3L, ts("2024-01-01 01:00:00"), 10L, "signup"),
+      // u4: same-timestamp S and P — tie column (event id) orders the
+      // fold: S(id 11) then P(id 12) → 1
+      (4L, ts("2024-01-01 00:00:00"), 11L, "signup"),
+      (4L, ts("2024-01-01 00:00:00"), 12L, "purchase"),
+      // u5: same-timestamp P then S by id order → 0
+      (5L, ts("2024-01-01 00:00:00"), 14L, "signup"),
+      (5L, ts("2024-01-01 00:00:00"), 13L, "purchase"),
+      // other event types are invisible to the machine
+      (6L, ts("2024-01-01 00:00:00"), 15L, "signup"),
+      (6L, ts("2024-01-01 01:00:00"), 16L, "click"),
+      (6L, ts("2024-01-01 02:00:00"), 17L, "purchase"))
+    assert(counts(rows) ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> 1L))
+  }
+
+  test("sequenceCount equals a reference fold on randomized histories") {
+    val rnd = new scala.util.Random(42)
+    val types = Array("signup", "purchase", "click")
+    val rows = (1L to 2000L).map { id =>
+      (rnd.nextInt(40).toLong, ts(f"2024-01-01 00:${rnd.nextInt(60)}%02d:00"),
+        id, types(rnd.nextInt(3)))
+    }
+    val expected = rows.groupBy(_._1).map { case (u, evs) =>
+      val ordered = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      val (_, cnt) = ordered.foldLeft((false, 0L)) {
+        case ((open, c), "signup")            => (true, c)
+        case ((true, c), "purchase")          => (false, c + 1)
+        case (st, _)                          => st
+      }
+      u -> cnt
+    }
+    val got = Funnel.sequenceCount(rows.toDF("u", "t", "id", "et"),
+        keyCol = col("u"), tsCol = col("t"), tieCol = col("id"),
+        typeCol = col("et"), openType = "signup", closeType = "purchase")
+      .select(col("key"), col("n_matches")).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("depthFirst (native first-anchor kernel) equals depth on the corpus") {
     for (dedup <- Seq(false, true)) {
       val declarative = Funnel.depth(Tables.events(spark, sfDir),
