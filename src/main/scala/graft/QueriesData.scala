@@ -350,6 +350,35 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C51: per-eval-doc n-gram coverage by the training corpus — the
+    // memorization-surface distribution decontamination thresholds
+    // are calibrated from (same slice convention as C21)
+    "text_ngram_coverage" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      Dedup.ngramCoverage(
+        train = d.where(col("doc_id") % 10 =!= 3), trainText = col("text"),
+        evalDf = d.where(col("doc_id") % 10 === 3),
+        evalId = col("doc_id"), evalText = col("text"),
+        shingleN = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // C50: model-based quality scoring — hashed-feature linear
+    // classifier (the fastText-shaped stage after C36's rule filter)
+    "quality_classifier" -> { (s, dir) =>
+      TextAnalysis.hashedLinearScore(Tables.documents(s, dir),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C52: per-language KL divergence from the corpus token
+    // distribution — the training-mix drift report
+    "corpus_divergence" -> { (s, dir) =>
+      TextAnalysis.tokenKlDivergence(Tables.documents(s, dir),
+          col("lang"), col("text"))
+        .orderBy(col("lang"))
+    },
+
     // C9: stopword-hit language identification
     "text_langid" -> { (s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -1147,6 +1176,58 @@ object QueriesData {
          |SELECT doc_id, count(*) AS n_hits
          |FROM tr JOIN ref USING (t)
          |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin,
+    "text_ngram_coverage" ->
+      s"""WITH $shingleCte,
+         |ref AS (SELECT doc_id, unnest(s) AS t FROM sh WHERE doc_id % 10 = 3),
+         |tr AS (SELECT DISTINCT unnest(s) AS t FROM sh WHERE doc_id % 10 <> 3)
+         |SELECT r.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(tr.t) AS BIGINT) AS n_covered,
+         |  round(count(tr.t)::DOUBLE / count(*)::DOUBLE, 4) AS coverage
+         |FROM ref r LEFT JOIN tr ON r.t = tr.t
+         |GROUP BY r.doc_id ORDER BY doc_id""".stripMargin,
+    // weights replay from the same md5 derivations; the per-doc sum is
+    // integer milli-units, so only the final score/prob are FP
+    "quality_classifier" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |            FROM documents),
+        |w AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5('w:' || CAST(
+        |    CAST('0x' || substr(md5('b:' || t), 1, 8) AS BIGINT) % 1024
+        |    AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000 AS wi
+        |  FROM tok),
+        |a AS (SELECT doc_id, CAST(sum(wi) AS BIGINT) AS w_sum,
+        |             CAST(count(*) AS BIGINT) AS n_tokens
+        |      FROM w GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, w_sum,
+        |  round(w_sum::DOUBLE / (n_tokens * 1000)::DOUBLE, 4) AS score,
+        |  round(1.0 / (1.0 + exp(w_sum::DOUBLE * -4.0
+        |    / (n_tokens * 1000)::DOUBLE)), 4) AS prob,
+        |  w_sum > 0 AS keep
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // integer count grid → per-term fixed-point 1e-10 units summed as
+    // BIGINT (order-independent), one FP divide/ln/multiply per term
+    "corpus_divergence" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+        |            FROM documents),
+        |g AS (SELECT t, CAST(count(*) AS BIGINT) AS c_g FROM tok GROUP BY t),
+        |pl AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c_l
+        |       FROM tok GROUP BY lang, t),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+        |        FROM tok GROUP BY lang),
+        |sc AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g,
+        |              CAST(count(*) AS BIGINT) AS v FROM g),
+        |grid AS (SELECT tt.lang, g.t, g.c_g, tt.n_l,
+        |    coalesce(pl.c_l, 0) AS c_l, sc.n_g, sc.v
+        |  FROM g CROSS JOIN tot tt CROSS JOIN sc
+        |  LEFT JOIN pl ON pl.lang = tt.lang AND pl.t = g.t),
+        |term AS (SELECT lang, n_l,
+        |  CAST(floor(((c_l + 1)::DOUBLE / (n_l + v)::DOUBLE *
+        |    ln(((c_l + 1) * (n_g + v))::DOUBLE
+        |       / ((n_l + v) * (c_g + 1))::DOUBLE)) * 1e10 + 0.5) AS BIGINT) AS ti
+        |  FROM grid)
+        |SELECT lang, max(n_l) AS n_tokens,
+        |       round(CAST(sum(ti) AS DOUBLE) / 1e10, 4) AS kl
+        |FROM term GROUP BY lang ORDER BY lang""".stripMargin,
     "text_langid" -> {
       def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -396,6 +396,35 @@ object Dedup {
       .where(col("n_hits") >= minHits)
   }
 
+  /** Per-document n-gram coverage of an eval slice by a training
+    * corpus — the MEMORIZATION-SURFACE report (the complement of
+    * [[ngramOverlapHits]]'s binary decontamination flag): for every
+    * eval document, what fraction of its distinct shingles appear
+    * anywhere in the training side. coverage = 1.0 means the doc is
+    * fully reconstructible from training n-grams; decontamination
+    * thresholds are calibrated from this distribution.
+    *
+    * Scale shape: both sides reduce to distinct shingle rows; the
+    * probe is a shingle-keyed LEFT join (never broadcast — the
+    * training shingle set scales with the corpus), then one hash
+    * aggregation per eval doc. Shuffle ∝ distinct shingles.
+    */
+  def ngramCoverage(train: DataFrame, trainText: Column,
+                    evalDf: DataFrame, evalId: Column, evalText: Column,
+                    shingleN: Int = 3): DataFrame = {
+    val ev = shingleRows(evalDf, evalId, evalText, shingleN)
+    val tr = shingleRows(train, lit(0L), trainText, shingleN)
+      .select(col("t0")).distinct().withColumn("hit", lit(1L))
+    ev.join(tr, Seq("t0"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_covered"))
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_covered"),
+        graft.functions.Rounding.r(
+          col("n_covered").cast("double") / col("n_shingles").cast("double"), 4)
+          .as("coverage"))
+  }
+
   /** [[ngramOverlapHits]] with a Bloom-filter pre-prune — the shape
     * for eval suites whose exact distinct-shingle set is too large to
     * broadcast (a Bloom at 1% fpp is ~10 bits/shingle vs the raw

@@ -240,4 +240,87 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), Rounding.r(sum(col("s")), 4).as("score"))
   }
+
+  /** fastText-style hashed-feature LINEAR quality classifier: tokens
+    * hash into a fixed bucket space, each bucket carries a weight, a
+    * document's score is the mean bucket weight of its tokens and the
+    * keep decision is score > 0 (Joulin et al. 2016's shape — the
+    * model-based quality filter production pipelines run after the
+    * rule-based Gopher stage). Weights here are md5-derived stand-ins
+    * for a trained model's (deterministic, engine-replayable); swapping
+    * in trained weights is a broadcast-table change, not a plan change.
+    *
+    * Exactness: weights are INTEGER milli-units in [-1000, 1000], so
+    * the per-doc weight sum is an exact integer aggregate (any
+    * partitioning/order); score and probability are single FP steps on
+    * that integer, 4dp-rounded.
+    *
+    * Scale shape: one token explode → one hash aggregation keyed by
+    * doc; the "model" never materializes (bucket weight is an
+    * expression of the token), so nothing broadcasts and shuffle
+    * carries one (doc, int) pair per token — partial-agg'd map-side.
+    */
+  def hashedLinearScore(df: DataFrame, id: Column, text: Column,
+                        buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val tok = df.select(id.as("doc_id"), explode(split(text, " ")).as("t"))
+    val bucket = conv(substring(md5(concat(lit("b:"), col("t"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+    val wInt = conv(substring(md5(concat(lit("w:"), bucket.cast("string"))), 1, 8),
+      16, 10).cast("long") % 2001L - 1000L
+    tok.select(col("doc_id"), wInt.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("w_sum"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"),
+        Rounding.r(col("w_sum").cast("double") /
+          (col("n_tokens") * 1000L).cast("double"), 4).as("score"),
+        Rounding.r(lit(1.0) / (lit(1.0) +
+          exp(col("w_sum").cast("double") * -4.0 /
+            (col("n_tokens") * 1000L).cast("double"))), 4).as("prob"),
+        (col("w_sum") > 0L).as("keep"))
+  }
+
+  /** Per-language token-distribution KL divergence from the corpus
+    * distribution — the training-mix drift report (which language
+    * slice diverges most from the blended corpus, the statistic
+    * mixture re-weighting and domain-shift monitors read). Add-one
+    * smoothing over the joint vocabulary so zero counts are defined:
+    * KL(lang ‖ corpus) = Σ_t p_t · ln(p_t / q_t),
+    * p_t = (c_l(t)+1)/(n_l+V), q_t = (c(t)+1)/(n+V).
+    *
+    * Exactness: all counts are integer aggregates; each term's ratio
+    * is formed from exact integer products before ONE double division
+    * each, and terms are fixed-point-rounded to 1e-10 INTEGER units
+    * summed as longs — the total is order-independent and
+    * engine-identical, with only deterministic per-term FP (2 divides,
+    * 1 ln, 1 multiply) before the fixed-point cut. Integer products
+    * stay under 2^63 while tokens·vocab < ~3·10^18 (far past any
+    * gate scale; at true 100 TB corpora move the ratio to log space:
+    * ln num − ln den).
+    *
+    * Scale shape: token counts shuffle on token; the evaluation grid
+    * is vocab × |languages| rows (languages are few), the per-language
+    * totals and corpus scalars broadcast.
+    */
+  def tokenKlDivergence(df: DataFrame, langCol: Column, text: Column): DataFrame = {
+    val tok = df.select(langCol.as("lang"), explode(split(text, " ")).as("t"))
+    val global = tok.groupBy(col("t")).agg(count(lit(1)).as("c_g"))
+    val perLang = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c_l"))
+    val totals = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val scalars = global.agg(sum(col("c_g")).as("n_g"), count(lit(1)).as("v"))
+    val grid = global.crossJoin(broadcast(totals)).crossJoin(broadcast(scalars))
+      .join(perLang, Seq("lang", "t"), "left")
+      .withColumn("c_l", coalesce(col("c_l"), lit(0L)))
+    val num = (col("c_l") + 1L) * (col("n_g") + col("v"))
+    val den = (col("n_l") + col("v")) * (col("c_g") + 1L)
+    val term = (col("c_l") + 1L).cast("double") /
+      (col("n_l") + col("v")).cast("double") *
+      log(num.cast("double") / den.cast("double"))
+    grid
+      .select(col("lang"), col("n_l"),
+        floor(term * 1e10 + 0.5).cast("long").as("ti"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_l")).as("n_tokens"),
+        Rounding.r(sum(col("ti")).cast("double") / 1e10, 4).as("kl"))
+  }
 }

@@ -381,4 +381,56 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((false, true, false)))
     assert(got(3L) == ((true, false, false)))
   }
+
+  test("hashed linear classifier: exact integer weight sums, md5-replayable") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha"), (3L, "zzz zzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(d, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("w_sum"), col("n_tokens"), col("keep"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    // reference: same md5 derivations in plain Scala
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def w(tok: String): Long = {
+      val b = java.lang.Long.parseLong(md5hex("b:" + tok).take(8), 16) % 1024
+      java.lang.Long.parseLong(md5hex("w:" + b).take(8), 16) % 2001 - 1000
+    }
+    val exp1 = Seq("alpha", "beta", "gamma").map(w).sum
+    assert(got(1L) == ((exp1, 3L, exp1 > 0)))
+    assert(got(2L) == ((w("alpha"), 1L, w("alpha") > 0)))
+    // repeated token counts twice — bag, not set
+    assert(got(3L) == ((2 * w("zzz"), 2L, 2 * w("zzz") > 0)))
+  }
+
+  test("ngram coverage: full, partial, and zero coverage; short docs absent") {
+    val train = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a b c d"),     // both shingles in train → 1.0
+      (2L, "a b c x y z"), // 1 of 4 shingles in train → 0.25
+      (3L, "p q r s"),     // none → 0.0
+      (4L, "one two")      // < 3 tokens → no shingles → absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramCoverage(train, col("text"), eval, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_shingles"), col("n_covered"), col("coverage"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((4L, 1L, 0.25)),
+      3L -> ((2L, 0L, 0.0))))
+  }
+
+  test("token KL divergence: zero against itself, non-negative on the corpus") {
+    // single-language corpus: the language IS the corpus → p == q,
+    // every integer ratio is exactly 1, kl exactly 0
+    val same = Seq((1L, "en", "a b c"), (2L, "en", "a d")).toDF("doc_id", "lang", "text")
+    val z = TextAnalysis.tokenKlDivergence(same, col("lang"), col("text"))
+      .select(col("lang"), col("kl")).as[(String, Double)].collect()
+    assert(z.toSeq == Seq(("en", 0.0)))
+    // real corpus: KL ≥ 0 per language (Gibbs), one row per language
+    val kls = TextAnalysis.tokenKlDivergence(
+        Tables.documents(spark, sfDir), col("lang"), col("text"))
+      .select(col("lang"), col("kl")).as[(String, Double)].collect().toMap
+    assert(kls.size == 5 && kls.values.forall(_ >= 0.0), s"got $kls")
+  }
 }
