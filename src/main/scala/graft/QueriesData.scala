@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
-import graft.ops.{Dedup, Mixture, Multimodal, Packing, Profiling, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Mixture, Multimodal, Packing, Profiling, Similarity, TextAnalysis}
 
 /** Training-data pipeline query surface (SURVEY §2 section C):
   * dedup, similarity search, text analysis, multimodal plumbing.
@@ -235,6 +235,15 @@ object QueriesData {
     },
 
     // C7: exact top-k cosine neighbors (brute-force baseline)
+    // C53: JL ±1 random projection 64 → 16 dims — the
+    // dimensionality-reduction stage before banding/clustering at
+    // corpus scale; row-local literal-plane dots, no shuffle
+    "embed_project" -> { (s, dir) =>
+      Similarity.projectSigns(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), outDims = 16, inDims = 64)
+        .orderBy(col("vec_id"), col("dim"))
+    },
+
     "ann_topk_bruteforce" -> { (s, dir) =>
       Similarity.topkBruteForce(Tables.embeddings(s, dir), col("vec_id"),
         col("embedding"), isQuery = _ % 50 === 0, k = 5)
@@ -716,6 +725,17 @@ object QueriesData {
     // greedy merge loop as one CTE round per rank (sound because
     // base-word merges can never create new table-pair occurrences;
     // see functions.BpeImpl scaladoc).
+    // C54: TRUE iterative BPE training — 6 rounds, each recounting
+    // pairs on the corpus as tokenized by the merges adopted so far
+    // (C34 ranks only round 1's statistic; this is the actual
+    // vocabulary-learning loop)
+    "bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      Bpe.trainMerges(Tables.documents(s, dir), col("text"), rounds = 6)
+        .toDF("merge_rank", "lhs", "rhs", "n")
+        .orderBy(col("merge_rank"))
+    },
+
     "bpe_encode" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val merges = graft.ops.Bpe.mergeTable(docs, col("text"), k = 16)
@@ -1057,6 +1077,23 @@ object QueriesData {
          |SELECT ia AS id_a, ib AS id_b, round(c, 4) AS cos FROM p
          |WHERE round(c, 4) >= 0.4 ORDER BY id_a, id_b""".stripMargin
     },
+    // same literal sign planes as the Spark plan; both engines run a
+    // sequential-fold dot then one exact *0.25 scale, so values match
+    // bit-for-bit before the 6dp export round
+    "embed_project" -> {
+      val planes = Similarity.signPlanes(16, 64)
+      def planeLit(p: Int) =
+        planes(p).map(x => s"${x.toLong}.0").mkString("[", ", ", "]::DOUBLE[]")
+      val entries = (0 until 16).map { j =>
+        s"{'dim': CAST($j AS BIGINT), 'y': round(list_dot_product(e, ${planeLit(j)}) * 0.25, 6)}"
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |p AS (SELECT vec_id, unnest([
+         |$entries
+         |], recursive := true) FROM v)
+         |SELECT vec_id, dim, y FROM p ORDER BY vec_id, dim""".stripMargin
+    },
+
     "ann_topk_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
@@ -1522,6 +1559,43 @@ object QueriesData {
     // consecutive marks + even-offset parity — identical to a scan),
     // rewrites the taken left unit to the merged token and drops the
     // consumed right unit. 16 rounds = the query's merge-table size.
+    // one CTE round per TRAINING round: mg$r is the argmax pair of the
+    // CURRENT state s{r-1} (scalar subqueries — unit-struct match, no
+    // joined-string ambiguity), then the same run-based leftmost-greedy
+    // application CTEs bpe_encode's oracle proves
+    "bpe_train" -> {
+      val rounds = (1 to 6).map { r =>
+        val prev = s"s${r - 1}"
+        s"""a$r AS (SELECT doc_id, unit,
+           |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seq FROM $prev),
+           |p$r AS (SELECT doc_id, unit, seq,
+           |  lead(unit) OVER (PARTITION BY doc_id ORDER BY seq) AS nxt FROM a$r),
+           |mg$r AS (SELECT unit AS lhs, nxt AS rhs, CAST(count(*) AS BIGINT) AS n
+           |  FROM p$r WHERE nxt IS NOT NULL
+           |  GROUP BY unit, nxt ORDER BY n DESC, lhs, rhs LIMIT 1),
+           |b$r AS (SELECT doc_id, unit, seq, nxt,
+           |  CASE WHEN unit = (SELECT lhs FROM mg$r)
+           |        AND nxt = (SELECT rhs FROM mg$r)
+           |    THEN 1 ELSE 0 END AS m FROM p$r),
+           |c$r AS (SELECT *, seq - row_number()
+           |  OVER (PARTITION BY doc_id, m ORDER BY seq) AS isl FROM b$r),
+           |d$r AS (SELECT *, CASE WHEN m = 1 AND (seq - min(seq)
+           |  OVER (PARTITION BY doc_id, m, isl)) % 2 = 0 THEN 1 ELSE 0 END AS take FROM c$r),
+           |e$r AS (SELECT doc_id, seq, unit, nxt, take,
+           |  lag(take) OVER (PARTITION BY doc_id ORDER BY seq) AS ptake FROM d$r),
+           |s$r AS (SELECT doc_id, seq AS pos,
+           |  CASE WHEN take = 1 THEN unit || ' ' || nxt ELSE unit END AS unit
+           |  FROM e$r WHERE coalesce(ptake, 0) = 0)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to 6)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, n FROM mg$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH s0 AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS unit
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |$rounds
+         |SELECT merge_rank, lhs, rhs, n FROM ($sel) ORDER BY merge_rank""".stripMargin
+    },
+
     "bpe_encode" -> {
       val rounds = (1 to 16).map { r =>
         val prev = s"s${r - 1}"

@@ -40,6 +40,52 @@ object Bpe {
   def encode(words: Column, merges: Seq[(String, String)]): Column =
     DatasetShim.column(BpeEncode(DatasetShim.expression(words), merges))
 
+  /** TRUE iterative BPE TRAINING (Sennrich et al. 2016's loop): round
+    * r recounts adjacent pairs on the corpus AS TOKENIZED BY merges
+    * 1..r−1 and adopts the argmax — unlike [[mergeTable]], which ranks
+    * one static count pass (the first round only). Rank-greedy encode
+    * replays training states, so round r's corpus is
+    * `encode(text, merges.take(r−1))` — no materialized intermediate.
+    *
+    * Pairs are keyed by the (left, right) UNIT STRUCT, never a joined
+    * string: once merged units contain spaces, "a b c" is ambiguous
+    * between ("a b", c) and (a, "b c"). Ties order by
+    * (count desc, left, right) — engine-total.
+    *
+    * Returns (rank, left, right, count); stops early if the corpus
+    * runs out of adjacent pairs. Driver loop ∝ rounds, each one
+    * row-local encode + pair explode + hash aggregation + a 1-ROW
+    * fetch (the kmeansLloydSeeded trainer contract); nothing row-scale
+    * ever reaches the driver.
+    */
+  def trainMerges(df: DataFrame, text: Column,
+                  rounds: Int): Seq[(Long, String, String, Long)] = {
+    require(rounds > 0, "rounds must be positive")
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var merges = Vector.empty[(String, String)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = df.select(encode(split(text, " "), merges).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("l"),
+            element_at(col("w"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r.toLong, l, rr, n))
+        merges = merges :+ (l -> rr)
+        r += 1
+      }
+    }
+    out.result()
+  }
+
   /** Encode each document and explode to one row per token with a
     * deterministic id: (doc_id, seq, token, token_id), ids dense
     * 1..|vocab| in token lexicographic order.

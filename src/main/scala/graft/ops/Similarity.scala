@@ -263,6 +263,43 @@ object Similarity {
     }
   }
 
+  /** Deterministic ±1 sign planes for [[projectSigns]] (Achlioptas
+    * 2003's database-friendly JL construction, public): sign(p,d) from
+    * md5 parity under a salt distinct from [[hyperplanes]]'. */
+  def signPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val hex = mdf.digest(s"proj:$p:$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 2L * 2L - 1L).toDouble
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection with ±1 sign planes:
+    * y_j = ⟨x, s_j⟩ / √outDims — the dimensionality-reduction stage a
+    * pipeline runs before banding/clustering when raw embeddings are
+    * too wide (pairwise distances preserved within (1±ε) w.h.p. per
+    * the JL lemma; spec pins the empirical ratio envelope).
+    *
+    * Row-local: each projected coordinate is one native sequential-fold
+    * dot against a LITERAL plane (bit-replayable in any engine, the
+    * [[hyperplanes]] contract), no shuffle, output ∝ rows × outDims.
+    * outDims a power of 4 keeps 1/√outDims exact in binary (4 → 0.5,
+    * 16 → 0.25, 64 → 0.125), so the scale multiply is also bit-exact.
+    */
+  def projectSigns(df: DataFrame, id: Column, vec: Column,
+                   outDims: Int, inDims: Int): DataFrame = {
+    require(outDims > 0 && inDims > 0, "dims must be positive")
+    val planes = signPlanes(outDims, inDims)
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val v = df.select(id.as("vec_id"), toDouble(vec).as("v"))
+    v.select(col("vec_id"),
+        posexplode(array((0 until outDims).map(j =>
+          dot(col("v"), lit(planes(j))) * scale): _*)).as(Seq("dim", "y")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        Rounding.r(col("y"), 6).as("y"))
+  }
+
   /** Cosine-LSH near-duplicate pairs: 64-bit hyperplane signature →
     * 8-bit band bucket join → exact-cosine verification. The scale
     * path for embedding dedup — candidate generation is linear in the

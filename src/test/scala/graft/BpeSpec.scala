@@ -79,4 +79,21 @@ class BpeSpec extends SparkSpec {
     val idOf = out.map(r => r._3 -> r._4).toMap
     assert(vocab.zipWithIndex.forall { case (t, i) => idOf(t) == i + 1 })
   }
+
+  test("trainMerges is truly iterative: later rounds rank pairs of MERGED units") {
+    // corpus "a b c a b c": static pair counts are (a,b)=2, (b,c)=2,
+    // (c,a)=1 — a static top-2 table would adopt (a,b) then (b,c).
+    // The trainer instead recounts after merging (a,b): the state is
+    // ["a b", c, "a b", c], where ("a b", c)=2 dominates — a pair that
+    // does not even exist in the static statistic.
+    val df = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val got = Bpe.trainMerges(df, col("text"), rounds = 2)
+    assert(got == Seq((1L, "a", "b", 2L), (2L, "a b", "c", 2L)))
+    // and the static ranking really would have differed
+    assert(Bpe.mergeTable(df, col("text"), k = 2) == Seq(("a", "b"), ("b", "c")))
+    // exhaustion: a one-pair corpus stops after all pairs merge away
+    val tiny = Seq((1L, "p q")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(tiny, col("text"), rounds = 5) ==
+      Seq((1L, "p", "q", 1L)))
+  }
 }

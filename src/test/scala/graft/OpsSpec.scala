@@ -420,6 +420,26 @@ class OpsSpec extends SparkSpec {
       3L -> ((2L, 0L, 0.0))))
   }
 
+  test("JL sign projection: deterministic, norm-preserving in expectation") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val proj = Similarity.projectSigns(emb, col("vec_id"), col("embedding"),
+      outDims = 16, inDims = 64)
+    // exact determinism: literal planes → identical bits across runs
+    val a = proj.orderBy("vec_id", "dim").collect()
+    val b = Similarity.projectSigns(emb, col("vec_id"), col("embedding"),
+      outDims = 16, inDims = 64).orderBy("vec_id", "dim").collect()
+    assert(a.sameElements(b))
+    assert(a.length % 16 == 0 && a.nonEmpty)
+    // E[‖y‖²] = ‖x‖² for the 1/√k-scaled ±1 construction: the mean
+    // squared-norm ratio over the corpus concentrates near 1
+    val ratio = proj.groupBy("vec_id").agg(sum(col("y") * col("y")).as("pn"))
+      .join(emb.select(col("vec_id"),
+        Similarity.normSq(col("embedding")).as("on")), "vec_id")
+      .agg(avg(col("pn") / col("on"))).as[Double].head()
+    assert(ratio > 0.9 && ratio < 1.1, s"mean norm ratio $ratio")
+  }
+
   test("token KL divergence: zero against itself, non-negative on the corpus") {
     // single-language corpus: the language IS the corpus → p == q,
     // every integer ratio is exactly 1, kl exactly 0
