@@ -827,6 +827,47 @@ object QueriesOlap {
         .orderBy(col("user_id"))
     },
 
+    // B53: array-function surface (StarRocks/ClickHouse array_* parity)
+    // — set-aggregated per-user type arrays transformed with the array
+    // algebra (sort/size/contains/slice/position/intersect/reverse),
+    // exported as joined strings so the compare is
+    // representation-stable. One hash aggregation; the array ops are
+    // row-local expressions on k-sized (≤5-element) arrays.
+    "q_array_funcs" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+        .select(col("user_id"),
+          concat_ws("|", col("types")).as("types_joined"),
+          size(col("types")).cast("long").as("n_types"),
+          array_contains(col("types"), "purchase").as("has_purchase"),
+          concat_ws("|", slice(col("types"), 1, 2)).as("first2"),
+          array_position(col("types"), "error").cast("long").as("error_pos"),
+          concat_ws("|", sort_array(
+            array_intersect(col("types"),
+              array(lit("purchase"), lit("error"))))).as("conversions"),
+          concat_ws("|", reverse(col("types"))).as("rev"))
+        .orderBy(col("user_id"))
+    },
+
+    // B54: equi-depth histogram per group (the ANALYZE-stats shape:
+    // every bin holds ~the same row count, bin EDGES carry the
+    // information) — ntile over the (value, key) total order inside
+    // each group partition, then one aggregation to (bin, lo, hi, n);
+    // the window is partitioned by group, never a global sort
+    "q_equidepth_histogram" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("prio"), col("o_totalprice"),
+          ntile(8).over(w).cast("long").as("bin"))
+        .groupBy(col("prio"), col("bin"))
+        .agg(Rounding.r(min(col("o_totalprice")), 2).as("lo"),
+          Rounding.r(max(col("o_totalprice")), 2).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy(col("prio"), col("bin"))
+    },
+
     // B52: non-overlapping sequence count (ClickHouse sequenceCount
     // analogue): per user, how many disjoint signup→purchase chains,
     // greedy state machine over the time-ordered history. ONE
@@ -846,6 +887,31 @@ object QueriesOlap {
     })
 
   val oracleSql: Map[String, String] = Map(
+    // Spark array_position yields 0 for a miss; DuckDB list_position
+    // yields NULL → coalesce. list_reverse is absent in DuckDB 1.0 →
+    // descending re-sort of the ascending-sorted list is its reverse.
+    "q_array_funcs" ->
+      """WITH t AS (SELECT user_id,
+        |  list_sort(list_distinct(list(event_type))) AS types
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  array_to_string(types, '|') AS types_joined,
+        |  CAST(len(types) AS BIGINT) AS n_types,
+        |  list_contains(types, 'purchase') AS has_purchase,
+        |  array_to_string(types[1:2], '|') AS first2,
+        |  CAST(coalesce(list_position(types, 'error'), 0) AS BIGINT) AS error_pos,
+        |  array_to_string(list_sort(list_intersect(types,
+        |    ['purchase', 'error'])), '|') AS conversions,
+        |  array_to_string(list_sort(types, 'DESC'), '|') AS rev
+        |FROM t ORDER BY user_id""".stripMargin,
+    "q_equidepth_histogram" ->
+      """WITH b AS (SELECT o_orderpriority AS prio, o_totalprice,
+        |  CAST(ntile(8) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
+        |  FROM orders)
+        |SELECT prio, bin, round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi, count(*) AS n
+        |FROM b GROUP BY prio, bin ORDER BY prio, bin""".stripMargin,
     "q_sequence_match" ->
       """WITH s1 AS (SELECT user_id,
         |  min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,

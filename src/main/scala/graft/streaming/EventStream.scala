@@ -80,6 +80,8 @@ object EventStream {
     * (ts, type)); `depth` is the last emitted value, kept to suppress
     * no-change re-emits. */
   case class FunnelState(ts: Seq[Long], ets: Seq[String], depth: Long)
+  case class SeqCountState(ts: Seq[Long], ties: Seq[Long], steps: Seq[Int],
+                           cnt: Long)
 
   /** Streaming window_funnel: incremental per-key funnel depth over an
     * event stream, exactly the batch semantics of
@@ -142,6 +144,65 @@ object EventStream {
             state.update(FunnelState(ts.toSeq, ets.toSeq, depth))
             if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             if (depth != prev.depth) Iterator.single((key, depth)) else Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming non-overlapping sequence count — the incremental twin
+    * of [[graft.ops.Funnel.sequenceCount]] (greedy open→close state
+    * machine), exact batch parity under ANY arrival order: the state
+    * keeps the key's pattern-typed events (a late-arriving open can
+    * re-pair every later close, so chain-tail-only state would be
+    * wrong) and the machine re-folds over the (ts, tie)-sorted buffer
+    * each batch. Emits (key, count) in Update mode when a batch
+    * changes a key's count.
+    *
+    * Same state bounds as [[funnelDepthStream]]: only open/close-typed
+    * events are stored, `maxEventsPerKey` caps a key at its EARLIEST n
+    * events, and `stateTtlMs > 0` adds a processing-time TTL for
+    * unbounded key cardinality.
+    */
+  def sequenceCountStream(events: DataFrame, keyCol: String, tsCol: String,
+                          tieCol: String, typeCol: String,
+                          openType: String, closeType: String,
+                          maxEventsPerKey: Int = 10000,
+                          stateTtlMs: Long = 0L): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("t"), col(tieCol).cast("long").as("tie"),
+        col(typeCol).as("et"))
+      .where(col("et").isin(openType, closeType))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeqCountState, (Long, Long)](
+        OutputMode.Update(),
+        if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[SeqCountState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(SeqCountState(Nil, Nil, Nil, -1L))
+            val prevEvs = prev.ts.indices.map(i =>
+              (prev.ts(i), prev.ties(i), prev.steps(i)))
+            val merged = (prevEvs ++ rows.map(r =>
+                (r._2, r._3, if (r._4 == openType) 1 else 2)))
+              .sorted.take(maxEventsPerKey)
+            var open = false
+            var cnt = 0L
+            merged.foreach { case (_, _, s) =>
+              if (s == 1) open = true
+              else if (open) { cnt += 1; open = false }
+            }
+            state.update(SeqCountState(merged.map(_._1), merged.map(_._2),
+              merged.map(_._3), cnt))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            if (cnt != prev.cnt) Iterator.single((key, cnt)) else Iterator.empty
           }
       }
   }

@@ -347,6 +347,48 @@ class StreamingSpec extends SparkSpec {
     assert(last.contains((1L, 2L)), s"dedup mode should stop at depth 2: $last")
   }
 
+  test("streaming sequence count equals the batch fold under out-of-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, t: String, id: Long, et: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, et)
+    // u1's OPENS arrive after its closes: in arrival order the closes
+    // find nothing armed (running count would stay 0), but re-folding
+    // the time-sorted buffer pairs S@9→P@10 and S@11→P@12 → 2.
+    // u2 exercises the S S P collapse; the click is invisible.
+    val all = Seq(
+      ev(1, "2024-01-01 10:00:00", 2L, "purchase"),
+      ev(1, "2024-01-01 12:00:00", 4L, "purchase"),
+      ev(1, "2024-01-01 09:00:00", 1L, "signup"), // late open, later batch
+      ev(1, "2024-01-01 11:00:00", 3L, "signup"),
+      ev(2, "2024-01-01 09:00:00", 5L, "signup"),
+      ev(2, "2024-01-01 09:30:00", 6L, "click"),
+      ev(2, "2024-01-01 10:00:00", 7L, "signup"),
+      ev(2, "2024-01-01 11:00:00", 8L, "purchase"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val counts = EventStream.sequenceCountStream(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type", "signup", "purchase")
+    val q = counts.toDF("user_id", "n")
+      .writeStream.format("memory").queryName("seq_count_stream")
+      .outputMode("update").start()
+    for (batch <- all.grouped(2)) {
+      input.addData(batch: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("seq_count_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2).toMap
+    val want = graft.ops.Funnel.sequenceCount(
+        all.toDF("user_id", "ts", "event_id", "event_type"),
+        keyCol = col("user_id"), tsCol = col("ts"), tieCol = col("event_id"),
+        typeCol = col("event_type"),
+        openType = "signup", closeType = "purchase")
+      .select(col("key"), col("n_matches")).as[(Long, Long)].collect().toMap
+    assert(got == want, s"streaming=$got batch=$want")
+    assert(want == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("streaming bounded top-k keeps exact leaders across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Double, Long)]
