@@ -35,5 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Opaque].getName, "opaque"),
       (children: Seq[Expression]) => Opaque(children.head)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // transparent MV rewrite (no-op while no MV is registered)
+    e.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))
   }
 }

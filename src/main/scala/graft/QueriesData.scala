@@ -388,6 +388,12 @@ object QueriesData {
         .orderBy(col("lang"))
     },
 
+    // C55: Flesch readability band — curation signal next to C10/C36
+    "text_readability" -> { (s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // C9: stopword-hit language identification
     "text_langid" -> { (s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -1213,6 +1219,23 @@ object QueriesData {
          |SELECT doc_id, count(*) AS n_hits
          |FROM tr JOIN ref USING (t)
          |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin,
+    // ::DOUBLE on every literal: bare 206.835 would parse as DECIMAL
+    // and DuckDB's decimal arithmetic diverges from the double path
+    "text_readability" ->
+      """WITH m AS (SELECT doc_id,
+        |  greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |    AS n_sentences,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+        |    AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_sentences, n_tokens, n_syllables,
+        |  round(206.835::DOUBLE
+        |    - 1.015::DOUBLE * (n_tokens::DOUBLE / n_sentences::DOUBLE)
+        |    - 84.6::DOUBLE * (n_syllables::DOUBLE / n_tokens::DOUBLE), 4)
+        |    AS flesch
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_ngram_coverage" ->
       s"""WITH $shingleCte,
          |ref AS (SELECT doc_id, unnest(s) AS t FROM sh WHERE doc_id % 10 = 3),

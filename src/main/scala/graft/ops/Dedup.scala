@@ -59,7 +59,7 @@ object Dedup {
     * mapPartitions-style execution beats Catalyst, and the emitted
     * row set is identical to exploding [[shinglesOfWords]].
     */
-  private def shingleRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+  private[graft] def shingleRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     // repartition: a small parquet input is one split, which would
     // serialize the shingling onto a single task
     val src = df.select(id.cast("long").as("id"), text.as("t"))
@@ -128,6 +128,31 @@ object Dedup {
         md5(concat_ws("|", (0 until rowsPerBand).map(j =>
           col(s"m${b * rowsPerBand + j}").cast("string")): _*)).as("bh")))
     mh.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** (id, sig) MinHash signature frame: the k permutation-mins packed
+    * into one array column — the compact per-doc sketch a persisted
+    * dedup index stores (k longs per doc, not the shingle set).
+    */
+  private[graft] def minhashSignatures(tok: DataFrame, k: Int): DataFrame = {
+    val xs = tok.select(col("id"), shingleHash(col("t0")).as("x"))
+    val minExprs = (0 until k).map(i => min(permHash(col("x"), i)).as(s"m$i"))
+    xs.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** (id, band, bh) band rows from a signature frame — identical bh
+    * derivation to [[minhashBanded]] (same m-value concat per band),
+    * so band keys from signatures and from raw shingles agree. */
+  private[graft] def bandRowsOfSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until rowsPerBand).map(j =>
+          element_at(col("sig"), b * rowsPerBand + j + 1).cast("string")): _*))
+          .as("bh")))
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 

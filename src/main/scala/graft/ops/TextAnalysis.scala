@@ -241,6 +241,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), Rounding.r(sum(col("s")), 4).as("score"))
   }
 
+  /** Flesch reading-ease readability (public formula: 206.835 −
+    * 1.015·words/sentences − 84.6·syllables/words) with the standard
+    * cheap approximations — sentences = [.!?]+ runs (min 1),
+    * syllables = vowel-group runs per word (min 1/word). The
+    * readability band is a corpus-curation signal alongside C10/C36
+    * (too-easy ≈ boilerplate, unreadable ≈ garbled).
+    *
+    * Row-local; all three inputs are exact integer counts, the formula
+    * is the only FP (fixed left-to-right association, 4dp). */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val syll = aggregate(
+      transform(split(text, " "), w =>
+        greatest(lit(1), size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
+      lit(0L), (acc, x) => acc + x)
+    val m = df.select(id.as("doc_id"),
+      greatest(lit(1L),
+        size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"))
+        .as("n_sentences"),
+      size(split(text, " ")).cast("long").as("n_tokens"),
+      syll.as("n_syllables"))
+    m.select(col("doc_id"), col("n_sentences"), col("n_tokens"), col("n_syllables"),
+      Rounding.r(
+        lit(206.835) -
+          lit(1.015) * (col("n_tokens").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_tokens").cast("double")), 4).as("flesch"))
+  }
+
   /** fastText-style hashed-feature LINEAR quality classifier: tokens
     * hash into a fixed bucket space, each bucket carries a weight, a
     * document's score is the mean bucket weight of its tokens and the

@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** TRANSPARENT materialized-view rewrite (the StarRocks MV / Calcite
+  * materialized-query-table feature): a registered MV is an aggregate
+  * over a parquet source; when a query plans the SAME aggregate shape
+  * over that source, the optimizer swaps the scan onto the
+  * (pre-aggregated, usually orders-of-magnitude smaller) MV table —
+  * the query text does not change, the speedup is free.
+  *
+  * Two match levels, checked in [[MvRewriteRule]]:
+  *  - EXACT: query group-by set == MV group-by set → the aggregate
+  *    collapses to a Project over the MV scan (zero shuffles);
+  *  - ROLLUP: query group-by ⊂ MV group-by and every aggregate is
+  *    re-aggregable → re-aggregate the MV (count(*) → sum(mv_cnt),
+  *    sum → sum, min → min, max → max) — shuffle ∝ MV rows, not
+  *    source rows. Sum rollup is restricted to long/double MV columns:
+  *    a decimal re-sum would widen the type out from under the query.
+  *
+  * Scope guards (all conservative — an unmatched query simply runs
+  * against the source): group-bys must be bare columns, aggregates
+  * must be count(literal) / sum / min / max over bare columns, the
+  * aggregate must sit directly on the scan (optionally through a
+  * column-pruning Project) — a Filter underneath disqualifies, since
+  * MV rows pre-aggregated the unfiltered source.
+  *
+  * Freshness: [[register]] pins the MV's CURRENT file listing (the
+  * Delta/Iceberg snapshot-pinning convention); after refreshing the MV
+  * table, re-register. Maintenance itself is
+  * [[graft.cdc.MaterializedAgg]]'s job — this rule is the read side.
+  *
+  * Output attribute ids are preserved exprId-for-exprId, so parent
+  * operators (sorts, joins, projections above the aggregate) resolve
+  * against the rewritten subtree untouched.
+  */
+object MvRewrite {
+
+  sealed trait AggKind
+  case object CountStar extends AggKind
+  final case class SumOf(col: String) extends AggKind
+  final case class MinOf(col: String) extends AggKind
+  final case class MaxOf(col: String) extends AggKind
+
+  /** One registered MV: `aggs` maps each MV output column name to the
+    * aggregate (over the SOURCE) it stores. */
+  final case class MvDef(sourcePath: String, mvPath: String,
+                         groupCols: Seq[String],
+                         aggs: Map[String, AggKind],
+                         mvPlan: LogicalPlan)
+
+  // process-wide registry keyed by normalized source path (specs and
+  // local sessions share one JVM; a real deployment would scope by
+  // catalog). TrieMap: registrations race-free under concurrent use.
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, MvDef]
+
+  private[plans] def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Register (or replace) the MV for `sourcePath`. Resolves and PINS
+    * the MV table's current snapshot. */
+  def register(spark: SparkSession, sourcePath: String, mvPath: String,
+               groupCols: Seq[String], aggs: Map[String, AggKind]): Unit = {
+    require(groupCols.nonEmpty, "MV must group by at least one column")
+    val plan = spark.read.parquet(mvPath).queryExecution.analyzed
+    val mvCols = plan.output.map(_.name).toSet
+    (groupCols ++ aggs.keys).foreach(c =>
+      require(mvCols.contains(c), s"MV table $mvPath lacks column $c"))
+    registry.put(normalize(sourcePath),
+      MvDef(normalize(sourcePath), mvPath, groupCols, aggs, plan))
+  }
+
+  def deregister(sourcePath: String): Unit = registry.remove(normalize(sourcePath))
+  def clear(): Unit = registry.clear()
+  private[plans] def lookup(path: String): Option[MvDef] = registry.get(path)
+  private[plans] def isEmpty: Boolean = registry.isEmpty
+}
+
+class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import MvRewrite._
+
+  private def sourceOf(plan: LogicalPlan): Option[String] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.headOption.map(p => normalize(p.toString))
+    case _ => None
+  }
+
+  /** The scan under the aggregate, looking through a column-pruning
+    * Project (bare attributes only). */
+  private def scanOf(child: LogicalPlan): Option[LogicalPlan] = child match {
+    case r: LogicalRelation => Some(r)
+    case Project(projList, r: LogicalRelation)
+        if projList.forall(_.isInstanceOf[AttributeReference]) => Some(r)
+    case _ => None
+  }
+
+  /** What one query aggregate computes, if it is a re-aggregable kind
+    * over a bare column. */
+  private def kindOf(ae: AggregateExpression): Option[AggKind] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case Count(Seq(Literal(_, _)))         => Some(CountStar)
+      case s: Sum => s.child match {
+        case a: AttributeReference => Some(SumOf(a.name))
+        case _                     => None
+      }
+      case m: Min => m.child match {
+        case a: AttributeReference => Some(MinOf(a.name))
+        case _                     => None
+      }
+      case m: Max => m.child match {
+        case a: AttributeReference => Some(MaxOf(a.name))
+        case _                     => None
+      }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRewrite.isEmpty) plan
+    else plan.transformUp {
+      case agg @ Aggregate(ges, aes, child, _) =>
+        (for {
+          scan <- scanOf(child)
+          path <- sourceOf(scan)
+          mv <- lookup(path)
+          rewritten <- tryRewrite(agg, ges, aes, mv)
+        } yield rewritten).getOrElse(agg)
+    }
+
+  private def tryRewrite(agg: Aggregate, ges: Seq[Expression],
+                         aes: Seq[NamedExpression], mv: MvDef): Option[LogicalPlan] = {
+    // group-bys must be bare source columns
+    val groupNames = ges.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (groupNames.distinct.size != groupNames.size) return None
+    val exact = groupNames.toSet == mv.groupCols.toSet
+    val rollup = !exact && groupNames.toSet.subsetOf(mv.groupCols.toSet)
+    if (!exact && !rollup) return None
+
+    // fresh attribute instances per rewrite — reusing the registered
+    // plan verbatim twice in one query would collide exprIds
+    val mvPlan = mv.mvPlan match {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+      case other => other
+    }
+    val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+
+    // map every query output to an MV expression, preserving exprIds
+    def mvColFor(kind: AggKind): Option[Attribute] =
+      mv.aggs.collectFirst { case (c, k) if k == kind => mvAttr(c) }
+
+    if (exact) {
+      val projected = aes.map {
+        case a: AttributeReference if mv.groupCols.contains(a.name) =>
+          Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+        case al @ Alias(ae: AggregateExpression, name) =>
+          val src = kindOf(ae).flatMap(mvColFor).getOrElse(return None)
+          if (src.dataType != al.dataType) return None
+          Alias(src, name)(exprId = al.exprId)
+        case _ => return None
+      }
+      Some(Project(projected, mvPlan))
+    } else {
+      val rolled = aes.map {
+        case a: AttributeReference if groupNames.contains(a.name) =>
+          Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+        case al @ Alias(ae: AggregateExpression, name) =>
+          val kind = kindOf(ae).getOrElse(return None)
+          val src = mvColFor(kind).getOrElse(return None)
+          val rolledFn = kind match {
+            // a re-sum of counts/sums; long and double re-sum to
+            // themselves, anything else (decimal widening) bails
+            case CountStar | _: SumOf =>
+              if (src.dataType != LongType && src.dataType != DoubleType)
+                return None
+              Sum(src)
+            case _: MinOf => Min(src)
+            case _: MaxOf => Max(src)
+          }
+          val rolledAgg = ae.copy(aggregateFunction = rolledFn)
+          if (rolledAgg.dataType != al.dataType) return None
+          Alias(rolledAgg, name)(exprId = al.exprId)
+        case _ => return None
+      }
+      val newGes = groupNames.map(mvAttr(_))
+      Some(Aggregate(newGes, rolled, mvPlan, None))
+    }
+  }
+}

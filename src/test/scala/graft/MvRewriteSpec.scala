@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.MvRewrite
+import graft.plans.MvRewrite.{CountStar, MaxOf, SumOf}
+
+/** Transparent MV rewrite: exact-match collapse to a Project, rollup
+  * re-aggregation, scope guards, and exprId-stable parents. */
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val srcPath = s"$sfDir/orders.parquet"
+
+  private def buildMv(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("mv").toString + "/mv"
+    spark.read.parquet(srcPath)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"),
+        max(col("o_totalprice")).as("mx"))
+      .write.parquet(dir)
+    dir
+  }
+
+  private def registerMv(mvDir: String): Unit =
+    MvRewrite.register(spark, srcPath, mvDir,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      aggs = Map("cnt" -> CountStar, "total" -> SumOf("o_totalprice"),
+        "mx" -> MaxOf("o_totalprice")))
+
+  private def scansMv(df: DataFrame, mvDir: String): Boolean = {
+    val files = df.queryExecution.executedPlan.toString
+    files.contains(new org.apache.hadoop.fs.Path(mvDir).toUri.getPath) ||
+      df.queryExecution.optimizedPlan.toString.contains("mv")
+  }
+
+  private def exactQuery(): DataFrame =
+    spark.read.parquet(srcPath)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  private def rollupQuery(): DataFrame =
+    spark.read.parquet(srcPath)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"),
+        max(col("o_totalprice")).as("m"))
+      .orderBy(col("o_orderstatus"))
+
+  test("exact match collapses the aggregate onto the MV; results identical") {
+    MvRewrite.clear()
+    val baseline = exactQuery().collect().toSeq // registry empty → source
+    val mvDir = buildMv()
+    registerMv(mvDir)
+    try {
+      val q = exactQuery()
+      assert(scansMv(q, mvDir), s"plan did not scan the MV:\n${q.queryExecution}")
+      // exact match needs no re-aggregation: no HashAggregate at all
+      assert(!q.queryExecution.executedPlan.toString.contains("HashAggregate"),
+        "exact-match rewrite should be aggregate-free")
+      assert(q.collect().toSeq == baseline)
+    } finally MvRewrite.clear()
+  }
+
+  test("rollup: subset group-by re-aggregates MV rows; results identical") {
+    MvRewrite.clear()
+    val baseline = rollupQuery().collect().toSeq
+    val mvDir = buildMv()
+    registerMv(mvDir)
+    try {
+      val q = rollupQuery()
+      assert(scansMv(q, mvDir), s"plan did not scan the MV:\n${q.queryExecution}")
+      val got = q.collect().toSeq
+      // counts/max exact; the double re-sum differs from the raw-row
+      // sum only in FP association (inherent to ANY rollup — Spark's
+      // own partial aggregation has the same freedom) → relative bound
+      assert(got.size == baseline.size)
+      got.zip(baseline).foreach { case (g, b) =>
+        assert(g.getString(0) == b.getString(0))
+        assert(g.getLong(1) == b.getLong(1))
+        assert(math.abs(g.getDouble(2) - b.getDouble(2)) <=
+          1e-9 * math.abs(b.getDouble(2)), s"sum drift: $g vs $b")
+        assert(g.getDouble(3) == b.getDouble(3))
+      }
+    } finally MvRewrite.clear()
+  }
+
+  test("parents above the aggregate survive the rewrite (exprIds preserved)") {
+    MvRewrite.clear()
+    val mvDir = buildMv()
+    registerMv(mvDir)
+    try {
+      // a filter + projection ABOVE the aggregate references its output
+      val q = rollupQuery().where(col("n") > 0)
+        .select((col("s") / col("n")).as("avg_price"), col("o_orderstatus"))
+      assert(scansMv(q, mvDir))
+      assert(q.collect().nonEmpty)
+    } finally MvRewrite.clear()
+  }
+
+  test("scope guards: filters, non-re-aggregable functions, and foreign groupings stay on the source") {
+    MvRewrite.clear()
+    val mvDir = buildMv()
+    registerMv(mvDir)
+    try {
+      val filtered = spark.read.parquet(srcPath)
+        .where(col("o_totalprice") > 1000.0)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      assert(!scansMv(filtered, mvDir),
+        "a filtered aggregate must NOT read pre-aggregated rows")
+      val avgQ = spark.read.parquet(srcPath)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(avg(col("o_totalprice")).as("a"))
+      assert(!scansMv(avgQ, mvDir), "avg is not registered/re-aggregable")
+      val foreign = spark.read.parquet(srcPath)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(!scansMv(foreign, mvDir), "group-by outside the MV set")
+      // and the guarded queries still compute correctly from the source
+      assert(avgQ.collect().nonEmpty && foreign.collect().nonEmpty)
+    } finally MvRewrite.clear()
+  }
+}
