@@ -93,7 +93,9 @@ object Bench {
           "dedup_embedding_lsh", "dedup_exact", "dedup_incremental",
           "decontaminate_bloom", "q1_pricing_summary", "q5_region_revenue",
           "q_window_funnel_multi", "dedup_segments", "q_heavy_hitters",
-          "chunk_documents", "dedup_substring", "bpe_encode", "dedup_semantic")
+          "chunk_documents", "dedup_substring", "bpe_encode", "dedup_semantic",
+          "bpe_train", "text_ngram_coverage", "quality_classifier",
+          "corpus_divergence", "q_sequence_count")
         val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
         ScaleUp.ensure(spark, sfDir, dst, factor)
         val baseTimes = results.toMap
