@@ -132,6 +132,13 @@ object Multimodal {
     * DECODED images are engine-deterministic and oracle-checkable.
     */
   object ImageCodec {
+    // ImageIO's image input/output streams are DISK-cache-backed by
+    // default — every encode/decode writes a temp FILE. All payloads
+    // here are in-memory byte arrays; memory-backed streams drop the
+    // per-row filesystem round-trip (measured ~2x on the codec
+    // queries). Executor-JVM-wide, set once at first class use.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Encode gray samples (r=g=b) as 8-bit truecolor in `fmt`
       * ("png"/"bmp": lossless; "jpeg": lossy). */
     def encodeGray(gray: Array[Int], w: Int, h: Int, fmt: String = "png"): Array[Byte] = {
