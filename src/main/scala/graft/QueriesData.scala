@@ -388,6 +388,14 @@ object QueriesData {
         .orderBy(col("lang"))
     },
 
+    // C56: quality-weighted deterministic sampling — keep probability
+    // = quality score (graded curation, no hard cutoff)
+    "sample_importance" -> { (s, dir) =>
+      TextAnalysis.importanceSample(Tables.documents(s, dir),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // C55: Flesch readability band — curation signal next to C10/C36
     "text_readability" -> { (s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -1219,6 +1227,25 @@ object QueriesData {
          |SELECT doc_id, count(*) AS n_hits
          |FROM tr JOIN ref USING (t)
          |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin,
+    // the per-row Bernoulli draw replays: same quality formula as
+    // text_quality, same md5 uniform, same floor(q·2^32) threshold
+    "sample_importance" -> {
+      val stop = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH m AS (SELECT doc_id, len(text) AS n_chars,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |  len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS n_stop
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(0.4::DOUBLE * (n_stop::DOUBLE / n_tokens)
+         |    + 0.3::DOUBLE * (least(n_tokens, 100)::DOUBLE / 100)
+         |    + 0.3::DOUBLE * (1.0::DOUBLE - n_punct::DOUBLE / n_chars), 4) AS quality
+         |  FROM m)
+         |SELECT doc_id, quality FROM q
+         |WHERE CAST('0x' || substr(md5(doc_id || ':imp'), 1, 8) AS BIGINT)
+         |      < CAST(floor(quality * 4294967296.0::DOUBLE) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin
+    },
     // ::DOUBLE on every literal: bare 206.835 would parse as DECIMAL
     // and DuckDB's decimal arithmetic diverges from the double path
     "text_readability" ->

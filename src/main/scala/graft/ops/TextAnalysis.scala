@@ -241,6 +241,22 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), Rounding.r(sum(col("s")), 4).as("score"))
   }
 
+  /** Importance (quality-weighted) deterministic sampling: keep each
+    * document with probability equal to its quality score — the
+    * curation step that biases a corpus toward quality WITHOUT a hard
+    * cutoff (hard thresholds collapse diversity; weighted keeps a
+    * graded tail). Deterministic Bernoulli draw per doc: the md5
+    * uniform u ∈ [0, 2³²) is compared against floor(quality·2³²) —
+    * same engine-stable keyed-uniform trick as sample_deterministic
+    * (C15), with the threshold now per-row. Row-local; no shuffle.
+    */
+  def importanceSample(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val q = qualityScore(df, id, text).select(col("doc_id"), col("quality"))
+    val u = conv(substring(md5(concat(col("doc_id"), lit(":imp"))), 1, 8), 16, 10)
+      .cast("long")
+    q.where(u < floor(col("quality") * 4294967296.0).cast("long"))
+  }
+
   /** Flesch reading-ease readability (public formula: 206.835 −
     * 1.015·words/sentences − 84.6·syllables/words) with the standard
     * cheap approximations — sentences = [.!?]+ runs (min 1),

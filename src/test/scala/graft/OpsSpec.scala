@@ -440,6 +440,25 @@ class OpsSpec extends SparkSpec {
     assert(ratio > 0.9 && ratio < 1.1, s"mean norm ratio $ratio")
   }
 
+  test("importance sampling: deterministic, quality-biased, per-row threshold") {
+    import graft.ops.TextAnalysis
+    val d = Tables.documents(spark, sfDir)
+    val a = TextAnalysis.importanceSample(d, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    val b = TextAnalysis.importanceSample(d, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b) && a.nonEmpty)
+    // the draw is weighted BY quality: kept docs average higher
+    // quality than the full corpus
+    val keptAvg = a.map(_.getDouble(1)).sum / a.length
+    val allQ = TextAnalysis.qualityScore(d, col("doc_id"), col("text"))
+      .select(col("quality")).as[Double].collect()
+    val allAvg = allQ.sum / allQ.length
+    assert(keptAvg > allAvg, s"kept=$keptAvg corpus=$allAvg")
+    // and it IS a sample, not a pass-through
+    assert(a.length < allQ.length)
+  }
+
   test("token KL divergence: zero against itself, non-negative on the corpus") {
     // single-language corpus: the language IS the corpus → p == q,
     // every integer ratio is exactly 1, kl exactly 0

@@ -184,4 +184,34 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"chunking should stay row-local:\n$p")
   }
+
+  test("quality_classifier: the model never materializes — join-free single aggregation") {
+    val p = SparkEntry.queries("quality_classifier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"bucket weights must be expressions, not a joined table:\n$p")
+    // one partial + one final hash aggregate pair (plus nothing else)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2,
+      s"expected exactly the partial+final agg pair:\n$p")
+  }
+
+  test("embed_project: row-local literal-plane projection, no exchange before the sort") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.ops.Similarity.projectSigns(Tables.embeddings(spark, sfDir),
+        col("vec_id"), col("embedding"), outDims = 16, inDims = 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"projection should be fully row-local:\n$p")
+    assert(p.contains("double_dot"), s"dots should use the native expression:\n$p")
+  }
+
+  test("q_sequence_count: working set filtered to pattern-typed events before the shuffle") {
+    val p = SparkEntry.queries("q_sequence_count")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val filterAt = p.linesIterator.zipWithIndex
+      .find { case (l, _) => l.contains("Filter") && l.contains("event_type") }
+    assert(filterAt.isDefined, s"event-type filter missing:\n$p")
+    val below = p.linesIterator.drop(filterAt.get._2).takeWhile(!_.contains("Exchange"))
+    assert(below.exists(_.contains("Scan parquet")),
+      s"the type filter should sit on the scan side of the exchange:\n$p")
+  }
 }
