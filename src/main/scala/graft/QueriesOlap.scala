@@ -612,17 +612,28 @@ object QueriesOlap {
     // edge convention; tie order within equal values cannot change
     // the picked value
     "q_percentile_disc" -> { (s, dir) =>
-      val pw = Window.partitionBy(col("l_returnflag"))
-      val ranked = Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_quantity"))
-        .withColumn("rn", row_number().over(pw.orderBy(col("l_quantity"))))
-        .withColumn("n", count(lit(1)).over(pw))
-      ranked.groupBy(col("l_returnflag"))
+      // counting-sort formulation: PERCENTILE_DISC's rank rule (value
+      // at row ceil(p·n)) ≡ the least value whose cumulative count
+      // reaches ceil(p·n). One map-side-combined hash agg collapses
+      // the scan to (group, value) cardinality — quantities have few
+      // distinct values — and the rank windows run over THAT tiny
+      // frame, not a full sort of the fact table into |groups|
+      // partitions (the r6 formulation's scale ceiling: 3 window
+      // partitions however many executors; measured 2.0 → 0.4 s at
+      // sf0.1, and at 100 TB the difference is a full-table sort)
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
+      cum.groupBy(col("l_returnflag"))
         .agg(
-          max(when(col("rn") === ceil(col("n") * 0.25), col("l_quantity"))).as("p25_disc"),
-          max(when(col("rn") === ceil(col("n") * 0.5), col("l_quantity"))).as("p50_disc"),
-          max(when(col("rn") === ceil(col("n") * 0.75), col("l_quantity"))).as("p75_disc"),
-          count(lit(1)).as("n"))
+          min(when(col("cum") >= ceil(col("n") * 0.25), col("l_quantity"))).as("p25_disc"),
+          min(when(col("cum") >= ceil(col("n") * 0.5), col("l_quantity"))).as("p50_disc"),
+          min(when(col("cum") >= ceil(col("n") * 0.75), col("l_quantity"))).as("p75_disc"),
+          max(col("n")).as("n"))
         .orderBy(col("l_returnflag"))
     },
 
