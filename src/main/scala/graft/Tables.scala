@@ -20,15 +20,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
+  /** events.ts arrives in corpus-dependent physical types: older corpora
+    * store TIMESTAMP(NANOS) parquet (surfaced as long nanos via
     * `spark.sql.legacy.parquet.nanosAsLong`; values are µs-aligned so
-    * integer `div` to micros is lossless (double division would not be:
-    * epoch-nanos exceed 2^53).
+    * integer `div` to micros is lossless — double division would not be:
+    * epoch-nanos exceed 2^53), newer ones plain TIMESTAMP(MICROS)
+    * (surfaced as TIMESTAMP_NTZ under default NTZ inference). Branch on
+    * the type actually read so both load to one session-zone TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      // TIMESTAMP_NTZ: session zone is UTC, so the NTZ wall time IS the
+      // instant; cast keeps downstream window/date_format behavior
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
