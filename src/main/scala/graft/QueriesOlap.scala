@@ -672,6 +672,51 @@ object QueriesOlap {
         .orderBy(col("event_id"))
     },
 
+    // B55: time-series densification + linear interpolation (the
+    // ClickHouse WITH FILL INTERPOLATE / gap-fill-then-interpolate
+    // report shape; B49 is the LOCF half). Per event type: hourly
+    // observed averages → the COMPLETE hour spine via sequence() on the
+    // per-type bounds (a 5-row aggregate, so the spine explode is a
+    // broadcast-scale fan-out, never a shuffle of the fact table) →
+    // missing hours take the linear interpolant between the bracketing
+    // observed points. Interpolation reads the 4dp-ROUNDED observed
+    // values, so every FP input crossing the engine boundary is already
+    // deterministic; the interpolant itself is one mul + one div + one
+    // add on exact integer hour distances, rounded once.
+    "q_interpolate" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("bucket"),
+          col("value"))
+      val obs = e.groupBy(col("event_type"), col("bucket"))
+        .agg(Rounding.r(avg(col("value")), 4).as("v_obs"), count(lit(1)).as("n_obs"))
+      val spine = obs.groupBy(col("event_type"))
+        .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("bucket"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(obs, Seq("event_type", "bucket"), "left")
+        .withColumn("pv", last(col("v_obs"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(when(col("v_obs").isNotNull, col("bucket")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v_obs"), ignoreNulls = true).over(wNext))
+        .withColumn("nt", first(when(col("v_obs").isNotNull, col("bucket")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("filled",
+          when(col("v_obs").isNotNull, col("v_obs"))
+            .when(col("pt").isNull, col("nv"))
+            .when(col("nt").isNull, col("pv"))
+            .otherwise(Rounding.r(col("pv") + (col("nv") - col("pv")) *
+              ((col("bucket") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")), 4)))
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          col("v_obs").isNull.as("gap"), col("filled"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
     // B50: deterministic mode + exact median per group. Library mode()
     // tie-breaking is engine-specific, so the mode is the explicit
     // (count desc, bucket asc) argmax — one partial-agg'd count pass
@@ -689,6 +734,49 @@ object QueriesOlap {
         .agg(Rounding.r(median(col("value")), 4).as("median_value"),
           count(lit(1)).as("n"))
       mode.join(med, "event_type").orderBy(col("event_type"))
+    },
+
+    // B56: per-group least-squares regression (regr_slope /
+    // regr_intercept / r² of price on quantity). Library regr_* sums
+    // doubles in partition order — not cross-engine-stable — so the
+    // moments are EXACT integer aggregates instead: x = quantity,
+    // y = price cents (the B3 floor(x·100+0.5) recovery), Σx Σy Σx²
+    // Σxy Σy² as DECIMAL(38,0) (DuckDB: HUGEINT). The closed forms
+    // divide one exact integer by another, so each output is one
+    // correctly-rounded double op + one 4dp round: slope = (nΣxy −
+    // ΣxΣy)/(nΣx² − Σx²), intercept = (ΣyΣx² − ΣxΣxy)/same, r² =
+    // num²/(denx·deny) composed as (num/denx)·(num/deny) because num²
+    // overflows even int128 at sf1. nΣy² stays inside 38 digits to
+    // ~10⁵× sf1 — the 100 TB envelope.
+    "q_regr" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          floor(col("l_quantity") + 0.5).cast(dec).as("x"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast(dec).as("y"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      m.select(col("l_returnflag"), col("l_linestatus"),
+          col("n").cast("long").as("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).as("inum"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("denx"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          when(col("denx") === 0, lit(null))
+            .otherwise(Rounding.r(col("num").cast("double") /
+              col("denx").cast("double"), 4)).as("slope_cents"),
+          when(col("denx") === 0, lit(null))
+            .otherwise(Rounding.r(col("inum").cast("double") /
+              col("denx").cast("double"), 4)).as("intercept_cents"),
+          when(col("denx") === 0 || col("deny") === 0, lit(null))
+            .otherwise(Rounding.r((col("num").cast("double") / col("denx").cast("double")) *
+              (col("num").cast("double") / col("deny").cast("double")), 6)).as("r2"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
     // B44: correlated scalar subquery — Catalyst DECORRELATES the
@@ -1350,6 +1438,61 @@ object QueriesOlap {
         |  count(*) AS n FROM e GROUP BY 1)
         |SELECT event_type, mode_bucket, median_value, n
         |FROM md JOIN m2 USING (event_type) ORDER BY event_type""".stripMargin,
+    "q_interpolate" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket, value FROM events),
+        |obs AS (SELECT event_type, bucket, round(avg(value), 4) AS v_obs,
+        |  count(*) AS n_obs FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+        |  FROM obs GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS bucket
+        |  FROM bounds),
+        |j AS (SELECT s.event_type, s.bucket, o.v_obs, o.n_obs
+        |  FROM spine s LEFT JOIN obs o USING (event_type, bucket)),
+        |w AS (SELECT *,
+        |  last_value(v_obs IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS)
+        |    OVER wp AS pt,
+        |  first_value(v_obs IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS)
+        |    OVER wn AS nt
+        |  FROM j WINDOW
+        |  wp AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, bucket, COALESCE(n_obs, 0) AS n_obs,
+        |  v_obs IS NULL AS gap,
+        |  CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |       WHEN pt IS NULL THEN nv
+        |       WHEN nt IS NULL THEN pv
+        |       ELSE round(pv + (nv - pv) *
+        |         (CAST(bucket - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)), 4) END
+        |    AS filled
+        |FROM w ORDER BY event_type, bucket""".stripMargin,
+    "q_regr" ->
+      """WITH m AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS HUGEINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+        |  sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM (SELECT l_returnflag, l_linestatus,
+        |    CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+        |    FROM lineitem) GROUP BY 1, 2),
+        |d AS (SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+        |  n*sxy - sx*sy AS num, sy*sxx - sx*sxy AS inum,
+        |  n*sxx - sx*sx AS denx, n*syy - sy*sy AS deny FROM m)
+        |SELECT l_returnflag, l_linestatus, n,
+        |  CASE WHEN denx = 0 THEN NULL
+        |    ELSE round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE), 4) END
+        |    AS slope_cents,
+        |  CASE WHEN denx = 0 THEN NULL
+        |    ELSE round(CAST(inum AS DOUBLE) / CAST(denx AS DOUBLE), 4) END
+        |    AS intercept_cents,
+        |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+        |    ELSE round((CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)) *
+        |      (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE)), 6) END AS r2
+        |FROM d ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_correlated_subquery" ->
       """SELECT c_custkey, c_mktsegment,
         |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
