@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.{DoubleDot, Opaque, SimHash32, SimHash64}
+import graft.functions.{DoubleDot, Opaque, SimHash32, SimHash64, SimHashGrams}
 
 /** Catalyst extensions for the engine, registered on every
   * [[GraftSession]] (public `withExtensions` API — usable verbatim via
@@ -30,6 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash_grams"),
+      new ExpressionInfo(classOf[SimHashGrams].getName, "simhash_grams"),
+      (children: Seq[Expression]) => SimHashGrams(children(0),
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"simhash_grams gram width must be a literal, got $other")
+        })))
     e.injectFunction((
       FunctionIdentifier("opaque"),
       new ExpressionInfo(classOf[Opaque].getName, "opaque"),

@@ -205,6 +205,16 @@ object QueriesData {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // C57: edit-distance near-dup pairs — the CHARACTER-level modality
+    // (OCR noise / typo variants): char-trigram SimHash banding blocks
+    // candidates (lossless for hamming ≤ 3), levenshtein verifies
+    // editSim = 1 − lev/maxlen ≥ 0.8 on the blocked set only
+    "dedup_editdist" -> { (s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // C6: embedding-cosine near-dup pairs
     "dedup_embedding" -> { (s, dir) =>
       Similarity.cosinePairs(Tables.embeddings(s, dir), col("vec_id"),
@@ -1044,6 +1054,35 @@ object QueriesData {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // C57: banding is lossless at hamming ≤ 3 (pigeonhole over 4×16-bit
+    // bands), so the oracle replays the SAME semantics as an all-pairs
+    // hamming filter + levenshtein verify — no band replay needed
+    "dedup_editdist" ->
+      s"""WITH tok AS (SELECT doc_id, substr(text, i, 3) AS t
+         |  FROM (SELECT doc_id, text,
+         |    unnest(generate_series(1, length(text) - 2)) AS i FROM documents)),
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS h FROM tok),
+         |bits AS (SELECT doc_id,
+         |$simhashBitSums
+         |FROM h GROUP BY doc_id),
+         |sim0 AS (SELECT doc_id, ($simhashAssemble) AS simhash FROM bits),
+         |sim AS (SELECT d.doc_id, COALESCE(s.simhash, 0::UBIGINT) AS simhash
+         |  FROM documents d LEFT JOIN sim0 s USING (doc_id)),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |v AS (SELECT doc_a, doc_b,
+         |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+         |  CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS maxlen
+         |  FROM cand JOIN documents ta ON ta.doc_id = doc_a
+         |            JOIN documents tb ON tb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, lev,
+         |  CASE WHEN maxlen = 0 THEN 1.0
+         |    ELSE round(1.0 - CAST(lev AS DOUBLE) / CAST(maxlen AS DOUBLE), 4) END
+         |    AS edit_sim
+         |FROM v WHERE (CASE WHEN maxlen = 0 THEN 1.0
+         |  ELSE round(1.0 - CAST(lev AS DOUBLE) / CAST(maxlen AS DOUBLE), 4) END) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash over character n-grams — the CHARACTER-level
+  * fingerprint for edit-distance blocking ([[SimHash64]] is the
+  * token-level twin). Semantics match the SQL oracle exactly: for each
+  * of the `length - n + 1` n-character grams, h = first 16 hex chars
+  * of md5(gram) as an unsigned 64-bit value; bit j of the result is
+  * set iff Σ_grams (2·bit_j(h) − 1) > 0. A string shorter than n has
+  * no grams and fingerprints to 0.
+  *
+  * Grams are CODEPOINT windows, not UTF-16 code units: DuckDB's
+  * `substr` counts characters, so a surrogate pair must count as one
+  * position on both engines or fingerprints diverge on non-BMP text.
+  *
+  * Why character grams block edit distance: one edit touches at most
+  * n grams, so d edits move at most 2·n·d of the gram multiset —
+  * near-identical strings keep near-identical gram distributions and
+  * land within a small Hamming ball, which 16-bit banding then finds
+  * losslessly (pigeonhole: ≤3 flipped bits across 4 bands leave one
+  * band clean).
+  */
+object SimHashGramsImpl {
+  def compute(text: UTF8String, n: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    val cp = text.toString.codePoints().toArray
+    var i = 0
+    while (i + n <= cp.length) {
+      val gram = new String(cp, i, n)
+      val d = md.digest(gram.getBytes("UTF-8"))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      var j = 0
+      while (j < 64) {
+        counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+}
+
+/** Character-n-gram SimHash of a text column in one pass inside
+  * whole-stage codegen. Registered as SQL `simhash_grams(text, n)` by
+  * GraftExtensions (n must be a literal).
+  */
+case class SimHashGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"gram width must be positive, got $n")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_grams"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashGramsImpl.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashGramsImpl.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -520,6 +520,46 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** CHARACTER-level near-duplicate pairs by edit similarity — the
+    * dedup modality for OCR noise, typo variants, and templated text
+    * with small substitutions, which token-level MinHash/SimHash blur
+    * (a one-character typo changes a whole token) and exact hashing
+    * misses entirely. editSim(a, b) = 1 − levenshtein(a, b) /
+    * max(|a|, |b|) (Lee et al. 2022's NearDup edit-similarity form).
+    *
+    * Scale shape: levenshtein is O(|a|·|b|) per pair, so it can only
+    * ever run on a blocked candidate set — candidates come from
+    * character-n-gram SimHash ([[graft.functions.SimHashGrams]],
+    * row-local codegen) with 16-bit banding, exactly [[simhashPairs]]'
+    * lossless Hamming-≤3 blocking but over gram fingerprints; the band
+    * join carries (id, simhash) only, texts rejoin by id afterward so
+    * the explode never shuffles document bodies. Never all-pairs.
+    *
+    * Determinism: lev and lengths are integers, editSim is one divide
+    * + 4dp floor-round, so pairs replay exactly cross-engine; an
+    * empty-vs-empty pair defines editSim = 1 (both engines guard the
+    * 0/0).
+    */
+  def editDistancePairs(df: DataFrame, id: Column, text: Column,
+                        gramLen: Int = 3, maxHamming: Int = 3,
+                        minEditSim: Double = 0.8): DataFrame = {
+    val sim = df.select(id.as("id"),
+      call_function("simhash_grams", text, lit(gramLen)).as("simhash"))
+    val cand = simhashPairs(sim, maxHamming, bits = 64)
+    val t = df.select(id.as("id"), text.as("t"))
+    cand
+      .join(t.select(col("id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
+      .join(t.select(col("id").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("maxlen",
+        greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      .withColumn("edit_sim", when(col("maxlen") === 0, lit(1.0))
+        .otherwise(graft.functions.Rounding.r(
+          lit(1.0) - col("lev").cast("double") / col("maxlen").cast("double"), 4)))
+      .where(col("edit_sim") >= minEditSim)
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("edit_sim"))
+  }
+
   /** Segment-level boilerplate removal (the CCNet/RefinedWeb
     * paragraph-dedup stage, chunk-segmented for corpora without line
     * structure): a document is cut into consecutive `segLen`-token

@@ -100,6 +100,59 @@ class OpsSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> 1L, (1L, 4L) -> 0L, (2L, 3L) -> 3L, (2L, 4L) -> 1L))
   }
 
+  test("edit-distance dedup: typo variants pair, rewrites don't, never all-pairs") {
+    val base = "pack my box with five dozen liquor jugs while the jay " +
+      "quickly vexed a dwarf zombie under the bright warm afternoon sun " +
+      "near the old stone bridge across the quiet river valley where tall " +
+      "green trees sway gently in the light summer breeze carrying distant " +
+      "bird songs"
+    val typo = base.updated(30, 'x').updated(120, 'q') // 2 substitutions
+    val other = "completely different content about spark shuffles and " +
+      "partitions with entirely unrelated words in a long enough body " +
+      "that gram statistics are stable"
+    val df = Seq((1L, base), (2L, typo), (3L, other), (4L, ""), (5L, ""))
+      .toDF("doc_id", "text")
+    val q = Dedup.editDistancePairs(df, col("doc_id"), col("text"))
+    val m = q.select("doc_a", "doc_b", "lev", "edit_sim")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(m((1L, 2L))._1 === 2L)          // the typo pair, exact distance
+    assert(m((1L, 2L))._2 > 0.99)
+    assert(m((4L, 5L)) === ((0L, 1.0)))    // empty-vs-empty: 0/0 guard
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L)) // rewrite excluded
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "edit dedup must stay banded")
+  }
+
+  test("simhash_grams: short strings fingerprint to 0, codepoint windows") {
+    val got = spark.range(1)
+      .select(
+        call_function("simhash_grams", lit(""), lit(3)).as("e"),
+        call_function("simhash_grams", lit("ab"), lit(3)).as("s"),
+        call_function("simhash_grams", lit("abc"), lit(3)).as("one"),
+        // 4 codepoints (astral plane chars are ONE position each, as in
+        // DuckDB substr): gram set {𝄞a𝄢, a𝄢b} — 2 grams, not the 6 a
+        // UTF-16 code-unit window would produce
+        call_function("simhash_grams", lit("𝄞a𝄢b"), lit(3)).as("cp"))
+      .head()
+    assert(got.getLong(0) === 0L && got.getLong(1) === 0L)
+    assert(got.getLong(2) !== 0L)
+    // the codepoint fingerprint equals the explicit 2-gram construction
+    val grams = Seq("𝄞a𝄢", "a𝄢b")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    grams.foreach { g =>
+      val d = md.digest(g.getBytes("UTF-8"))
+      var h = 0L; (0 until 8).foreach(b => h = (h << 8) | (d(b) & 0xffL))
+      (0 until 64).foreach(j =>
+        counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1))
+    }
+    var want = 0L
+    (0 until 64).foreach(j => if (counts(j) > 0) want |= (1L << j))
+    assert(got.getLong(3) === want)
+  }
+
   test("simhash64 fingerprints use the full 64-bit range") {
     val sim = Dedup.simhash64(docs, col("doc_id"), col("text"))
       .as[(Long, Long)].collect().toMap
