@@ -261,6 +261,57 @@ object PkTableSink {
       TxLog.Prepared(dataDir = dataDir, meta = m.meta, written = Seq(dataDir))
     } catch { case CompactSkip(v) => v }
 
+  /** [[compactTx]] variant that clusters the rewritten base in
+    * Z-ORDER of two NUMERIC columns (Delta `OPTIMIZE ZORDER BY`
+    * analogue, [[ZOrder]]): files then cover rectangles of the
+    * (zCols(0), zCols(1)) space and the dir's zone-map sidecar records
+    * min/max for the key AND both z columns, so a range read on EITHER
+    * z column ([[readTxRangeOn]]) prunes to ~√F of F files — where
+    * key-range-sorted compaction prunes only the first key column and
+    * scans everything for the rest.
+    *
+    * The z-column bounds come from one aggregate-only scalar job over
+    * the merged rows (maintenance path, same budget class as the
+    * compaction's own sizing count). Merge/tombstone semantics are
+    * identical to [[compactTx]] — clustering changes LAYOUT, never
+    * content.
+    */
+  def compactTxZOrder(spark: SparkSession, root: String, writer: String,
+                      zCols: Seq[String], minDeltas: Int = 0,
+                      targetRowsPerFile: Long = 4L << 20,
+                      maxAttempts: Int = 5,
+                      recoverTornAfterMs: Long = 60000L): Long = {
+    require(zCols.size == 2, s"z-order takes exactly 2 columns, got $zCols")
+    try TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
+      val m = requireSingleTable(base.getOrElse(throw new IllegalStateException(
+        s"compactTxZOrder: no committed version under $root")), root)
+      if (m.deltas.size < minDeltas) throw CompactSkip(m.version)
+      val merged = mergedTx(spark, m)
+      val next = m.version + 1
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val dataDir = s"$root/t$next-$writer-$nonce"
+      val rows = merged.count()
+      val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val keyCols = m.meta.get(MetaKeys).map(_.split(",").toSeq).getOrElse(Nil)
+      val b = merged.agg(
+        min(col(zCols(0)).cast("double")), max(col(zCols(0)).cast("double")),
+        min(col(zCols(1)).cast("double")), max(col(zCols(1)).cast("double"))).head()
+      def bound(i: Int) = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
+      val zc = "__graft_z"
+      val packed = merged
+        .withColumn(zc, ZOrder.zvalue(col(zCols(0)), bound(0), bound(1),
+          col(zCols(1)), bound(2), bound(3)))
+        .repartitionByRange(nFiles, col(zc))
+        .sortWithinPartitions(col(zc))
+        .drop(zc)
+      packed.write.mode(SaveMode.Overwrite).parquet(dataDir)
+      ZoneMap.write(spark, dataDir, (keyCols ++ zCols).distinct)
+      TxLog.Prepared(dataDir = dataDir,
+        meta = m.meta + ("zorder" -> zCols.mkString(",")),
+        written = Seq(dataDir))
+    } catch { case CompactSkip(v) => v }
+  }
+
   /** One table's batch inside a multi-table transactional commit. */
   final case class TableBatch(changes: DataFrame, keyCols: Seq[String],
                               versionCols: Seq[String], deleteFlag: String)
@@ -517,16 +568,51 @@ object PkTableSink {
                  lo: Long, hi: Long): (Seq[String], Int) = {
     val m = TxLog.current(spark, root).map(requireSingleTable(_, root))
       .getOrElse(throw new IllegalStateException(s"no committed version under $root"))
-    val keyCol = m.meta(MetaKeys).split(",").head
+    pruneStatsOn(spark, root, m.meta(MetaKeys).split(",").head, lo, hi)
+  }
+
+  /** [[pruneStats]] on an arbitrary recorded zone column (a
+    * [[compactTxZOrder]] clustering column, typically). */
+  def pruneStatsOn(spark: SparkSession, root: String, zoneCol: String,
+                   lo: Long, hi: Long): (Seq[String], Int) = {
+    val m = TxLog.current(spark, root).map(requireSingleTable(_, root))
+      .getOrElse(throw new IllegalStateException(s"no committed version under $root"))
     val dirs = m.dataDir +: m.deltas
     val fs = fsOf(spark, m.dataDir)
     val total = dirs.map(d => fs.listStatus(new org.apache.hadoop.fs.Path(d))
       .count { s =>
         val n = s.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
       }).sum
-    (dirs.flatMap(d => ZoneMap.pruneFiles(spark, d, keyCol, lo.toString, hi.toString)),
+    (dirs.flatMap(d => ZoneMap.pruneFiles(spark, d, zoneCol, lo.toString, hi.toString)),
       total)
   }
+
+  /** Range read pruned on an ARBITRARY recorded zone column — the read
+    * side of [[compactTxZOrder]] (the clustering columns are exactly
+    * the non-key columns worth range-scanning). Zone pruning on a
+    * non-key column is only sound when no delta can supersede a pruned
+    * base row, so this prunes ONLY a fully-compacted table (single
+    * dir); with deltas outstanding it falls back to the full
+    * latest-per-key merge and filters after — correct, just unpruned
+    * (run compaction, then scan). Key-column ranges should use
+    * [[readTxRange]], which prunes correctly through deltas.
+    */
+  def readTxRangeOn(spark: SparkSession, root: String, schemaOf: => DataFrame,
+                    zoneCol: String, lo: Long, hi: Long): DataFrame =
+    TxLog.current(spark, root) match {
+      case None => schemaOf.limit(0)
+      case Some(m0) =>
+        val m = requireSingleTable(m0, root)
+        val range = col(zoneCol).between(lo, hi)
+        if (m.deltas.nonEmpty)
+          dropTombstones(mergedTx(spark, m)).where(range)
+        else {
+          val files = ZoneMap.pruneFiles(spark, m.dataDir, zoneCol,
+            lo.toString, hi.toString)
+          if (files.isEmpty) schemaOf.limit(0)
+          else dropTombstones(spark.read.parquet(files: _*)).where(range)
+        }
+    }
 
   /** Live contents as of a specific committed version (time travel). */
   def readTxAt(spark: SparkSession, root: String, version: Long): DataFrame =
