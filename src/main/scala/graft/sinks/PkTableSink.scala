@@ -150,9 +150,20 @@ object PkTableSink {
     Map(MetaKeys -> keyCols.mkString(","), MetaVers -> versionCols.mkString(","))
   }
 
+  // partial-update deltas ([[mergeTxPartial]]) record their present
+  // columns under this meta prefix; whole-row merge paths must refuse
+  // such tables (a whole-row merge would read an absent column's null
+  // as an explicit value)
+  private val PcolsPrefix = "pcols."
+  private def requireNoPartial(meta: Map[String, String], op: String): Unit =
+    require(!meta.keys.exists(_.startsWith(PcolsPrefix)),
+      s"$op: table has partial-update deltas outstanding — use " +
+        "readTxPartial / compactTxPartial (or compact before whole-row ops)")
+
   /** Latest-per-key view of base ∪ deltas (tombstones retained). */
   private def mergeDirs(spark: SparkSession, dirs: Seq[String],
                         meta: Map[String, String]): DataFrame = {
+    requireNoPartial(meta, "whole-row merge")
     if (dirs.size == 1) spark.read.parquet(dirs.head)
     else {
       val keys = meta.get(MetaKeys).filter(_.nonEmpty).getOrElse(
@@ -202,6 +213,7 @@ object PkTableSink {
           ZoneMap.write(spark, dataDir, keyCols)
           TxLog.Prepared(dataDir = dataDir, meta = meta, written = Seq(dataDir))
         case Some(m) =>
+          requireNoPartial(m.meta, "mergeTx") // meta replace would drop pcols
           m.meta.get(MetaKeys).foreach(k => require(k == meta(MetaKeys) &&
             m.meta(MetaVers) == meta(MetaVers),
             s"mergeTx key/version columns differ from the table's " +
@@ -311,6 +323,151 @@ object PkTableSink {
         written = Seq(dataDir))
     } catch { case CompactSkip(v) => v }
   }
+
+  /** PARTIAL-COLUMN upsert — the StarRocks primary-key
+    * `partial_update` mode (Debezium patch-event shape): `changes`
+    * carries the key + version + delete-flag columns plus ONLY the
+    * value columns this batch sets. Columns ABSENT from the batch
+    * schema leave existing rows unchanged; a PRESENT column set to
+    * null writes an explicit null (the two cases stay distinguishable
+    * because the manifest records each partial delta's present-column
+    * set under `pcols.<dir>`). The delta dir stores just the present
+    * columns — commit I/O ∝ batch rows × touched columns, the point of
+    * partial updates for wide tables.
+    *
+    * Read side: [[readTxPartial]] coalesces per COLUMN by version
+    * order (merge-on-read, cost ∝ scanned rows, two passes).
+    * Whole-row paths (readTx / mergeTx / compactTx / range reads)
+    * REFUSE the table while partial deltas are outstanding — a
+    * whole-row merge would read an absent column's null as a value;
+    * [[compactTxPartial]] folds partials back to full rows and lifts
+    * the restriction.
+    *
+    * Delete semantics: a tombstone hides every older record entirely;
+    * a partial update NEWER than the tombstone resurrects the key with
+    * nulls in the columns it does not write.
+    *
+    * Requires a committed base (bootstrap with [[mergeTx]]).
+    */
+  def mergeTxPartial(spark: SparkSession, root: String, changes: DataFrame,
+                     keyCols: Seq[String], versionCols: Seq[String],
+                     deleteFlag: String, writer: String, maxAttempts: Int = 5,
+                     recoverTornAfterMs: Long = 60000L): Long = {
+    val chg = PkTable.latestPerKey(
+      changes.withColumn(Tombstone, coalesce(col(deleteFlag), lit(false)))
+        .drop(deleteFlag),
+      keyCols, versionCols.map(col))
+    val present = chg.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || versionCols.contains(c) || c == Tombstone)
+    present.foreach(c => require(
+      !c.exists(ch => ch == ',' || ch == '=' || ch == '\n'),
+      s"partial-update column name '$c' unusable in a manifest"))
+    TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
+      val m = requireSingleTable(base.getOrElse(throw new IllegalStateException(
+        s"mergeTxPartial: no committed base under $root — bootstrap with mergeTx")),
+        root)
+      require(m.meta.get(MetaKeys).contains(keyCols.mkString(",")) &&
+        m.meta.get(MetaVers).contains(versionCols.mkString(",")),
+        s"mergeTxPartial key/version columns differ from the table's " +
+          s"(stored keys=${m.meta.get(MetaKeys)} vers=${m.meta.get(MetaVers)})")
+      val next = m.version + 1
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val deltaDir = s"$root/p$next-$writer-$nonce"
+      chg.write.mode(SaveMode.Overwrite).parquet(deltaDir)
+      ZoneMap.write(spark, deltaDir, keyCols)
+      val dirName = deltaDir.substring(deltaDir.lastIndexOf('/') + 1)
+      TxLog.Prepared(dataDir = m.dataDir, deltas = m.deltas :+ deltaDir,
+        meta = m.meta + (s"$PcolsPrefix$dirName" -> present.mkString(",")),
+        written = Seq(deltaDir))
+    }
+  }
+
+  /** The partial-aware two-phase merge: (live full rows, dead-key
+    * tombstone rows). Phase 1 finds each key's latest tombstone order;
+    * phase 2 takes, per column, the newest explicitly-written value
+    * among records newer than that tombstone. */
+  private def partialMerge(spark: SparkSession, m: TxLog.Manifest)
+      : (DataFrame, DataFrame) = {
+    val keys = m.meta(MetaKeys).split(",").toSeq
+    val vers = m.meta(MetaVers).split(",").toSeq
+    val baseDf = spark.read.parquet(m.dataDir)
+    val valueCols = baseDf.columns.toSeq
+      .filterNot(c => keys.contains(c) || vers.contains(c) || c == Tombstone)
+    val types = valueCols.map(c => c -> baseDf.schema(c).dataType).toMap
+    def dirName(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    val frames = (m.dataDir +: m.deltas).zipWithIndex.map { case (d, i) =>
+      val p: Set[String] =
+        if (i == 0) valueCols.toSet
+        else m.meta.get(PcolsPrefix + dirName(d))
+          .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(valueCols.toSet)
+      val sel = keys.map(col) ++ vers.map(col) ++
+        Seq(col(Tombstone), lit(i.toLong).as(CommitSeq)) ++
+        valueCols.flatMap(c => Seq(
+          (if (p(c)) col(c) else lit(null).cast(types(c))).as(c),
+          lit(p(c)).as(s"__has_$c")))
+      spark.read.parquet(d).select(sel: _*)
+    }
+    val u = frames.reduce(_ unionByName _)
+    val ord = struct((vers.map(col) :+ col(CommitSeq)): _*)
+    val t = u.groupBy(keys.map(col): _*)
+      .agg(max(when(col(Tombstone), ord)).as("__tord"), max(ord).as("__lord"))
+    val valid = u.join(t, keys)
+      .where(!col(Tombstone) &&
+        (col("__tord").isNull || ord > col("__tord")))
+    val liveAggs = max(ord).as("__o") +:
+      valueCols.map(c => max_by(col(c), when(col(s"__has_$c"), ord)).as(c))
+    val live = valid.groupBy(keys.map(col): _*)
+      .agg(liveAggs.head, liveAggs.tail: _*)
+      .select(keys.map(col) ++ vers.map(v => col("__o").getField(v).as(v)) ++
+        valueCols.map(col): _*)
+    val dead = t.where(col("__tord").isNotNull && !(col("__lord") > col("__tord")))
+      .select(keys.map(col) ++ vers.map(v => col("__tord").getField(v).as(v)) ++
+        valueCols.map(c => lit(null).cast(types(c)).as(c)): _*)
+    (live, dead)
+  }
+
+  /** Live contents of a table with partial-update deltas: full rows
+    * with every column coalesced to its newest explicitly-written
+    * value (works on fully-compacted tables too). Two passes over the
+    * scanned dirs; [[compactTxPartial]] restores one-pass reads. */
+  def readTxPartial(spark: SparkSession, root: String,
+                    schemaOf: => DataFrame): DataFrame =
+    TxLog.current(spark, root) match {
+      case None    => schemaOf.limit(0)
+      case Some(m) => partialMerge(spark, requireSingleTable(m, root))._1
+    }
+
+  /** Fold partial deltas into a fresh FULL-ROW base (key-range-sorted
+    * bin-packing like [[compactTx]], dead keys retained as tombstone
+    * rows, `pcols.*` meta cleared) — after this the whole-row
+    * read/merge/compact surface applies again. */
+  def compactTxPartial(spark: SparkSession, root: String, writer: String,
+                       targetRowsPerFile: Long = 4L << 20,
+                       maxAttempts: Int = 5,
+                       recoverTornAfterMs: Long = 60000L): Long =
+    TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
+      val m = requireSingleTable(base.getOrElse(throw new IllegalStateException(
+        s"compactTxPartial: no committed version under $root")), root)
+      val (live, dead) = partialMerge(spark, m)
+      val full = live.withColumn(Tombstone, lit(false))
+        .unionByName(dead.withColumn(Tombstone, lit(true)))
+      val next = m.version + 1
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val dataDir = s"$root/t$next-$writer-$nonce"
+      val rows = full.count()
+      val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val keyCols = m.meta.get(MetaKeys).map(_.split(",").toSeq).getOrElse(Nil)
+      val packed =
+        if (keyCols.nonEmpty)
+          full.repartitionByRange(nFiles, keyCols.map(col): _*)
+            .sortWithinPartitions(keyCols.map(col): _*)
+        else full.repartition(nFiles)
+      packed.write.mode(SaveMode.Overwrite).parquet(dataDir)
+      ZoneMap.write(spark, dataDir, keyCols)
+      TxLog.Prepared(dataDir = dataDir,
+        meta = m.meta.filterNot(_._1.startsWith(PcolsPrefix)),
+        written = Seq(dataDir))
+    }
 
   /** One table's batch inside a multi-table transactional commit. */
   final case class TableBatch(changes: DataFrame, keyCols: Seq[String],
@@ -516,6 +673,7 @@ object PkTableSink {
       case None => schemaOf.limit(0)
       case Some(m0) =>
         val m = requireSingleTable(m0, root)
+        requireNoPartial(m.meta, "readTxRange")
         val keys = m.meta.get(MetaKeys).filter(_.nonEmpty).getOrElse(
           throw new IllegalStateException(
             s"readTxRange: $root has no stored key columns")).split(",").toSeq
@@ -607,6 +765,7 @@ object PkTableSink {
         if (m.deltas.nonEmpty)
           dropTombstones(mergedTx(spark, m)).where(range)
         else {
+          requireNoPartial(m.meta, "readTxRangeOn")
           val files = ZoneMap.pruneFiles(spark, m.dataDir, zoneCol,
             lo.toString, hi.toString)
           if (files.isEmpty) schemaOf.limit(0)
