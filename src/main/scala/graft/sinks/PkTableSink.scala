@@ -469,6 +469,76 @@ object PkTableSink {
         written = Seq(dataDir))
     }
 
+  /** CHANGE FEED between two committed versions (Delta CDF /
+    * "incremental read" analogue): the NET per-key difference of the
+    * two snapshots, one row per changed key with `_change_type` ∈
+    * insert | update | delete (update/insert carry the to-version row,
+    * delete the last visible from-version row). A key whose visible
+    * row is identical in both versions emits nothing — including the
+    * no-op case where a late delta carried an OLDER version that lost
+    * the merge.
+    *
+    * Cost shape: when `to`'s dir list extends `from`'s (the common
+    * no-compaction-between case) both snapshots are first semi-joined
+    * to the keys TOUCHED by the new deltas, so the diff's shuffle is
+    * ∝ touched keys, never table keys (the scans stay full-width but
+    * zone-sorted bases make the semi-join's exchange the only real
+    * cost). Across a compaction boundary the dir lists diverge and
+    * the diff falls back to the full snapshot pair — correct, just
+    * unpruned; vacuumed `from` dirs fail like [[readTxAt]].
+    */
+  def readTxChanges(spark: SparkSession, root: String,
+                    fromVersion: Long, toVersion: Long): DataFrame = {
+    require(toVersion >= fromVersion,
+      s"readTxChanges: to=$toVersion < from=$fromVersion")
+    def manifest(v: Long) = TxLog.at(spark, root, v)
+      .map(requireSingleTable(_, root)).getOrElse(throw new IllegalArgumentException(
+        s"readTxChanges: no committed version $v under $root"))
+    val mF = manifest(fromVersion); val mT = manifest(toVersion)
+    requireNoPartial(mF.meta, "readTxChanges"); requireNoPartial(mT.meta, "readTxChanges")
+    val keys = mT.meta.get(MetaKeys).filter(_.nonEmpty).getOrElse(
+      throw new IllegalStateException(
+        s"readTxChanges: $root has no stored key columns")).split(",").toSeq
+    val ChangeType = "_change_type"
+    val sFrom0 = mergeDirs(spark, mF.dataDir +: mF.deltas, mF.meta)
+    val sTo0 = mergeDirs(spark, mT.dataDir +: mT.deltas, mT.meta)
+    val outCols = sTo0.columns.toSeq.filterNot(_ == Tombstone)
+    val newDirs =
+      if (mF.dataDir == mT.dataDir && mT.deltas.startsWith(mF.deltas))
+        Some(mT.deltas.drop(mF.deltas.size))
+      else None
+    if (newDirs.contains(Nil))
+      return sTo0.select(outCols.map(col): _*).limit(0)
+        .withColumn(ChangeType, lit(""))
+    val (sFrom, sTo) = newDirs match {
+      case Some(dirs) =>
+        val touched = dirs.map(spark.read.parquet(_))
+          .reduce(_ unionByName _).select(keys.map(col): _*).distinct()
+        (sFrom0.join(touched, keys, "left_semi"),
+          sTo0.join(touched, keys, "left_semi"))
+      case None => (sFrom0, sTo0)
+    }
+    def tag(df: DataFrame, p: String) = df.columns.foldLeft(df) { (d, c) =>
+      if (keys.contains(c)) d else d.withColumnRenamed(c, s"$p$c")
+    }.withColumn(s"${p}__present__", lit(true))
+    val j = tag(sFrom, "f_").join(tag(sTo, "t_"), keys, "full_outer")
+    val nonKey = sTo0.columns.toSeq.filterNot(c => keys.contains(c) || c == Tombstone)
+    val visF = coalesce(col("f___present__"), lit(false)) &&
+      !coalesce(col(s"f_$Tombstone"), lit(true))
+    val visT = coalesce(col("t___present__"), lit(false)) &&
+      !coalesce(col(s"t_$Tombstone"), lit(true))
+    val rowF = struct(nonKey.map(c => col(s"f_$c")): _*)
+    val rowT = struct(nonKey.map(c => col(s"t_$c")): _*)
+    val ct = when(!visF && visT, lit("insert"))
+      .when(visF && !visT, lit("delete"))
+      .when(visF && visT && !(rowF <=> rowT), lit("update"))
+    j.withColumn(ChangeType, ct)
+      .where(col(ChangeType).isNotNull)
+      .select(keys.map(col) ++ nonKey.map(c =>
+        when(col(ChangeType) === "delete", col(s"f_$c"))
+          .otherwise(col(s"t_$c")).as(c)) :+ col(ChangeType): _*)
+  }
+
   /** One table's batch inside a multi-table transactional commit. */
   final case class TableBatch(changes: DataFrame, keyCols: Seq[String],
                               versionCols: Seq[String], deleteFlag: String)
