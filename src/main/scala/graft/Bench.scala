@@ -95,7 +95,7 @@ object Bench {
           "q_window_funnel_multi", "dedup_segments", "q_heavy_hitters",
           "chunk_documents", "dedup_substring", "bpe_encode", "dedup_semantic",
           "bpe_train", "text_ngram_coverage", "quality_classifier",
-          "corpus_divergence", "q_sequence_count")
+          "corpus_divergence", "q_sequence_count", "dedup_editdist")
         val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
         ScaleUp.ensure(spark, sfDir, dst, factor)
         val baseTimes = results.toMap
