@@ -717,6 +717,25 @@ object QueriesOlap {
         .orderBy(col("event_type"), col("bucket"))
     },
 
+    // B57: mergeable HLL sketch ROLLUP — the StarRocks HLL column
+    // type's actual workflow (and Druid/ClickHouse uniqState): daily
+    // per-type sketches are the stored pre-aggregate, weekly/total
+    // distincts come from UNIONING sketches, never re-scanning raw
+    // events. B22/B8 prove approx/exact distinct; this proves the
+    // MERGE algebra (DataSketches HLL: union then estimate). Rows-only
+    // gate by design (sketch bytes are engine-internal); ApproxSpec
+    // bounds the estimate against exact distinct.
+    "q_hll_rollup" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+      daily.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+          sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+        .orderBy(col("event_type"))
+    },
+
     // B50: deterministic mode + exact median per group. Library mode()
     // tie-breaking is engine-specific, so the mode is the explicit
     // (count desc, bucket asc) argmax — one partial-agg'd count pass

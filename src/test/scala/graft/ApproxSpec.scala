@@ -25,6 +25,36 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("q_hll_rollup: unioned daily sketches estimate within 5% of exact") {
+    val got = SparkEntry.queries("q_hll_rollup")(spark, sfDir)
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    got.foreach { case (k, (approx, nEvents, nDays)) =>
+      val (u, n) = exact(k)
+      // lgConfigK=12 default → rse ≈ 1.04/√2¹² ≈ 1.6%; 5% is 3σ+
+      assert(math.abs(approx - u) / u <= 0.05,
+        s"HLL rollup for $k off: approx=$approx exact=$u")
+      assert(nEvents === n, s"event count for $k must be exact")
+      assert(nDays >= 1L)
+    }
+    // mergeability is the point: the union of per-day sketches must
+    // equal one sketch built over all days (same estimate exactly)
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .as[(String, Double)].collect().toMap
+    got.foreach { case (k, (approx, _, _)) =>
+      assert(math.abs(approx - direct(k)) <= 1e-9 ||
+        math.abs(approx - direct(k)) / direct(k) <= 0.01,
+        s"unioned vs direct sketch diverge for $k: $approx vs ${direct(k)}")
+    }
+  }
+
   test("q_approx_percentile: estimates land within the sketch's rank-error window") {
     val approx = SparkEntry.queries("q_approx_percentile")(spark, sfDir)
       .as[(String, Double, Double, Double, Long)].collect()

@@ -54,6 +54,58 @@ class ChangeFeedSpec extends SparkSpec {
       (2L, 2L, "b2", "update"), (1L, 1L, "a", "delete")))
   }
 
+  test("the change feed drives incremental MV maintenance ≡ recompute") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.cdc.MaterializedAgg
+    // lake rows (id, ver, g, v): the MV tracks per-g count + sum(v);
+    // maintenance reads ONLY readTxChanges between versions — the lake
+    // is the changelog source, no separate CDC stream
+    def rows(rs: (Long, Long, String, Double, Boolean)*) =
+      rs.toDF("id", "ver", "g", "v", "del")
+    val root = freshRoot()
+    var state = MaterializedAgg.emptyState(rows(), col("del"))
+    var mv: Option[DataFrame] = None
+    var lastV = -1L
+    def apply(upToV: Long): Unit = {
+      val batch =
+        if (lastV < 0) PkTableSink.readTx(spark, root, rows().drop("del"))
+          .withColumn("del", lit(false))
+        else PkTableSink.readTxChanges(spark, root, lastV, upToV)
+          .withColumn("del", col("_change_type") === "delete")
+          .drop("_change_type")
+      val s = MaterializedAgg.step(state, batch, Seq("id"), Seq(col("ver")), col("del"))
+      state = s.state.localCheckpoint(true)
+      mv = Some(MaterializedAgg.mergeMv(mv,
+        MaterializedAgg.groupDelta(s.signedDelta, Seq("g"), Seq("total" -> col("v"))),
+        Seq("g"), Seq("total")).localCheckpoint(true))
+      lastV = upToV
+    }
+    def mvNow() = mv.get.select("g", "n", "total")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def recompute() = PkTableSink.readTx(spark, root, rows().drop("del"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val v0 = PkTableSink.mergeTx(spark, root,
+      rows((1L, 1L, "a", 10.0, false), (2L, 1L, "a", 5.0, false),
+        (3L, 1L, "b", 7.0, false)),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    apply(v0); assert(mvNow() === recompute())
+    // update moves a key between groups; insert lands in a new group
+    val v1 = PkTableSink.mergeTx(spark, root,
+      rows((1L, 2L, "b", 20.0, false), (4L, 1L, "c", 1.0, false)),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    apply(v1); assert(mvNow() === recompute())
+    // delete retracts; group c vanishes entirely
+    val v2 = PkTableSink.mergeTx(spark, root,
+      rows((4L, 2L, "c", 0.0, true), (2L, 2L, "a", 6.0, false)),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    apply(v2)
+    val end = mvNow()
+    assert(end === recompute())
+    assert(!end.contains("c") && end("a") === ((1L, 6.0)))
+  }
+
   test("re-writing an identical row is silent; a version-only bump reports") {
     val root = freshRoot()
     val v0 = merge(root, (1L, 1L, "a", false), (2L, 1L, "b", false))
