@@ -736,6 +736,25 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B58: EXACT bitmap rollup — B57's workflow with the StarRocks
+    // BITMAP column type instead of HLL: daily per-type roaring-shaped
+    // bitmaps (functions.Rbm) are the stored pre-aggregate and the
+    // total is BITMAP_UNION_COUNT over bitmap rows — exact, so unlike
+    // the sketch twin this is fully oracle-checkable. Re-aggregation
+    // shuffles bitmap-sized state (∝ occupied 2¹⁶ buckets), never the
+    // raw events.
+    "q_bitmap_rollup" -> { (s, dir) =>
+      import graft.functions.Rbm
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(Rbm.rbmOf(col("user_id")).as("bm"), count(lit(1)).as("n"))
+      daily.groupBy(col("event_type"))
+        .agg(Rbm.rbmUnionCount(col("bm")).as("n_users"),
+          sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+        .orderBy(col("event_type"))
+    },
+
     // B50: deterministic mode + exact median per group. Library mode()
     // tie-breaking is engine-specific, so the mode is the explicit
     // (count desc, bucket asc) argmax — one partial-agg'd count pass
@@ -1489,6 +1508,14 @@ object QueriesOlap {
         |         (CAST(bucket - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)), 4) END
         |    AS filled
         |FROM w ORDER BY event_type, bucket""".stripMargin,
+    "q_bitmap_rollup" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id
+        |  FROM events)
+        |SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events,
+        |  count(DISTINCT day) AS n_days
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_regr" ->
       """WITH m AS (SELECT l_returnflag, l_linestatus,
         |  CAST(count(*) AS HUGEINT) AS n,

@@ -180,20 +180,54 @@ object Rbm {
       }
     }
 
-    final override def merge(a: Bm, b: Bm): Bm = {
-      // fold the smaller side into the larger one
-      val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
-      small.foldLeft(big) { case (acc, (bucket, c)) =>
-        acc.get(bucket) match {
-          case Some(c0) =>
-            val m = mergeContainers(c0, c)
-            if (m eq c0) acc else acc.updated(bucket, m)
-          case None => acc.updated(bucket, c)
-        }
-      }
-    }
+    final override def merge(a: Bm, b: Bm): Bm = mergeBm(a, b)
 
     final override def bufferEncoder: Encoder[Bm] = ExpressionEncoder[Bm]()
+  }
+
+  private def mergeBm(a: Bm, b: Bm): Bm = {
+    // fold the smaller side into the larger one
+    val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+    small.foldLeft(big) { case (acc, (bucket, c)) =>
+      acc.get(bucket) match {
+        case Some(c0) =>
+          val m = mergeContainers(c0, c)
+          if (m eq c0) acc else acc.updated(bucket, m)
+        case None => acc.updated(bucket, c)
+      }
+    }
+  }
+
+  /** CANONICAL container ([[canonicalContainer]]: headerless sorted
+    * offsets, or dense words) → build form ([[append]]/
+    * [[mergeContainers]]'s headered shape). Copies, so merge-in-place
+    * never mutates a deserialized input row. Length discriminates
+    * losslessly: canonical arrays hold ≤ [[MaxArrayCap]] = 512 values,
+    * dense is exactly [[DenseWords]] = 1024. */
+  private def buildForm(c: Array[Long]): Array[Long] =
+    if (c.length == DenseWords) c.clone()
+    else {
+      val a = new Array[Long](c.length + 1)
+      a(0) = c.length.toLong
+      System.arraycopy(c, 0, a, 1, c.length)
+      a
+    }
+
+  /** Union-merge of PRE-BUILT bitmaps to an exact distinct count — the
+    * BITMAP_UNION(_COUNT) rollup aggregate StarRocks runs over stored
+    * BITMAP columns: rows are bitmaps (from [[rbmOf]]), never raw ids,
+    * so a rollup re-aggregates sketch-sized state instead of
+    * re-scanning events. Shuffle carries ≤ one bitmap per partition
+    * per group (partial-merge), each bitmap ∝ occupied 2¹⁶ buckets. */
+  class RbmUnionCount extends Aggregator[Bm, Bm, Long] {
+    override def zero: Bm = Map.empty
+    override def reduce(buf: Bm, v: Bm): Bm =
+      mergeBm(buf, v.map { case (k, c) => k -> buildForm(c) })
+    override def merge(a: Bm, b: Bm): Bm = mergeBm(a, b)
+    override def finish(buf: Bm): Long =
+      buf.valuesIterator.map(containerCardinality).sum
+    override def bufferEncoder: Encoder[Bm] = ExpressionEncoder[Bm]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
   /** Returns the canonical compressed bitmap (`map<long, array<long>>`). */
@@ -220,6 +254,9 @@ object Rbm {
 
   /** Aggregate: exact distinct count of `key` via the compressed bitmap. */
   def rbmDistinct(key: Column): Column = udaf(new RbmDistinct).apply(key)
+
+  /** Aggregate over BITMAP rows: union-merged exact distinct count. */
+  def rbmUnionCount(bitmap: Column): Column = udaf(new RbmUnionCount).apply(bitmap)
 
   private def isDense(c: Column): Column = size(c) === DenseWords
 

@@ -86,6 +86,33 @@ class RbmSpec extends SparkSpec {
     assert(hot(3L).length == Rbm.DenseWords)
   }
 
+  test("union of pre-built bitmaps = direct build, any grouping/partitioning") {
+    // ids split across 6 'days' with heavy overlap, spanning sparse and
+    // dense buckets (bucket 0 goes dense via the 0..2000 run)
+    val rows = (0 until 9000).map { i =>
+      val id = if (i < 3000) i.toLong
+        else ((i.toLong * 48271L) % 500000L) | ((i % 3).toLong << 40)
+      (i % 6, id)
+    }
+    val daily = rows.toDF("day", "id").repartition(5)
+      .groupBy("day").agg(Rbm.rbmOf(col("id")).as("bm"))
+    for (parts <- Seq(1, 3, 7)) {
+      val unioned = daily.repartition(parts)
+        .agg(Rbm.rbmUnionCount(col("bm")).as("n")).as[Long].head()
+      assert(unioned === rows.map(_._2).distinct.size.toLong,
+        s"union count wrong at $parts partitions")
+    }
+    // partial-group rollup: per-day bitmaps re-grouped coarser
+    val byPair = rows.toDF("day", "id").repartition(4)
+      .groupBy("day").agg(Rbm.rbmOf(col("id")).as("bm"))
+      .withColumn("half", col("day") % 2)
+      .groupBy("half").agg(Rbm.rbmUnionCount(col("bm")).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val expect = rows.groupBy(_._1 % 2)
+      .map { case (h, rs) => h -> rs.map(_._2).distinct.size.toLong }
+    assert(byPair === expect)
+  }
+
   test("randomized differential vs Set semantics") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 3) {
