@@ -249,7 +249,9 @@ object PkTableSink {
     *   auto-compacting writers not compact twice */
   def compactTx(spark: SparkSession, root: String, writer: String,
                 minDeltas: Int = 0, targetRowsPerFile: Long = 4L << 20,
-                maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L): Long =
+                maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L,
+                bloomCols: Seq[String] = Nil,
+                bloomExpectedPerFile: Long = 1L << 20): Long =
     try TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       val m = requireSingleTable(base.getOrElse(throw new IllegalStateException(
         s"compactTx: no committed version under $root")), root)
@@ -270,6 +272,7 @@ object PkTableSink {
         else merged.repartition(nFiles)
       packed.write.mode(SaveMode.Overwrite).parquet(dataDir)
       ZoneMap.write(spark, dataDir, keyCols)
+      BloomSidecar.write(spark, dataDir, bloomCols, bloomExpectedPerFile)
       TxLog.Prepared(dataDir = dataDir, meta = m.meta, written = Seq(dataDir))
     } catch { case CompactSkip(v) => v }
 
@@ -323,6 +326,36 @@ object PkTableSink {
         written = Seq(dataDir))
     } catch { case CompactSkip(v) => v }
   }
+
+  /** Point lookup on an arbitrary column, BLOOM-SIDECAR pruned — the
+    * [[readTxRangeOn]] twin for columns with no layout correlation
+    * (uuid-ish ids, foreign keys) where zone ranges cannot prune:
+    * scans only the files whose per-file Bloom
+    * ([[BloomSidecar]], written by [[compactTx]] `bloomCols`) may
+    * contain `value` — ~1 + fpp·F of F files. Matching rows are
+    * re-filtered exactly after the scan, so Bloom false positives
+    * cost I/O, never correctness. Same non-key soundness rule as
+    * [[readTxRangeOn]]: prunes only a fully-compacted table, falls
+    * back to the full merge with deltas outstanding. The probe
+    * compares the column's canonical STRING rendering (what the
+    * sidecar inserted), so pass e.g. "42" for a long column.
+    */
+  def readTxPointOn(spark: SparkSession, root: String, schemaOf: => DataFrame,
+                    colName: String, value: String): DataFrame =
+    TxLog.current(spark, root) match {
+      case None => schemaOf.limit(0)
+      case Some(m0) =>
+        val m = requireSingleTable(m0, root)
+        val eq = col(colName).cast("string") === value
+        if (m.deltas.nonEmpty)
+          dropTombstones(mergedTx(spark, m)).where(eq)
+        else {
+          requireNoPartial(m.meta, "readTxPointOn")
+          val files = BloomSidecar.pruneFiles(spark, m.dataDir, colName, value)
+          if (files.isEmpty) schemaOf.limit(0)
+          else dropTombstones(spark.read.parquet(files: _*)).where(eq)
+        }
+    }
 
   /** PARTIAL-COLUMN upsert — the StarRocks primary-key
     * `partial_update` mode (Debezium patch-event shape): `changes`
