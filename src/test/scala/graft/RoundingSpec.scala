@@ -18,7 +18,7 @@ class RoundingSpec extends AnyFunSuite {
     // centroids are iterative → deliberately oracle-less (driver
     // applies its weaker rows-only check; ApproxSpec / KMeansSpec
     // carry the real assertions)
-    val rowsOnly = Set("q_approx_distinct", "q_approx_percentile")
+    val rowsOnly = Set("q_approx_distinct", "q_approx_percentile", "q_hll_rollup")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
