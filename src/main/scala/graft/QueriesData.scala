@@ -206,8 +206,10 @@ object QueriesData {
     },
 
     // C57: edit-distance near-dup pairs — the CHARACTER-level modality
-    // (OCR noise / typo variants): char-trigram SimHash banding blocks
-    // candidates (lossless for hamming ≤ 3), levenshtein verifies
+    // (OCR noise / typo variants): char-6-gram dual SimHash banding
+    // blocks candidates (lossless for hamming ≤ 3 on the banded
+    // fingerprint; order-sensitive grams + a second hash view keep
+    // low-entropy corpora from going quadratic), levenshtein verifies
     // editSim = 1 − lev/maxlen ≥ 0.8 on the blocked set only
     "dedup_editdist" -> { (s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir), col("doc_id"),
@@ -1056,22 +1058,33 @@ object QueriesData {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     // C57: banding is lossless at hamming ≤ 3 (pigeonhole over 4×16-bit
-    // bands), so the oracle replays the SAME semantics as an all-pairs
-    // hamming filter + levenshtein verify — no band replay needed
+    // bands) and the length gate is implied by the final editSim
+    // filter, so the oracle replays the exact semantics as all-pairs
+    // dual-fingerprint hamming + levenshtein verify — no band replay.
+    // 6-grams (order-sensitive), matching the operator default.
     "dedup_editdist" ->
-      s"""WITH tok AS (SELECT doc_id, substr(text, i, 3) AS t
+      s"""WITH tok AS (SELECT doc_id, substr(text, i, 6) AS t
          |  FROM (SELECT doc_id, text,
-         |    unnest(generate_series(1, length(text) - 2)) AS i FROM documents)),
+         |    unnest(generate_series(1, length(text) - 5)) AS i FROM documents)),
          |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS h FROM tok),
+         |h2 AS (SELECT doc_id, CAST('0x' || substr(md5('g2|' || t), 1, 16) AS UBIGINT) AS h FROM tok),
          |bits AS (SELECT doc_id,
          |$simhashBitSums
          |FROM h GROUP BY doc_id),
+         |bits2 AS (SELECT doc_id,
+         |$simhashBitSums
+         |FROM h2 GROUP BY doc_id),
          |sim0 AS (SELECT doc_id, ($simhashAssemble) AS simhash FROM bits),
-         |sim AS (SELECT d.doc_id, COALESCE(s.simhash, 0::UBIGINT) AS simhash
-         |  FROM documents d LEFT JOIN sim0 s USING (doc_id)),
+         |sim20 AS (SELECT doc_id, ($simhashAssemble) AS simhash FROM bits2),
+         |sim AS (SELECT d.doc_id,
+         |  COALESCE(s.simhash, 0::UBIGINT) AS s1,
+         |  COALESCE(s2.simhash, 0::UBIGINT) AS s2
+         |  FROM documents d LEFT JOIN sim0 s USING (doc_id)
+         |  LEFT JOIN sim20 s2 USING (doc_id)),
          |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |  WHERE bit_count(xor(a.s1, b.s1)) <= 3
+         |    AND bit_count(xor(a.s2, b.s2)) <= 3),
          |v AS (SELECT doc_a, doc_b,
          |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
          |  CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS maxlen

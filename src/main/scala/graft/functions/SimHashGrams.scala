@@ -24,21 +24,41 @@ import org.apache.spark.unsafe.types.UTF8String
   * band clean).
   */
 object SimHashGramsImpl {
-  def compute(text: UTF8String, n: Int): Long = {
+  def compute(text: UTF8String, n: Int): Long = compute(text, n, "")
+
+  def compute(text: UTF8String, n: Int, salt: String): Long =
+    compute(text, n, salt, Set.empty[String])
+
+  /** Salted + exclusion variant: h = md5(salt ++ gram), grams in
+    * `excluded` are skipped. Two fingerprints with different salts are
+    * (near-)independent hash views of the same gram multiset — ANDing
+    * their Hamming gates squares the accidental collision probability
+    * while truly similar strings stay close in every view. The
+    * exclusion set carries corpus-COMMON grams (boilerplate,
+    * templates, watermark tags): shared mass that appears in most
+    * documents shifts every bit-sum the same way in every hash view,
+    * collapsing fingerprint variance corpus-wide — removing it is the
+    * idf-weighting / PPJoin-hot-shingle lesson applied to SimHash,
+    * and it restores band entropy on templated corpora. */
+  def compute(text: UTF8String, n: Int, salt: String,
+              excluded: Set[String]): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val counts = new Array[Int](64)
     val cp = text.toString.codePoints().toArray
     var i = 0
     while (i + n <= cp.length) {
-      val gram = new String(cp, i, n)
-      val d = md.digest(gram.getBytes("UTF-8"))
-      var h = 0L
-      var b = 0
-      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-      var j = 0
-      while (j < 64) {
-        counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
-        j += 1
+      val raw = new String(cp, i, n)
+      if (!excluded.contains(raw)) {
+        val gram = salt + raw
+        val d = md.digest(gram.getBytes("UTF-8"))
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        var j = 0
+        while (j < 64) {
+          counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
       }
       i += 1
     }
@@ -53,20 +73,32 @@ object SimHashGramsImpl {
   * whole-stage codegen. Registered as SQL `simhash_grams(text, n)` by
   * GraftExtensions (n must be a literal).
   */
-case class SimHashGrams(child: Expression, n: Int) extends UnaryExpression {
+case class SimHashGrams(child: Expression, n: Int, salt: String = "",
+                        excluded: Set[String] = Set.empty)
+    extends UnaryExpression {
   require(n > 0, s"gram width must be positive, got $n")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_grams"
 
   override def nullSafeEval(input: Any): Any =
-    SimHashGramsImpl.compute(input.asInstanceOf[UTF8String], n)
+    SimHashGramsImpl.compute(input.asInstanceOf[UTF8String], n, salt, excluded)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashGramsImpl.compute($c, $n)")
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // salt is embedded verbatim in generated Java source: keep it to
+    // printable ASCII with no quote/backslash (internal constants only)
+    require(salt.forall(c => c >= ' ' && c <= '~' && c != '"' && c != '\\'),
+      s"unsupported salt for codegen: '$salt'")
+    // the exclusion set rides along as one reference object (the
+    // BloomContains pattern) — no per-row serialization
+    val ref = ctx.addReferenceObj("simhashExcl", excluded,
+      "scala.collection.immutable.Set")
+    defineCodeGen(ctx, ev,
+      c => s"""graft.functions.SimHashGramsImpl.compute($c, $n, "$salt", $ref)""")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

