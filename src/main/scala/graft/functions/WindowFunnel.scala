@@ -146,8 +146,12 @@ case class WindowFunnelMax(child: Expression, stepNames: Seq[String],
       windowMicros, dedup, firstAnchorOnly)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // NB: the className must be JAVA SOURCE syntax — classOf[Array[_]]
+    // .getName renders the JVM-internal "[Ljava.lang.String;" form,
+    // which Janino cannot parse; the cast then fails to compile and
+    // every caller silently falls back to interpreted eval
     val stepsRef = ctx.addReferenceObj("funnelSteps", stepArr,
-      classOf[Array[String]].getName)
+      "java.lang.String[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.WindowFunnelImpl.depth($c, $stepsRef, ${windowMicros}L, $dedup, $firstAnchorOnly)")
   }
