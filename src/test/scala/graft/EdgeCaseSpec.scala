@@ -22,6 +22,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.simhash32(tiny, col("doc_id"), col("text")).count() == 2)
     assert(Dedup.duplicateClusters(
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    assert(Dedup.editDistancePairs(emptyDocs, col("doc_id"), col("text"))
+      .count() == 0)
+    // shorter than the gram width → fingerprint 0 for both → banded
+    // together, verified by editSim ("one"/"two" at lev 3 of len 3
+    // fails 0.8; identical empties pass via the 0/0 guard)
+    val short = Seq((1L, "one"), (2L, "two"), (3L, ""), (4L, ""))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(short, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((3L, 4L)))
   }
 
   test("r2 ops tolerate empty inputs") {
