@@ -29,6 +29,29 @@ object EventStream {
         col("window.end").as("window_end"),
         col(typeCol), col("n"), col("sum_value"))
 
+  /** Tumbling-window EXACT distinct users per type via the compressed
+    * bitmap aggregate — the realtime StarRocks BITMAP rollup
+    * (`bitmap_union_count` in a materialized view over a stream):
+    * streaming `count(DISTINCT …)` is unsupported by design (per-key
+    * value state is unbounded), `approx_count_distinct` trades
+    * exactness, and the bitmap aggregator closes the gap — its state
+    * per (window, type) is one roaring-shaped bitmap ∝ distinct ids
+    * in compressed form (dense 2¹⁶ blocks cap at 8 KB each), it
+    * merges associatively across partials/batches, and the watermark
+    * expires whole windows. Emits exact distincts continuously.
+    */
+  def bitmapDistinctStream(events: DataFrame, tsCol: String, typeCol: String,
+                           idCol: String, window: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(typeCol))
+      .agg(graft.functions.Rbm.rbmDistinct(col(idCol)).as("n_distinct"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(typeCol), col("n_distinct"), col("n"))
+
   /** Gap-based session windows per key (the streaming twin of the
     * batch sessionization query): a session closes after `gap` of
     * inactivity; state is bounded by the watermark.

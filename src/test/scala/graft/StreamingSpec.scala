@@ -86,6 +86,35 @@ class StreamingSpec extends SparkSpec {
       && r.getLong(2) == 1L))
   }
 
+  test("streaming bitmap distinct: exact per-window distincts, duplicates collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "event_type", "user_id")
+    val agg = EventStream.bitmapDistinctStream(df, "ts", "event_type", "user_id",
+      window = "1 hour", watermark = "2 hours")
+    val q = agg.writeStream.format("memory").queryName("bm_distinct")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 7 appears 3× in the 00:00 click window (twice in one batch,
+    // once cross-batch) and again in the 01:00 window — distinct is
+    // per WINDOW; ids straddle a 2^16 bucket boundary (65535/65536)
+    input.addData((t(0, 5), "click", 7L), (t(0, 10), "click", 7L),
+      (t(0, 20), "click", 65535L), (t(0, 30), "click", 65536L),
+      (t(0, 40), "view", 7L))
+    q.processAllAvailable()
+    input.addData((t(0, 50), "click", 7L), (t(1, 10), "click", 7L))
+    q.processAllAvailable()
+    input.addData((t(9, 0), "click", 0L)) // advance watermark, close windows
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("bm_distinct")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("n_distinct"), col("n"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(rows.contains(("00:00", "click", 3L, 5L))) // 7, 65535, 65536
+    assert(rows.contains(("00:00", "view", 1L, 1L)))
+    assert(rows.contains(("01:00", "click", 1L, 1L)))
+  }
+
   test("streaming dedup: re-deliveries within the watermark are dropped, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
