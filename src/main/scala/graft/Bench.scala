@@ -80,12 +80,35 @@ object Bench {
     val scalingJson = try {
       val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
       // repeated Bench invocations in one driver round reuse a recent
-      // scaling measurement instead of re-paying the scaled pass
+      // scaling measurement instead of re-paying the scaled pass; the
+      // cache key includes the git HEAD SHA so any code change forces
+      // a fresh measurement (stale caches must never mask a regression)
+      val headSha = try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short=12", "HEAD")
+          .directory(new java.io.File(sys.props.getOrElse("user.dir", ".")))
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{12}")) out else "nogit"
+      } catch { case _: Throwable => "nogit" }
       val cache = new java.io.File(
-        s"/tmp/graft_scaling_${factor}_${math.abs(sfDir.hashCode)}.json")
+        s"/tmp/graft_scaling_${factor}_${math.abs(sfDir.hashCode)}_$headSha.json")
       val cacheFreshMs = 2L * 3600 * 1000
+      // a freshly-compiled binary also invalidates (uncommitted edits
+      // share the HEAD sha, so compare against our own code source)
+      val codeMtime = try {
+        val src = Bench.getClass.getProtectionDomain.getCodeSource
+        if (src == null) 0L
+        else {
+          val root = new java.io.File(src.getLocation.toURI).toPath
+          if (java.nio.file.Files.isDirectory(root)) {
+            val walk = java.nio.file.Files.walk(root)
+            try walk.mapToLong(p => p.toFile.lastModified).max.orElse(0L)
+            finally walk.close()
+          } else root.toFile.lastModified
+        }
+      } catch { case _: Throwable => 0L }
       if (factor <= 1) """"scaling":null"""
-      else if (cache.exists() &&
+      else if (cache.exists() && cache.lastModified() > codeMtime &&
           System.currentTimeMillis() - cache.lastModified() < cacheFreshMs) {
         new String(java.nio.file.Files.readAllBytes(cache.toPath), "UTF-8").trim
       } else {

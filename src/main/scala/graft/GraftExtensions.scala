@@ -33,13 +33,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("simhash_grams"),
       new ExpressionInfo(classOf[SimHashGrams].getName, "simhash_grams"),
-      (children: Seq[Expression]) => SimHashGrams(children(0),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new IllegalArgumentException(
+          s"simhash_grams(text, gramWidth) expects exactly 2 arguments, " +
+            s"got ${children.size}")
+        SimHashGrams(children(0),
         children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
             v.toString.toInt
           case other => throw new IllegalArgumentException(
             s"simhash_grams gram width must be a literal, got $other")
-        })))
+        })
+      }))
     e.injectFunction((
       FunctionIdentifier("opaque"),
       new ExpressionInfo(classOf[Opaque].getName, "opaque"),

@@ -1756,8 +1756,8 @@ object QueriesData {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  md5(CAST(doc_id AS VARCHAR) || ':mix') AS h FROM documents),
         |c AS (SELECT doc_id, lang, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM doc)
         |SELECT lang, doc_id, n_tokens, cum_tokens
         |FROM c JOIN tgt ON lang = tgt.stratum

@@ -67,17 +67,21 @@ object BloomSidecar {
       bloomAgg(col(c).cast("string"), expectedPerFile, fpp).as(s"bloom_$c"))
     val stats = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect() // one row per file in ONE dir — batch-sized
-    val body = stats.flatMap { r =>
-      val fname = new Path(r.getString(0)).getName
-      usable.map { c =>
-        val bytes = r.getAs[Array[Byte]](s"bloom_$c")
-        s"f=$fname\tc=$c\tb=${Base64.getEncoder.encodeToString(bytes)}"
-      }
-    }.sorted.mkString("", "\n", "\n")
+      .orderBy("file") // deterministic sidecar bytes
+      .toLocalIterator() // ~1 MB serialized filter per (file, column):
+    // stream one file's row at a time instead of materializing every
+    // filter (collect) plus a whole-sidecar string on the driver —
+    // at full-compaction scale that's GB, streamed it's one row
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(dir, FileName), true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    try stats.forEachRemaining { r =>
+      val fname = new Path(r.getString(0)).getName
+      usable.sorted.foreach { c =>
+        val bytes = r.getAs[Array[Byte]](s"bloom_$c")
+        val line = s"f=$fname\tc=$c\tb=${Base64.getEncoder.encodeToString(bytes)}\n"
+        out.write(line.getBytes("UTF-8"))
+      }
+    } finally out.close()
   }
 
   /** The sidecar's filters as (file → column → filter), or None when

@@ -131,6 +131,20 @@ class OpsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), "edit dedup must stay banded")
   }
 
+  test("simhash_grams: wrong arity raises a named error, not an index crash") {
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val one = intercept[Throwable] {
+      spark.sql("SELECT simhash_grams('abc')").collect()
+    }
+    assert(msgChain(one).contains("2 arguments"), s"got: ${msgChain(one)}")
+    val three = intercept[Throwable] {
+      spark.sql("SELECT simhash_grams('abc', 3, 4)").collect()
+    }
+    assert(msgChain(three).contains("2 arguments"), s"got: ${msgChain(three)}")
+  }
+
   test("simhash_grams: short strings fingerprint to 0, codepoint windows") {
     val got = spark.range(1)
       .select(

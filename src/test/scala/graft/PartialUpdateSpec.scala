@@ -105,6 +105,25 @@ class PartialUpdateSpec extends SparkSpec {
       .where(col("id") === 9).count() === 1)
   }
 
+  test("a change column absent from the base schema is refused, not buried") {
+    val root = freshRoot(); bootstrap(root)
+    val v0 = TxLog.current(spark, root).get.version
+    // misspelled 'score' — without the guard this would commit values
+    // partialMerge can never read back (unrecoverable after compaction)
+    val e = intercept[IllegalArgumentException] {
+      PkTableSink.mergeTxPartial(spark, root,
+        Seq((1L, 2L, 11L, false)).toDF("id", "ver", "scroe", "del"),
+        Seq("id"), Seq("ver"), "del", writer = "w")
+    }
+    assert(e.getMessage.contains("scroe"), s"message should name the column: $e")
+    assert(e.getMessage.contains("score"), s"message should list known columns: $e")
+    // the failed attempt must not have advanced the version
+    assert(TxLog.current(spark, root).get.version === v0)
+    assert(readRows(root) === Set(
+      (1L, 1L, Some("a"), Some(10L)), (2L, 1L, Some("b"), Some(20L)),
+      (3L, 1L, Some("c"), Some(30L))))
+  }
+
   test("deleted keys survive compaction as tombstones (no straggler resurrection)") {
     val root = freshRoot(); bootstrap(root)
     PkTableSink.mergeTxPartial(spark, root,
