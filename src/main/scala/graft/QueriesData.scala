@@ -184,15 +184,18 @@ object QueriesData {
       val clusters = Dedup.duplicateClusters(pairs) // (doc_id, cluster)
       val quality = TextAnalysis.qualityScore(d, col("doc_id"), col("text"))
         .select(col("doc_id"), col("quality"))
-      val members = d.select(col("doc_id"))
-        .join(clusters, Seq("doc_id"), "left")
+      // ONE pass over the corpus: the checkpointed (small) clusters
+      // frame broadcast-joins onto the quality scan, and the
+      // per-cluster argmax is a hash AGGREGATE (max_by on a
+      // (quality, -doc_id) ordering key) — no per-partition sort, and
+      // partial aggregation runs map-side, unlike a row_number window
+      val members = quality.join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
-        .join(quality, "doc_id")
-      val w = Window.partitionBy(col("cluster"))
-        .orderBy(col("quality").desc, col("doc_id"))
-      members.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("cluster"), col("doc_id").as("keep_id"), col("quality"))
+      members.groupBy(col("cluster"))
+        .agg(max_by(struct(col("doc_id"), col("quality")),
+          struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("cluster"), col("b.doc_id").as("keep_id"),
+          col("b.quality").as("quality"))
         .orderBy(col("cluster"))
     },
 

@@ -52,6 +52,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("dedup_keep_best: per-cluster argmax aggregates with a partial phase, no corpus window") {
+    val p = plan("dedup_keep_best")
+    assert(p.contains("partial_max_by"))
+    assert(!p.contains("Window"))
+  }
+
   test("dedup_embedding: cosine uses the native double_dot expression, not HOF lambdas") {
     val p = plan("dedup_embedding")
     assert(p.contains("double_dot("))
