@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -29,8 +29,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * against the source): group-bys must be bare columns, aggregates
   * must be count(literal) / sum / min / max over bare columns, the
   * aggregate must sit directly on the scan (optionally through a
-  * column-pruning Project) — a Filter underneath disqualifies, since
-  * MV rows pre-aggregated the unfiltered source.
+  * column-pruning Project). A Filter underneath the aggregate is
+  * allowed ONLY when its predicate references MV group columns
+  * exclusively (the date-partition-pruning shape: `WHERE dt BETWEEN …
+  * GROUP BY region`): such a predicate is constant within every MV
+  * group, so filtering MV rows is exactly filtering source rows before
+  * aggregation — the rewrite re-applies it ABOVE the MV scan. Any
+  * predicate touching a non-group column disqualifies, since MV rows
+  * pre-aggregated the unfiltered source.
   *
   * Freshness: [[register]] pins the MV's CURRENT file listing (the
   * Delta/Iceberg snapshot-pinning convention); after refreshing the MV
@@ -94,12 +100,18 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The scan under the aggregate, looking through a column-pruning
-    * Project (bare attributes only). */
-  private def scanOf(child: LogicalPlan): Option[LogicalPlan] = child match {
-    case r: LogicalRelation => Some(r)
-    case Project(projList, r: LogicalRelation)
-        if projList.forall(_.isInstanceOf[AttributeReference]) => Some(r)
-    case _ => None
+    * Project (bare attributes only) and at most one deterministic
+    * Filter. Returns (filter condition if any, scan). */
+  private def scanOf(child: LogicalPlan): Option[(Option[Expression], LogicalPlan)] = {
+    def bare(pl: Seq[NamedExpression]) = pl.forall(_.isInstanceOf[AttributeReference])
+    child match {
+      case r: LogicalRelation => Some((None, r))
+      case Project(pl, r: LogicalRelation) if bare(pl) => Some((None, r))
+      case Filter(c, r: LogicalRelation) => Some((Some(c), r))
+      case Project(pl, Filter(c, r: LogicalRelation)) if bare(pl) => Some((Some(c), r))
+      case Filter(c, Project(pl, r: LogicalRelation)) if bare(pl) => Some((Some(c), r))
+      case _ => None
+    }
   }
 
   /** What one query aggregate computes, if it is a re-aggregable kind
@@ -128,15 +140,26 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg @ Aggregate(ges, aes, child, _) =>
         (for {
-          scan <- scanOf(child)
+          (filterOpt, scan) <- scanOf(child)
           path <- sourceOf(scan)
           mv <- lookup(path)
-          rewritten <- tryRewrite(agg, ges, aes, mv)
+          rewritten <- tryRewrite(agg, ges, aes, filterOpt, mv)
         } yield rewritten).getOrElse(agg)
     }
 
+  /** A filter under the aggregate is rewritable iff every column it
+    * reads is an MV GROUP column (then it is constant per group:
+    * applying it to MV rows ≡ applying it to source rows before the
+    * aggregation), it is deterministic, and it carries no subquery. */
+  private def filterRewritable(cond: Expression, mv: MvDef): Boolean =
+    cond.deterministic &&
+      !cond.exists(_.isInstanceOf[PlanExpression[_]]) &&
+      cond.references.forall(a => mv.groupCols.contains(a.name))
+
   private def tryRewrite(agg: Aggregate, ges: Seq[Expression],
-                         aes: Seq[NamedExpression], mv: MvDef): Option[LogicalPlan] = {
+                         aes: Seq[NamedExpression], filterOpt: Option[Expression],
+                         mv: MvDef): Option[LogicalPlan] = {
+    filterOpt.foreach(c => if (!filterRewritable(c, mv)) return None)
     // group-bys must be bare source columns
     val groupNames = ges.map {
       case a: AttributeReference => a.name
@@ -155,6 +178,13 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
 
+    // the (group-column-only) source filter, re-anchored on the MV scan
+    val mvChild: LogicalPlan = filterOpt match {
+      case Some(c) =>
+        Filter(c.transform { case a: AttributeReference => mvAttr(a.name) }, mvPlan)
+      case None => mvPlan
+    }
+
     // map every query output to an MV expression, preserving exprIds
     def mvColFor(kind: AggKind): Option[Attribute] =
       mv.aggs.collectFirst { case (c, k) if k == kind => mvAttr(c) }
@@ -169,7 +199,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Alias(src, name)(exprId = al.exprId)
         case _ => return None
       }
-      Some(Project(projected, mvPlan))
+      Some(Project(projected, mvChild))
     } else {
       val rolled = aes.map {
         case a: AttributeReference if groupNames.contains(a.name) =>
@@ -193,7 +223,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => return None
       }
       val newGes = groupNames.map(mvAttr(_))
-      Some(Aggregate(newGes, rolled, mvPlan, None))
+      Some(Aggregate(newGes, rolled, mvChild, None))
     }
   }
 }

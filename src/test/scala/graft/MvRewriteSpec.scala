@@ -98,6 +98,47 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("group-column filter rewrites onto the MV (partition-pruning shape)") {
+    MvRewrite.clear()
+    // the "date-partitioned MV" shape: predicate on an MV group column
+    // only → constant per group → re-applied above the MV scan
+    def exactFiltered(): DataFrame =
+      spark.read.parquet(srcPath)
+        .where(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+        .orderBy(col("o_orderpriority"))
+    def rollupFiltered(): DataFrame =
+      spark.read.parquet(srcPath)
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("m"))
+        .orderBy(col("o_orderstatus"))
+    val exactBase = exactFiltered().collect().toSeq
+    val rollupBase = rollupFiltered().collect().toSeq
+    val mvDir = buildMv()
+    registerMv(mvDir)
+    try {
+      val q1 = exactFiltered()
+      assert(scansMv(q1, mvDir), s"filtered exact match did not scan the MV:\n${q1.queryExecution}")
+      assert(!q1.queryExecution.executedPlan.toString.contains("HashAggregate"),
+        "exact-match rewrite should stay aggregate-free under a group-column filter")
+      assert(q1.queryExecution.optimizedPlan.toString.contains("Filter"),
+        "the group-column predicate must survive above the MV scan")
+      assert(q1.collect().toSeq == exactBase)
+
+      val q2 = rollupFiltered()
+      assert(scansMv(q2, mvDir), s"filtered rollup did not scan the MV:\n${q2.queryExecution}")
+      val got = q2.collect().toSeq
+      assert(got.size == rollupBase.size)
+      got.zip(rollupBase).foreach { case (g, b) =>
+        assert(g.getString(0) == b.getString(0))
+        assert(g.getLong(1) == b.getLong(1))
+        assert(g.getDouble(2) == b.getDouble(2))
+      }
+    } finally MvRewrite.clear()
+  }
+
   test("scope guards: filters, non-re-aggregable functions, and foreign groupings stay on the source") {
     MvRewrite.clear()
     val mvDir = buildMv()
