@@ -124,10 +124,23 @@ object EventStream {
     * ∝ distinct key cardinality: with no TTL, a key seen once is
     * retained forever (user-id domains are unbounded). For bounded
     * total state pass `stateTtlMs > 0` — keys idle longer than the TTL
-    * (processing time) are evicted; a key that reappears after
-    * eviction restarts its funnel from the post-eviction events, the
-    * standard retention trade-off. Depth evaluation is the shared
-    * native kernel ([[graft.functions.WindowFunnelImpl.depthArrays]]).
+    * are evicted; a key that reappears after eviction restarts its
+    * funnel from the post-eviction events, the standard retention
+    * trade-off.
+    *
+    * TTL clock: with `eventTimeWatermark = None` the TTL is PROCESSING
+    * time — right for a live feed, wrong for a backfill (replaying
+    * years of history in hours would never expire anything, or a
+    * paused query would expire everything). Passing
+    * `eventTimeWatermark = Some("10 minutes")` sets a watermark of
+    * that delay on `tsCol` and switches the TTL to EVENT time: a key
+    * is evicted once the watermark (max observed event time − delay)
+    * passes its newest event + `stateTtlMs` — the same clock the data
+    * itself advances, so a multi-year backfill replayed in an hour
+    * expires state exactly as the live run would have
+    * (dropDuplicatesWithinWatermark's semantics, applied to the
+    * funnel's state). Depth evaluation is the shared native kernel
+    * ([[graft.functions.WindowFunnelImpl.depthArrays]]).
     *
     * Input columns: key (long), ts (timestamp), et (string).
     */
@@ -135,22 +148,30 @@ object EventStream {
                         typeCol: String, steps: Seq[String], windowMicros: Long,
                         dedup: Boolean = false,
                         maxEventsPerKey: Int = 10000,
-                        stateTtlMs: Long = 0L): org.apache.spark.sql.Dataset[(Long, Long)] = {
+                        stateTtlMs: Long = 0L,
+                        eventTimeWatermark: Option[String] = None): org.apache.spark.sql.Dataset[(Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
     val stepArr = steps.toArray
-    events
+    val eventTtl = eventTimeWatermark.isDefined && stateTtlMs > 0
+    val src = eventTimeWatermark.fold(events)(d => events.withWatermark(tsCol, d))
+    // the watermarked timestamp column must reach the stateful
+    // operator's input for EventTimeTimeout (the checker tracks the
+    // marked attribute) — carried alongside its micros rendering
+    src
       .select(col(keyCol).cast("long").as("k"),
-        unix_micros(col(tsCol)).as("t"), col(typeCol).as("et"))
+        unix_micros(col(tsCol)).as("t"), col(typeCol).as("et"),
+        col(tsCol).as("wm"))
       .where(col("et").isin(steps: _*))
-      .as[(Long, Long, String)]
+      .as[(Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, (Long, Long)](
         OutputMode.Update(),
-        if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        if (eventTtl) GroupStateTimeout.EventTimeTimeout()
+        else if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
         else GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[(Long, Long, String)],
+        (key: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
          state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -165,7 +186,12 @@ object EventStream {
               ts, ets, ts.length, stepArr, windowMicros, dedup,
               firstAnchorOnly = true)
             state.update(FunnelState(ts.toSeq, ets.toSeq, depth))
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            if (eventTtl)
+              // newest event (micros→ms) + TTL, clamped past the current
+              // watermark — Spark rejects a timeout at/behind it
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1, ts.last / 1000 + stateTtlMs))
+            else if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             if (depth != prev.depth) Iterator.single((key, depth)) else Iterator.empty
           }
       }
@@ -182,29 +208,35 @@ object EventStream {
     *
     * Same state bounds as [[funnelDepthStream]]: only open/close-typed
     * events are stored, `maxEventsPerKey` caps a key at its EARLIEST n
-    * events, and `stateTtlMs > 0` adds a processing-time TTL for
-    * unbounded key cardinality.
+    * events, and `stateTtlMs > 0` adds a TTL for unbounded key
+    * cardinality — processing-time by default, EVENT-time (watermark
+    * eviction, backfill-correct) when `eventTimeWatermark` is set, as
+    * documented on [[funnelDepthStream]].
     */
   def sequenceCountStream(events: DataFrame, keyCol: String, tsCol: String,
                           tieCol: String, typeCol: String,
                           openType: String, closeType: String,
                           maxEventsPerKey: Int = 10000,
-                          stateTtlMs: Long = 0L): org.apache.spark.sql.Dataset[(Long, Long)] = {
+                          stateTtlMs: Long = 0L,
+                          eventTimeWatermark: Option[String] = None): org.apache.spark.sql.Dataset[(Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val eventTtl = eventTimeWatermark.isDefined && stateTtlMs > 0
+    val src = eventTimeWatermark.fold(events)(d => events.withWatermark(tsCol, d))
+    src
       .select(col(keyCol).cast("long").as("k"),
         unix_micros(col(tsCol)).as("t"), col(tieCol).cast("long").as("tie"),
-        col(typeCol).as("et"))
+        col(typeCol).as("et"), col(tsCol).as("wm"))
       .where(col("et").isin(openType, closeType))
-      .as[(Long, Long, Long, String)]
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SeqCountState, (Long, Long)](
         OutputMode.Update(),
-        if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        if (eventTtl) GroupStateTimeout.EventTimeTimeout()
+        else if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
         else GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+        (key: Long, rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
          state: GroupState[SeqCountState]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -224,7 +256,11 @@ object EventStream {
             }
             state.update(SeqCountState(merged.map(_._1), merged.map(_._2),
               merged.map(_._3), cnt))
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            if (eventTtl)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1,
+                merged.last._1 / 1000 + stateTtlMs))
+            else if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             if (cnt != prev.cnt) Iterator.single((key, cnt)) else Iterator.empty
           }
       }

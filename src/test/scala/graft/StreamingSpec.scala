@@ -418,6 +418,73 @@ class StreamingSpec extends SparkSpec {
     assert(want == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("event-time TTL evicts funnel state by the DATA's clock, not wall time") {
+    // a multi-year backfill replayed in seconds: processing-time TTL
+    // would never fire here — the whole replay is one wall-clock
+    // instant — but the watermark advances with the events, so a key
+    // idle for > TTL of EVENT time restarts from scratch
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, t: String, et: String) = (u, java.sql.Timestamp.valueOf(t), et)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val depths = EventStream.funnelDepthStream(
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", Seq("signup", "click", "purchase"),
+      windowMicros = 3600L * 1000000,
+      stateTtlMs = 60000L, // 60 s of EVENT time
+      eventTimeWatermark = Some("10 seconds"))
+    val q = depths.toDF("user_id", "depth")
+      .writeStream.format("memory").queryName("funnel_ettl")
+      .outputMode("update").start()
+    // u1 reaches depth 2, then goes idle in event time
+    input.addData(ev(1, "2024-01-01 09:00:00", "signup"),
+      ev(1, "2024-01-01 09:00:01", "click"))
+    q.processAllAvailable()
+    // u2 advances the watermark far past u1's newest event + TTL …
+    input.addData(ev(2, "2024-01-01 10:00:00", "signup")); q.processAllAvailable()
+    // … and the next batch fires u1's event-time timeout (eviction)
+    input.addData(ev(2, "2024-01-01 10:00:05", "click")); q.processAllAvailable()
+    // u1 reappears: with state evicted this is a FRESH depth-1 funnel;
+    // had state survived, the old signup anchor would keep depth 2 and
+    // nothing would be emitted (update mode suppresses no-change)
+    input.addData(ev(1, "2024-01-01 10:00:20", "signup")); q.processAllAvailable()
+    q.stop()
+    val emits = spark.table("funnel_ettl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(emits.take(1) == Seq((1L, 2L)), s"pre-idle depth: $emits")
+    assert(emits.last == (1L, 1L),
+      s"u1 should restart at depth 1 after event-time eviction: $emits")
+  }
+
+  test("event-time TTL evicts sequence-count state on watermark passage") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, t: String, id: Long, et: String) =
+      (u, java.sql.Timestamp.valueOf(t), id, et)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val counts = EventStream.sequenceCountStream(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type", "signup", "purchase",
+      stateTtlMs = 60000L, eventTimeWatermark = Some("10 seconds"))
+    val q = counts.toDF("user_id", "n")
+      .writeStream.format("memory").queryName("seq_ettl")
+      .outputMode("update").start()
+    input.addData(ev(1, "2024-01-01 09:00:00", 1L, "signup"),
+      ev(1, "2024-01-01 09:01:00", 2L, "purchase"))
+    q.processAllAvailable() // u1 count = 1
+    input.addData(ev(2, "2024-01-01 10:00:00", 3L, "signup")); q.processAllAvailable()
+    input.addData(ev(2, "2024-01-01 10:00:05", 4L, "signup")); q.processAllAvailable()
+    // an unpaired close after eviction: fresh state folds to 0 and
+    // EMITS it (0 ≠ initial -1); surviving state would have stayed at
+    // 1 (S@9:00 already consumed by P@9:01, lone P pairs nothing) and
+    // emitted nothing
+    input.addData(ev(1, "2024-01-01 10:30:00", 5L, "purchase")); q.processAllAvailable()
+    q.stop()
+    val emits = spark.table("seq_ettl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(emits.take(1) == Seq((1L, 1L)), s"pre-idle count: $emits")
+    assert(emits.last == (1L, 0L),
+      s"u1 should restart at count 0 after event-time eviction: $emits")
+  }
+
   test("streaming bounded top-k keeps exact leaders across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Double, Long)]
