@@ -138,6 +138,10 @@ object PkTableSink {
   // manifest meta keys persisting the merge configuration
   private val MetaKeys = "keys"
   private val MetaVers = "vers"
+  // sidecar configuration carried in the manifest so maintenance
+  // (auto-compaction) and reads keep pruning without re-passing it
+  private val MetaBloom = "bloom"
+  private val MetaStats = "stats"
   // per-commit layering order for the read-time merge: among EQUAL
   // versions of a key, the later commit wins (deterministic, where
   // copy-on-write tie-break was unspecified)
@@ -187,12 +191,27 @@ object PkTableSink {
     *   any real flush)
     * @param compactAfterDeltas fold deltas into a new base once this
     *   many layers accumulate (post-commit, its own transaction);
-    *   `Int.MaxValue` disables — run [[compactTx]] as maintenance */
+    *   `Int.MaxValue` disables — run [[compactTx]] as maintenance
+    * @param bloomCols non-key columns to index with a per-file Bloom
+    *   sidecar on EVERY written dir — deltas included, so point
+    *   lookups ([[readTxPointOn]]) stay pruned while a hot table has
+    *   deltas outstanding. Persisted in the manifest; later commits
+    *   and auto-compaction inherit it when they pass Nil.
+    * @param statsCols non-key columns recorded in every dir's zone-map
+    *   sidecar (range-pruning twin of `bloomCols`, for
+    *   [[readTxRangeOn]] on a delta-outstanding table); inherited the
+    *   same way
+    * @param bloomExpectedPerFile per-file Bloom capacity for DELTA
+    *   dirs (batch-sized files — compaction sizes its own from
+    *   `targetRowsPerFile`) */
   def mergeTx(spark: SparkSession, root: String, changes: DataFrame,
               keyCols: Seq[String], versionCols: Seq[String], deleteFlag: String,
               writer: String, maxAttempts: Int = 5,
               recoverTornAfterMs: Long = 60000L,
-              compactAfterDeltas: Int = 32): Long = {
+              compactAfterDeltas: Int = 32,
+              bloomCols: Seq[String] = Nil,
+              statsCols: Seq[String] = Nil,
+              bloomExpectedPerFile: Long = 1L << 16): Long = {
     // one row per key per delta: read-time merge cost scales with keys
     // TOUCHED per commit, not rows ingested
     val chg = PkTable.latestPerKey(
@@ -200,6 +219,26 @@ object PkTableSink {
         .drop(deleteFlag),
       keyCols, versionCols.map(col))
     val meta = metaOf(keyCols, versionCols)
+    def sidecarMeta(prev: Map[String, String]): Map[String, String] = {
+      // a commit passing Nil inherits the table's recorded sidecar
+      // config instead of silently dropping it from the manifest
+      val b = if (bloomCols.nonEmpty) Some(bloomCols.mkString(","))
+              else prev.get(MetaBloom)
+      val s = if (statsCols.nonEmpty) Some(statsCols.mkString(","))
+              else prev.get(MetaStats)
+      b.map(MetaBloom -> _).toMap ++ s.map(MetaStats -> _).toMap
+    }
+    def writeSidecars(dir: String, m: Map[String, String]): Unit = {
+      ZoneMap.write(spark, dir,
+        keyCols ++ m.get(MetaStats).map(_.split(",").toSeq).getOrElse(Nil))
+      // the first key column rides along in every delta's bloom: a
+      // sparse delta (keys scattered across the domain) zone-covers
+      // almost any candidate range, but a POINT candidate can still be
+      // bloom-rejected per file (see readTxPointOn pass 2)
+      m.get(MetaBloom).foreach(bc =>
+        BloomSidecar.write(spark, dir, (bc.split(",").toSeq :+ keyCols.head).distinct,
+          bloomExpectedPerFile))
+    }
     val v = TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       val next = base.map(_.version + 1).getOrElse(0L)
       // unique nonce: two writers (even misconfigured with the SAME
@@ -210,8 +249,9 @@ object PkTableSink {
         case None =>
           val dataDir = s"$root/t$next-$writer-$nonce"
           chg.write.mode(SaveMode.Overwrite).parquet(dataDir)
-          ZoneMap.write(spark, dataDir, keyCols)
-          TxLog.Prepared(dataDir = dataDir, meta = meta, written = Seq(dataDir))
+          val fullMeta = meta ++ sidecarMeta(Map.empty)
+          writeSidecars(dataDir, fullMeta)
+          TxLog.Prepared(dataDir = dataDir, meta = fullMeta, written = Seq(dataDir))
         case Some(m) =>
           requireNoPartial(m.meta, "mergeTx") // meta replace would drop pcols
           m.meta.get(MetaKeys).foreach(k => require(k == meta(MetaKeys) &&
@@ -220,9 +260,10 @@ object PkTableSink {
               s"(stored keys=$k vers=${m.meta(MetaVers)})"))
           val deltaDir = s"$root/d$next-$writer-$nonce"
           chg.write.mode(SaveMode.Overwrite).parquet(deltaDir)
-          ZoneMap.write(spark, deltaDir, keyCols)
+          val fullMeta = meta ++ sidecarMeta(m.meta)
+          writeSidecars(deltaDir, fullMeta)
           TxLog.Prepared(dataDir = m.dataDir, deltas = m.deltas :+ deltaDir,
-            meta = meta, written = Seq(deltaDir))
+            meta = fullMeta, written = Seq(deltaDir))
       }
     }
     if (TxLog.current(spark, root).exists(_.deltas.size >= compactAfterDeltas))
@@ -271,13 +312,21 @@ object PkTableSink {
             .sortWithinPartitions(keyCols.map(col): _*)
         else merged.repartition(nFiles)
       packed.write.mode(SaveMode.Overwrite).parquet(dataDir)
-      ZoneMap.write(spark, dataDir, keyCols)
+      // sidecar config: explicit args win, else the manifest's record
+      // (written by mergeTx) — auto-compaction keeps a bloom/stats
+      // table pruned without re-passing the columns
+      val effStats = m.meta.get(MetaStats).map(_.split(",").toSeq).getOrElse(Nil)
+      val effBloom = if (bloomCols.nonEmpty) bloomCols
+        else m.meta.get(MetaBloom).map(_.split(",").toSeq).getOrElse(Nil)
+      ZoneMap.write(spark, dataDir, (keyCols ++ effStats).distinct)
       // default filter capacity = the packing target, so each per-file
       // filter is sized for the rows actually landing in it (a fixed
       // smaller default realizes ~25-30% fpp at 4M-row files)
-      BloomSidecar.write(spark, dataDir, bloomCols,
+      BloomSidecar.write(spark, dataDir, effBloom,
         if (bloomExpectedPerFile > 0) bloomExpectedPerFile else targetRowsPerFile)
-      TxLog.Prepared(dataDir = dataDir, meta = m.meta, written = Seq(dataDir))
+      val keptMeta = m.meta ++
+        (if (bloomCols.nonEmpty) Map(MetaBloom -> bloomCols.mkString(",")) else Map.empty)
+      TxLog.Prepared(dataDir = dataDir, meta = keptMeta, written = Seq(dataDir))
     } catch { case CompactSkip(v) => v }
 
   /** [[compactTx]] variant that clusters the rewritten base in
@@ -338,11 +387,25 @@ object PkTableSink {
     * ([[BloomSidecar]], written by [[compactTx]] `bloomCols`) may
     * contain `value` — ~1 + fpp·F of F files. Matching rows are
     * re-filtered exactly after the scan, so Bloom false positives
-    * cost I/O, never correctness. Same non-key soundness rule as
-    * [[readTxRangeOn]]: prunes only a fully-compacted table, falls
-    * back to the full merge with deltas outstanding. The probe
-    * compares the column's canonical STRING rendering (what the
-    * sidecar inserted), so pass e.g. "42" for a long column.
+    * cost I/O, never correctness. The probe compares the column's
+    * canonical STRING rendering (what the sidecar inserted), so pass
+    * e.g. "42" for a long column.
+    *
+    * With DELTAS OUTSTANDING a one-pass bloom prune on a non-key
+    * column is UNSOUND — a pruned-away delta row can supersede (or
+    * tombstone) a matching base row, resurrecting a stale value — so
+    * the hot-table path runs TWO passes, both pruned:
+    *  1. candidate discovery: bloom-pruned files of EVERY layer
+    *     (mergeTx writes per-delta sidecars) are scanned for rows
+    *     matching `value`, aggregated to the candidates' first-key
+    *     bounds (a scalar job ∝ matching files);
+    *  2. key resolution: the zone-map-pruned latest-per-key merge
+    *     over that key range (sound — key zones prune correctly
+    *     through deltas), exact-filtered to `value`.
+    * Any key whose LATEST row matches is bloom-found in pass 1 (no
+    * false negatives) and fully resolved in pass 2; a key whose match
+    * was superseded is eliminated by the final filter. File opens
+    * ≈ 2× the matching files (+ fpp), vs the full O(layers) merge.
     */
   def readTxPointOn(spark: SparkSession, root: String, schemaOf: => DataFrame,
                     colName: String, value: String): DataFrame =
@@ -351,14 +414,59 @@ object PkTableSink {
       case Some(m0) =>
         val m = requireSingleTable(m0, root)
         val eq = col(colName).cast("string") === value
-        if (m.deltas.nonEmpty)
-          dropTombstones(mergedTx(spark, m)).where(eq)
-        else {
-          requireNoPartial(m.meta, "readTxPointOn")
+        requireNoPartial(m.meta, "readTxPointOn")
+        if (m.deltas.isEmpty) {
           val files = BloomSidecar.pruneFiles(spark, m.dataDir, colName, value)
           if (files.isEmpty) schemaOf.limit(0)
           else dropTombstones(spark.read.parquet(files: _*)).where(eq)
+        } else {
+          val keys = m.meta.get(MetaKeys).filter(_.nonEmpty).getOrElse(
+            throw new IllegalStateException(
+              "manifest has deltas but no stored key columns")).split(",").toSeq
+          val vers = m.meta(MetaVers).split(",").toSeq
+          val dirs = m.dataDir +: m.deltas
+          candidateKeyBounds(spark, dirs, keys.head, eq,
+            d => BloomSidecar.pruneFiles(spark, d, colName, value)) match {
+            case None => schemaOf.limit(0)
+            case Some((lo, hi)) =>
+              readPrunedDirs(spark, dirs, keys, vers, lo, hi,
+                keyPointBloom(spark, keys.head, lo, hi)).where(eq)
+          }
         }
+    }
+
+  /** Pass 1 of the delta-outstanding pruned lookups: scan each layer's
+    * sidecar-pruned files for rows matching `cond` and return the
+    * candidates' (min, max) on `keyCol` — None when nothing matches.
+    * One scalar aggregate job over the matching files only. */
+  private def candidateKeyBounds(spark: SparkSession, dirs: Seq[String],
+                                 keyCol: String, cond: org.apache.spark.sql.Column,
+                                 pruned: String => Seq[String]): Option[(Any, Any)] = {
+    val perDir = dirs.flatMap { d =>
+      val files = pruned(d)
+      if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+    }
+    if (perDir.isEmpty) return None
+    val r = perDir.reduce(_ unionByName _).where(cond)
+      .agg(min(col(keyCol)), max(col(keyCol))).head()
+    if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+  }
+
+  /** Per-dir pass-2 refinement for a POINT candidate (lo == hi): a
+    * sparse delta's key zone spans nearly the whole domain, but its
+    * bloom sidecar (mergeTx inserts the first key column) can reject
+    * the single candidate key per file. Identity for true ranges or
+    * dirs without a key filter. */
+  private def keyPointBloom(spark: SparkSession, keyCol: String,
+                            lo: Any, hi: Any): (String, Seq[String]) => Seq[String] =
+    if (lo != hi) (_, fs) => fs
+    else (d, fs) => {
+      // compare by file NAME: zone paths are scheme-less, bloom paths
+      // are fs-qualified URIs — both unique within one dir
+      def nameOf(f: String) = new org.apache.hadoop.fs.Path(f).getName
+      val keep = BloomSidecar.pruneFiles(spark, d, keyCol, String.valueOf(lo))
+        .map(nameOf).toSet
+      fs.filter(f => keep.contains(nameOf(f)))
     }
 
   /** PARTIAL-COLUMN upsert — the StarRocks primary-key
@@ -817,13 +925,18 @@ object PkTableSink {
       }
     }.getOrElse(schemaOf.limit(0))
 
-  // zone-map-pruned latest-per-key merge over an ordered dir list
+  // zone-map-pruned latest-per-key merge over an ordered dir list;
+  // bounds are Any (long/string/double key domains) — the zone probe
+  // uses their canonical string rendering, the row filter a typed lit
   private def readPrunedDirs(spark: SparkSession, dirs: Seq[String],
                              keys: Seq[String], vers: Seq[String],
-                             lo: Long, hi: Long): DataFrame = {
+                             lo: Any, hi: Any,
+                             extraPrune: (String, Seq[String]) => Seq[String] =
+                               (_, fs) => fs): DataFrame = {
     val keyCol = keys.head
     val perDir = dirs.zipWithIndex.flatMap { case (d, i) =>
-      val files = ZoneMap.pruneFiles(spark, d, keyCol, lo.toString, hi.toString)
+      val files = extraPrune(d,
+        ZoneMap.pruneFiles(spark, d, keyCol, lo.toString, hi.toString))
       if (files.isEmpty) None
       else Some(spark.read.parquet(files: _*).withColumn(CommitSeq, lit(i.toLong)))
     }
@@ -868,15 +981,50 @@ object PkTableSink {
       total)
   }
 
+  /** Pruning decision of the TWO-PASS point lookup ([[readTxPointOn]]
+    * with deltas outstanding) on `colName = value`: (pass-1
+    * bloom-matched files, pass-2 key-resolution files, total data
+    * files across the current version's dirs). Runs pass 1's scalar
+    * candidate-bounds job; reads no other row data. For plan asserts
+    * and ops introspection. */
+  def pointPruneStatsOn(spark: SparkSession, root: String, colName: String,
+                        value: String): (Seq[String], Seq[String], Int) = {
+    val m = TxLog.current(spark, root).map(requireSingleTable(_, root))
+      .getOrElse(throw new IllegalStateException(s"no committed version under $root"))
+    val dirs = m.dataDir +: m.deltas
+    val fs = fsOf(spark, m.dataDir)
+    val total = dirs.map(d => fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .count { s =>
+        val n = s.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+      }).sum
+    def bloomed(d: String) = BloomSidecar.pruneFiles(spark, d, colName, value)
+    val pass1 = dirs.flatMap(bloomed)
+    val keyCol = m.meta(MetaKeys).split(",").head
+    val pass2 = candidateKeyBounds(spark, dirs, keyCol,
+      col(colName).cast("string") === value, bloomed) match {
+      case None => Nil
+      case Some((lo, hi)) =>
+        val extra = keyPointBloom(spark, keyCol, lo, hi)
+        dirs.flatMap(d => extra(d, ZoneMap.pruneFiles(
+          spark, d, keyCol, String.valueOf(lo), String.valueOf(hi))))
+    }
+    (pass1, pass2, total)
+  }
+
   /** Range read pruned on an ARBITRARY recorded zone column — the read
     * side of [[compactTxZOrder]] (the clustering columns are exactly
     * the non-key columns worth range-scanning). Zone pruning on a
-    * non-key column is only sound when no delta can supersede a pruned
-    * base row, so this prunes ONLY a fully-compacted table (single
-    * dir); with deltas outstanding it falls back to the full
-    * latest-per-key merge and filters after — correct, just unpruned
-    * (run compaction, then scan). Key-column ranges should use
-    * [[readTxRange]], which prunes correctly through deltas.
+    * non-key column in ONE pass is only sound when no delta can
+    * supersede a pruned base row, so: a fully-compacted table (single
+    * dir) scans just the zone-matching files; a table with DELTAS
+    * OUTSTANDING runs the same two-pass scheme as [[readTxPointOn]] —
+    * zone-pruned candidate discovery over every layer (mergeTx
+    * `statsCols` records the column in per-delta zone maps; a delta
+    * without recorded stats contributes all its batch-sized files,
+    * still correct), then the key-zone-pruned latest-per-key merge
+    * over the candidates' key range, re-filtered exactly. Key-column
+    * ranges should use [[readTxRange]], which prunes correctly
+    * through deltas in one pass.
     */
   def readTxRangeOn(spark: SparkSession, root: String, schemaOf: => DataFrame,
                     zoneCol: String, lo: Long, hi: Long): DataFrame =
@@ -885,14 +1033,24 @@ object PkTableSink {
       case Some(m0) =>
         val m = requireSingleTable(m0, root)
         val range = col(zoneCol).between(lo, hi)
-        if (m.deltas.nonEmpty)
-          dropTombstones(mergedTx(spark, m)).where(range)
-        else {
-          requireNoPartial(m.meta, "readTxRangeOn")
+        requireNoPartial(m.meta, "readTxRangeOn")
+        if (m.deltas.isEmpty) {
           val files = ZoneMap.pruneFiles(spark, m.dataDir, zoneCol,
             lo.toString, hi.toString)
           if (files.isEmpty) schemaOf.limit(0)
           else dropTombstones(spark.read.parquet(files: _*)).where(range)
+        } else {
+          val keys = m.meta.get(MetaKeys).filter(_.nonEmpty).getOrElse(
+            throw new IllegalStateException(
+              "manifest has deltas but no stored key columns")).split(",").toSeq
+          val vers = m.meta(MetaVers).split(",").toSeq
+          val dirs = m.dataDir +: m.deltas
+          candidateKeyBounds(spark, dirs, keys.head, range,
+            d => ZoneMap.pruneFiles(spark, d, zoneCol, lo.toString, hi.toString)) match {
+            case None => schemaOf.limit(0)
+            case Some((kLo, kHi)) =>
+              readPrunedDirs(spark, dirs, keys, vers, kLo, kHi).where(range)
+          }
         }
     }
 
