@@ -21,6 +21,7 @@ class HttpStreamLoadSpec extends SparkSpec {
   private val applied = new ConcurrentHashMap[String, String]() // label → payload
   private val beHits = new AtomicInteger(0)
   private val feHits = new AtomicInteger(0)
+  private val dedupHits = new AtomicInteger(0)
   private val failNext = new AtomicBoolean(false)
   private val sawAuth = new AtomicBoolean(true)
 
@@ -49,9 +50,11 @@ class HttpStreamLoadSpec extends SparkSpec {
       val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       if (failNext.getAndSet(false))
         respond(x, 500, """{"Status":"Fail","Message":"injected"}""")
-      else if (applied.putIfAbsent(label, body) != null)
+      else if (applied.putIfAbsent(label, body) != null) {
+        dedupHits.incrementAndGet()
         respond(x, 200,
           """{"Status":"Label Already Exists","ExistingJobStatus":"FINISHED"}""")
+      }
       else respond(x, 200,
         s"""{"TxnId":${beHits.get()},"Label":"$label","Status":"Success"}""")
     })
@@ -125,6 +128,55 @@ class HttpStreamLoadSpec extends SparkSpec {
     assert(lines.exists(l => l.contains("\"key\":1") && l.contains("a2")) &&
       lines.exists(l => l.contains("\"key\":2")))
     assert(applied.keySet().asScala.forall(_.startsWith("e2e-b")))
+  }
+
+  test("exactly-once across a crash between the sink PUT and the checkpoint commit") {
+    // the production question: the batch's PUTs succeeded, the process
+    // died BEFORE Structured Streaming wrote commits/<epoch> — on
+    // restart the engine replays the same epoch, foreachBatch re-ships
+    // the same labels, and the server's label dedup (not the client)
+    // keeps the table exactly-once
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    applied.clear()
+    implicit val sqlCtx = spark.sqlContext
+    val payload = StructType(Seq(
+      StructField("id", LongType), StructField("seq", LongType),
+      StructField("v", StringType)))
+    def env(id: Long, seq: Long, v: String): String =
+      s"""{"before":null,"after":{"id":$id,"seq":$seq,"v":"$v"},"op":"c","ts_ms":100}"""
+    val ckpt = java.nio.file.Files.createTempDirectory("sl_ckpt").toString
+    val input = MemoryStream[String]
+    input.addData(env(1, 1, "a"), env(2, 1, "b"), env(3, 1, "c"))
+    val cfg = CdcPipeline.Config(payload, keyField = "id", seqField = "seq")
+    def start() = CdcPipeline.toStreamLoadSink(
+        CdcPipeline.stream(input.toDF().withColumnRenamed("value", "json"), "json", cfg),
+        "xonce", loader().transport)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    // the restart must not race q1's teardown on the shared checkpoint
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (spark.streams.active.exists(_.id == q1.id) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val snapshot = new java.util.HashMap(applied)
+    assert(!snapshot.isEmpty, "batch 0 shipped")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt, "commits", "0")))
+    // crash window: PUT done (applied has the chunks), commit marker not
+    // yet durable — simulated by deleting it (plus the local-fs .crc
+    // sidecar, which a real crash would also never leave alone)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "0"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    val dedupBefore = dedupHits.get()
+    val beBefore = beHits.get()
+    val q2 = start(); q2.processAllAvailable(); q2.stop() // replays epoch 0
+    assert(beHits.get() > beBefore,
+      "the replayed epoch must re-PUT its chunks (the client cannot know they landed)")
+    assert(dedupHits.get() > dedupBefore,
+      "the BE must answer Label Already Exists + FINISHED for the replay")
+    assert(applied == snapshot,
+      "server-side label dedup keeps the landed rows exactly-once under replay")
   }
 
   test("a permanent failure surfaces after maxAttempts") {
