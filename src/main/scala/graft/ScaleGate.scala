@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** One-command sf1 oracle gate: build (or reuse) a deterministic 10×
+  * ScaleUp replica of a base corpus, run EVERY SparkEntry query
+  * against it, DuckDB-compare each result with `tools/check.py`, and
+  * emit a machine-readable JSON artifact (`SCALEGATE.json` by default)
+  * in the BENCH/CORRECTNESS shape — N/N green plus the named
+  * exclusion list.
+  *
+  * Usage (the full reproducible recipe, formerly a multi-step manual
+  * one):
+  * {{{
+  *   sbt "runMain graft.ScaleGate"                  # sf0.1 × 10 → /tmp/graft_sf1
+  *   sbt "runMain graft.ScaleGate <src> <work> <replicas> [names]"
+  * }}}
+  *
+  * The DuckDB replay of `bpe_train`'s 36-windowed-CTE oracle over the
+  * ~2M-token sf1 corpus needs ~48 GB of DuckDB working memory (an
+  * oracle-resource bound, not an engine one); the gate passes
+  * `CHECK_DUCKDB_MEMLIMIT=48GB` to check.py, which applies it via
+  * `SET memory_limit`.
+  *
+  * Exclusions are pinned HERE (with reasons, emitted into the
+  * artifact) rather than in prose:
+  *  - `dedup_embedding` — the documented O(n²) correctness baseline;
+  *    its linear twin `dedup_embedding_lsh` runs and must pass;
+  *  - `cdc_schema_widening` — ScaleUp's 8·10⁹ replica key offsets
+  *    exceed the INT range of the query's deliberately-narrow
+  *    pre-widening era (a scaling-harness artifact; the query is
+  *    oracle-green at sf0.01/sf0.1).
+  */
+object ScaleGate {
+
+  val Exclusions: Map[String, String] = Map(
+    "dedup_embedding" ->
+      "by-design O(n^2) correctness baseline; linear twin dedup_embedding_lsh is gated instead",
+    "cdc_schema_widening" ->
+      "ScaleUp replica key offsets exceed the query's deliberately-narrow pre-widening INT era (harness artifact)")
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
+    val artifact = sys.env.getOrElse("SCALEGATE_OUT", "SCALEGATE.json")
+
+    val corpus = s"$work/corpus"
+    val outDir = s"$work/out"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = math.max(8, cpus.toInt)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    ScaleUp.ensure(spark, src, corpus, replicas)
+    val tCorpus = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val execFailed = Verify.dump(spark, corpus, outDir, only,
+      exclude = Exclusions.keySet)
+    val tQueries = (System.nanoTime() - t1) / 1e9
+    spark.stop()
+
+    // DuckDB compare — same harness the driver runs, one process
+    val names = SparkEntry.queries.keySet -- Exclusions.keySet
+    val gated = only.map(_.intersect(names)).getOrElse(names)
+    val t2 = System.nanoTime()
+    val proc = new ProcessBuilder("python3", "tools/check.py", corpus, outDir,
+      gated.toSeq.sorted.mkString(","))
+    proc.environment().put("CHECK_DUCKDB_MEMLIMIT",
+      sys.env.getOrElse("CHECK_DUCKDB_MEMLIMIT", "48GB"))
+    proc.redirectErrorStream(true)
+    val p = proc.start()
+    val checkOut = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.waitFor()
+    val tCheck = (System.nanoTime() - t2) / 1e9
+    print(checkOut)
+
+    // parse "ok   name (N rows)" / "FAIL name: reason" lines
+    val okNames = checkOut.linesIterator
+      .filter(_.startsWith("ok   ")).map(_.drop(5).takeWhile(_ != ' ')).toSet
+    val failLines = checkOut.linesIterator
+      .filter(_.startsWith("FAIL ")).map { l =>
+        val rest = l.drop(5); val i = rest.indexOf(':')
+        if (i < 0) (rest.trim, "") else (rest.take(i), rest.drop(i + 1).trim)
+      }.toMap
+    val failed = (gated -- okNames).map(n =>
+      n -> failLines.getOrElse(n,
+        if (execFailed.contains(n)) "spark execution failed" else "no check result"))
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    def obj(m: Iterable[(String, String)]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ", ", "}")
+    val json =
+      s"""{"gate": "sf${replicas}x", "src": ${q(src)}, "corpus": ${q(corpus)},
+         | "replicas": $replicas, "total": ${gated.size}, "ok": ${okNames.size},
+         | "fail": ${failed.size}, "failed": ${obj(failed)},
+         | "excluded": ${obj(Exclusions)},
+         | "sec_corpus": ${f"$tCorpus%.1f"}, "sec_queries": ${f"$tQueries%.1f"},
+         | "sec_check": ${f"$tCheck%.1f"}}""".stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(artifact), json + "\n")
+    println(s"[scalegate] ${okNames.size}/${gated.size} green; artifact -> $artifact")
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}

@@ -76,7 +76,11 @@ object ScaleUp {
   def ensure(spark: SparkSession, src: String, dst: String, replicas: Int): Unit = {
     require(replicas >= 1, "replicas must be >= 1")
     val done = new java.io.File(s"$dst/_SCALED_OK")
-    if (done.exists()) return
+    // reuse only a corpus built at the SAME replica count — a marker
+    // from a different scale would silently gate against wrong data
+    if (done.exists() &&
+      java.nio.file.Files.readString(done.toPath).trim == s"replicas=$replicas")
+      return
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>

@@ -4,6 +4,31 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run every (filtered) SparkEntry query against `sfDir`, write each
+    * result to `outDir/<name>` parquet plus the oracle map — the body
+    * shared by the driver's per-round gate and [[ScaleGate]]'s sf1
+    * gate. Returns the names that FAILED to execute. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+           only: Option[Set[String]] = None,
+           exclude: Set[String] = Set.empty): Seq[String] = {
+    new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && !exclude.contains(name) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+      }
+    }
+    writeOracleJson(outDir)
+    failed.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter (local
     // iteration; the driver always runs the full set)
@@ -15,16 +40,11 @@ object Verify {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt, maxPartitionBytes = "4m").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    dump(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  private def writeOracleJson(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,6 +60,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

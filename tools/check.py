@@ -14,6 +14,11 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
+# heavy oracles (bpe_train's windowed-CTE replay at sf1) need more than
+# DuckDB's default working-memory cap; the ScaleGate harness sets this
+memlimit = os.environ.get("CHECK_DUCKDB_MEMLIMIT")
+if memlimit:
+    con.sql(f"SET memory_limit='{memlimit}'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     # driver testdata is one file per table; ScaleUp-written corpora are
