@@ -152,6 +152,29 @@ object Bench {
       System.err.println(s"[bench] scaling pass FAILED: ${e.getMessage}")
       """"scaling":null"""
     }
+    // Band-skew telemetry for the banded dedup joins: a LINEAR probe
+    // of each banding's bucket histogram (max occupancy + predicted
+    // candidate pairs), so a degenerate-corpus collapse (the r7
+    // editdist episode) is a number in this artifact, not a hang.
+    val bandSkewJson = try {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      def fmt(s: Dedup.BandSkew) =
+        s"""{"max_occ":${s.maxOccupancy},"buckets":${s.buckets},""" +
+          s""""rows":${s.bandRows},"cand_pairs":${s.candPairs}}"""
+      val lsh = Dedup.bandSkew(
+        Dedup.minhashBandRows(docs, col("doc_id"), col("text")), Seq("band", "bh"))
+      val sh = Dedup.bandSkew(Dedup.simhashBandRows(
+        Dedup.simhash64(docs, col("doc_id"), col("text"))), Seq("band", "bv"))
+      val ed = Dedup.bandSkew(
+        Dedup.editDistanceBandRows(docs, col("doc_id"), col("text")), Seq("band", "bv"))
+      s""""band_skew":{"dedup_minhash_lsh":${fmt(lsh)},""" +
+        s""""dedup_simhash":${fmt(sh)},"dedup_editdist":${fmt(ed)}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] band skew probe FAILED: ${e.getMessage}")
+      """"band_skew":null"""
+    }
     import StreamBench.percentile
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,""" +
@@ -159,7 +182,7 @@ object Bench {
       s""""latency_ms":{"p50":${percentile(insLat, 0.50)},"p95":${percentile(insLat, 0.95)},"p99":${percentile(insLat, 0.99)}},""" +
       s""""delete_propagation_ms":{"p50":${percentile(delLat, 0.50)},"p95":${percentile(delLat, 0.95)}},""" +
       s""""concurrent_load_rows_per_sec":$clRate,"concurrent_load_final_rows":$clFinal,""" +
-      scalingJson + s""","sf":"$sfDir"}""")
+      bandSkewJson + "," + scalingJson + s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

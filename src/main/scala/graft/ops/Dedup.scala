@@ -631,6 +631,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("lev"), col("edit_sim"))
   }
 
+  /** Occupancy skew of one banding's bucket histogram. `candPairs`
+    * (Σ n·(n−1)/2 over buckets) is the band join's output volume
+    * BEFORE the join runs — the degenerate-corpus collapse mode (the
+    * r7 editdist episode: templated text folding most docs into a few
+    * buckets) shows up as maxOccupancy ≈ corpus size and candPairs
+    * ≈ n², detectable by a linear probe instead of by a hang. */
+  final case class BandSkew(maxOccupancy: Long, buckets: Long,
+                            bandRows: Long, candPairs: Long)
+
+  /** Histogram-collapse probe for a band frame: group by the bucket
+    * key, aggregate the occupancy extremes. One linear aggregation —
+    * safe to run even when the join itself would be quadratic. */
+  def bandSkew(bandFrame: DataFrame, keys: Seq[String]): BandSkew = {
+    val r = bandFrame.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")), count(lit(1)), sum(col("n")),
+        sum(col("n") * (col("n") - lit(1)) / lit(2)).cast("long")).head()
+    BandSkew(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** The (id, band, bh) band frame [[minhashLshPairs]] self-joins —
+    * exposed for the bench's skew probe. */
+  def minhashBandRows(df: DataFrame, id: Column, text: Column,
+                      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame =
+    minhashBanded(shingleRows(df, id, text, shingleN), k, bands)
+
+  /** The (id, band, bv) band frame [[simhashPairs]] self-joins. */
+  def simhashBandRows(sim: DataFrame, maxHamming: Int = 3, bits: Int = 64): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    val bandStructs = (0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND((1L << bandBits) - 1).as("bv")))
+    sim.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
+  /** The primary-fingerprint band frame [[editDistancePairs]]
+    * self-joins (the probe-time gates cut candidates further; this
+    * bounds them from above). */
+  def editDistanceBandRows(df: DataFrame, id: Column, text: Column,
+                           gramLen: Int = 6, maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftshim.DatasetShim
+    val sim = df.select(id.as("id"),
+      DatasetShim.column(graft.functions.SimHashGrams(
+        DatasetShim.expression(text), gramLen, "")).as("simhash"))
+    simhashBandRows(sim, maxHamming, 64)
+  }
+
   /** Segment-level boilerplate removal (the CCNet/RefinedWeb
     * paragraph-dedup stage, chunk-segmented for corpora without line
     * structure): a document is cut into consecutive `segLen`-token

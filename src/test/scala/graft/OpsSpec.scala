@@ -545,4 +545,26 @@ class OpsSpec extends SparkSpec {
       .select(col("lang"), col("kl")).as[(String, Double)].collect().toMap
     assert(kls.size == 5 && kls.values.forall(_ >= 0.0), s"got $kls")
   }
+
+  test("band-skew probe surfaces bucket collapse without running the join") {
+    // 4 identical docs collide in EVERY minhash band; 2 unrelated docs
+    // land in their own buckets — the probe must read max occupancy 4
+    // and predict >= bands * C(4,2) candidate pairs, all via one
+    // linear aggregation
+    val docs = (Seq.fill(4)(
+      "the quick brown fox jumps over the lazy dog again and again") ++ Seq(
+      "completely different text about catalyst optimizer rule injection",
+      "another unrelated document mentioning bloom filters and zone maps"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val skew = Dedup.bandSkew(
+      Dedup.minhashBandRows(docs, col("doc_id"), col("text")), Seq("band", "bh"))
+    assert(skew.maxOccupancy == 4, s"collapsed bucket not detected: $skew")
+    assert(skew.bandRows == 6 * 8)
+    assert(skew.candPairs >= 8L * 6 && skew.candPairs < 8L * 6 + 8 * 2,
+      s"pair prediction off: $skew")
+    // and the editdist banding probe agrees on the same corpus
+    val ed = Dedup.bandSkew(
+      Dedup.editDistanceBandRows(docs, col("doc_id"), col("text")), Seq("band", "bv"))
+    assert(ed.maxOccupancy == 4 && ed.candPairs >= 4L * 6, s"editdist probe: $ed")
+  }
 }
