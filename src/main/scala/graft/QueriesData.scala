@@ -639,6 +639,21 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C58: top-k TF-IDF keywords per document (smoothed sklearn idf;
+    // score 4dp-rounded BEFORE ranking so ties replay cross-engine)
+    "text_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // C59: deterministic curriculum ordering — easy-first global
+    // training positions from fixed quality-decile buckets + per-bucket
+    // hash order; no global sort (offsets are a 10-row cumulative sum)
+    "curriculum_order" -> { (s, dir) =>
+      TextAnalysis.curriculumOrder(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("position"))
+    },
+
     // C19: global vocabulary head — top-k tokens by corpus frequency
     "text_top_tokens" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -1403,6 +1418,46 @@ object QueriesData {
          |    + 0.3::DOUBLE * (least(n_tokens, 100)::DOUBLE / 100)
          |    + 0.3::DOUBLE * (1.0::DOUBLE - n_punct::DOUBLE / n_chars), 4) AS quality
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfq.df + 1)) + 1), 4) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM s)
+        |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "curriculum_order" -> {
+      val stop = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH m AS (SELECT doc_id, len(text) AS n_chars,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |  len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS n_stop
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(0.4::DOUBLE * (n_stop::DOUBLE / n_tokens)
+         |    + 0.3::DOUBLE * (least(n_tokens, 100)::DOUBLE / 100)
+         |    + 0.3::DOUBLE * (1.0::DOUBLE - n_punct::DOUBLE / n_chars), 4) AS quality
+         |  FROM m),
+         |b AS (SELECT doc_id, quality,
+         |  least(CAST(floor(quality * 10) AS BIGINT), 9) AS bucket,
+         |  md5(CAST(doc_id AS VARCHAR)) AS h FROM q),
+         |c AS (SELECT bucket, count(*) AS n_bucket FROM b GROUP BY bucket),
+         |o AS (SELECT bucket, CAST(COALESCE(SUM(n_bucket) OVER (
+         |  ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS BIGINT) AS off FROM c),
+         |r AS (SELECT b.doc_id, b.bucket, b.quality,
+         |  CAST(o.off + row_number() OVER (
+         |    PARTITION BY b.bucket ORDER BY b.h, b.doc_id) AS BIGINT) AS position
+         |  FROM b JOIN o USING (bucket))
+         |SELECT position, doc_id, bucket, quality FROM r
+         |ORDER BY position""".stripMargin
     },
     "text_tokens" ->
       """SELECT doc_id,

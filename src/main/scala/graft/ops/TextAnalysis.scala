@@ -368,4 +368,78 @@ object TextAnalysis {
       .agg(max(col("n_l")).as("n_tokens"),
         Rounding.r(sum(col("ti")).cast("double") / 1e10, 4).as("kl"))
   }
+
+  /** Top-k TF-IDF terms per document — the per-doc keyword extraction
+    * every retrieval-ish corpus pipeline carries (BM25's C48 sibling,
+    * but per-document output instead of per-query relevance).
+    * tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1 (the smoothed
+    * sklearn form: never negative, never divides by zero), score =
+    * tf·idf rounded to 4dp BEFORE ranking, so rank ties break on the
+    * rounded value + term text identically in any engine.
+    *
+    * Scale shape: one explode → two hash aggregates (both partial-agg
+    * friendly: (doc,term) then (term)) → a term-keyed join of per-doc
+    * tf rows against the |vocab| df table (AQE picks broadcast when
+    * vocab fits) → per-doc top-k via a row_number window PARTITIONED
+    * by doc (millions of small partitions, never a global sort). The
+    * corpus size N rides in as a broadcast 1-row frame, not a driver
+    * collect.
+    */
+  def tfIdfTopTerms(df: DataFrame, id: Column, text: Column,
+                    topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(id.as("doc_id"), split(text, " ").as("toks"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", Rounding.r(
+        col("tf").cast("double") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0),
+        4))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Deterministic curriculum ordering — the "easy first" training
+    * schedule: documents are bucketed by their composite quality score
+    * (fixed decile cutoffs on [[qualityScore]]'s 4dp value — no global
+    * quantile pass), ordered inside each bucket by a content-free
+    * deterministic hash of the id (so the within-difficulty order is
+    * unbiased and reproducible), and assigned a GLOBAL training
+    * position: bucket offsets are a 10-row cumulative sum, positions
+    * are per-bucket row_numbers plus the bucket's offset.
+    *
+    * Scale shape: no global sort and no global window — the only
+    * windows are partitioned by bucket (10 partitions of the POSITION
+    * assignment, each a streaming row_number over a hash-ordered
+    * shuffle; for 100 TB add the hash prefix to the partition key and
+    * roll offsets per (bucket, prefix) the same way). The curriculum
+    * consumer reads ORDER BY position.
+    */
+  def curriculumOrder(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(df, id, text)
+      .select(col("doc_id"), col("quality"))
+      // quality is already 4dp-rounded: decile cutoffs are exact
+      .withColumn("bucket", least(floor(col("quality") * 10), lit(9L)).cast("long"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    val counts = q.groupBy(col("bucket")).agg(count(lit(1)).as("n_bucket"))
+    val offsets = counts
+      .withColumn("offset",
+        coalesce(sum(col("n_bucket")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    q.join(broadcast(offsets), "bucket")
+      .withColumn("position", col("offset") +
+        row_number().over(Window.partitionBy(col("bucket"))
+          .orderBy(col("h"), col("doc_id"))))
+      .select(col("position"), col("doc_id"), col("bucket"), col("quality"))
+  }
 }
