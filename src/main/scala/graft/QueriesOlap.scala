@@ -755,6 +755,50 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B59: SLIDING-window exact distinct users (2 h windows every
+    // 30 min). The naive form re-shuffles every raw event once per
+    // overlapping window (4× here, 48× for day/half-hour); instead
+    // each 30-min bucket folds to ONE compressed bitmap and only the
+    // bucket bitmaps fan out ×4 and OR-merge per window — exact
+    // distincts with re-aggregation ∝ buckets × overlap, never
+    // ∝ events × overlap. The streaming twin is
+    // EventStream.bitmapDistinctStream with a slide.
+    "q_sliding_distinct" -> { (s, dir) =>
+      import graft.functions.Rbm
+      val bucketed = Tables.events(s, dir)
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "30 minutes"))
+        .agg(Rbm.rbmOf(col("user_id")).as("bm"), count(lit(1)).as("n"))
+        .select(col("window.start").as("bucket"), col("bm"), col("n"))
+      bucketed
+        .select(col("bucket"), col("bm"), col("n"),
+          explode(sequence(lit(0), lit(3))).as("off"))
+        .withColumn("ws", expr("timestampadd(MINUTE, -30 * off, bucket)"))
+        .groupBy(col("ws"))
+        .agg(Rbm.rbmUnionCount(col("bm")).as("n_users"), sum(col("n")).as("n_events"))
+        .select(date_format(col("ws"), TsFmt).as("window_start"),
+          col("n_users"), col("n_events"))
+        .orderBy(col("window_start"))
+    },
+
+    // B60: median absolute deviation — the robust dispersion statistic
+    // (outlier-insensitive where stddev is not). Two exact-percentile
+    // passes: per-group median, broadcast back (group-count-sized),
+    // median of absolute deviations; the percentile aggregate is the
+    // counting-sort form q_percentiles pinned, so both passes stay
+    // hash aggregates.
+    "q_mad" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Rounding.r(percentile(abs(col("l_quantity") - col("med")), lit(0.5)), 4).as("mad"),
+          Rounding.r(max(col("med")), 4).as("median"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // B50: deterministic mode + exact median per group. Library mode()
     // tie-breaking is engine-specific, so the mode is the explicit
     // (count desc, bucket asc) argmax — one partial-agg'd count pass
@@ -1516,6 +1560,24 @@ object QueriesOlap {
         |  count(*) AS n_events,
         |  count(DISTINCT day) AS n_days
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sliding_distinct" ->
+      """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket, user_id
+        |  FROM events),
+        |x AS (SELECT bucket - to_minutes(30 * o) AS ws, user_id
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o) t)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM x GROUP BY ws ORDER BY window_start""".stripMargin,
+    "q_mad" ->
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  round(quantile_cont(abs(l.l_quantity - m.med), 0.5), 4) AS mad,
+        |  round(max(m.med), 4) AS median,
+        |  count(*) AS n
+        |FROM lineitem l JOIN m USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "q_regr" ->
       """WITH m AS (SELECT l_returnflag, l_linestatus,
         |  CAST(count(*) AS HUGEINT) AS n,
