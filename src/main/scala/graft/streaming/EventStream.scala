@@ -39,13 +39,23 @@ object EventStream {
     * in compressed form (dense 2¹⁶ blocks cap at 8 KB each), it
     * merges associatively across partials/batches, and the watermark
     * expires whole windows. Emits exact distincts continuously.
+    *
+    * `slide` < window turns the tumbling windows into SLIDING ones
+    * (the streaming twin of the batch q_sliding_distinct): each event
+    * folds into window/slide overlapping bitmaps, state stays ONE
+    * bitmap per (window, type) — the overlap multiplies compressed
+    * bitmap state, never raw-event state — and the watermark still
+    * expires whole windows.
     */
   def bitmapDistinctStream(events: DataFrame, tsCol: String, typeCol: String,
                            idCol: String, window: String = "1 hour",
-                           watermark: String = "2 hours"): DataFrame =
+                           watermark: String = "2 hours",
+                           slide: Option[String] = None): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(typeCol))
+      .groupBy(slide.fold(
+        org.apache.spark.sql.functions.window(col(tsCol), window))(sl =>
+        org.apache.spark.sql.functions.window(col(tsCol), window, sl)), col(typeCol))
       .agg(graft.functions.Rbm.rbmDistinct(col(idCol)).as("n_distinct"),
         count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"),

@@ -115,6 +115,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("01:00", "click", 1L, 1L)))
   }
 
+  test("streaming SLIDING bitmap distinct: each event counts once per overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "event_type", "user_id")
+    val agg = EventStream.bitmapDistinctStream(df, "ts", "event_type", "user_id",
+      window = "1 hour", watermark = "2 hours", slide = Some("30 minutes"))
+    val q = agg.writeStream.format("memory").queryName("bm_sliding")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // u7 at 00:40 and u8 at 01:10 share ONLY the [00:30,01:30) window;
+    // u7 repeated in both its windows stays distinct per window
+    input.addData((t(0, 40), "click", 7L), (t(0, 45), "click", 7L),
+      (t(1, 10), "click", 8L))
+    q.processAllAvailable()
+    input.addData((t(9, 0), "click", 0L)) // advance watermark
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("bm_sliding")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("n_distinct"), col("n"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(rows.contains(("00:00", "click", 1L, 2L)), s"got $rows") // u7 only
+    assert(rows.contains(("00:30", "click", 2L, 3L)), s"got $rows") // u7 + u8
+    assert(rows.contains(("01:00", "click", 1L, 1L)), s"got $rows") // u8 only
+  }
+
   test("streaming dedup: re-deliveries within the watermark are dropped, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
