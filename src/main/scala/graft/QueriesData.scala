@@ -453,6 +453,41 @@ object QueriesData {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // C60: SEMANTIC decontamination — corpus embeddings whose cosine
+    // to any eval vector (vec_id % 50 = 0, the ann query set) reaches
+    // 0.35, each with its best eval match. Catches the paraphrased
+    // contamination n-gram overlap (C21) cannot. 16 bands × 4 bits
+    // (vs dedup's 8 × 8): recall ~91% at the threshold, and the
+    // 16-bucket band key is safe HERE because the join is asymmetric
+    // corpus×eval — candidate volume is linear in the corpus, so the
+    // small-bucket quadratic that rules 4-bit bands out for self-join
+    // dedup does not apply
+    "decontaminate_embedding" -> { (s, dir) =>
+      Similarity.decontaminateByEmbedding(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), isEval = _ % 50 === 0, threshold = 0.35,
+        nPlanes = 64, bands = 16)
+        .orderBy(col("id"))
+    },
+
+    // C61: LEAKAGE-SAFE split — near-duplicate cluster-mates always
+    // land in the same train/val/test slice (hash the cluster
+    // REPRESENTATIVE, not the doc), so eval rows never have a near-dup
+    // twin in train; singletons hash their own id. Composes C20's
+    // connected components with C41's md5 bucketing (80/10/10 here so
+    // the small corpus populates all three slices)
+    "sample_split_leakage" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+      val clusters = Dedup.duplicateClusters(pairs)
+      val rep = Tables.documents(s, dir).select(col("doc_id"))
+        .join(clusters.withColumnRenamed("cluster", "cl"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("rep"))
+      val bucket = conv(substring(md5(concat(col("rep"), lit(":split"))), 1, 8),
+        16, 10).cast("long") % 10
+      rep.withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+        .orderBy(col("doc_id"))
+    },
+
     // C41: deterministic three-way corpus split — md5-bucketed
     // train/val/test assignment (98/1/1), stable across runs, engines
     // and partitionings, disjoint and exhaustive by construction; the
@@ -1161,6 +1196,39 @@ object QueriesData {
          |SELECT ia AS id_a, ib AS id_b, round(c, 4) AS cos FROM p
          |WHERE round(c, 4) >= 0.4 ORDER BY id_a, id_b""".stripMargin
     },
+    // C60: same banding replay as dedup_embedding_lsh, asymmetric
+    // (corpus vs eval slice) and 16 bands × 4 bits; 4dp rounding
+    // applied BEFORE threshold and argmax, so the rank-1 tie-break
+    // replays identically
+    "decontaminate_embedding" -> {
+      val planes = Similarity.hyperplanes(64, 64)
+      def planeLit(p: Int) =
+        planes(p).map(x => s"${x.toLong}.0").mkString("[", ", ", "]::DOUBLE[]")
+      val bandCols = (0 until 16).map { b =>
+        val terms = (0 until 4).map { j =>
+          val p = b * 4 + j
+          s"(CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString("\n + ")
+        s"($terms) AS bv$b"
+      }.mkString(",\n")
+      val bvCase = (0 until 16).map(b => s"WHEN $b THEN bv$b").mkString(" ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |sig AS (SELECT vec_id, e,
+         |$bandCols
+         |FROM v),
+         |banded AS (SELECT vec_id, e, b, CASE CAST(b AS INT) $bvCase END AS bv
+         |           FROM sig CROSS JOIN range(16) r(b)),
+         |cand AS (SELECT DISTINCT c.vec_id AS id, q.vec_id AS eval_id
+         |         FROM banded c JOIN banded q ON c.b = q.b AND c.bv = q.bv
+         |         WHERE c.vec_id % 50 <> 0 AND q.vec_id % 50 = 0),
+         |p AS (SELECT id, eval_id,
+         |  round(list_dot_product(x.e, y.e) / sqrt(list_dot_product(x.e, x.e) * list_dot_product(y.e, y.e)), 4) AS c
+         |  FROM cand JOIN v x ON id = x.vec_id JOIN v y ON eval_id = y.vec_id),
+         |f AS (SELECT id, eval_id, c,
+         |  row_number() OVER (PARTITION BY id ORDER BY c DESC, eval_id) AS rn
+         |  FROM p WHERE c >= 0.35)
+         |SELECT id, eval_id, c AS cos FROM f WHERE rn = 1 ORDER BY id""".stripMargin
+    },
     // same literal sign planes as the Spark plan; both engines run a
     // sequential-fold dot then one exact *0.25 scale, so values match
     // bit-for-bit before the 6dp export round
@@ -1658,6 +1726,35 @@ object QueriesData {
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id || ':bal'), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 30 ORDER BY lang, rn""".stripMargin,
+    // C61: replays the CC clusters (same reach CTE as dedup_clusters),
+    // then buckets on the cluster representative — cluster-mates get
+    // identical buckets by construction in both engines
+    "sample_split_leakage" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |szd AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+         |tok AS (SELECT doc_id, sz, unnest(s) AS t FROM szd),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+         |    AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 4
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING count(*) * 5 >= (a.sz + b.sz - count(*)) * 4),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |cl AS (SELECT id AS doc_id, min(m) AS cluster FROM reach GROUP BY id),
+         |rep AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |bk AS (SELECT doc_id, rep,
+         |  CAST('0x' || substr(md5(rep || ':split'), 1, 8) AS BIGINT) % 10 AS b
+         |  FROM rep)
+         |SELECT doc_id, rep, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM bk ORDER BY doc_id""".stripMargin,
     "sample_split" ->
       """WITH b AS (SELECT doc_id, text,
         |  CAST('0x' || substr(md5(doc_id || ':split'), 1, 8) AS BIGINT) % 100 AS bk

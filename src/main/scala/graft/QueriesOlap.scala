@@ -135,6 +135,31 @@ object QueriesOlap {
 
     // B9: tumbling 1-hour bucket aggregate (batch twin of the
     // streaming windowed aggregate in streaming/EventStream)
+    // B61: day-over-day retained/new/churned user accounting via
+    // BITMAP set algebra — the StarRocks retained-users pattern: one
+    // compressed Rbm per day (the only row-scale shuffle), then lag +
+    // |A∩B| / |A|−|A∩B| on the bitmap COLUMN itself. The unpartitioned
+    // lag window runs on the post-aggregation frame (one row per day —
+    // tens of rows at any corpus size), never on raw events; the naive
+    // form re-shuffles every event into both its own and the next
+    // day's group
+    "q_bitmap_retention" -> { (s, dir) =>
+      import graft.functions.Rbm
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(Rbm.rbmOf(col("user_id")).as("bm"))
+      val w = Window.orderBy(col("day"))
+      daily.withColumn("prev", lag(col("bm"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          Rbm.cardinality(col("bm")).as("active"),
+          Rbm.cardinality(col("prev")).as("prev_active"),
+          Rbm.andCardinality(col("bm"), col("prev")).as("retained"))
+        .withColumn("new_users", col("active") - col("retained"))
+        .withColumn("churned", col("prev_active") - col("retained"))
+        .orderBy(col("day"))
+    },
+
     "q_time_bucket_agg" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
@@ -1193,6 +1218,25 @@ object QueriesOlap {
     "q_distinct_users" ->
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // B61: previous day = lag over the DISTINCT day sequence (mirrors
+    // the Spark lag over the aggregated frame, not calendar adjacency)
+    "q_bitmap_retention" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |seq AS (SELECT day, lag(day) OVER (ORDER BY day) AS pd
+        |        FROM (SELECT DISTINCT day FROM du) t),
+        |co AS (SELECT s.day, count(DISTINCT a.user_id) AS retained
+        |       FROM seq s JOIN du a ON a.day = s.day
+        |       JOIN du b ON b.day = s.pd AND b.user_id = a.user_id
+        |       GROUP BY s.day),
+        |act AS (SELECT day, count(*) AS n FROM du GROUP BY day)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        |  act.n AS active, pa.n AS prev_active,
+        |  COALESCE(co.retained, 0) AS retained,
+        |  act.n - COALESCE(co.retained, 0) AS new_users,
+        |  pa.n - COALESCE(co.retained, 0) AS churned
+        |FROM seq s JOIN act ON act.day = s.day JOIN act pa ON pa.day = s.pd
+        |LEFT JOIN co ON co.day = s.day
+        |WHERE s.pd IS NOT NULL ORDER BY day""".stripMargin,
     "q_time_bucket_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         |event_type, count(*) AS n, round(sum(value), 4) AS sum_value

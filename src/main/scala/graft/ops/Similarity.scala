@@ -341,6 +341,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), Rounding.r(col("cos"), 4).as("cos"))
   }
 
+  /** Embedding-space eval-set decontamination: corpus vectors whose
+    * cosine to ANY eval vector reaches `threshold` are flagged, with
+    * their best-matching eval vector attached — the semantic sibling of
+    * n-gram decontamination (exact-overlap checks miss paraphrases; an
+    * embedding near-match catches them).
+    *
+    * Candidate generation is the same 64-plane / 8-band hyperplane LSH
+    * as [[cosineLshPairs]], but ASYMMETRIC: the (small) eval side joins
+    * the corpus side on (band, bucket), so the probe cost is linear in
+    * the corpus — never corpus × eval. Cosine is rounded to 4dp BEFORE
+    * the threshold and the per-corpus-row argmax, so tie-breaks (max
+    * cos, then min eval id) replay identically cross-engine. Band
+    * duplicates are collapsed by the argmax itself — no distinct pass.
+    *
+    * Returns (id, eval_id, cos) for flagged corpus rows; the clean
+    * corpus is the anti-join of this result (composition mirrors
+    * decontaminate_ngram's flag-then-anti-join shape).
+    */
+  def decontaminateByEmbedding(df: DataFrame, id: Column, vec: Column,
+                               isEval: Column => Column, threshold: Double,
+                               nPlanes: Int = 64, bands: Int = 8): DataFrame = {
+    require(bands > 0 && nPlanes % bands == 0,
+      s"nPlanes ($nPlanes) must divide evenly into bands ($bands)")
+    val planeBits = nPlanes / bands
+    val planes = hyperplanes(nPlanes, 64)
+    val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
+    import org.apache.spark.sql.graftshim.DatasetShim
+    val sigCol = DatasetShim.column(graft.functions.HyperplaneBands(
+      DatasetShim.expression(col("v")), planes, planeBits))
+    val banded = v.select(col("id"), col("v"), col("n2"),
+      posexplode(sigCol).as(Seq("band", "bv")))
+    val ev = banded.where(isEval(col("id")))
+    val corp = banded.where(!isEval(col("id")))
+    // eval side is small → AQE broadcasts it; corpus never self-joins
+    corp.as("c").join(ev.as("e"),
+        col("c.band") === col("e.band") && col("c.bv") === col("e.bv"))
+      .select(col("c.id").as("id"), col("e.id").as("eval_id"),
+        Rounding.r(cosineWithNorms(dot(col("c.v"), col("e.v")),
+          col("c.n2"), col("e.n2")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("neg_eval"))).as("m"))
+      .select(col("id"), (-col("m.neg_eval")).as("eval_id"), col("m.cos").as("cos"))
+  }
+
   /** IVF-style ANN: deterministic coarse centroids (caller-selected),
     * nearest-cell assignment for every vector, then per-query search
     * restricted to the query's top-`nprobe` cells.

@@ -567,4 +567,58 @@ class OpsSpec extends SparkSpec {
       Dedup.editDistanceBandRows(docs, col("doc_id"), col("text")), Seq("band", "bv"))
     assert(ed.maxOccupancy == 4 && ed.candPairs >= 4L * 6, s"editdist probe: $ed")
   }
+
+  test("embedding decontamination flags near-eval vectors, min-eval-id tie-break") {
+    // base direction + its negation; ids 0 and 50 are eval (id % 50 == 0)
+    val base = Array.tabulate(64)(i => ((i * 37 + 11) % 19 - 9).toFloat)
+    val anti = base.map(-_)
+    val vecs = Seq(
+      (0L, base),                  // eval
+      (50L, base.map(_ * 2f)),     // eval, same direction as 0 → cos ties at 1.0
+      (1L, base.map(_ * 0.5f)),    // corpus: cos 1.0 to both evals → flagged, eval_id 0
+      (2L, anti),                  // corpus: cos -1.0 → never flagged
+      (3L, base.map(_ * 3f))       // corpus: cos 1.0 → flagged
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.decontaminateByEmbedding(vecs, col("vec_id"),
+        col("embedding"), isEval = _ % 50 === 0, threshold = 0.35, bands = 16)
+      .orderBy(col("id")).as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 0L, 1.0), (3L, 0L, 1.0)), s"got $out")
+  }
+
+  test("leakage-safe split: cluster-mates share a split, all docs covered") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = SparkEntry.queries("sample_split_leakage")(spark, sfDir)
+    assert(out.count() == docs.count(), "split must cover every doc")
+    // one split value per cluster representative — the leakage property
+    val perCluster = out.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("k"))
+      .where(col("k") > 1)
+    assert(perCluster.count() == 0, "a cluster straddles splits")
+    // and clusters genuinely exist at this sf (the check is not vacuous)
+    val multi = out.groupBy(col("rep")).count().where(col("count") > 1)
+    assert(multi.count() > 0, "no multi-doc cluster in the fixture corpus")
+  }
+
+  test("bitmap retention: set algebra matches exact distinct-set replay") {
+    val out = SparkEntry.queries("q_bitmap_retention")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.nonEmpty)
+    // replay with plain distinct sets (tiny at this sf)
+    val du = Tables.events(spark, sfDir)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"), col("user_id"))
+      .distinct().as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val days = du.keys.toSeq.sorted
+    days.sliding(2).foreach {
+      case Seq(pd, d) =>
+        val (cur, prev) = (du(d), du(pd))
+        val got = out(d)
+        assert(got == ((d, cur.size.toLong, prev.size.toLong,
+          (cur & prev).size.toLong, (cur -- prev).size.toLong,
+          (prev -- cur).size.toLong)), s"day $d mismatch: $got")
+      case _ =>
+    }
+    assert(out.size == days.size - 1, "one row per consecutive-day pair")
+  }
 }
