@@ -275,6 +275,40 @@ object Rbm {
   def cardinality(bm: Column): Column =
     aggregate(transform(map_values(bm), c => containerCard(c)), lit(0L), (a, x) => a + x)
 
+  /** A ∩ B as a BITMAP (`bitmap_and` analogue) — same per-bucket
+    * container dispatch as [[andCardinality]] but keeps the result:
+    * dense∧dense word AND, dense∧array bit-probe filter, array∧array
+    * `array_intersect`; emptied buckets are dropped. The result is a
+    * VALID bitmap for all functions here but not necessarily CANONICAL
+    * (a dense container may survive with < 1024 ids), so feed it to
+    * [[cardinality]]/[[toIds]]/further algebra — don't hash-compare it
+    * against aggregator output. */
+  def andBm(a: Column, b: Column): Column =
+    map_filter(
+      map_zip_with(a, b, (_, c1, c2) =>
+        when(c1.isNull || c2.isNull, array().cast("array<long>"))
+          .when(isDense(c1) && isDense(c2),
+            zip_with(c1, c2, (x, y) => x.bitwiseAND(y)))
+          .when(isDense(c1), filter(c2, v => hasBit(c1, v)))
+          .when(isDense(c2), filter(c1, v => hasBit(c2, v)))
+          .otherwise(array_intersect(c1, c2))),
+      (_, c) => containerCard(c) > 0)
+
+  /** All member ids of a bitmap as a SORTED array<long> — the
+    * materialization step after set algebra (e.g. posting-list
+    * intersection → candidate ids). Dense containers decode by
+    * filtering the 2¹⁶ offset range, so cost is ∝ 65536 per dense
+    * bucket — use on query-sized results, not corpus-sized bitmaps. */
+  def toIds(bm: Column): Column =
+    flatten(transform(array_sort(map_entries(bm)), e => {
+      val bucket = e("key")
+      val c = e("value")
+      val offs = when(isDense(c),
+        filter(sequence(lit(0L), lit(65535L)), v => hasBit(c, v)))
+        .otherwise(c)
+      transform(offs, v => bucket * lit(65536L) + v)
+    }))
+
   /** |A ∩ B| (`bitmap_and_count` analogue) without re-scanning rows:
     * per-bucket dense∧dense word AND, dense∧array bit probes, or
     * array∧array `array_intersect` — all native Catalyst expressions.

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Rbm
+import graft.sinks.{InvertedIndex, PkTableSink}
+
+/** D27: persisted full-text inverted index (StarRocks GIN parity) —
+  * bitmap posting lists, version-stamped freshness, exact fallback. */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("invidx").toString + "/t"
+
+  private val docs = Seq(
+    (0L, 1L, "Spark shuffles data across the cluster", false),
+    (1L, 1L, "Catalyst optimizes the logical plan", false),
+    (2L, 1L, "Spark plans joins with Catalyst rules", false),
+    (3L, 1L, "bitmap indexes accelerate point lookups", false),
+    (4L, 1L, "the cluster runs Spark executors", false)
+  ).toDF("id", "ver", "text", "del")
+
+  private def bruteForce(terms: Seq[String], all: Boolean): Set[Long] = {
+    val hits = terms.map(t =>
+      array_contains(InvertedIndex.tokens(col("text")), t.toLowerCase))
+    docs.where(if (all) hits.reduce(_ && _) else hits.reduce(_ || _))
+      .select(col("id")).as[Long].collect().toSet
+  }
+
+  test("andBm/toIds: container algebra across array, dense and 2^16 boundaries") {
+    // bucket 0 dense (2000 ids), bucket 1 sparse; ids straddle 65536
+    val a = spark.range(0, 2000).select(col("id"))
+      .union(Seq(65536L + 7, 65536L + 9).toDF("id"))
+    val b = Seq(1L, 3L, 1999L, 2001L, 65536L + 9, 5L * 65536L).toDF("id")
+    val bms = a.agg(Rbm.rbmOf(col("id")).as("ba"))
+      .crossJoin(b.agg(Rbm.rbmOf(col("id")).as("bb")))
+    val got = bms.select(Rbm.toIds(Rbm.andBm(col("ba"), col("bb"))).as("ids"),
+        Rbm.cardinality(Rbm.andBm(col("ba"), col("bb"))).as("n"))
+      .as[(Seq[Long], Long)].head()
+    assert(got._1 == Seq(1L, 3L, 1999L, 65536L + 9) && got._2 == 4, s"got $got")
+    // disjoint bitmaps AND to a bitmap with no buckets at all
+    val disjoint = Seq(2001L).toDF("id").agg(Rbm.rbmOf(col("id")).as("bb"))
+    val none = a.agg(Rbm.rbmOf(col("id")).as("ba")).crossJoin(disjoint)
+      .select(size(map_keys(Rbm.andBm(col("ba"), col("bb")))).as("k"),
+        Rbm.toIds(Rbm.andBm(col("ba"), col("bb"))).as("ids"))
+      .as[(Int, Seq[Long])].head()
+    // bucket 0 survives (both sides occupy it) but carries no ids
+    assert(none._2.isEmpty, s"got $none")
+  }
+
+  test("index search: ALL and ANY match the exact scan; missing term empties ALL") {
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root, docs, Seq("id"), Seq("ver"), "del", writer = "w")
+    InvertedIndex.buildTx(spark, root, "id", "text")
+    assert(InvertedIndex.isCurrent(spark, root))
+    def search(terms: Seq[String], all: Boolean): Set[Long] =
+      InvertedIndex.searchTx(spark, root, docs.drop("del"), "id", "text", terms, all)
+        .select(col("id")).as[Long].collect().toSet
+    assert(search(Seq("spark"), all = true) == Set(0L, 2L, 4L))
+    assert(search(Seq("Spark", "catalyst"), all = true) ==
+      bruteForce(Seq("spark", "catalyst"), all = true))            // {2}
+    assert(search(Seq("spark", "catalyst"), all = false) ==
+      bruteForce(Seq("spark", "catalyst"), all = false))           // {0,1,2,4}
+    assert(search(Seq("spark", "zeppelin"), all = true).isEmpty)
+    assert(search(Seq("zeppelin", "bitmap"), all = false) == Set(3L))
+    // analyzer normalization: punctuation and case fold away
+    assert(search(Seq("Spark!"), all = true) == Set(0L, 2L, 4L))
+  }
+
+  test("posting probe pushes token equality to the scan; no base-table scan in the ids plan") {
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root, docs, Seq("id"), Seq("ver"), "del", writer = "w")
+    val v = InvertedIndex.buildTx(spark, root, "id", "text")
+    val posts = spark.read.parquet(s"$root/_invidx.v$v")
+      .where(col("token") === "spark")
+    val plan = posts.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(token,spark)"),
+      s"token filter not pushed:\n${plan.take(600)}")
+  }
+
+  test("a commit withdraws the index (exact fallback), rebuild restores it") {
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root, docs, Seq("id"), Seq("ver"), "del", writer = "w")
+    InvertedIndex.buildTx(spark, root, "id", "text")
+    // new doc mentioning spark arrives WITHOUT a rebuild
+    PkTableSink.mergeTx(spark, root,
+      Seq((9L, 1L, "fresh spark document", false)).toDF("id", "ver", "text", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    assert(!InvertedIndex.isCurrent(spark, root))
+    val (used, n) = InvertedIndex.searchStatsTx(spark, root, docs.drop("del"),
+      "id", "text", Seq("spark"))
+    assert(!used && n == 4, s"fallback must see the new doc: used=$used n=$n")
+    InvertedIndex.buildTx(spark, root, "id", "text")
+    val (used2, n2) = InvertedIndex.searchStatsTx(spark, root, docs.drop("del"),
+      "id", "text", Seq("spark"))
+    assert(used2 && n2 == 4, s"rebuilt index must serve: used=$used2 n=$n2")
+  }
+}
