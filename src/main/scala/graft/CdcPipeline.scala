@@ -105,4 +105,33 @@ object CdcPipeline {
           maxAttempts = maxAttempts)
         ()
       }
+
+  /** Streaming dimension ENRICHMENT against a live PK lake table —
+    * the realtime star-join (StarRocks serves it as a colocated/
+    * broadcast join per query; here each micro-batch joins against the
+    * dimension's CURRENT committed version): the dim is re-resolved
+    * from the TxLog INSIDE foreachBatch, so an upsert landing between
+    * batches is visible to the next batch — a stream-static join
+    * planned once against a cached frame would serve the stale
+    * snapshot forever. Reads through [[graft.sinks.TableStats
+    * .readTxAnalyzed]], so an ANALYZEd dimension broadcast-joins on
+    * its MEASURED size (the merge-on-read scan's estimate cannot be
+    * trusted); un-analyzed versions fall back to Spark's planning.
+    *
+    * `left` join: facts with no dim row (yet) pass through with nulls
+    * instead of silently dropping — late dimension arrival is the
+    * normal CDC race and dropped facts are unrecoverable downstream.
+    */
+  def toEnrichedSink(facts: DataFrame, dimRoot: String,
+                     factKey: String, dimKey: String,
+                     sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    facts.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dim = graft.sinks.TableStats.readTxAnalyzed(spark, dimRoot,
+          spark.emptyDataFrame)
+        sink(batch.join(dim, batch(factKey) === dim(dimKey), "left"), batchId)
+        ()
+      }
 }

@@ -275,4 +275,48 @@ object EventStream {
           }
       }
   }
+
+  /** Per-shard Misra–Gries state: the ≤ k counters plus the shard's
+    * total item count (the undercount bound's n). */
+  case class MgState(counters: Map[String, Long], n: Long)
+
+  /** Streaming heavy hitters — a continuously-maintained
+    * `approx_top_k` (the StarRocks/ClickHouse realtime top-N tile):
+    * each micro-batch folds into per-shard Misra–Gries sketches held
+    * in `mapGroupsWithState`, emitting every shard's (counters, n)
+    * each batch it receives rows.
+    *
+    * Sharding is BY ITEM HASH, so all occurrences of an item live in
+    * exactly one shard: every item with true count > n_shard/(k+1) is
+    * guaranteed present in its shard's sketch, and each kept counter
+    * undercounts by ≤ n_shard/(k+1) (see [[graft.functions.HeavyHitters]]).
+    * The reader unions shard outputs (≤ shards·k counters — tiny) and
+    * ranks; the exact-verify twin (q_heavy_hitters' prune-then-count)
+    * applies downstream unchanged. State is shards × k counters —
+    * bounded regardless of item cardinality, no TTL needed; `shards`
+    * also caps the kernel's parallelism, so size it to the cluster,
+    * not the data.
+    */
+  def heavyHittersStream(events: DataFrame, itemCol: String, k: Int,
+                         shards: Int = 32): org.apache.spark.sql.Dataset[(Int, Map[String, Long], Long)] = {
+    import org.apache.spark.sql.streaming.GroupState
+    require(shards > 0, "shards must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mg = new graft.functions.HeavyHitters(k)
+    events
+      .select(col(itemCol).cast("string").as("item"),
+        pmod(hash(col(itemCol)), lit(shards)).cast("int").as("shard"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[MgState, (Int, Map[String, Long], Long)] {
+        (shard: Int, rows: Iterator[(String, Int)], state: GroupState[MgState]) =>
+          val prev = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          var buf = prev.counters
+          var n = prev.n
+          rows.foreach { r => buf = mg.reduce(buf, r._1); n += 1 }
+          state.update(MgState(buf, n))
+          (shard, buf, n)
+      }
+  }
 }

@@ -548,4 +548,77 @@ class StreamingSpec extends SparkSpec {
     val n = 3 * (40 + 15)
     assert(mg("hot0") >= 120L - n / 6 && mg("hot0") <= 120L)
   }
+
+  test("A30: sharded streaming heavy hitters — per-shard MG bound holds across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val k = 4
+    val shards = 2
+    val out = EventStream.heavyHittersStream(
+      input.toDF().withColumnRenamed("value", "item"), "item", k, shards)
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    val batch1 = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++
+      ('c' to 'j').flatMap(ch => Seq.fill(2)(ch.toString))
+    val batch2 = Seq.fill(25)("z") ++ Seq.fill(10)("a")
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    // newest sketch per shard
+    val latest = spark.table("hh_stream").as[(Int, Map[String, Long], Long)]
+      .collect().groupBy(_._1).map { case (_, rs) => rs.maxBy(_._3) }.toSeq
+    assert(latest.map(_._1).toSet.subsetOf((0 until shards).toSet))
+    // replicate the item-hash sharding to get exact per-shard truth
+    val all = batch1 ++ batch2
+    val shardOf = all.distinct.toDF("item")
+      .select(col("item"), pmod(hash(col("item")), lit(shards)).cast("int").as("s"))
+      .as[(String, Int)].collect().toMap
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    latest.foreach { case (shard, counters, n) =>
+      val mine = exact.filter { case (it, _) => shardOf(it) == shard }
+      assert(n == mine.values.sum, s"shard $shard n=$n vs ${mine.values.sum}")
+      val bound = n / (k + 1)
+      mine.foreach { case (it, c) =>
+        if (c > bound) {
+          assert(counters.contains(it), s"heavy '$it' ($c > $bound) absent in shard $shard")
+          assert(counters(it) <= c && counters(it) >= c - bound,
+            s"'$it' estimate ${counters(it)} outside [${c - bound}, $c]")
+        }
+      }
+      assert(counters.size <= k)
+    }
+    // the true heavies of this workload all survived somewhere
+    val kept = latest.flatMap(_._2.keys).toSet
+    assert(Set("a", "b", "z").subsetOf(kept), s"heavies lost: $kept")
+  }
+
+  test("A29: streaming enrichment re-reads the PK dim per batch; upserts become visible") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sinks.{PkTableSink, TableStats}
+    val dimRoot = java.nio.file.Files.createTempDirectory("dim").toString + "/t"
+    PkTableSink.mergeTx(spark, dimRoot,
+      Seq((1L, 1L, "gold", false)).toDF("cust", "ver", "tier", "del"),
+      Seq("cust"), Seq("ver"), "del", writer = "w")
+    TableStats.analyzeTx(spark, dimRoot)
+    val input = MemoryStream[Long]
+    val facts = input.toDF().withColumnRenamed("value", "cust_id")
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = CdcPipeline.toEnrichedSink(facts, dimRoot, "cust_id", "cust",
+      (df, bid) => seen ++= df.select(col("cust_id"), col("tier")).collect()
+        .map(r => (bid, r.getLong(0), Option(r.getString(1)).getOrElse("<none>"))))
+      .start()
+    input.addData(1L, 2L); q.processAllAvailable()
+    // dimension moves BETWEEN batches: cust 2 appears, cust 1 upgrades
+    PkTableSink.mergeTx(spark, dimRoot,
+      Seq((2L, 1L, "silver", false), (1L, 2L, "platinum", false))
+        .toDF("cust", "ver", "tier", "del"),
+      Seq("cust"), Seq("ver"), "del", writer = "w")
+    input.addData(1L, 2L); q.processAllAvailable()
+    q.stop()
+    val byBatch = seen.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(byBatch(0L) == Map(1L -> "gold", 2L -> "<none>"),
+      s"batch 0 enriched wrong: ${byBatch(0L)}") // late dim → null passthrough, not a drop
+    assert(byBatch(1L) == Map(1L -> "platinum", 2L -> "silver"),
+      s"batch 1 must see the between-batch upsert: ${byBatch(1L)}")
+  }
 }
