@@ -784,6 +784,47 @@ object QueriesData {
     // C33: sliding-window chunking — 64-token chunks every 48 tokens
     // (overlapping training context windows); row-local explode, no
     // shuffle, chunk identified by md5 so output stays compact
+    // C63: CONTENT-DEFINED chunking dedup (the FastCDC/rsync family):
+    // chunk boundaries cut where the hash of the trailing 8-gram ≡ 0
+    // (mod 64), so a byte inserted early in a doc shifts ONE chunk,
+    // not every fixed-width block downstream — cross-doc chunk-hash
+    // dedup then finds shared spans fixed-width blocking misses.
+    // Boundary detection is row-local (zero shuffle); only the
+    // chunk-hash → doc-frequency aggregation and the instance join
+    // shuffle, both on chunk-count-scale rows. md5-per-window is the
+    // engine-portable stand-in for a rolling polynomial hash (at
+    // 100 TB the window hash becomes one codegen expression like
+    // SimHashGrams; the plan shape is unchanged)
+    "chunk_cdc" -> { (s, dir) =>
+      val k = 8
+      val modD = 64
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("L"))
+      val spans = d
+        .withColumn("bnds",
+          when(col("L") >= k,
+            filter(sequence(lit(k), col("L")), i =>
+              conv(substring(md5(col("text").substr(i - (k - 1), lit(k))), 1, 8),
+                16, 10).cast("long") % modD === 0))
+            .otherwise(array().cast("array<int>")))
+        .withColumn("starts", concat(array(lit(1)), transform(col("bnds"), b => b + 1)))
+        .withColumn("ends", concat(col("bnds"), array(col("L"))))
+      val inst = spans
+        .select(col("doc_id"), explode(filter(
+          zip_with(col("starts"), col("ends"), (st, en) =>
+            when(st <= en, md5(col("text").substr(st, en - st + 1)))),
+          h => h.isNotNull)).as("h"))
+      val dfreq = inst.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("docs"))
+      inst.join(dfreq, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("shared_frac",
+          Rounding.r(col("n_shared").cast("double") / col("n_chunks"), 4))
+        .orderBy(col("doc_id"))
+    },
+
     "chunk_documents" -> { (s, dir) =>
       Packing.chunkSliding(Tables.documents(s, dir),
           idCol = col("doc_id"), textCol = col("text"),
@@ -921,6 +962,44 @@ object QueriesData {
     // threshold reproduces the EXACT heavy set — sketch bounds the
     // work, verify restores exactness (the LSH-then-verify shape).
     // Merge-order noise in the sketch cannot reach the output.
+    // C62: Count-Min sketch point estimates (Cormode & Muthukrishnan
+    // 2005) — the 4th sketch family next to MG (C37), HLL (B22) and
+    // Bloom (C21b): d=4 md5-derived hash rows × w=64 buckets, so the
+    // shuffle carries ≤ d·w cells regardless of token cardinality
+    // (the ×d pre-shuffle fan-out collapses map-side). Estimates are
+    // deterministic given the fixed hashes, so unlike MG output the
+    // SKETCH ITSELF is hash-checkable cross-engine; the probe set
+    // mixes hot, mid, rare and absent tokens, and `overestimate =
+    // n_est − n_exact ≥ 0` exposes the CM one-sided error in the
+    // result rows
+    "sketch_countmin" -> { (s, dir) =>
+      import s.implicits._
+      val d = 4
+      val w = 64
+      val probes = Seq("merge", "scan", "stream", "the", "quantum", "zzz-absent")
+      def bucketOf(item: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(item, lit(":cm"), r)), 1, 8), 16, 10)
+          .cast("long") % w
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("t"))
+      val sketch = toks
+        .select(col("t"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .select(col("r"), bucketOf(col("t"), col("r")).as("b"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val pb = probes.toDF("token")
+        .select(col("token"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .select(col("token"), col("r"), bucketOf(col("token"), col("r")).as("b"))
+      val est = pb.join(sketch, Seq("r", "b"), "left")
+        .groupBy(col("token"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
+      val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+      est.join(exact, est("token") === exact("t"), "left")
+        .select(col("token"), col("n_est"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .withColumn("overestimate", col("n_est") - col("n_exact"))
+        .orderBy(col("token"))
+    },
+
     "q_heavy_hitters" -> { (s, dir) =>
       val k = 50
       val toks = Tables.documents(s, dir)
@@ -1794,6 +1873,27 @@ object QueriesData {
         |SELECT doc_id, frame_idx,
         |  md5(substr(t, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
         |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+    // C63: same trailing-8-gram boundary rule, span assembly and
+    // doc-frequency join; the HUGEINT sum is CAST before export
+    "chunk_cdc" ->
+      """WITH ch AS (SELECT doc_id, text,
+        |  [i for i in range(8, len(text)+1)
+        |   if CAST('0x'||substr(md5(substr(text, i-7, 8)),1,8) AS BIGINT)%64 = 0] AS bnds
+        |  FROM documents),
+        |sp AS (SELECT doc_id, text,
+        |  list_prepend(1, [b+1 for b in bnds]) AS starts,
+        |  list_append(bnds, len(text)) AS ends FROM ch),
+        |ck AS (SELECT doc_id,
+        |  list_filter(list_transform(list_zip(starts, ends),
+        |    z -> CASE WHEN z[1] <= z[2]
+        |         THEN md5(substr(text, CAST(z[1] AS INT), CAST(z[2] - z[1] + 1 AS INT))) END),
+        |    x -> x IS NOT NULL) AS hs FROM sp),
+        |inst AS (SELECT doc_id, unnest(hs) AS h FROM ck),
+        |dfreq AS (SELECT h, count(DISTINCT doc_id) AS docs FROM inst GROUP BY h)
+        |SELECT i.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) / count(*), 4) AS shared_frac
+        |FROM inst i JOIN dfreq USING (h) GROUP BY i.doc_id ORDER BY doc_id""".stripMargin,
     "chunk_documents" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
         |             FROM documents WHERE len(string_split(text, ' ')) > 0),
@@ -2104,5 +2204,25 @@ object QueriesData {
         |tot AS (SELECT count(*) AS total FROM t)
         |SELECT tok, count(*) AS n FROM t, tot
         |GROUP BY tok, total HAVING count(*) * 51 > total
-        |ORDER BY tok""".stripMargin)
+        |ORDER BY tok""".stripMargin,
+    // C62: the full CM build replayed — same md5 row-hashes, same
+    // d×w grid, min over rows, absent cells count 0
+    "sketch_countmin" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |rws AS (SELECT t, r,
+        |  CAST('0x' || substr(md5(t || ':cm' || r), 1, 8) AS BIGINT) % 64 AS b
+        |  FROM toks CROSS JOIN range(4) rr(r)),
+        |sketch AS (SELECT r, b, count(*) AS c FROM rws GROUP BY r, b),
+        |probes(p) AS (VALUES ('merge'), ('scan'), ('stream'), ('the'),
+        |                     ('quantum'), ('zzz-absent')),
+        |pb AS (SELECT p, r,
+        |  CAST('0x' || substr(md5(p || ':cm' || r), 1, 8) AS BIGINT) % 64 AS b
+        |  FROM probes CROSS JOIN range(4) rr(r)),
+        |est AS (SELECT p, min(COALESCE(s.c, 0)) AS n_est
+        |        FROM pb LEFT JOIN sketch s ON s.r = pb.r AND s.b = pb.b
+        |        GROUP BY p),
+        |ex AS (SELECT t, count(*) AS c FROM toks GROUP BY t)
+        |SELECT p AS token, n_est, COALESCE(ex.c, 0) AS n_exact,
+        |  n_est - COALESCE(ex.c, 0) AS overestimate
+        |FROM est LEFT JOIN ex ON ex.t = est.p ORDER BY token""".stripMargin)
 }

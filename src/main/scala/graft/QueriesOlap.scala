@@ -135,6 +135,84 @@ object QueriesOlap {
 
     // B9: tumbling 1-hour bucket aggregate (batch twin of the
     // streaming windowed aggregate in streaming/EventStream)
+    // B64: EWMA smoothing of daily per-type volumes (ClickHouse
+    // exponentialMovingAverage / monitoring-dashboard smoothing) with
+    // α = 1/2 decay over a trailing 8-row frame: every weight is a
+    // power of two (1 << k exact, division by it correctly rounded),
+    // the fold is left-to-right over the frame list, and the inputs
+    // are integer counts — so the double is BIT-IDENTICAL cross-engine
+    // before the 4dp export round, with no library-pow ambiguity
+    "q_ewma" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, 0)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("vs", collect_list(col("n")).over(w))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"),
+          Rounding.r(
+            aggregate(
+              transform(col("vs"), (x, i) =>
+                x.cast("double") / call_function("shiftleft", lit(1L),
+                  (size(col("vs")) - 1 - i).cast("int")).cast("double")),
+              lit(0.0d), (acc, x) => acc + x) /
+            aggregate(
+              transform(col("vs"), (_, i) =>
+                lit(1.0d) / call_function("shiftleft", lit(1L),
+                  (size(col("vs")) - 1 - i).cast("int")).cast("double")),
+              lit(0.0d), (acc, x) => acc + x), 4).as("ewma"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // B62: per-row TRAILING exact distinct — "how many distinct event
+    // types did this user emit in the hour ending now", a per-event
+    // feature streaming count(DISTINCT) over a window cannot give and
+    // Spark has no native window form for. RANGE frame on epoch
+    // seconds + collect_list→array_distinct; per-row cost ∝ frame
+    // (bounded: one user's hour), partitioned by user so frames never
+    // cross executors. The day-scale sibling with unbounded frames is
+    // the bucket-bitmap fan-out (B59) — use that shape when the frame
+    // outgrows a task
+    "q_window_distinct" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+        .rangeBetween(-3600, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"),
+          date_format(col("ts"), TsFmt).as("ts"))
+        .withColumn("n_types_1h",
+          size(array_distinct(collect_list(col("event_type")).over(w))).cast("long"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("n_types_1h"))
+        .orderBy(col("event_id"))
+    },
+
+    // B63: z-score anomaly detection over daily per-type volumes (the
+    // monitoring alert the reference's monitor.sh eyeballs): a day is
+    // anomalous when |n − mean| > 2σ. The FLAG is decided entirely in
+    // INTEGER arithmetic — (nK−Σn)²(K−1) > 4K(K·Σn²−(Σn)²) is the
+    // 2σ predicate cleared of divisions — so no engine's stddev
+    // implementation can flip a boundary row; the exported z itself
+    // is the token-identical IEEE formula, 4dp
+    "q_zscore_anomaly" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("k"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      val dev = col("n") * col("k") - col("s1")
+      daily.join(stats, "event_type")
+        .where(dev * dev * (col("k") - 1) >
+          lit(4L) * col("k") * (col("k") * col("s2") - col("s1") * col("s1")))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"),
+          Rounding.r(abs(dev.cast("double") / col("k")) /
+            sqrt((col("k") * col("s2") - col("s1") * col("s1")).cast("double") /
+              (col("k") * (col("k") - 1))), 4).as("z"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // B61: day-over-day retained/new/churned user accounting via
     // BITMAP set algebra — the StarRocks retained-users pattern: one
     // compressed Rbm per day (the only row-scale shuffle), then lag +
@@ -1218,6 +1296,51 @@ object QueriesOlap {
     "q_distinct_users" ->
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // B64: same trailing-8 frame (list_slice of the running window),
+    // same left-to-right fold, same 1<<k weights — 1-based lambda
+    // index maps k = n - i (Spark's 0-based gives n - 1 - i)
+    "q_ewma" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        |fr AS (SELECT event_type, day, n,
+        |  list_slice(list(n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 1, 8) AS vs
+        |  FROM daily)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  round(
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(vs, (x, i) ->
+        |      CAST(x AS DOUBLE) / CAST(1 << (len(vs) - i) AS DOUBLE))),
+        |      (a, b) -> a + b) /
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(vs, (x, i) ->
+        |      1.0::DOUBLE / CAST(1 << (len(vs) - i) AS DOUBLE))),
+        |      (a, b) -> a + b), 4) AS ewma
+        |FROM fr ORDER BY event_type, day""".stripMargin,
+    // B62: DuckDB lacks DISTINCT window aggregates too — the oracle
+    // replays the RANGE frame as a correlated distinct count on the
+    // same floored epoch seconds
+    "q_window_distinct" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss FROM events)
+        |SELECT e.event_id, e.user_id, e.tss AS ts,
+        |  (SELECT count(DISTINCT e2.event_type) FROM e e2
+        |   WHERE e2.user_id = e.user_id
+        |     AND e2.tsec BETWEEN e.tsec - 3600 AND e.tsec) AS n_types_1h
+        |FROM e ORDER BY event_id""".stripMargin,
+    // B63: the 2σ flag replayed in the same division-free integer
+    // form; only n (BIGINT) and the 4dp z cross the boundary — the
+    // HUGEINT sums never reach the final SELECT uncast
+    "q_zscore_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS k, sum(n) AS s1, sum(n*n) AS s2
+        |       FROM daily GROUP BY 1)
+        |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n,
+        |  round(abs(CAST(d.n*k - s1 AS DOUBLE)/k) /
+        |        sqrt(CAST(k*s2 - s1*s1 AS DOUBLE)/(k*(k-1))), 4) AS z
+        |FROM daily d JOIN st USING (event_type)
+        |WHERE (d.n*k - s1)*(d.n*k - s1)*(k-1) > 4*k*(k*s2 - s1*s1)
+        |ORDER BY event_type, day""".stripMargin,
     // B61: previous day = lag over the DISTINCT day sequence (mirrors
     // the Spark lag over the aggregated frame, not calendar adjacency)
     "q_bitmap_retention" ->
