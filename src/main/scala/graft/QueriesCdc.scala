@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
 import org.apache.spark.sql.types._
-import graft.cdc.{Envelope, MaterializedAgg, PkTable, RoutineLoad, SchemaEvolution, Scd2}
+import graft.cdc.{Envelope, MaterializedAgg, MaterializedJoin, PkTable, RoutineLoad, SchemaEvolution, Scd2}
 
 /** CDC / pipeline-core query surface (SURVEY §2 section A).
   *
@@ -332,6 +332,37 @@ object QueriesCdc {
     // construction must absorb stale versions (they lose
     // latestPerKey and cancel). Oracle computes the final state
     // aggregate directly — equality proves incremental == recompute.
+    // A31: incremental JOIN materialized view — the StarRocks
+    // multi-table sync MV, maintained by the signed bilinear delta
+    // (MaterializedJoin) across four interleaved CDC rounds on BOTH
+    // tables. The round split stresses every arrival order: orders
+    // land before their customer exists (caught later by L_old ⋈ ΔR),
+    // customers die before/after referencing orders arrive, and the
+    // oracle is simply the live join — four rounds of deltas must
+    // reproduce it exactly.
+    "cdc_mv_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        lit(1L).as("ov"), (col("o_orderkey") % 13 === 3).as("odel"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"),
+        lit(1L).as("cv"), (col("c_custkey") % 17 === 5).as("cdel"))
+      val outCols = Seq("o_orderkey", "o_custkey", "c_name")
+      var sl = MaterializedJoin.emptyState(o, col("odel"))
+      var sr = MaterializedJoin.emptyState(c, col("cdel"))
+      var mv: Option[DataFrame] = None
+      (0 until 4).foreach { i =>
+        val st = MaterializedJoin.step(
+          sl, o.where(pmod(col("o_orderkey"), lit(4)) === i),
+          Seq("o_orderkey"), Seq(col("ov")), col("odel"),
+          sr, c.where(pmod(col("c_custkey"), lit(4)) === i),
+          Seq("c_custkey"), Seq(col("cv")), col("cdel"),
+          joinL = Seq("o_custkey"), joinR = Seq("c_custkey"), outCols = outCols)
+        sl = st.stateL.localCheckpoint(true)
+        sr = st.stateR.localCheckpoint(true)
+        mv = Some(MaterializedJoin.mergeMv(mv, st.delta, outCols).localCheckpoint(true))
+      }
+      mv.get.drop("__mult").orderBy(col("o_orderkey"))
+    },
+
     "cdc_mv_incremental" -> { (s, dir) =>
       val chg = changelog(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
@@ -438,6 +469,11 @@ object QueriesCdc {
         |WHERE rn = 1""".stripMargin,
     // final-state aggregate computed directly (no increments): the MV
     // invariant is incremental maintenance == recompute
+    "cdc_mv_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 13 <> 3 AND c.c_custkey % 17 <> 5
+        |ORDER BY o_orderkey""".stripMargin,
     "cdc_mv_incremental" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)

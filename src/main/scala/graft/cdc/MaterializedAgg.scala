@@ -37,8 +37,8 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedAgg {
 
-  private val Sign = "__mv_sign"
-  private val Del = "__mv_del"
+  private[cdc] val Sign = "__mv_sign"
+  private[cdc] val Del = "__mv_del"
 
   /** One maintenance step's outputs: the successor key-state and the
     * signed row delta (old live rows −1, new live rows +1, only for
