@@ -247,6 +247,23 @@ object Rbm {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Union of BITMAP rows, returned as a canonical bitmap (`bitmap_union`
+    * analogue) — merging partial bitmaps (e.g. a base posting list with
+    * its delta postings) without decoding to ids. */
+  class RbmUnion extends Aggregator[Bm, Bm, Bm] {
+    override def zero: Bm = Map.empty
+    override def reduce(buf: Bm, v: Bm): Bm =
+      mergeBm(buf, v.map { case (k, c) => k -> buildForm(c) })
+    override def merge(a: Bm, b: Bm): Bm = mergeBm(a, b)
+    override def finish(buf: Bm): Bm = {
+      val sorted = buf.toSeq.sortBy(_._1)
+        .map { case (k, c) => k -> canonicalContainer(c) }
+      scala.collection.immutable.ListMap(sorted: _*)
+    }
+    override def bufferEncoder: Encoder[Bm] = ExpressionEncoder[Bm]()
+    override def outputEncoder: Encoder[Bm] = ExpressionEncoder[Bm]()
+  }
+
   // ---- column API ----------------------------------------------------------
 
   /** Aggregate: the compressed bitmap of `key` (any non-negative long). */
@@ -257,6 +274,9 @@ object Rbm {
 
   /** Aggregate over BITMAP rows: union-merged exact distinct count. */
   def rbmUnionCount(bitmap: Column): Column = udaf(new RbmUnionCount).apply(bitmap)
+
+  /** Aggregate over BITMAP rows: the union as a canonical bitmap. */
+  def rbmUnion(bitmap: Column): Column = udaf(new RbmUnion).apply(bitmap)
 
   private def isDense(c: Column): Column = size(c) === DenseWords
 

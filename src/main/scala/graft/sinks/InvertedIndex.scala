@@ -9,66 +9,122 @@ import graft.functions.Rbm
   * StarRocks GIN / inverted-index role (`CREATE INDEX ... USING GIN`,
   * `MATCH` predicates), re-expressed on the lake layout: one posting
   * row per token, the posting list itself a compressed [[Rbm]] bitmap
-  * of row ids, persisted as a version-stamped `_invidx.v<N>` parquet
-  * directory at the table root.
+  * of row ids, persisted as version-stamped parquet at the table root.
   *
   * Why a bitmap posting list at 100 TB: term search must never scan
-  * the corpus. Here a k-term query reads k posting ROWS (token
-  * equality pushed to the parquet scan), intersects them as compressed
-  * bitmaps ([[Rbm.andBm]] — bytes ∝ occupied buckets, never ∝ corpus),
-  * decodes only the FINAL intersection to ids, and semi-joins the base
-  * table by key. Probe cost ∝ posting sizes of the query's terms +
-  * matched rows; the corpus-sized work happened once, at build time,
-  * as one tokenize + one (token → bitmap) aggregation.
+  * the corpus. Here a k-term query reads k posting rows per chain dir
+  * (token equality pushed to the parquet scan), union-merges each
+  * term's chain entries as compressed bitmaps ([[Rbm.rbmUnion]]),
+  * intersects terms with [[Rbm.andBm]] (bytes ∝ occupied buckets,
+  * never ∝ corpus), decodes only the FINAL candidate set to ids, and
+  * semi-joins the base table by key. Probe cost ∝ posting sizes of
+  * the query's terms + matched rows; the corpus-sized work happened
+  * at build time, one tokenize + one (token → bitmap) aggregation.
   *
-  * Staleness rule (same contract as [[TableStats]]): the index is
-  * served only when its stamped version equals the table's CURRENT
-  * version. A commit without a rebuild silently withdraws the index —
-  * [[searchTx]] falls back to the exact full-scan predicate, so
-  * results are always correct and the index can only ever accelerate.
+  * INCREMENTAL maintenance (the hot-table path, same spirit as the
+  * per-delta pruning sidecars): the index is a CHAIN — a full build
+  * `_invidx.v<K>` plus delta dirs `_invidx.d<from>_<to>`, each built
+  * from the version change feed (inserted/updated rows only, cost ∝
+  * the delta). Chain postings are a SUPERSET of the truth (an updated
+  * or deleted row's old tokens still point at it), so every search
+  * re-verifies candidates with the exact analyzer predicate on the
+  * FETCHED rows — sound (the chain covers every live row's current
+  * tokens: full build at K, every later insert/update in some delta)
+  * and cheap (the re-check touches matched rows, not the corpus).
   *
-  * Id domain: the indexed id column must be a non-negative long (the
-  * bitmap's domain — same constraint as every Rbm use).
+  * Freshness rule: the chain must reach the table's CURRENT version
+  * exactly; a commit without [[updateTx]] breaks the chain and
+  * [[searchTx]] falls back to the exact full-scan predicate — results
+  * are always correct, the index can only ever accelerate.
   */
 object InvertedIndex {
 
-  private def dirName(v: Long) = s"_invidx.v$v"
+  private def baseDirName(v: Long) = s"_invidx.v$v"
+  private def deltaDirName(from: Long, to: Long) = s"_invidx.d${from}_$to"
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The analyzer: lowercase, split on non-letter/digit runs, drop
-    * empties. Build and search MUST share this (the search fallback
-    * applies it to the raw column, so index and scan agree). */
+    * empties. Build and search MUST share this (the verify/fallback
+    * predicate applies it to the raw column). */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
-  /** Build (or rebuild) the index for the table's CURRENT version:
-    * one pass — tokenize, per-doc distinct, (token → Rbm bitmap, df)
-    * aggregation — written atomically for version N. Returns N. */
-  def buildTx(spark: SparkSession, root: String, idCol: String,
-              textCol: String): Long = {
-    val m = TxLog.current(spark, root).getOrElse(throw new IllegalStateException(
-      s"buildTx: no committed version under $root"))
-    val df = PkTableSink.readTx(spark, root, spark.emptyDataFrame)
+  private def postingsOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         explode(array_distinct(tokens(col(textCol)))).as("token"))
       .groupBy(col("token"))
       .agg(Rbm.rbmOf(col("id")).as("postings"), count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$root/${dirName(m.version)}")
+
+  /** Full build (or rebuild) at the table's CURRENT version: one pass
+    * over the merged table. Returns the stamped version. */
+  def buildTx(spark: SparkSession, root: String, idCol: String,
+              textCol: String): Long = {
+    val m = TxLog.current(spark, root).getOrElse(throw new IllegalStateException(
+      s"buildTx: no committed version under $root"))
+    postingsOf(PkTableSink.readTx(spark, root, spark.emptyDataFrame), idCol, textCol)
+      .write.mode("overwrite").parquet(s"$root/${baseDirName(m.version)}")
     m.version
   }
 
-  /** True iff a fresh (current-version) index exists. */
+  /** Extend the chain to the CURRENT version from the version change
+    * feed — cost ∝ rows changed since the chain's end, not the table.
+    * No chain at all → full [[buildTx]]. Returns the covered version. */
+  def updateTx(spark: SparkSession, root: String, idCol: String,
+               textCol: String): Long = {
+    val m = TxLog.current(spark, root).getOrElse(throw new IllegalStateException(
+      s"updateTx: no committed version under $root"))
+    chain(spark, root, m.version) match {
+      case None => buildTx(spark, root, idCol, textCol)
+      case Some((end, _)) if end == m.version => m.version
+      case Some((end, _)) =>
+        val changed = PkTableSink.readTxChanges(spark, root, end, m.version)
+          .where(col("_change_type").isin("insert", "update"))
+          .drop("_change_type")
+        postingsOf(changed, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$root/${deltaDirName(end, m.version)}")
+        m.version
+    }
+  }
+
+  /** The longest chain starting at the newest full build with base
+    * version ≤ `current`: (covered-end-version, dirs). */
+  private def chain(spark: SparkSession, root: String,
+                    current: Long): Option[(Long, Seq[String])] = {
+    val fs = fsOf(spark, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return None
+    val names = fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith("_invidx.")).toSeq
+    val bases = names.collect { case n if n.startsWith("_invidx.v") =>
+      n.stripPrefix("_invidx.v").toLong
+    }.filter(_ <= current)
+    if (bases.isEmpty) return None
+    val deltas = names.collect { case n if n.startsWith("_invidx.d") =>
+      val Array(f, t) = n.stripPrefix("_invidx.d").split("_")
+      (f.toLong, t.toLong)
+    }.groupBy(_._1).map { case (f, ts) => f -> ts.map(_._2).max } // farthest hop per from
+    val base = bases.max
+    var end = base
+    var dirs = Seq(s"$root/${baseDirName(base)}")
+    while (end < current && deltas.contains(end) && deltas(end) <= current) {
+      val to = deltas(end)
+      dirs = dirs :+ s"$root/${deltaDirName(end, to)}"
+      end = to
+    }
+    Some((end, dirs))
+  }
+
+  /** True iff the chain reaches the current table version. */
   def isCurrent(spark: SparkSession, root: String): Boolean =
     TxLog.current(spark, root).exists(m =>
-      fsOf(spark, root).exists(new Path(root, dirName(m.version))))
+      chain(spark, root, m.version).exists(_._1 == m.version))
 
   /** Rows whose text contains ALL (`requireAll=true`, the `MATCH_ALL`
-    * shape) or ANY (`MATCH_ANY`) of `terms`. Fresh index → posting
-    * probe + semi-join; stale/absent index → exact full-scan fallback
-    * with the same analyzer. Terms are analyzer-normalized first, so
-    * `search(.., Seq("Spark!"))` matches the token `spark`. */
+    * shape) or ANY (`MATCH_ANY`) of `terms`. Fresh chain → posting
+    * probe + semi-join + exact re-verify; broken chain → exact
+    * full-scan fallback. Terms are analyzer-normalized first. */
   def searchTx(spark: SparkSession, root: String, schemaOf: => DataFrame,
                idCol: String, textCol: String, terms: Seq[String],
                requireAll: Boolean = true): DataFrame = {
@@ -79,41 +135,48 @@ object InvertedIndex {
     val base = PkTableSink.readTx(spark, root, schemaOf)
     val m = TxLog.current(spark, root).getOrElse(
       throw new IllegalStateException(s"searchTx: no committed version under $root"))
-    val idxPath = new Path(root, dirName(m.version))
-    if (!fsOf(spark, root).exists(idxPath)) {
-      // withdrawn index: exact predicate over the merged read — the
-      // conservative twin of the zone-map/Bloom fallback readers
-      val hits = norm.map(t => array_contains(tokens(col(textCol)), t))
-      return base.where(if (requireAll) hits.reduce(_ && _) else hits.reduce(_ || _))
+    val hits = norm.map(t => array_contains(tokens(col(textCol)), t))
+    val exactPred = if (requireAll) hits.reduce(_ && _) else hits.reduce(_ || _)
+    chain(spark, root, m.version) match {
+      case Some((end, dirs)) if end == m.version =>
+        val posts = spark.read.parquet(dirs: _*)
+        val ids: DataFrame =
+          if (requireAll) {
+            // per term: union the chain's entries into ONE bitmap
+            // (≤ |dirs| rows), then fold ∩ smallest-posting-first so
+            // the intersection shrinks immediately; a term with no
+            // postings anywhere short-circuits via the 0-row cross
+            // join. k tiny token-equality-pushed scans.
+            val perTerm = norm.map { t =>
+              val one = posts.where(col("token") === t)
+                .agg(Rbm.rbmUnion(col("postings")).as("postings"),
+                  sum(col("df")).as("df"))
+                .where(col("df").isNotNull) // 0 input rows → drop
+              val df = one.select(col("df"))
+                .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+                .collect().headOption.getOrElse(-1L)
+              (one.select(col("postings")), df)
+            }.sortBy(_._2)
+            if (perTerm.head._2 < 0) return base.limit(0)
+            perTerm.map(_._1)
+              .reduce((a, b) => a.crossJoin(b.withColumnRenamed("postings", "p2"))
+                .select(Rbm.andBm(col("postings"), col("p2")).as("postings")))
+              .select(explode(Rbm.toIds(col("postings"))).as("__id"))
+          } else {
+            posts.where(col("token").isin(norm: _*))
+              .select(explode(Rbm.toIds(col("postings"))).as("__id"))
+              .distinct()
+          }
+        // chain postings can be stale for updated/deleted rows — the
+        // exact predicate re-verifies the FETCHED candidates only
+        base.join(ids, base(idCol).cast("long") === ids("__id"), "left_semi")
+          .where(exactPred)
+      case _ =>
+        base.where(exactPred)
     }
-    val posts = spark.read.parquet(idxPath.toString)
-    val ids: DataFrame =
-      if (requireAll) {
-        // fold ∩ over ≤1-row frames, SMALLEST posting first so the
-        // intersection shrinks immediately; a missing term short-
-        // circuits to empty via the 0-row cross join. k tiny scans,
-        // each a token-equality pushed parquet read.
-        val dfs = norm.map(t => t -> posts.where(col("token") === t)
-          .select(col("postings"), col("df")))
-        val ordered = dfs.map { case (t, d) =>
-          (t, d, d.select(col("df")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
-            .collect().headOption.getOrElse(-1L))
-        }.sortBy(_._3)
-        if (ordered.head._3 < 0) return base.limit(0) // a term matches nothing
-        val folded = ordered.map(_._2.select(col("postings")))
-          .reduce((a, b) => a.crossJoin(b.withColumnRenamed("postings", "p2"))
-            .select(Rbm.andBm(col("postings"), col("p2")).as("postings")))
-        folded.select(explode(Rbm.toIds(col("postings"))).as("__id"))
-      } else {
-        posts.where(col("token").isin(norm: _*))
-          .select(explode(Rbm.toIds(col("postings"))).as("__id"))
-          .distinct()
-      }
-    base.join(ids, base(idCol).cast("long") === ids("__id"), "left_semi")
   }
 
-  /** Probe accounting for a spec/bench: (index served?, rows the
-    * probe would return). */
+  /** Probe accounting for a spec/bench: (chain served?, rows). */
   def searchStatsTx(spark: SparkSession, root: String, schemaOf: => DataFrame,
                     idCol: String, textCol: String, terms: Seq[String],
                     requireAll: Boolean = true): (Boolean, Long) = {

@@ -78,6 +78,48 @@ class InvertedIndexSpec extends SparkSpec {
       s"token filter not pushed:\n${plan.take(600)}")
   }
 
+  test("incremental chain: delta postings cover upserts; stale entries re-verified away") {
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root, docs, Seq("id"), Seq("ver"), "del", writer = "w")
+    InvertedIndex.buildTx(spark, root, "id", "text")
+    def search(terms: Seq[String], all: Boolean = true): Set[Long] =
+      InvertedIndex.searchTx(spark, root, docs.drop("del"), "id", "text", terms, all)
+        .select(col("id")).as[Long].collect().toSet
+    // commit 1: new doc with a brand-new token; update doc 0 so its
+    // old token 'shuffles' is STALE in the base postings
+    PkTableSink.mergeTx(spark, root,
+      Seq((9L, 1L, "zeppelin rides the cluster", false),
+          (0L, 2L, "Spark sorts data across the cluster", false))
+        .toDF("id", "ver", "text", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    assert(!InvertedIndex.isCurrent(spark, root))
+    InvertedIndex.updateTx(spark, root, "id", "text")
+    assert(InvertedIndex.isCurrent(spark, root), "chain must reach the new version")
+    assert(search(Seq("zeppelin")) == Set(9L), "delta postings must serve new docs")
+    assert(search(Seq("shuffles")).isEmpty,
+      "stale base posting must be removed by the exact re-verify")
+    assert(search(Seq("sorts")) == Set(0L), "updated text must be searchable")
+    // commit 2 + second delta: chain of two hops; delete doc 3
+    PkTableSink.mergeTx(spark, root,
+      Seq((3L, 2L, "bitmap indexes accelerate point lookups", true))
+        .toDF("id", "ver", "text", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    InvertedIndex.updateTx(spark, root, "id", "text")
+    assert(InvertedIndex.isCurrent(spark, root))
+    assert(search(Seq("bitmap")).isEmpty,
+      "deleted doc must not surface (semi-join on live base)")
+    assert(search(Seq("cluster"), all = true) == Set(0L, 4L, 9L),
+      "chain union across base + two deltas")
+    // the delta dirs are delta-SIZED, not corpus-sized
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_invidx.d"))
+    assert(names.length == 2, s"expected two delta dirs, got ${names.toSeq}")
+    val d1 = spark.read.parquet(s"$root/${names.sorted.head}")
+    assert(d1.count() < spark.read.parquet(s"$root/_invidx.v0").count())
+  }
+
   test("a commit withdraws the index (exact fallback), rebuild restores it") {
     val root = freshRoot()
     PkTableSink.mergeTx(spark, root, docs, Seq("id"), Seq("ver"), "del", writer = "w")
