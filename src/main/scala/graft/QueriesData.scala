@@ -992,7 +992,11 @@ object QueriesData {
       val est = pb.join(sketch, Seq("r", "b"), "left")
         .groupBy(col("token"))
         .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
-      val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+      // probe filter BEFORE the exact aggregation: the verify side
+      // counts only the queried tokens, so the broadcast is probe-
+      // sized, never vocabulary-sized
+      val exact = toks.where(col("t").isin(probes: _*))
+        .groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
       est.join(exact, est("token") === exact("t"), "left")
         .select(col("token"), col("n_est"),
           coalesce(col("n_exact"), lit(0L)).as("n_exact"))
