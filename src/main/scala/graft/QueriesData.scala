@@ -447,6 +447,17 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C64: AUDIO loudness features — payload bytes decoded as 16-bit
+    // PCM per partition (the mapPartitions media pattern), framed at
+    // 64 samples, per-frame Σs² energies reduced to peak/mean; all
+    // integer arithmetic until the final mean, so the oracle replays
+    // the samples byte-for-byte (the corpus is ASCII, so DuckDB's
+    // ascii() sees the same bytes UTF-8 yields)
+    "mm_audio_energy" -> { (s, dir) =>
+      Multimodal.audioEnergy(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // C14: frame-sampling plumbing over blob blocks
     "mm_frame_sample" -> { (s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -1629,6 +1640,32 @@ object QueriesData {
         |SELECT doc_id, count(DISTINCT sel) AS n_fingerprints,
         |  min(sel) AS fp_min, max(sel) AS fp_max
         |FROM sel WHERE idx >= 10 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // C64: 16-bit big-endian sample assembly from character codes,
+    // frame grouping by i÷64, argmax by (energy desc, frame) window
+    "mm_audio_energy" ->
+      """WITH s AS (SELECT doc_id, text, len(text) // 2 AS ns FROM documents),
+        |samp AS (SELECT doc_id, i,
+        |  CASE WHEN a * 256 + b >= 32768 THEN a * 256 + b - 65536
+        |       ELSE a * 256 + b END AS v
+        |  FROM (SELECT doc_id, t.i,
+        |          ascii(substr(text, CAST(2 * t.i + 1 AS INT), 1)) AS a,
+        |          ascii(substr(text, CAST(2 * t.i + 2 AS INT), 1)) AS b
+        |        FROM s, unnest(range(0, ns)) AS t(i))),
+        |fe AS (SELECT doc_id, i // 64 AS f, sum(v * v) AS e
+        |       FROM samp GROUP BY 1, 2),
+        |pk AS (SELECT doc_id, f AS peak_frame, CAST(e AS BIGINT) AS peak_energy
+        |       FROM (SELECT doc_id, f, e,
+        |               row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, f) AS rn
+        |             FROM fe) WHERE rn = 1),
+        |agg AS (SELECT doc_id, count(*) AS n_frames, CAST(sum(e) AS BIGINT) AS tot
+        |        FROM fe GROUP BY doc_id)
+        |SELECT s.doc_id, s.ns AS n_samples,
+        |  COALESCE(agg.n_frames, 0) AS n_frames,
+        |  COALESCE(pk.peak_frame, 0) AS peak_frame,
+        |  COALESCE(pk.peak_energy, 0) AS peak_energy,
+        |  COALESCE(round(agg.tot / agg.n_frames, 4), 0.0) AS mean_energy
+        |FROM s LEFT JOIN agg USING (doc_id) LEFT JOIN pk USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,
         |CASE WHEN substr(text, 1, 1) < 'm' THEN 'typeA' ELSE 'typeB' END AS sniffed,

@@ -270,4 +270,64 @@ object Multimodal {
         Encoders.STRING))
       .toDF("doc_id", "thumb_w", "thumb_h", "thumb_md5")
   }
+
+  /** Per-frame energies of a signed big-endian 16-bit PCM payload:
+    * (n_samples, per-frame Σs² energies). A trailing odd byte is
+    * ignored; the last frame may be partial. Integer-exact by
+    * construction (sum of ≤ 2³⁰-sized squares in a Long). */
+  private[graft] def pcmFrameEnergies(bytes: Array[Byte], frame: Int): (Int, Array[Long]) = {
+    val n = bytes.length / 2
+    val nf = (n + frame - 1) / frame
+    val energies = new Array[Long](math.max(nf, 0))
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toLong
+      energies(i / frame) += s * s
+      i += 1
+    }
+    (n, energies)
+  }
+
+  final case class AudioEnergy(doc_id: Long, n_samples: Long, n_frames: Long,
+                               peak_frame: Long, peak_energy: Long,
+                               mean_energy: Double)
+
+  /** AUDIO feature extraction — the third media family next to the
+    * image codec and frame sampler: the payload column is decoded as
+    * 16-bit PCM per partition (one decoder per partition, the
+    * mapPartitions media pattern), framed, and reduced to per-doc
+    * loudness features: frame count, peak frame (argmax energy, tie →
+    * first) and its energy, mean frame energy. All integer arithmetic
+    * until the final mean, so results replay exactly cross-engine.
+    * Zero-sample payloads yield zero frames and null-free zeros (the
+    * empty-payload guard class from the image decoder). */
+  def audioEnergy(df: DataFrame, id: Column, text: Column,
+                  frame: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    require(frame > 0, "frame must be positive")
+    df.select(id.cast("long").as("doc_id"), text.as("t"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (n, energies) = pcmFrameEnergies(bytes, frame)
+          val (peakF, peakE) =
+            if (energies.isEmpty) (0L, 0L)
+            else {
+              var bi = 0
+              var b = energies(0)
+              var j = 1
+              while (j < energies.length) {
+                if (energies(j) > b) { bi = j; b = energies(j) }
+                j += 1
+              }
+              (bi.toLong, b)
+            }
+          val mean =
+            if (energies.isEmpty) 0.0
+            else math.floor(energies.sum.toDouble / energies.length * 10000 + 0.5) / 10000
+          AudioEnergy(r.getLong(0), n.toLong, energies.length.toLong, peakF, peakE, mean)
+        }
+      }(Encoders.product[AudioEnergy])
+      .toDF()
+  }
 }

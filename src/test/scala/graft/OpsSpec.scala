@@ -568,6 +568,30 @@ class OpsSpec extends SparkSpec {
     assert(ed.maxOccupancy == 4 && ed.candPairs >= 4L * 6, s"editdist probe: $ed")
   }
 
+  test("PCM frame energies: signed 16-bit assembly, partial frames, odd tail") {
+    // crafted bytes exercise the signed branch ASCII corpora cannot:
+    // 0x80 0x00 → -32768, 0xff 0xff → -1, 0x7f 0xff → 32767
+    val bytes = Array[Byte](0x80.toByte, 0x00, 0xff.toByte, 0xff.toByte,
+      0x7f, 0xff.toByte, 0x00, 0x02, 0x01) // 4 samples + odd tail byte
+    val (n, energies) = Multimodal.pcmFrameEnergies(bytes, frame = 3)
+    assert(n == 4)
+    // frame 0: (-32768)² + (-1)² + 32767² ; frame 1 (partial): 2²
+    assert(energies.toSeq == Seq(32768L * 32768 + 1 + 32767L * 32767, 4L))
+    // empty payload: zero samples, zero frames
+    assert(Multimodal.pcmFrameEnergies(Array.emptyByteArray, 64) == ((0, Array.empty[Long])) ||
+      Multimodal.pcmFrameEnergies(Array.emptyByteArray, 64)._2.isEmpty)
+    // the query-facing op agrees with a hand fold on a fixture row
+    val df = Seq((7L, "abcdef")).toDF("doc_id", "text")
+    val row = Multimodal.audioEnergy(df, col("doc_id"), col("text"), frame = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    val s = "abcdef".getBytes("UTF-8")
+    def smp(i: Int) = ((s(2 * i) << 8) | (s(2 * i + 1) & 0xff)).toShort.toLong
+    val e0 = smp(0) * smp(0) + smp(1) * smp(1)
+    val e1 = smp(2) * smp(2)
+    assert(row == ((7L, 3L, 2L, (if (e0 >= e1) 0L else 1L),
+      math.max(e0, e1), math.floor((e0 + e1).toDouble / 2 * 10000 + 0.5) / 10000)))
+  }
+
   test("embedding decontamination flags near-eval vectors, min-eval-id tie-break") {
     // base direction + its negation; ids 0 and 50 are eval (id % 50 == 0)
     val base = Array.tabulate(64)(i => ((i * 37 + 11) % 19 - 9).toFloat)

@@ -220,4 +220,37 @@ class PlanSpec extends SparkSpec {
     assert(below.exists(_.contains("Scan parquet")),
       s"the type filter should sit on the scan side of the exchange:\n$p")
   }
+
+  test("runtime bloom-filter injection prunes the fact scan under a selective dim join") {
+    // Catalyst's InjectRuntimeFilter (the engine's own semi-join
+    // reduction, StarRocks' runtime filter analogue): with the rule
+    // enabled, a selective filter on the build side materializes a
+    // bloom filter that is pushed into the PROBE side's scan filter as
+    // might_contain — fact rows with no join partner die at the scan,
+    // before the shuffle. This is the 100 TB plan shape for selective
+    // star joins; the suite's default threshold settings leave it to
+    // AQE, this test pins that the engine delivers it when asked.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = Tables.lineitem(spark, sfDir)
+      val dim = Tables.orders(spark, sfDir)
+        .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val p = fact.join(dim,
+          fact("l_orderkey") === dim("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the probe side:\n${p.take(1200)}")
+      assert(p.contains("bloom_filter_agg"),
+        s"no bloom filter built from the dim side:\n${p.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
