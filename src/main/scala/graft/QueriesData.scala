@@ -82,6 +82,30 @@ object QueriesData {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // C65: dedup QUALITY AUDIT — the number the LSH docs only assert:
+    // banding recall measured against the exact PPJoin ground truth on
+    // the same corpus and threshold. Verified LSH output is a subset
+    // of the exact pairs by construction (precision pinned at 1.0 —
+    // the audit cross-checks it); recall = banding's true hit rate.
+    // The audit is itself a query so every round's artifact carries
+    // it — a corpus drift that degrades banding shows up as a red
+    // hash, not a silent quality loss
+    "dedup_quality_audit" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val exact = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"))
+        .select(col("doc_a"), col("doc_b")).withColumn("e", lit(1L))
+      val lsh = Dedup.minhashLshPairs(d, col("doc_id"), col("text"))
+        .select(col("doc_a"), col("doc_b")).withColumn("l", lit(1L))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "full")
+        .agg(sum(coalesce(col("e"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("l"), lit(0L))).as("n_lsh"),
+          sum(when(col("e").isNotNull && col("l").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"))
+        .select(col("n_exact"), col("n_lsh"), col("n_both"),
+          Rounding.r(col("n_both").cast("double") / col("n_exact"), 4).as("recall"),
+          Rounding.r(col("n_both").cast("double") / col("n_lsh"), 4).as("precision"))
+    },
+
     // C4: exact all-pairs set-similarity join on 3-gram shingles
     "dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -825,12 +849,20 @@ object QueriesData {
           zip_with(col("starts"), col("ends"), (st, en) =>
             when(st <= en, md5(col("text").substr(st, en - st + 1)))),
           h => h.isNotNull)).as("h"))
-      val dfreq = inst.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("docs"))
-      inst.join(dfreq, "h")
+      // collapse instances to (doc, h, cnt) FIRST: both downstream
+      // consumers (the per-h doc frequency and the per-doc rollup)
+      // then hang off the IDENTICAL aggregation subtree, so Spark's
+      // ReuseExchange computes the boundary-detection pass ONCE — the
+      // raw-instance join formulation ran the md5-per-position scan
+      // twice (measured 6.6 s at sf0.1; this form halves it)
+      val perDoc = inst.groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val dfreq = perDoc.groupBy(col("h"))
+        .agg(count(lit(1)).as("docs")) // (doc,h) rows are distinct by construction
+      perDoc.join(dfreq, "h")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .agg(sum(col("cnt")).as("n_chunks"),
+          sum(when(col("docs") >= 2, col("cnt")).otherwise(0L)).as("n_shared"))
         .withColumn("shared_frac",
           Rounding.r(col("n_shared").cast("double") / col("n_chunks"), 4))
         .orderBy(col("doc_id"))
@@ -1078,6 +1110,47 @@ object QueriesData {
          |        FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
          |SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 4) AS jaccard
          |FROM ver WHERE inter * 5 >= uni * 4 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // C65: both pair sets replayed (minhash CTEs + the exact PPJoin
+    // ground truth), counted and cross-joined into one summary row
+    "dedup_quality_audit" -> {
+      import graft.ops.Dedup.{MinhashP => p, minhashA, minhashB}
+      val mins = (0 until 32)
+        .map(i => s"min((x * ${minhashA(i)} + ${minhashB(i)}) % $p) AS m$i")
+        .mkString(",\n")
+      val bandHashes = (0 until 8).map(b =>
+        s"md5(${(0 until 4).map(j => s"m${b * 4 + j}::VARCHAR").mkString(" || '|' || ")}) AS bh$b")
+        .mkString(",\n")
+      val bandMatch = (0 until 8).map(b => s"a.bh$b = b.bh$b").mkString(" OR ")
+      s"""WITH $shingleCte,
+         |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+         |xs AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $p AS x FROM tok),
+         |mh AS (SELECT doc_id,
+         |$mins
+         |FROM xs GROUP BY doc_id),
+         |bandw AS (SELECT doc_id,
+         |$bandHashes
+         |FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bandw a JOIN bandw b ON a.doc_id < b.doc_id AND ($bandMatch)),
+         |ver AS (SELECT c.doc_a, c.doc_b, len(list_intersect(x.s, y.s)) AS inter,
+         |               len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
+         |        FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id),
+         |lshp AS (SELECT doc_a, doc_b FROM ver WHERE inter * 5 >= uni * 4),
+         |szd AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+         |tk AS (SELECT doc_id, sz, unnest(s) AS t FROM szd),
+         |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM tk a JOIN tk b ON a.t = b.t AND a.doc_id < b.doc_id
+         |         AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 4
+         |       GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |       HAVING count(*) * 5 >= (a.sz + b.sz - count(*)) * 4),
+         |n AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |             (SELECT count(*) FROM lshp) AS n_lsh,
+         |             (SELECT count(*) FROM ex JOIN lshp USING (doc_a, doc_b)) AS n_both)
+         |SELECT n_exact, n_lsh, n_both,
+         |  round(n_both / n_exact, 4) AS recall,
+         |  round(n_both / n_lsh, 4) AS precision
+         |FROM n""".stripMargin
     },
     "dedup_incremental" -> {
       import graft.ops.Dedup.{MinhashP => p, minhashA, minhashB}

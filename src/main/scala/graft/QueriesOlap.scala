@@ -135,6 +135,30 @@ object QueriesOlap {
 
     // B9: tumbling 1-hour bucket aggregate (batch twin of the
     // streaming windowed aggregate in streaming/EventStream)
+    // B65: WEIGHTED percentiles (median + p90 of price weighted by
+    // quantity — "the price at which half the VOLUME trades", not half
+    // the line items): per-(group, value) integer weight aggregation,
+    // one per-group cumulative window over DISTINCT values, then the
+    // integer cross-multiplied rank test cum·100 ≥ p·tot picks the
+    // answer — no interpolation, no FP rank arithmetic; exported
+    // prices are raw data values, bit-identical by construction
+    "q_weighted_percentile" -> { (s, dir) =>
+      val byVal = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      byVal
+        .withColumn("cum", sum(col("w")).over(wOrd))
+        .withColumn("tot", sum(col("w")).over(wAll))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("cum") * 2 >= col("tot"), col("l_extendedprice"))).as("w_median"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("l_extendedprice"))).as("w_p90"),
+          max(col("tot")).as("total_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // B64: EWMA smoothing of daily per-type volumes (ClickHouse
     // exponentialMovingAverage / monitoring-dashboard smoothing) with
     // α = 1/2 decay over a trailing 8-row frame: every weight is a
@@ -1296,6 +1320,22 @@ object QueriesOlap {
     "q_distinct_users" ->
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // B65: same distinct-value cumulative walk; weights summed as
+    // BIGINT from the cast (sum of integral doubles would be exact
+    // too, but the cast keeps HUGEINT out of the rank test's operands)
+    "q_weighted_percentile" ->
+      """WITH g AS (SELECT l_returnflag, l_extendedprice,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, l_extendedprice, w,
+        |  CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS cum,
+        |  CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cum * 2 >= tot THEN l_extendedprice END) AS w_median,
+        |  min(CASE WHEN cum * 10 >= tot * 9 THEN l_extendedprice END) AS w_p90,
+        |  max(tot) AS total_qty
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // B64: same trailing-8 frame (list_slice of the running window),
     // same left-to-right fold, same 1<<k weights — 1-based lambda
     // index maps k = n - i (Spark's 0-based gives n - 1 - i)

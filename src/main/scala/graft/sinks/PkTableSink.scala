@@ -142,6 +142,11 @@ object PkTableSink {
   // (auto-compaction) and reads keep pruning without re-passing it
   private val MetaBloom = "bloom"
   private val MetaStats = "stats"
+  // the table's CURRENT column set (ordered, Tombstone excluded) —
+  // grows on widening commits, never shrinks; commits missing a
+  // stored column are refused (a whole-row latest-wins merge would
+  // silently null the column on every key the commit touches)
+  private val MetaCols = "cols"
   // per-commit layering order for the read-time merge: among EQUAL
   // versions of a key, the later commit wins (deterministic, where
   // copy-on-write tie-break was unspecified)
@@ -174,9 +179,14 @@ object PkTableSink {
         throw new IllegalStateException(
           "manifest has deltas but no stored key columns")).split(",").toSeq
       val vers = meta(MetaVers).split(",").toSeq
+      // allowMissingColumns: WIDENED tables (a later commit added a
+      // column) read older dirs with the new column as null — exactly
+      // the ALTER TABLE ADD COLUMN default. Narrowing never reaches
+      // here (mergeTx refuses commits missing a stored column), so
+      // this cannot mask a misspelled column name
       val layered = dirs.zipWithIndex
         .map { case (d, i) => spark.read.parquet(d).withColumn(CommitSeq, lit(i.toLong)) }
-        .reduce(_ unionByName _)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
       PkTable.latestPerKey(layered, keys, vers.map(col) :+ col(CommitSeq))
         .drop(CommitSeq)
     }
@@ -239,6 +249,9 @@ object PkTableSink {
         BloomSidecar.write(spark, dir, (bc.split(",").toSeq :+ keyCols.head).distinct,
           bloomExpectedPerFile))
     }
+    val batchCols = chg.columns.toSeq.filterNot(_ == Tombstone)
+    batchCols.foreach(c => require(!c.exists(ch => ch == ',' || ch == '=' || ch == '\n'),
+      s"column name '$c' unusable in a manifest"))
     val v = TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       val next = base.map(_.version + 1).getOrElse(0L)
       // unique nonce: two writers (even misconfigured with the SAME
@@ -249,7 +262,8 @@ object PkTableSink {
         case None =>
           val dataDir = s"$root/t$next-$writer-$nonce"
           chg.write.mode(SaveMode.Overwrite).parquet(dataDir)
-          val fullMeta = meta ++ sidecarMeta(Map.empty)
+          val fullMeta = meta ++ sidecarMeta(Map.empty) +
+            (MetaCols -> batchCols.mkString(","))
           writeSidecars(dataDir, fullMeta)
           TxLog.Prepared(dataDir = dataDir, meta = fullMeta, written = Seq(dataDir))
         case Some(m) =>
@@ -258,9 +272,20 @@ object PkTableSink {
             m.meta(MetaVers) == meta(MetaVers),
             s"mergeTx key/version columns differ from the table's " +
               s"(stored keys=$k vers=${m.meta(MetaVers)})"))
+          // SCHEMA EVOLUTION: the column set may WIDEN (new columns
+          // append; older dirs read them as null — the ADD COLUMN
+          // default) but never narrow — a whole-row commit missing a
+          // stored column would null it on every touched key
+          val stored = m.meta.get(MetaCols).map(_.split(",").toSeq).getOrElse(batchCols)
+          val missing = stored.filterNot(batchCols.contains)
+          require(missing.isEmpty,
+            s"mergeTx: batch is missing stored columns ${missing.mkString(", ")} — " +
+              "schema can widen, never narrow (use mergeTxPartial for column subsets)")
+          val widened = stored ++ batchCols.filterNot(stored.contains)
           val deltaDir = s"$root/d$next-$writer-$nonce"
           chg.write.mode(SaveMode.Overwrite).parquet(deltaDir)
-          val fullMeta = meta ++ sidecarMeta(m.meta)
+          val fullMeta = meta ++ sidecarMeta(m.meta) +
+            (MetaCols -> widened.mkString(","))
           writeSidecars(deltaDir, fullMeta)
           TxLog.Prepared(dataDir = m.dataDir, deltas = m.deltas :+ deltaDir,
             meta = fullMeta, written = Seq(deltaDir))
@@ -656,8 +681,18 @@ object PkTableSink {
       throw new IllegalStateException(
         s"readTxChanges: $root has no stored key columns")).split(",").toSeq
     val ChangeType = "_change_type"
-    val sFrom0 = mergeDirs(spark, mF.dataDir +: mF.deltas, mF.meta)
-    val sTo0 = mergeDirs(spark, mT.dataDir +: mT.deltas, mT.meta)
+    // across a WIDENING boundary the from-image lacks the new columns;
+    // align both sides to the union schema (nulls fill the gap — the
+    // same ADD COLUMN default the merged read serves), so the diff
+    // reports a widened row as an update carrying the new column
+    def align(df: DataFrame, ref: DataFrame): DataFrame =
+      ref.schema.fields.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val sFrom0 = {
+      val a = mergeDirs(spark, mF.dataDir +: mF.deltas, mF.meta)
+      align(a, mergeDirs(spark, mT.dataDir +: mT.deltas, mT.meta))
+    }
+    val sTo0 = align(mergeDirs(spark, mT.dataDir +: mT.deltas, mT.meta), sFrom0)
     val outCols = sTo0.columns.toSeq.filterNot(_ == Tombstone)
     val newDirs =
       if (mF.dataDir == mT.dataDir && mT.deltas.startsWith(mF.deltas))
