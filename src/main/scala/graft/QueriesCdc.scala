@@ -348,7 +348,11 @@ object QueriesCdc {
       val outCols = Seq("o_orderkey", "o_custkey", "c_name")
       var sl = MaterializedJoin.emptyState(o, col("odel"))
       var sr = MaterializedJoin.emptyState(c, col("cdel"))
-      var mv: Option[DataFrame] = None
+      // states checkpoint per round (each is read twice by the next
+      // step); the signed deltas are only Σ'd, so ONE associative
+      // mergeMv over the union replaces four checkpointed merges —
+      // same result by sign additivity, 4 fewer jobs
+      var deltas: Seq[DataFrame] = Nil
       (0 until 4).foreach { i =>
         val st = MaterializedJoin.step(
           sl, o.where(pmod(col("o_orderkey"), lit(4)) === i),
@@ -358,9 +362,48 @@ object QueriesCdc {
           joinL = Seq("o_custkey"), joinR = Seq("c_custkey"), outCols = outCols)
         sl = st.stateL.localCheckpoint(true)
         sr = st.stateR.localCheckpoint(true)
-        mv = Some(MaterializedJoin.mergeMv(mv, st.delta, outCols).localCheckpoint(true))
+        deltas = deltas :+ st.delta
       }
-      mv.get.drop("__mult").orderBy(col("o_orderkey"))
+      MaterializedJoin.mergeMv(None, deltas.reduce(_ unionByName _), outCols)
+        .drop("__mult").orderBy(col("o_orderkey"))
+    },
+
+    // A32: JOIN + AGGREGATE materialized view — the full StarRocks MV
+    // shape (SELECT c_name, count(*), sum(price) FROM orders JOIN
+    // customer GROUP BY c_name), maintained compositionally: the
+    // signed JOIN delta (A31) IS a retract stream, so MaterializedAgg
+    // .groupDelta folds it into per-group adjustments with zero new
+    // machinery — the bilinear and the linear operators compose.
+    // Money rides as integer CENTS (floor(x·100+0.5)) so retract
+    // arithmetic is exact under any delta order; groups whose count
+    // reaches zero vanish (inner-join + agg semantics)
+    "cdc_mv_join_agg" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        lit(1L).as("ov"), (col("o_orderkey") % 13 === 3).as("odel"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"),
+        lit(1L).as("cv"), (col("c_custkey") % 17 === 5).as("cdel"))
+      var sl = MaterializedJoin.emptyState(o, col("odel"))
+      var sr = MaterializedJoin.emptyState(c, col("cdel"))
+      var gds: Seq[DataFrame] = Nil
+      (0 until 4).foreach { i =>
+        val st = MaterializedJoin.step(
+          sl, o.where(pmod(col("o_orderkey"), lit(4)) === i),
+          Seq("o_orderkey"), Seq(col("ov")), col("odel"),
+          sr, c.where(pmod(col("c_custkey"), lit(4)) === i),
+          Seq("c_custkey"), Seq(col("cv")), col("cdel"),
+          joinL = Seq("o_custkey"), joinR = Seq("c_custkey"),
+          outCols = Seq("o_orderkey", "cents", "c_name"))
+        sl = st.stateL.localCheckpoint(true)
+        sr = st.stateR.localCheckpoint(true)
+        gds = gds :+ MaterializedAgg.groupDelta(st.delta, Seq("c_name"),
+          Seq("cents" -> col("cents")))
+      }
+      MaterializedAgg.mergeMv(None, gds.reduce(_ unionByName _),
+          Seq("c_name"), Seq("cents"))
+        .select(col("c_name"), col("n"),
+          Rounding.r(col("cents").cast("double") / 100, 2).as("revenue"))
+        .orderBy(col("c_name"))
     },
 
     "cdc_mv_incremental" -> { (s, dir) =>
@@ -474,6 +517,12 @@ object QueriesCdc {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey % 13 <> 3 AND c.c_custkey % 17 <> 5
         |ORDER BY o_orderkey""".stripMargin,
+    "cdc_mv_join_agg" ->
+      """SELECT c.c_name, count(*) AS n,
+        |  round(CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100, 2) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 13 <> 3 AND c.c_custkey % 17 <> 5
+        |GROUP BY c.c_name ORDER BY c_name""".stripMargin,
     "cdc_mv_incremental" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
