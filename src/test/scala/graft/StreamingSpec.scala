@@ -592,6 +592,54 @@ class StreamingSpec extends SparkSpec {
     assert(Set("a", "b", "z").subsetOf(kept), s"heavies lost: $kept")
   }
 
+  test("A33: streaming join-MV maintenance from one multi-table CDC feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.cdc.MaterializedJoin
+    // one topic carries both tables' changes (the single-connector
+    // multi-table Debezium shape); foreachBatch splits by table and
+    // advances the join MV incrementally — no batch re-joins history
+    val input = MemoryStream[(String, Long, Long, String, Long, Boolean)]
+    val feed = input.toDF().toDF("tbl", "k", "fk", "payload", "ver", "del")
+    val protoL = Seq.empty[(Long, Long, Long, Boolean)].toDF("okey", "ckey", "ov", "odel")
+    val protoR = Seq.empty[(Long, String, Long, Boolean)].toDF("ckey", "nm", "cv", "cdel")
+    var stateL = MaterializedJoin.emptyState(protoL, col("odel"))
+    var stateR = MaterializedJoin.emptyState(protoR, col("cdel"))
+    var mv: Option[org.apache.spark.sql.DataFrame] = None
+    val outCols = Seq("okey", "ckey", "nm")
+    val q = feed.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bl = batch.where(col("tbl") === "ord")
+          .select(col("k").as("okey"), col("fk").as("ckey"),
+            col("ver").as("ov"), col("del").as("odel"))
+        val br = batch.where(col("tbl") === "cust")
+          .select(col("k").as("ckey"), col("payload").as("nm"),
+            col("ver").as("cv"), col("del").as("cdel"))
+        val st = MaterializedJoin.step(
+          stateL, bl, Seq("okey"), Seq(col("ov")), col("odel"),
+          stateR, br, Seq("ckey"), Seq(col("cv")), col("cdel"),
+          joinL = Seq("ckey"), joinR = Seq("ckey"), outCols = outCols)
+        stateL = st.stateL.localCheckpoint(true)
+        stateR = st.stateR.localCheckpoint(true)
+        mv = Some(MaterializedJoin.mergeMv(mv, st.delta, outCols).localCheckpoint(true))
+        ()
+      }.start()
+    // batch 1: order arrives BEFORE its customer exists
+    input.addData(("ord", 1L, 10L, "", 1L, false)); q.processAllAvailable()
+    assert(mv.get.count() == 0, "dangling fact must not join yet")
+    // batch 2: the dim lands → the old fact joins; plus a second order
+    input.addData(("cust", 10L, 0L, "alice", 1L, false),
+      ("ord", 2L, 10L, "", 1L, false))
+    q.processAllAvailable()
+    assert(mv.get.select(col("okey"), col("nm")).as[(Long, String)].collect().toSet ==
+      Set((1L, "alice"), (2L, "alice")))
+    // batch 3: dim rename fans out; order 1 deleted
+    input.addData(("cust", 10L, 0L, "alicia", 2L, false),
+      ("ord", 1L, 10L, "", 2L, true))
+    q.processAllAvailable(); q.stop()
+    val fin = mv.get.select(col("okey"), col("nm")).as[(Long, String)].collect().toSet
+    assert(fin == Set((2L, "alicia")), s"final MV: $fin")
+  }
+
   test("A29: streaming enrichment re-reads the PK dim per batch; upserts become visible") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sinks.{PkTableSink, TableStats}
