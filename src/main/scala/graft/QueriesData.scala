@@ -675,6 +675,54 @@ object QueriesData {
     // Counts are integer aggregates; bigram/unigram count joins are
     // plain shuffle joins keyed by the n-gram (broadcast when small);
     // per-doc mean log-prob is the ln-then-round contract of C18.
+    // C66: CCNet-style perplexity bucketing — the published head/
+    // middle/tail corpus split: per-doc LM score (C18b's interpolated
+    // bigram avg-logprob, 4dp), corpus-relative TERCILE boundaries,
+    // per-bucket doc/token mass. Boundaries are DISCRETE (smallest
+    // score with cum·3 ≥ k·n — the counting-walk from B47/B65, no
+    // interpolation), so they are data values and every tie lands in
+    // one bucket deterministically; the cum window runs over DISTINCT
+    // 4dp scores (grid-bounded, ≪ corpus). Docs under 2 tokens have
+    // no LM score and are excluded in both engines
+    "quality_perplexity_buckets" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val tok = d.select(col("doc_id"), explode(col("w")).as("t"))
+      val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).cast("double").as("total"))
+      val bg = d.where(size(col("w")) >= 2)
+        .withColumn("wa", slice(col("w"), lit(1), size(col("w")) - 1))
+        .withColumn("wb", slice(col("w"), lit(2), size(col("w")) - 1))
+        .select(col("doc_id"), explode(arrays_zip(col("wa"), col("wb"))).as("p"))
+        .select(col("doc_id"), col("p.wa").as("a"), col("p.wb").as("b"))
+      val bgc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      val scored = bg.join(bgc, Seq("a", "b"))
+        .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
+        .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(Rounding.r(sum(log(
+          lit(0.8) * col("cab") / col("ca") +
+            lit(0.2) * col("cb") / col("total"))) / count(lit(1)), 4).as("score"))
+        .join(d.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens")), "doc_id")
+      val cum = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("score"))))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      val bounds = cum.agg(
+        min(when(col("cum") * 3 >= col("n"), col("score"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t2"))
+      scored.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          when(col("score") <= col("t1"), "tail")
+            .when(col("score") <= col("t2"), "middle").otherwise("head"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          Rounding.r(min(col("score")), 4).as("min_score"),
+          Rounding.r(max(col("score")), 4).as("max_score"))
+        .orderBy(col("bucket"))
+    },
+
     "text_bigram_logprob" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -1840,6 +1888,35 @@ object QueriesData {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // C18b: same interpolation, bigram pairs via 1-based list
     // comprehension (i, i+1), counts joined back per bigram token
+    // C66: the C18b score pipeline + discrete tercile walk replayed
+    "quality_perplexity_buckets" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+        |uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+        |bg AS (SELECT doc_id, u.a AS a, u.b AS b
+        |  FROM d, unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS t(u)
+        |  WHERE len(w) >= 2),
+        |bgc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+        |sc AS (SELECT doc_id,
+        |  round(sum(ln(0.8 * cab / ua.c + 0.2 * ub.c / total)) / count(*), 4) AS score
+        |  FROM bg JOIN bgc USING (a, b)
+        |  JOIN uni ua ON bg.a = ua.t
+        |  JOIN uni ub ON bg.b = ub.t
+        |  CROSS JOIN tot GROUP BY doc_id),
+        |sct AS (SELECT sc.doc_id, score, CAST(len(d.w) AS BIGINT) AS n_tokens
+        |        FROM sc JOIN d USING (doc_id)),
+        |bys AS (SELECT score, count(*) AS cnt FROM sct GROUP BY score),
+        |cw AS (SELECT score, CAST(sum(cnt) OVER (ORDER BY score) AS BIGINT) AS cum FROM bys),
+        |nn AS (SELECT count(*) AS n FROM sct),
+        |b AS (SELECT min(CASE WHEN cum * 3 >= n THEN score END) AS t1,
+        |             min(CASE WHEN cum * 3 >= n * 2 THEN score END) AS t2
+        |      FROM cw CROSS JOIN nn)
+        |SELECT CASE WHEN score <= t1 THEN 'tail'
+        |            WHEN score <= t2 THEN 'middle' ELSE 'head' END AS bucket,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(min(score), 4) AS min_score, round(max(score), 4) AS max_score
+        |FROM sct CROSS JOIN b GROUP BY 1 ORDER BY bucket""".stripMargin,
     "text_bigram_logprob" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |tok AS (SELECT doc_id, unnest(w) AS t FROM d),

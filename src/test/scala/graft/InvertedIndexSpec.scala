@@ -120,6 +120,33 @@ class InvertedIndexSpec extends SparkSpec {
     assert(d1.count() < spark.read.parquet(s"$root/_invidx.v0").count())
   }
 
+  test("sidecar GC keeps the live chain + current stats/dict, deletes the rest") {
+    import graft.sinks.{GlobalDict, SidecarGc, TableStats}
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root, docs, Seq("id"), Seq("ver"), "del", writer = "w")
+    InvertedIndex.buildTx(spark, root, "id", "text")        // _invidx.v0 (stale soon)
+    TableStats.analyzeTx(spark, root)                       // _stats.v0 (stale soon)
+    GlobalDict.buildTx(spark, root, "text")                 // _dict.text.v0 (stale soon)
+    PkTableSink.mergeTx(spark, root,
+      Seq((9L, 1L, "fresh spark document", false)).toDF("id", "ver", "text", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    InvertedIndex.updateTx(spark, root, "id", "text")       // chain v0 + d0_1 → LIVE
+    TableStats.analyzeTx(spark, root)                       // _stats.v1 live
+    val gone = SidecarGc.vacuum(spark, root).sorted
+    assert(gone == Seq("_dict.text.v0", "_stats.v0"), s"deleted: $gone")
+    // the chain's base is part of the live chain — search still serves
+    assert(InvertedIndex.isCurrent(spark, root))
+    val (used, n) = InvertedIndex.searchStatsTx(spark, root, docs.drop("del"),
+      "id", "text", Seq("spark"))
+    assert(used && n == 4)
+    assert(TableStats.statsTx(spark, root).isDefined)
+    // after a full rebuild the old chain becomes garbage
+    InvertedIndex.buildTx(spark, root, "id", "text")        // _invidx.v1
+    val gone2 = SidecarGc.vacuum(spark, root).sorted
+    assert(gone2 == Seq("_invidx.d0_1", "_invidx.v0"), s"deleted: $gone2")
+    assert(InvertedIndex.isCurrent(spark, root))
+  }
+
   test("a commit withdraws the index (exact fallback), rebuild restores it") {
     val root = freshRoot()
     PkTableSink.mergeTx(spark, root, docs, Seq("id"), Seq("ver"), "del", writer = "w")
