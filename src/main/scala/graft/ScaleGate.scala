@@ -87,7 +87,12 @@ object ScaleGate {
         val rest = l.drop(5); val i = rest.indexOf(':')
         if (i < 0) (rest.trim, "") else (rest.take(i), rest.drop(i + 1).trim)
       }.toMap
-    val failed = (gated -- okNames).map(n =>
+    // queries with no oracle SQL are rows-only BY DESIGN (the
+    // error-bounded sketches); the gate reports them separately
+    // instead of counting a missing check as a failure
+    val rowsOnly = (gated -- okNames)
+      .filter(n => !SparkEntry.oracleSql.contains(n) && !execFailed.contains(n))
+    val failed = (gated -- okNames -- rowsOnly).map(n =>
       n -> failLines.getOrElse(n,
         if (execFailed.contains(n)) "spark execution failed" else "no check result"))
 
@@ -102,6 +107,7 @@ object ScaleGate {
       s"""{"gate": "sf${replicas}x", "src": ${q(src)}, "corpus": ${q(corpus)},
          | "replicas": $replicas, "total": ${gated.size}, "ok": ${okNames.size},
          | "fail": ${failed.size}, "failed": ${obj(failed)},
+         | "rows_only": [${rowsOnly.toSeq.sorted.map(q).mkString(", ")}],
          | "excluded": ${obj(Exclusions)},
          | "sec_corpus": ${f"$tCorpus%.1f"}, "sec_queries": ${f"$tQueries%.1f"},
          | "sec_check": ${f"$tCheck%.1f"}}""".stripMargin.replace("\n", "")

@@ -640,6 +640,59 @@ class StreamingSpec extends SparkSpec {
     assert(fin == Set((2L, "alicia")), s"final MV: $fin")
   }
 
+  test("A34: streaming ingest dedup against the persisted transactional LSH index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LshIndex
+    import graft.sinks.TxLog
+    // the crawl front door at index scale: each micro-batch PROBES the
+    // persisted index (cost ∝ batch, never corpus), novel docs flow
+    // downstream AND extend the index as a delta commit; near-dups of
+    // any EARLIER batch are dropped. In-batch exact re-delivery is
+    // C28's dropDuplicatesWithinWatermark — this is the cross-batch,
+    // near-duplicate, restart-surviving layer.
+    val root = java.nio.file.Files.createTempDirectory("slsh").toString + "/idx"
+    val input = MemoryStream[(Long, String)]
+    val passed = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF().toDF("id", "text").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (TxLog.current(spark, root).isEmpty) {
+          LshIndex.build(batch, col("id"), col("text"), root)
+          passed ++= batch.select(col("id")).as[Long].collect()
+        } else {
+          // the probe's signature-agreement ESTIMATE has binomial
+          // noise around the true jaccard (no exact verify inside the
+          // index), so the drop threshold sits under the dedup target
+          val dups = LshIndex.probe(batch, col("id"), col("text"), root,
+              thresholdNum = 3, thresholdDen = 4)
+            .select(col("new_id")).distinct()
+          val novel = batch.join(dups, batch("id") === dups("new_id"), "left_anti")
+            .localCheckpoint(true)
+          if (novel.count() > 0)
+            LshIndex.add(novel, col("id"), col("text"), root)
+          passed ++= novel.select(col("id")).as[Long].collect()
+        }
+        ()
+      }.start()
+    val a = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the patient crane waits beside the quiet river watching every " +
+      "small fish drift slowly past the mossy stones today"
+    input.addData((1L, a),
+      (2L, "completely different content about spark engines and shuffles"))
+    q.processAllAvailable()
+    // near-dup of doc 1 from the PREVIOUS batch (one word changed in a
+    // 32-word doc: true jaccard ~0.93) + one novel doc
+    input.addData(
+      (3L, a.stripSuffix("today") + "tomorrow"),
+      (4L, "a third unrelated document mentioning bitmaps and zone maps"))
+    q.processAllAvailable()
+    // exact re-delivery of doc 1's content much later still dedups
+    input.addData((5L, a)); q.processAllAvailable()
+    q.stop()
+    assert(passed.toSet == Set(1L, 2L, 4L), s"passed: $passed")
+    // the index grew by exactly the novel docs
+    assert(LshIndex.count(spark, root) == 3)
+  }
+
   test("A29: streaming enrichment re-reads the PK dim per batch; upserts become visible") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sinks.{PkTableSink, TableStats}
