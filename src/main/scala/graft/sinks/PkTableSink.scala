@@ -171,9 +171,21 @@ object PkTableSink {
 
   /** Latest-per-key view of base ∪ deltas (tombstones retained). */
   private def mergeDirs(spark: SparkSession, dirs: Seq[String],
-                        meta: Map[String, String]): DataFrame = {
+                        meta: Map[String, String],
+                        project: Option[Seq[String]] = None): DataFrame = {
     requireNoPartial(meta, "whole-row merge")
-    if (dirs.size == 1) spark.read.parquet(dirs.head)
+    // projection applied per dir, BELOW the union and the whole-row
+    // max_by: the latest-wins aggregate packs its payload into one
+    // struct, which blocks Catalyst's column pruning — so the narrow
+    // read must be requested here, where it reaches the parquet scan
+    // (see readTxCols). A widened table's older dirs simply lack some
+    // requested columns; the union fills them as null.
+    def rd(d: String) = {
+      val df = spark.read.parquet(d)
+      project.fold(df)(want => df.select(
+        df.columns.filter(want.contains).map(col).toIndexedSeq: _*))
+    }
+    if (dirs.size == 1) rd(dirs.head)
     else {
       val keys = meta.get(MetaKeys).filter(_.nonEmpty).getOrElse(
         throw new IllegalStateException(
@@ -185,7 +197,7 @@ object PkTableSink {
       // here (mergeTx refuses commits missing a stored column), so
       // this cannot mask a misspelled column name
       val layered = dirs.zipWithIndex
-        .map { case (d, i) => spark.read.parquet(d).withColumn(CommitSeq, lit(i.toLong)) }
+        .map { case (d, i) => rd(d).withColumn(CommitSeq, lit(i.toLong)) }
         .reduce(_.unionByName(_, allowMissingColumns = true))
       PkTable.latestPerKey(layered, keys, vers.map(col) :+ col(CommitSeq))
         .drop(CommitSeq)
@@ -917,6 +929,30 @@ object PkTableSink {
       case Some(m) => dropTombstones(mergedTx(spark, requireSingleTable(m, root)))
       case None    => schemaOf.limit(0)
     }
+
+  /** PROJECTED merge-on-read: the same rows as
+    * `readTx(...).select(columns)` but with the narrow schema pushed
+    * BELOW the latest-per-key merge, so the parquet scans read only
+    * (keys ∪ versions ∪ requested) columns. The plain form reads every
+    * column regardless of the projection above it — the whole-row
+    * `max_by(struct(*))` blocks Catalyst's column pruning — which on a
+    * wide 100 TB table turns a 2-column report into a full-table byte
+    * scan. Sound because the winning row per key is chosen by
+    * key + version alone: restricting the payload cannot change which
+    * row wins, only which columns ride along. */
+  def readTxCols(spark: SparkSession, root: String,
+                 columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "readTxCols: no columns requested")
+    val m = requireSingleTable(TxLog.current(spark, root).getOrElse(
+      throw new IllegalStateException(s"readTxCols: no committed version under $root")), root)
+    val keys = m.meta.get(MetaKeys).filter(_.nonEmpty).map(_.split(",").toSeq)
+      .getOrElse(Nil)
+    val vers = m.meta.get(MetaVers).filter(_.nonEmpty).map(_.split(",").toSeq)
+      .getOrElse(Nil)
+    val want = (keys ++ vers ++ columns :+ Tombstone).distinct
+    dropTombstones(mergeDirs(spark, m.dataDir +: m.deltas, m.meta, Some(want)))
+      .select(columns.map(col): _*)
+  }
 
   /** Point/range lookup on a [[TxLog]]-backed table, ZONE-MAP PRUNED:
     * resolves the key range [lo,hi] (inclusive, on the table's FIRST
