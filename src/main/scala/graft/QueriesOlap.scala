@@ -135,6 +135,27 @@ object QueriesOlap {
 
     // B9: tumbling 1-hour bucket aggregate (batch twin of the
     // streaming windowed aggregate in streaming/EventStream)
+    // B66: MOVING MEDIAN of daily per-type volumes — the robust
+    // smoothing twin of B64's EWMA (one outlier day shifts an EWMA,
+    // never a median): trailing-7 frame collected per row, sorted
+    // row-locally, exact lower-median element picked by index. Inputs
+    // are integer counts and the pick is an ELEMENT (no interpolation
+    // or averaging), so the result is integer-exact cross-engine;
+    // frames are ≤ 7 elements, so the per-row sort is constant work
+    "q_moving_median" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("vs", sort_array(collect_list(col("n")).over(w)))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"),
+          element_at(col("vs"),
+            floor((size(col("vs")) + 1) / 2).cast("int")).as("med7"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // B65: WEIGHTED percentiles (median + p90 of price weighted by
     // quantity — "the price at which half the VOLUME trades", not half
     // the line items): per-(group, value) integer weight aggregation,
@@ -1320,6 +1341,18 @@ object QueriesOlap {
     "q_distinct_users" ->
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // B66: same trailing frame, same lower-median element pick —
+    // DuckDB's list window + list_sort + 1-based element index
+    "q_moving_median" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        |fr AS (SELECT event_type, day, n,
+        |  list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vs
+        |  FROM daily)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  vs[CAST((len(vs) + 1) // 2 AS INT)] AS med7
+        |FROM fr ORDER BY event_type, day""".stripMargin,
     // B65: same distinct-value cumulative walk; weights summed as
     // BIGINT from the cast (sum of integral doubles would be exact
     // too, but the cast keeps HUGEINT out of the rank test's operands)

@@ -133,4 +133,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows(1L) == ((0L, 0L, "d41d8cd98f00b204e9800998ecf8427e")))
     assert(rows(2L)._2 == 2L) // chars 1 and 5 kept
   }
+
+  test("r8 ops tolerate degenerate inputs") {
+    import graft.ops.Multimodal
+    // audio: empty and sub-sample payloads → zero frames, zero energy
+    val audio = Multimodal.audioEnergy(
+        Seq((1L, ""), (2L, "x"), (3L, "xy")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audio(1L) == ((0L, 0L)) && audio(2L) == ((0L, 0L)) && audio(3L) == ((1L, 1L)))
+    // embedding decontamination: an empty eval slice flags nothing
+    val vecs = Seq((1L, Array.fill(64)(1.0f)), (2L, Array.fill(64)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.decontaminateByEmbedding(vecs, col("vec_id"),
+      col("embedding"), isEval = _ < 0, threshold = 0.3, bands = 16).count() == 0)
+    // CDC chunking on empty/short texts: one chunk per non-empty doc,
+    // sub-window docs produce no boundary candidates (sequence guard)
+    val chunks = SparkEntry.queries("chunk_cdc")(spark, sfDir)
+    assert(chunks.where(col("n_chunks") < 1).count() == 0)
+    // perplexity buckets on a corpus too small for 3 buckets: every
+    // doc lands somewhere, nothing throws, masses add up
+    val b = SparkEntry.queries("quality_perplexity_buckets")(spark, sfDir)
+      .agg(sum(col("n_docs"))).as[Long].head()
+    val scoreable = Tables.documents(spark, sfDir)
+      .where(size(split(col("text"), " ")) >= 2).count()
+    assert(b == scoreable, s"bucketed $b of $scoreable scoreable docs")
+  }
 }
