@@ -11,8 +11,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(master = s"local[$cpus]",
-      shufflePartitions = cpus.toInt, maxPartitionBytes = "4m").getOrCreate()
+    val spark = GraftSession.ready(GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt, maxPartitionBytes = "4m").getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     // execute the physical plan directly: forces the COMPLETE plan
     // including any final orderBy (a bare .count() plants a logical

@@ -47,8 +47,17 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Post-create session setup that the Builder API cannot express:
+    * registers the SQL-named aggregate surface (bitmap_* / mg_sketch —
+    * [[graft.functions.SqlFunctions]]). Idempotent; call on every
+    * session handed to SQL users. */
+  def ready(spark: SparkSession): SparkSession = {
+    graft.functions.SqlFunctions.register(spark)
+    spark
+  }
+
   def get(): SparkSession = {
-    val spark = builder().getOrCreate()
+    val spark = ready(builder().getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -50,8 +50,8 @@ object ScaleGate {
     val corpus = s"$work/corpus"
     val outDir = s"$work/out"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = GraftSession.builder(master = s"local[$cpus]",
-      shufflePartitions = math.max(8, cpus.toInt)).getOrCreate()
+    val spark = GraftSession.ready(GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = math.max(8, cpus.toInt)).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()

@@ -183,8 +183,8 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(master = s"local[$cpus]",
-      shufflePartitions = cpus.toInt, maxPartitionBytes = "4m").getOrCreate()
+    val spark = GraftSession.ready(GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt, maxPartitionBytes = "4m").getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     val (n, secs) = run(spark, sfDir)
     val (ins, del) = latencyBench(spark)

@@ -37,8 +37,8 @@ object Verify {
       case Array(s, o, n) => (s, o, Some(n.split(",").toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(master = s"local[$cpus]",
-      shufflePartitions = cpus.toInt, maxPartitionBytes = "4m").getOrCreate()
+    val spark = GraftSession.ready(GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt, maxPartitionBytes = "4m").getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     dump(spark, sfDir, outDir, only)
     spark.stop()

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udaf
+
+/** SQL-name registration for the AGGREGATE surface — the StarRocks
+  * function names a migrating user types in `spark.sql(...)` (the
+  * reference's tables model cohorts as `BITMAP` columns and query them
+  * with the bitmap_* family; create-starrocks-tables.sh):
+  *
+  *  - `bitmap_agg(id)`          → compressed bitmap of a long column
+  *    (StarRocks `bitmap_agg` / `bitmap_union(to_bitmap(x))`)
+  *  - `bitmap_union(bm)`        → union of bitmap rows, as a bitmap
+  *  - `bitmap_union_count(bm)`  → union of bitmap rows, exact count
+  *  - `bitmap_distinct_count(id)` → exact distinct of a long column
+  *    (`bitmap_union_count(to_bitmap(x))` fused)
+  *  - `mg_sketch(item)`         → Misra–Gries heavy-hitter candidates
+  *    at the default capacity (StarRocks `approx_top_k` family; the
+  *    variable-k form stays in the typed API — SQL registration binds
+  *    one instance)
+  *
+  * Scalar bitmap algebra (`Rbm.cardinality` / `andBm` / `toIds`) is
+  * pure built-in column math over the map representation, so it needs
+  * no registration — it composes in SQL as soon as the aggregate
+  * yields the column.
+  *
+  * Registered per session by [[graft.GraftSession]]; codegen SCALAR
+  * expressions (double_dot, simhash…) are injected by
+  * [[graft.GraftExtensions]] instead, which survives
+  * `spark.sql.extensions` deployment on a plain cluster.
+  */
+object SqlFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("bitmap_agg", udaf(new Rbm.RbmOf))
+    spark.udf.register("bitmap_union", udaf(new Rbm.RbmUnion))
+    spark.udf.register("bitmap_union_count", udaf(new Rbm.RbmUnionCount))
+    spark.udf.register("bitmap_distinct_count", udaf(new Rbm.RbmDistinct))
+    spark.udf.register("mg_sketch", udaf(new HeavyHitters(50)))
+  }
+}

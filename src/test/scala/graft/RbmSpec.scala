@@ -129,4 +129,34 @@ class RbmSpec extends SparkSpec {
       assert(row._3 == (a.toSet intersect b.toSet).size.toLong)
     }
   }
+
+  test("StarRocks-named SQL surface: bitmap_* aggregates resolve in spark.sql") {
+    val rows = (0L until 3000L).map(i => (i % 40, i % 700)).toDF("g", "uid")
+    rows.createOrReplaceTempView("sql_rbm_rows")
+    // direct exact distinct per group
+    val direct = spark.sql(
+      "SELECT g, bitmap_distinct_count(uid) AS n FROM sql_rbm_rows GROUP BY g")
+      .as[(Long, Long)].collect().toMap
+    val want = rows.groupBy(col("g")).agg(countDistinct(col("uid")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(direct == want)
+    // the rollup shape: per-group bitmaps re-aggregate to the global
+    // count without touching rows again — StarRocks' MV pattern
+    val rolled = spark.sql(
+      """SELECT bitmap_union_count(bm) AS n FROM
+        |  (SELECT g, bitmap_agg(uid) AS bm FROM sql_rbm_rows GROUP BY g)""".stripMargin)
+      .as[Long].head()
+    assert(rolled == 700L)
+    // bitmap_union keeps the bitmap; the scalar column algebra
+    // (cardinality) composes on top of the SQL aggregate's output
+    val unioned = spark.sql(
+      """SELECT bitmap_union(bm) AS bm FROM
+        |  (SELECT g, bitmap_agg(uid) AS bm FROM sql_rbm_rows GROUP BY g)""".stripMargin)
+    assert(unioned.select(Rbm.cardinality(col("bm"))).as[Long].head() == 700L)
+    // mg_sketch surfaces the heavy-hitter candidates
+    val mg = spark.sql(
+      "SELECT mg_sketch(CAST(uid AS STRING)) AS mg FROM sql_rbm_rows WHERE uid < 3")
+      .as[Map[String, Long]].head()
+    assert(mg.keySet == Set("0", "1", "2"))
+  }
 }

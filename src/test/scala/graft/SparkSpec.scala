@@ -7,8 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * suite fast; tests only read/craft tiny frames). */
 object TestSession {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder(master = "local[2]", shufflePartitions = 2)
-      .getOrCreate()
+    val s = GraftSession.ready(
+      GraftSession.builder(master = "local[2]", shufflePartitions = 2)
+        .getOrCreate())
     s.sparkContext.setLogLevel("ERROR")
     s
   }
