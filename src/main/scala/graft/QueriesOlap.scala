@@ -135,6 +135,25 @@ object QueriesOlap {
 
     // B9: tumbling 1-hour bucket aggregate (batch twin of the
     // streaming windowed aggregate in streaming/EventStream)
+    // B68: the SQL-TEXT path end-to-end — this query is authored as
+    // spark.sql(...) against a temp view using the StarRocks-named
+    // registered aggregates (bitmap_distinct_count, bitmap_agg,
+    // bitmap_union_count), so the migrating user's literal workflow —
+    // SQL in, bitmap rollup re-aggregation, no DataFrame API — passes
+    // the same oracle gate as every column-API query
+    "q_sql_surface" -> { (s, dir) =>
+      Tables.events(s, dir).createOrReplaceTempView("events_sql")
+      s.sql("""
+        SELECT t.event_type, t.n_users, g.total_users
+        FROM (SELECT event_type,
+                bitmap_distinct_count(user_id) AS n_users
+              FROM events_sql GROUP BY event_type) t
+        CROSS JOIN (SELECT bitmap_union_count(bm) AS total_users
+                    FROM (SELECT bitmap_agg(user_id) AS bm
+                          FROM events_sql GROUP BY event_type)) g
+        ORDER BY event_type""")
+    },
+
     // B66: MOVING MEDIAN of daily per-type volumes — the robust
     // smoothing twin of B64's EWMA (one outlier day shifts an EWMA,
     // never a median): trailing-7 frame collected per row, sorted
@@ -1340,6 +1359,11 @@ object QueriesOlap {
         |ORDER BY l_suppkey, rn""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // B68: plain distincts — the bitmap machinery must agree exactly
+    "q_sql_surface" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  (SELECT count(DISTINCT user_id) FROM events) AS total_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // B66: same trailing frame, same lower-median element pick —
     // DuckDB's list window + list_sort + 1-based element index
