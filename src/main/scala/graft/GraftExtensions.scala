@@ -49,6 +49,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("opaque"),
       new ExpressionInfo(classOf[Opaque].getName, "opaque"),
       (children: Seq[Expression]) => Opaque(children.head)))
+    // the StarRocks/ClickHouse funnel in SQL:
+    //   window_funnel(evs, 'step1,step2,...', windowMicros[, dedup])
+    // over an array<struct<ts: long µs, et: string>> column (build it
+    // with sort_array(collect_list(struct(...)))); steps/window/dedup
+    // must be literals — they configure the codegen'd kernel
+    e.injectFunction((
+      FunctionIdentifier("window_funnel"),
+      new ExpressionInfo(classOf[graft.functions.WindowFunnelMax].getName,
+        "window_funnel"),
+      (children: Seq[Expression]) => {
+        if (children.size < 3 || children.size > 4)
+          throw new IllegalArgumentException(
+            "window_funnel(evs, 'steps,csv', windowMicros[, dedup]) " +
+              s"expects 3-4 arguments, got ${children.size}")
+        def lit(i: Int, what: String): Any = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v
+          case other => throw new IllegalArgumentException(
+            s"window_funnel $what must be a literal, got $other")
+        }
+        val steps = lit(1, "step list").toString.split(",").map(_.trim).toSeq
+        val micros = lit(2, "window").toString.toLong
+        val dedup = children.size > 3 && lit(3, "dedup").toString.toBoolean
+        graft.functions.WindowFunnelMax(children(0), steps, micros, dedup)
+      }))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // transparent MV rewrite (no-op while no MV is registered)
     e.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))

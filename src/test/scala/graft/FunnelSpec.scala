@@ -286,4 +286,27 @@ class FunnelSpec extends SparkSpec {
         s"first-anchor kernel diverges from the declarative chain (dedup=$dedup)")
     }
   }
+
+  test("window_funnel resolves in spark.sql and matches the column kernel") {
+    Tables.events(spark, sfDir).createOrReplaceTempView("funnel_sql_events")
+    val sql = spark.sql(
+      """SELECT user_id, window_funnel(
+        |    sort_array(collect_list(struct(unix_micros(ts) AS ts, event_type AS et))),
+        |    'view,click,purchase', 86400000000) AS depth
+        |FROM funnel_sql_events
+        |WHERE event_type IN ('view', 'click', 'purchase')
+        |GROUP BY user_id""".stripMargin)
+      .as[(Long, Long)].collect().toMap
+    val api = graft.ops.Funnel.depthMax(Tables.events(spark, sfDir),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"), windowMicros = 86400000000L,
+        dedup = false)
+      .select(col("key"), col("depth")).as[(Long, Long)].collect().toMap
+    assert(sql == api && sql.values.exists(_ >= 2), s"sql=${sql.size} api=${api.size}")
+    // misuse errors are named, not internal crashes
+    val e = intercept[Exception] {
+      spark.sql("SELECT window_funnel(array(), 'a,b') FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("expects 3-4 arguments"))
+  }
 }
