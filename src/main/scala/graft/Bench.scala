@@ -118,7 +118,11 @@ object Bench {
           "q_window_funnel_multi", "dedup_segments", "q_heavy_hitters",
           "chunk_documents", "dedup_substring", "bpe_encode", "dedup_semantic",
           "bpe_train", "text_ngram_coverage", "quality_classifier",
-          "corpus_divergence", "q_sequence_count", "dedup_editdist")
+          "corpus_divergence", "q_sequence_count", "dedup_editdist",
+          // r8 additions with row-scale hot paths
+          "chunk_cdc", "sketch_countmin", "sample_split_leakage",
+          "dedup_quality_audit", "quality_perplexity_buckets",
+          "q_weighted_percentile", "decontaminate_embedding")
         val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
         ScaleUp.ensure(spark, sfDir, dst, factor)
         val baseTimes = results.toMap
