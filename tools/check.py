@@ -13,33 +13,43 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
-con = duckdb.connect()
-# heavy oracles (bpe_train's windowed-CTE replay at sf1) need more than
-# DuckDB's default working-memory cap; the ScaleGate harness sets this
-memlimit = os.environ.get("CHECK_DUCKDB_MEMLIMIT")
-if memlimit:
-    con.sql(f"SET memory_limit='{memlimit}'")
-for t in ["region","nation","customer","supplier","part","orders","lineitem",
-          "events","documents","embeddings"]:
-    # driver testdata is one file per table; ScaleUp-written corpora are
-    # Spark parquet DIRECTORIES named <table>.parquet
-    src = f"{sfdir}/{t}.parquet"
-    if os.path.isdir(src):
-        src = f"{src}/*.parquet"
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
-# Spark roundtrips the events table's TIMESTAMP(NANOS) as a plain
-# BIGINT (nanosAsLong); mirror Tables.events' integer-div conversion so
-# oracle SQL sees the same TIMESTAMP column at every scale
-ts_type = dict(zip(*[con.sql("DESCRIBE events").df()[c].tolist()
-                     for c in ("column_name", "column_type")])).get("ts")
-if ts_type == "BIGINT":
-    esrc = f"{sfdir}/events.parquet"
-    if os.path.isdir(esrc):
-        esrc = f"{esrc}/*.parquet"
-    con.sql(f"""CREATE OR REPLACE VIEW events AS
-               SELECT event_id, make_timestamp(ts // 1000) AS ts,
-                      user_id, event_type, value, props
-               FROM '{esrc}'""")
+def fresh_con():
+    """One connection PER QUERY: at a memory-capped sf1 run a single
+    shared connection accumulates buffer-manager state across 150+
+    oracles until a later heavy one (bpe_train's windowed-CTE replay)
+    dies at the cap even though it fits from a cold start — observed as
+    pass-standalone / fail-in-suite. Views over parquet paths are
+    metadata-only, so per-query setup costs nothing."""
+    con = duckdb.connect()
+    memlimit = os.environ.get("CHECK_DUCKDB_MEMLIMIT")
+    if memlimit:
+        con.sql(f"SET memory_limit='{memlimit}'")
+        # a memory-capped run must also be allowed to go OUT-OF-CORE:
+        # without a temp_directory an in-memory connection hard-fails
+        # at the cap ("Failed to allocate block") instead of spilling
+        con.sql("SET temp_directory='/tmp/graft_duck_spill'")
+    for t in ["region","nation","customer","supplier","part","orders","lineitem",
+              "events","documents","embeddings"]:
+        # driver testdata is one file per table; ScaleUp-written corpora are
+        # Spark parquet DIRECTORIES named <table>.parquet
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    # Spark roundtrips the events table's TIMESTAMP(NANOS) as a plain
+    # BIGINT (nanosAsLong); mirror Tables.events' integer-div conversion so
+    # oracle SQL sees the same TIMESTAMP column at every scale
+    ts_type = dict(zip(*[con.sql("DESCRIBE events").df()[c].tolist()
+                         for c in ("column_name", "column_type")])).get("ts")
+    if ts_type == "BIGINT":
+        esrc = f"{sfdir}/events.parquet"
+        if os.path.isdir(esrc):
+            esrc = f"{esrc}/*.parquet"
+        con.sql(f"""CREATE OR REPLACE VIEW events AS
+                   SELECT event_id, make_timestamp(ts // 1000) AS ts,
+                          user_id, event_type, value, props
+                   FROM '{esrc}'""")
+    return con
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = ok = 0
@@ -50,8 +60,10 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(pdir):
         print(f"FAIL {name}: no spark output dir"); fail += 1; continue
     try:
+        con = fresh_con()
         spark_df = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
         ora_df = con.sql(sql).df()
+        con.close()
     except Exception as e:
         print(f"FAIL {name}: {e}"); fail += 1; continue
     sc, oc = sorted(spark_df.columns), sorted(ora_df.columns)
