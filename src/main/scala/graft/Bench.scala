@@ -180,13 +180,45 @@ object Bench {
       """"band_skew":null"""
     }
     import StreamBench.percentile
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,""" +
       s""""stream_rows_per_sec":$streamRate,"stream_rows":$streamRows,""" +
       s""""latency_ms":{"p50":${percentile(insLat, 0.50)},"p95":${percentile(insLat, 0.95)},"p99":${percentile(insLat, 0.99)}},""" +
       s""""delete_propagation_ms":{"p50":${percentile(delLat, 0.50)},"p95":${percentile(delLat, 0.95)}},""" +
       s""""concurrent_load_rows_per_sec":$clRate,"concurrent_load_final_rows":$clFinal,""" +
-      bandSkewJson + "," + scalingJson + s""","sf":"$sfDir"}""")
+      bandSkewJson + "," + scalingJson + s""","sf":"$sfDir"}"""
+    // The full per-query map (160+ entries) outgrew the driver's
+    // 2,000-char stdout tail capture (BENCH_r07/r08 landed as
+    // parsed:null). The full artifact now goes to a COMMITTED file and
+    // stdout's final line is a compact summary that always fits the
+    // tail: total, slowest-10, stream/latency headlines, worst scaling
+    // exponents, and a pointer to the file.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    val top10 = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
+      .map { case (k, (med, _)) => "\"" + k + "\":" + f"$med%.2f" }
+      .mkString("{", ",", "}")
+    val nQueries = results.size
+    val nFailed = results.count(_._2._1 < 0)
+    // worst-3 scaling exponents, parsed back out of the scaling JSON
+    // (cheap regex over our own serialization; absent → null)
+    val worstExpo = {
+      val re = """"([a-z0-9_]+)":\{"base":[^}]*"exponent":([0-9.]+)\}""".r
+      val es = re.findAllMatchIn(scalingJson)
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq.sortBy(-_._2).take(3)
+      if (es.isEmpty) "null"
+      else es.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    }
+    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec",""" +
+      s""""n_queries":$nQueries,"n_failed":$nFailed,"queries":$top10,""" +
+      s""""queries_note":"slowest 10 of $nQueries; full per-query medians+mins in BENCH_LOCAL.json",""" +
+      s""""stream_rows_per_sec":$streamRate,""" +
+      s""""latency_ms_p50":${percentile(insLat, 0.50)},""" +
+      s""""concurrent_load_rows_per_sec":$clRate,""" +
+      s""""scaling_worst_exponents":$worstExpo,"full":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

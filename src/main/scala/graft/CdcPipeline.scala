@@ -121,17 +121,29 @@ object CdcPipeline {
     * `left` join: facts with no dim row (yet) pass through with nulls
     * instead of silently dropping — late dimension arrival is the
     * normal CDC race and dropped facts are unrecoverable downstream.
+    *
+    * `dimSchema`: the dimension's schema, used when the dim root has
+    * NO committed version yet (the not-yet-bootstrapped case) — the
+    * batch then left-joins an empty frame OF THAT SCHEMA, so facts
+    * still pass through with null dim columns instead of the
+    * zero-column `dim(dimKey)` AnalysisException killing the stream.
     */
   def toEnrichedSink(facts: DataFrame, dimRoot: String,
                      factKey: String, dimKey: String,
-                     sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+                     dimSchema: org.apache.spark.sql.types.StructType,
+                     sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(dimSchema.fieldNames.contains(dimKey),
+      s"toEnrichedSink: dimSchema has no column '$dimKey' " +
+        s"(has: ${dimSchema.fieldNames.mkString(", ")})")
     facts.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val dim = graft.sinks.TableStats.readTxAnalyzed(spark, dimRoot,
-          spark.emptyDataFrame)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            dimSchema))
         sink(batch.join(dim, batch(factKey) === dim(dimKey), "left"), batchId)
         ()
       }
+  }
 }

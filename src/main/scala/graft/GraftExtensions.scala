@@ -64,6 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "window_funnel(evs, 'steps,csv', windowMicros[, dedup]) " +
               s"expects 3-4 arguments, got ${children.size}")
         def lit(i: Int, what: String): Any = children(i) match {
+          // NULL literal named explicitly — .toString on it below
+          // would otherwise surface as a bare NullPointerException
+          case org.apache.spark.sql.catalyst.expressions.Literal(null, _) =>
+            throw new IllegalArgumentException(
+              s"window_funnel $what must be a non-NULL literal")
           case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v
           case other => throw new IllegalArgumentException(
             s"window_funnel $what must be a literal, got $other")

@@ -549,30 +549,59 @@ object QueriesOlap {
         .orderBy(col("user_id"))
     },
 
-    // B22: HLL sketch distinct (approx_count_distinct) — sketch values
-    // are engine-specific, so no SQL oracle: the driver's rows-only
-    // check applies; the ApproxSpec test bounds the error vs exact
+    // B22: HLL sketch distinct (approx_count_distinct). Sketch values
+    // are engine-specific, so the estimate itself can't be hash-checked
+    // — instead the gate output materializes the error-bound PROOF (the
+    // dedup_quality_audit construction): exact distinct + a flag that
+    // the HLL estimate landed within 3×rsd of it, both computed in one
+    // aggregation pass. The oracle asserts the flag is TRUE per group,
+    // turning the former rows-only cell into a per-round bound check.
+    // (Production callers use just the HLL agg — the exact column here
+    // exists to make the bound a driver-checked number; ApproxSpec
+    // still pins the raw estimates.)
     "q_approx_distinct" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx_users") - col("n_exact")) <=
+            lit(3 * 0.02) * col("n_exact")).as("est_ok"))
         .orderBy(col("event_type"))
     },
 
     // B42: approximate percentiles (StarRocks percentile_approx
     // analogue) — the KLL/GK-style mergeable quantile sketch: shuffle
     // carries one bounded sketch per group, never the value stream.
-    // Sketch contents are engine-specific → rows-only like
-    // q_approx_distinct; ApproxSpec bounds the rank error vs exact.
+    // Sketch outputs are engine-specific, so (like q_approx_distinct)
+    // the gate output is the bound PROOF: the estimated quantile's
+    // actual rank, recomputed against the group in a second pass
+    // (3-row broadcast join back to lineitem), must sit within the
+    // sketch's rank-error window |rank − q·n| ≤ 2·(n/1000 + 1) — the
+    // accuracy=1000 contract ApproxSpec pins, now DuckDB-checked per
+    // flag and per quantile every round.
     "q_approx_percentile" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
+      val est = Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(approx_percentile(col("l_extendedprice"),
           array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("approx_p"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
+        .select(col("l_returnflag").as("rf"),
           col("approx_p")(0).as("p25"), col("approx_p")(1).as("p50"),
           col("approx_p")(2).as("p75"), col("n"))
+      val ranks = Tables.lineitem(s, dir)
+        .join(broadcast(est), col("l_returnflag") === col("rf"))
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(
+          sum((col("l_extendedprice") <= col("p25")).cast("long")).as("r25"),
+          sum((col("l_extendedprice") <= col("p50")).cast("long")).as("r50"),
+          sum((col("l_extendedprice") <= col("p75")).cast("long")).as("r75"))
+      def ok(rank: String, q: Double) =
+        (abs(col(rank) - lit(q) * col("n")) <=
+          lit(2.0) * (col("n") / lit(1000.0) + lit(1.0)))
+      ranks.select(col("l_returnflag"), col("n"),
+          ok("r25", 0.25).as("p25_ok"), ok("r50", 0.50).as("p50_ok"),
+          ok("r75", 0.75).as("p75_ok"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -889,17 +918,26 @@ object QueriesOlap {
     // per-type sketches are the stored pre-aggregate, weekly/total
     // distincts come from UNIONING sketches, never re-scanning raw
     // events. B22/B8 prove approx/exact distinct; this proves the
-    // MERGE algebra (DataSketches HLL: union then estimate). Rows-only
-    // gate by design (sketch bytes are engine-internal); ApproxSpec
-    // bounds the estimate against exact distinct.
+    // MERGE algebra (DataSketches HLL: union then estimate). The
+    // merged estimate is engine-internal, so the gate output carries
+    // the bound PROOF instead: exact distinct + a flag that the
+    // union-of-daily-sketches estimate landed within 5% of it
+    // (lgConfigK=12 → rse ≈ 1.6%; 5% is 3σ+, the ApproxSpec bound,
+    // now DuckDB-checked per group each round).
     "q_hll_rollup" -> { (s, dir) =>
       val daily = Tables.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
         .groupBy(col("event_type"), col("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
-      daily.groupBy(col("event_type"))
+      val rolled = daily.groupBy(col("event_type"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
           sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+      val exact = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      rolled.join(exact, "event_type")
+        .select(col("event_type"), col("n_events"), col("n_days"), col("n_exact"),
+          (abs(col("approx_users") - col("n_exact")) <=
+            lit(0.05) * col("n_exact")).as("est_ok"))
         .orderBy(col("event_type"))
     },
 
@@ -1235,6 +1273,24 @@ object QueriesOlap {
     })
 
   val oracleSql: Map[String, String] = Map(
+    // The three sketch queries emit exact values + a boolean bound
+    // flag (est_ok / pNN_ok) computed Spark-side from the
+    // engine-internal estimate; the oracle recomputes the exact side
+    // and asserts the flag TRUE — a per-round error-bound audit in
+    // place of the former rows-only check.
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  true AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, count(*) AS n, true AS p25_ok,
+        |  true AS p50_ok, true AS p75_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_hll_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(DISTINCT user_id) AS n_exact, true AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Spark array_position yields 0 for a miss; DuckDB list_position
     // yields NULL → coalesce. list_reverse is absent in DuckDB 1.0 →
     // descending re-sort of the ascending-sorted list is its reverse.

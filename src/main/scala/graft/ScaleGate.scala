@@ -72,6 +72,10 @@ object ScaleGate {
       gated.toSeq.sorted.mkString(","))
     proc.environment().put("CHECK_DUCKDB_MEMLIMIT",
       sys.env.getOrElse("CHECK_DUCKDB_MEMLIMIT", "48GB"))
+    // bounded-memory oracle variants (oracle_sql_scale.json) — the
+    // gate's fix for chained-CTE replays whose live set grows with
+    // round count × corpus (bpe_train's 48 GB OOM, spill or not)
+    proc.environment().put("CHECK_SCALE_ORACLES", "1")
     proc.redirectErrorStream(true)
     val p = proc.start()
     val checkOut = new String(p.getInputStream.readAllBytes(), "UTF-8")

@@ -34,6 +34,14 @@ object SparkEntry {
     (QueriesCdc.oracleSql ++ QueriesOlap.oracleSql ++ QueriesData.oracleSql)
       .map { case (k, v) => k -> rewriteRound(v) }
 
+  /** Bounded-memory oracle variants for the 10× scale gate only —
+    * same semantics as the [[oracleSql]] entry of the same name,
+    * statement-staged so DuckDB's live set stays flat (see
+    * QueriesData.oracleSqlScale). Dumped as oracle_sql_scale.json;
+    * consumed by tools/check.py, ignored by the driver. */
+  def oracleSqlScale: Map[String, String] =
+    QueriesData.oracleSqlScale.map { case (k, v) => k -> rewriteRound(v) }
+
   /** Rewrite every `round(expr, digits)` call in a SQL string to
     * `floor((expr) * 10^digits + 0.5) / 10^digits`, innermost-first,
     * with balanced-parenthesis scanning (no nesting assumptions).

@@ -60,5 +60,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // bounded-memory overrides for the 10× gate (check.py merges them
+    // over oracle_sql.json; the driver's harness ignores the file)
+    val scale = SparkEntry.oracleSqlScale
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_scale.json"), scale)
   }
 }

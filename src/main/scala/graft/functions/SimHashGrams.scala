@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over character n-grams — the CHARACTER-level
@@ -67,6 +69,95 @@ object SimHashGramsImpl {
     while (j < 64) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
     sim
   }
+
+  /** TWO independent fingerprint views from ONE digest pass: fp1 folds
+    * md5 bytes 0-7 of each gram (bit-identical to `compute(text, n)`,
+    * so banding built on fp1 is unchanged), fp2 folds bytes 8-15 — the
+    * second hash view the edit-distance gate ANDs in, previously a
+    * whole second salted md5-per-gram pass. md5's halves are
+    * independent mixes of the gram, which is all the AND-gate needs
+    * (an accidental band collision must repeat in a second view).
+    *
+    * Also allocation-free per gram: the text is UTF-8-encoded ONCE and
+    * grams are digested as byte slices via codepoint byte offsets
+    * (UTF-8 is self-contained per codepoint, so a substring's encoding
+    * IS the slice of the full encoding — same digests as the
+    * String-per-gram form, minus the per-gram String/byte[] churn).
+    * Returns a (fp1, fp2) struct row.
+    */
+  def computePair(text: UTF8String, n: Int): InternalRow = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts1 = new Array[Int](64)
+    val counts2 = new Array[Int](64)
+    val s = text.toString
+    val bytes = s.getBytes("UTF-8")
+    // byte offset of each codepoint (+ end sentinel)
+    val nCp = s.codePointCount(0, s.length)
+    val offs = new Array[Int](nCp + 1)
+    var ci = 0; var bi = 0; var cpI = 0
+    while (ci < s.length) {
+      offs(cpI) = bi
+      val cp = s.codePointAt(ci)
+      bi += (if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4)
+      ci += Character.charCount(cp)
+      cpI += 1
+    }
+    offs(nCp) = bytes.length
+    var i = 0
+    while (i + n <= nCp) {
+      md.reset()
+      md.update(bytes, offs(i), offs(i + n) - offs(i))
+      val d = md.digest()
+      var h1 = 0L; var h2 = 0L
+      var b = 0
+      while (b < 8) {
+        h1 = (h1 << 8) | (d(b) & 0xffL)
+        h2 = (h2 << 8) | (d(b + 8) & 0xffL)
+        b += 1
+      }
+      var j = 0
+      while (j < 64) {
+        counts1(j) += (if (((h1 >>> j) & 1L) == 1L) 1 else -1)
+        counts2(j) += (if (((h2 >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var f1 = 0L; var f2 = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts1(j) > 0) f1 |= (1L << j)
+      if (counts2(j) > 0) f2 |= (1L << j)
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](f1, f2))
+  }
+}
+
+/** (fp1, fp2) character-n-gram SimHash pair in one digest pass —
+  * see [[SimHashGramsImpl.computePair]]. fp1 ≡ `SimHashGrams(text, n)`.
+  */
+case class SimHashGramsPair(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"gram width must be positive, got $n")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("fp1", LongType, nullable = false),
+    StructField("fp2", LongType, nullable = false)))
+  override def prettyName: String = "simhash_grams_pair"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashGramsImpl.computePair(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHashGramsImpl.computePair($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Character-n-gram SimHash of a text column in one pass inside

@@ -566,15 +566,21 @@ object Dedup {
     // WORD ORDER; the same corpus drops to ~4% band collisions with
     // zero Hamming-≤3 false pairs, while true near-dups (one edit
     // touches ≤ gramLen grams) keep their fingerprints intact.
-    // TWO independently-salted fingerprints: banding runs on fp1;
+    // TWO independent fingerprint views: banding runs on fp1;
     // candidates must be Hamming-close on BOTH (an accidental
     // collision must repeat in an independent hash view — the
     // false-candidate rate squares, recall stays banding-shaped).
-    def fp(salt: String) = DatasetShim.column(graft.functions.SimHashGrams(
-      DatasetShim.expression(text), gramLen, salt))
-    val sim = df.select(id.as("id"),
-      fp("").as("simhash"), fp("g2|").as("simhash2"),
-      length(text).cast("long").as("len"))
+    // Since r9 both views come from ONE md5 pass (fp1 = digest bytes
+    // 0-7, identical to the old unsalted fingerprint so the banding is
+    // unchanged; fp2 = bytes 8-15, replacing the second salted pass —
+    // the fingerprint stage was this query's dominant cost and md5
+    // count halves, with per-gram allocations gone entirely).
+    val fps = DatasetShim.column(graft.functions.SimHashGramsPair(
+      DatasetShim.expression(text), gramLen))
+    val sim = df.select(id.as("id"), fps.as("fps"),
+        length(text).cast("long").as("len"))
+      .select(col("id"), col("fps.fp1").as("simhash"),
+        col("fps.fp2").as("simhash2"), col("len"))
     val bandStructs = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * bandBits)
@@ -605,6 +611,15 @@ object Dedup {
           .cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+      // the verify below is CPU-bound (banded DP over text pairs), but
+      // candidate rows are tiny in BYTES — AQE's size-based coalescing
+      // funnels them into ~one post-shuffle partition and the DP runs
+      // serially (measured: 175 pairs → 1 task → 3 s of a 3.7 s
+      // query; 10× worse on the scaled corpus). Pin an explicit
+      // partition count (AQE never coalesces a user-pinned
+      // repartition): one per core, shuffling only (id, id, hamming)
+      // rows — the text bodies join in afterward, per partition.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val t = df.select(id.as("id"), text.as("t"))
     cand
       .join(t.select(col("id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -21,9 +21,18 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *    collapses to a Project over the MV scan (zero shuffles);
   *  - ROLLUP: query group-by ⊂ MV group-by and every aggregate is
   *    re-aggregable → re-aggregate the MV (count(*) → sum(mv_cnt),
-  *    sum → sum, min → min, max → max) — shuffle ∝ MV rows, not
+  *    count(x) → sum(mv_cnt_x), sum → sum, min → min, max → max,
+  *    avg(x) → sum(mv_sum_x)/sum(mv_cnt_x) when the MV stores BOTH
+  *    halves — averaging averages would be wrong, the sum/count
+  *    decomposition is the classical fix) — shuffle ∝ MV rows, not
   *    source rows. Sum rollup is restricted to long/double MV columns:
   *    a decimal re-sum would widen the type out from under the query.
+  *
+  * A source may register SEVERAL MVs (day-level and month-level
+  * rollups of the same fact table is the standard layout); the rule
+  * rewrites against the cheapest matching one — exact group-set match
+  * first (zero re-aggregated rows), then fewest MV rows (recorded at
+  * register time).
   *
   * Scope guards (all conservative — an unmatched query simply runs
   * against the source): group-bys must be bare columns, aggregates
@@ -54,39 +63,56 @@ object MvRewrite {
   final case class SumOf(col: String) extends AggKind
   final case class MinOf(col: String) extends AggKind
   final case class MaxOf(col: String) extends AggKind
+  /** count of NON-NULL values of `col` — what `avg(col)` needs as its
+    * divisor (CountStar would miscount when `col` is nullable). */
+  final case class CountOf(col: String) extends AggKind
 
   /** One registered MV: `aggs` maps each MV output column name to the
-    * aggregate (over the SOURCE) it stores. */
+    * aggregate (over the SOURCE) it stores. `rows` is the MV's row
+    * count at register time — the re-aggregation cost used to choose
+    * among multiple matching MVs. */
   final case class MvDef(sourcePath: String, mvPath: String,
                          groupCols: Seq[String],
                          aggs: Map[String, AggKind],
-                         mvPlan: LogicalPlan)
+                         mvPlan: LogicalPlan,
+                         rows: Long)
 
-  // process-wide registry keyed by normalized source path (specs and
-  // local sessions share one JVM; a real deployment would scope by
-  // catalog). TrieMap: registrations race-free under concurrent use.
+  // process-wide registry keyed by normalized source path, carrying
+  // ALL registered MVs per source keyed by MV path (specs and local
+  // sessions share one JVM; a real deployment would scope by catalog).
+  // TrieMap: registrations race-free under concurrent use.
   private val registry =
-    scala.collection.concurrent.TrieMap.empty[String, MvDef]
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, MvDef]]
 
   private[plans] def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  /** Register (or replace) the MV for `sourcePath`. Resolves and PINS
-    * the MV table's current snapshot. */
+  /** Register an MV for `sourcePath` — ADDS to the source's MV set
+    * (re-registering the same mvPath replaces that entry: the
+    * refresh-then-re-pin cycle). Resolves and PINS the MV table's
+    * current snapshot, and records its row count — register-time work
+    * on a result-sized table — as the candidate-selection cost. */
   def register(spark: SparkSession, sourcePath: String, mvPath: String,
                groupCols: Seq[String], aggs: Map[String, AggKind]): Unit = {
     require(groupCols.nonEmpty, "MV must group by at least one column")
-    val plan = spark.read.parquet(mvPath).queryExecution.analyzed
+    val mvDf = spark.read.parquet(mvPath)
+    val plan = mvDf.queryExecution.analyzed
     val mvCols = plan.output.map(_.name).toSet
     (groupCols ++ aggs.keys).foreach(c =>
       require(mvCols.contains(c), s"MV table $mvPath lacks column $c"))
-    registry.put(normalize(sourcePath),
-      MvDef(normalize(sourcePath), mvPath, groupCols, aggs, plan))
+    val rows = mvDf.count()
+    val src = normalize(sourcePath)
+    val entry = MvDef(src, mvPath, groupCols, aggs, plan, rows)
+    registry.updateWith(src) {
+      case Some(m) => Some(m + (mvPath -> entry))
+      case None    => Some(Map(mvPath -> entry))
+    }
   }
 
   def deregister(sourcePath: String): Unit = registry.remove(normalize(sourcePath))
   def clear(): Unit = registry.clear()
-  private[plans] def lookup(path: String): Option[MvDef] = registry.get(path)
+  private[plans] def lookup(path: String): Seq[MvDef] =
+    registry.get(path).map(_.values.toSeq).getOrElse(Nil)
   private[plans] def isEmpty: Boolean = registry.isEmpty
 }
 
@@ -120,6 +146,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ae.isDistinct || ae.filter.nonEmpty) None
     else ae.aggregateFunction match {
       case Count(Seq(Literal(_, _)))         => Some(CountStar)
+      case Count(Seq(a: AttributeReference)) => Some(CountOf(a.name))
       case s: Sum => s.child match {
         case a: AttributeReference => Some(SumOf(a.name))
         case _                     => None
@@ -135,6 +162,24 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** `avg(col)`'s MV decomposition: the stored SumOf(col) and
+    * CountOf(col) attributes (CountOf, not CountStar — avg skips
+    * nulls, count(*) would not). None when the MV lacks either half. */
+  private def avgParts(ae: AggregateExpression, mv: MvDef,
+                       mvAttr: Map[String, Attribute]): Option[(Attribute, Attribute)] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case avg: Average => avg.child match {
+        case a: AttributeReference =>
+          for {
+            s <- mv.aggs.collectFirst { case (c, SumOf(col)) if col == a.name => mvAttr(c) }
+            n <- mv.aggs.collectFirst { case (c, CountOf(col)) if col == a.name => mvAttr(c) }
+          } yield (s, n)
+        case _ => None
+      }
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MvRewrite.isEmpty) plan
     else plan.transformUp {
@@ -142,10 +187,27 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (for {
           (filterOpt, scan) <- scanOf(child)
           path <- sourceOf(scan)
-          mv <- lookup(path)
-          rewritten <- tryRewrite(agg, ges, aes, filterOpt, mv)
+          rewritten <- chooseRewrite(agg, ges, aes, filterOpt, lookup(path))
         } yield rewritten).getOrElse(agg)
     }
+
+  /** Among a source's registered MVs, rewrite against the CHEAPEST
+    * matching one: an exact group-set match costs zero re-aggregated
+    * rows, a rollup match costs the MV's row count — so candidates are
+    * tried exact-first, then finest-first (fewest rows). The first
+    * candidate whose aggregates all map wins; ties break on mvPath for
+    * determinism. */
+  private def chooseRewrite(agg: Aggregate, ges: Seq[Expression],
+                            aes: Seq[NamedExpression], filterOpt: Option[Expression],
+                            mvs: Seq[MvDef]): Option[LogicalPlan] = {
+    if (mvs.isEmpty) return None
+    val groupNames = ges.collect { case a: AttributeReference => a.name }
+    val ordered = mvs.sortBy(mv =>
+      (if (groupNames.toSet == mv.groupCols.toSet) 0 else 1, mv.rows, mv.mvPath))
+    ordered.iterator
+      .map(mv => tryRewrite(agg, ges, aes, filterOpt, mv))
+      .collectFirst { case Some(p) => p }
+  }
 
   /** A filter under the aggregate is rewritable iff every column it
     * reads is an MV GROUP column (then it is constant per group:
@@ -194,9 +256,18 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference if mv.groupCols.contains(a.name) =>
           Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
         case al @ Alias(ae: AggregateExpression, name) =>
-          val src = kindOf(ae).flatMap(mvColFor).getOrElse(return None)
-          if (src.dataType != al.dataType) return None
-          Alias(src, name)(exprId = al.exprId)
+          avgParts(ae, mv, mvAttr) match {
+            // avg(x) over the exact group set = stored sum / stored
+            // non-null count, one division per MV row
+            case Some((s, n)) =>
+              if (al.dataType != DoubleType) return None
+              Alias(Divide(Cast(s, DoubleType), Cast(n, DoubleType)),
+                name)(exprId = al.exprId)
+            case None =>
+              val src = kindOf(ae).flatMap(mvColFor).getOrElse(return None)
+              if (src.dataType != al.dataType) return None
+              Alias(src, name)(exprId = al.exprId)
+          }
         case _ => return None
       }
       Some(Project(projected, mvChild))
@@ -205,21 +276,39 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference if groupNames.contains(a.name) =>
           Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
         case al @ Alias(ae: AggregateExpression, name) =>
-          val kind = kindOf(ae).getOrElse(return None)
-          val src = mvColFor(kind).getOrElse(return None)
-          val rolledFn = kind match {
-            // a re-sum of counts/sums; long and double re-sum to
-            // themselves, anything else (decimal widening) bails
-            case CountStar | _: SumOf =>
-              if (src.dataType != LongType && src.dataType != DoubleType)
-                return None
-              Sum(src)
-            case _: MinOf => Min(src)
-            case _: MaxOf => Max(src)
+          avgParts(ae, mv, mvAttr) match {
+            // avg over a COARSER group set: Σ(stored sums)/Σ(stored
+            // counts) — the sum/count decomposition is what makes avg
+            // re-aggregable at all (averaging averages is wrong)
+            case Some((s, n)) =>
+              if (al.dataType != DoubleType) return None
+              if (s.dataType != LongType && s.dataType != DoubleType) return None
+              // DISTINCT resultIds: a bare ae.copy would give both
+              // aggregates the query avg's resultId and the planner
+              // would dedupe them into one buffer (x/x ≡ 1.0)
+              val sSum = ae.copy(aggregateFunction = Sum(s),
+                resultId = NamedExpression.newExprId)
+              val nSum = ae.copy(aggregateFunction = Sum(n),
+                resultId = NamedExpression.newExprId)
+              Alias(Divide(Cast(sSum, DoubleType), Cast(nSum, DoubleType)),
+                name)(exprId = al.exprId)
+            case None =>
+              val kind = kindOf(ae).getOrElse(return None)
+              val src = mvColFor(kind).getOrElse(return None)
+              val rolledFn = kind match {
+                // a re-sum of counts/sums; long and double re-sum to
+                // themselves, anything else (decimal widening) bails
+                case CountStar | _: SumOf | _: CountOf =>
+                  if (src.dataType != LongType && src.dataType != DoubleType)
+                    return None
+                  Sum(src)
+                case _: MinOf => Min(src)
+                case _: MaxOf => Max(src)
+              }
+              val rolledAgg = ae.copy(aggregateFunction = rolledFn)
+              if (rolledAgg.dataType != al.dataType) return None
+              Alias(rolledAgg, name)(exprId = al.exprId)
           }
-          val rolledAgg = ae.copy(aggregateFunction = rolledFn)
-          if (rolledAgg.dataType != al.dataType) return None
-          Alias(rolledAgg, name)(exprId = al.exprId)
         case _ => return None
       }
       val newGes = groupNames.map(mvAttr(_))

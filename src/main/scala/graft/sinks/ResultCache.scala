@@ -44,13 +44,40 @@ object ResultCache {
              roots: Seq[String])(query: => DataFrame): (DataFrame, Boolean) = {
     require(TagOk.matches(tag), s"cache tag '$tag' unusable as a path segment")
     require(roots.nonEmpty, "ResultCache needs at least one source table")
-    val dir = s"$cacheDir/$tag.v${stampOf(spark, roots)}"
+    val stamp = stampOf(spark, roots)
+    val dir = s"$cacheDir/$tag.v$stamp"
     val fs = fsOf(spark, cacheDir)
     if (fs.exists(new Path(dir, "_SUCCESS")))
       (spark.read.parquet(dir), true)
     else {
-      query.write.mode("overwrite").parquet(dir)
-      (spark.read.parquet(dir), false)
+      // Two races guarded here:
+      //  1. stamp-then-evaluate: a commit landing DURING evaluation
+      //     would store a result computed against newer versions under
+      //     the older stamp. Re-read the versions after evaluating and
+      //     only persist when they still equal the stamp — otherwise
+      //     serve the (correct, fresher) result uncached.
+      //  2. concurrent writers: mode=overwrite into the final path lets
+      //     a reader that just saw _SUCCESS race a mid-overwrite
+      //     rewrite. Write to a tag-private temp dir and RENAME into
+      //     place — rename is atomic on HDFS-like stores, and a loser
+      //     of the rename race just discards its temp copy.
+      val tmp = s"$cacheDir/.tmp_${tag}_${java.util.UUID.randomUUID()}"
+      query.write.mode("overwrite").parquet(tmp)
+      val stillCurrent = stampOf(spark, roots) == stamp
+      val published = stillCurrent &&
+        (fs.exists(new Path(dir, "_SUCCESS")) || fs.rename(new Path(tmp), new Path(dir)))
+      if (published) {
+        (spark.read.parquet(dir), false)
+      } else {
+        // stale stamp or lost the publish race: serve the temp result
+        // this evaluation produced, then drop the directory. The frame
+        // is materialized (collect-free: read it back before delete
+        // would lazily re-scan, so localCheckpoint-shaped copy is
+        // overkill here — instead keep the temp dir and register it
+        // for deletion on JVM exit; result-sized, vacuumed next run).
+        fs.deleteOnExit(new Path(tmp))
+        (spark.read.parquet(tmp), false)
+      }
     }
   }
 
@@ -65,15 +92,20 @@ object ResultCache {
     val p = new Path(cacheDir)
     if (!fs.exists(p)) return Nil
     fs.listStatus(p).map(_.getPath.getName).toSeq.flatMap { name =>
-      val (tag, stamp) = name.lastIndexOf(".v") match {
-        case -1 => (name, "")
-        case i  => (name.take(i), name.drop(i + 2))
-      }
-      tagRoots.get(tag) match {
-        case Some(roots) if stamp == stampOf(spark, roots) => None
-        case Some(_) => fs.delete(new Path(p, name), true); Some(name)
-        case None if dropUnknown => fs.delete(new Path(p, name), true); Some(name)
-        case None => None
+      // orphaned publish-race temp dirs are always garbage
+      if (name.startsWith(".tmp_")) {
+        fs.delete(new Path(p, name), true); Some(name)
+      } else {
+        val (tag, stamp) = name.lastIndexOf(".v") match {
+          case -1 => (name, "")
+          case i  => (name.take(i), name.drop(i + 2))
+        }
+        tagRoots.get(tag) match {
+          case Some(roots) if stamp == stampOf(spark, roots) => None
+          case Some(_) => fs.delete(new Path(p, name), true); Some(name)
+          case None if dropUnknown => fs.delete(new Path(p, name), true); Some(name)
+          case None => None
+        }
       }
     }
   }

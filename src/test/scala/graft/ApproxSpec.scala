@@ -2,16 +2,20 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Error-bound assertions for the two deliberately oracle-less sketch
-  * queries (their sketch values are engine-specific, so the driver
-  * only rows-checks them — the real correctness contract lives
-  * here).
+/** Error-bound assertions for the sketch queries. Since r9 the gate
+  * queries themselves emit (exact value, bound flag) so the DuckDB
+  * oracle checks the bound per round; this spec keeps pinning the RAW
+  * estimates (recomputed inline — the gate output no longer carries
+  * them) plus the gate flags, so a bound regression fails both here
+  * and at the driver's gate.
   */
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
 
-  test("q_approx_distinct: HLL estimate within 3x the configured rsd of exact") {
-    val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+  test("q_approx_distinct: HLL estimate within 3x the configured rsd of exact; gate flags true") {
+    val approx = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("a"))
       .as[(String, Long)].collect().toMap
     val exact = Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
@@ -23,24 +27,30 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(a - e) / e <= 3 * 0.02,
         s"HLL estimate for $k off by ${math.abs(a - e) / e}: approx=$a exact=$e")
     }
+    val gate = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .as[(String, Long, Boolean)].collect()
+    assert(gate.nonEmpty && gate.forall(_._3), s"gate est_ok flags: ${gate.mkString(",")}")
+    gate.foreach { case (k, n, _) => assert(n == exact(k)) }
   }
 
-  test("q_hll_rollup: unioned daily sketches estimate within 5% of exact") {
-    val got = SparkEntry.queries("q_hll_rollup")(spark, sfDir)
-      .as[(String, Double, Long, Long)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  test("q_hll_rollup: unioned daily sketches estimate within 5% of exact; gate flags true") {
+    val unioned = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .as[(String, Double)].collect().toMap
     val exact = Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
-      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(got.keySet == exact.keySet && got.nonEmpty)
-    got.foreach { case (k, (approx, nEvents, nDays)) =>
-      val (u, n) = exact(k)
+      .agg(countDistinct(col("user_id")).as("u"))
+      .as[(String, Long)].collect().toMap
+    assert(unioned.keySet == exact.keySet && unioned.nonEmpty)
+    unioned.foreach { case (k, approx) =>
+      val u = exact(k).toDouble
       // lgConfigK=12 default → rse ≈ 1.04/√2¹² ≈ 1.6%; 5% is 3σ+
       assert(math.abs(approx - u) / u <= 0.05,
         s"HLL rollup for $k off: approx=$approx exact=$u")
-      assert(nEvents === n, s"event count for $k must be exact")
-      assert(nDays >= 1L)
     }
     // mergeability is the point: the union of per-day sketches must
     // equal one sketch built over all days (same estimate exactly)
@@ -48,17 +58,25 @@ class ApproxSpec extends SparkSpec {
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
       .as[(String, Double)].collect().toMap
-    got.foreach { case (k, (approx, _, _)) =>
+    unioned.foreach { case (k, approx) =>
       assert(math.abs(approx - direct(k)) <= 1e-9 ||
         math.abs(approx - direct(k)) / direct(k) <= 0.01,
         s"unioned vs direct sketch diverge for $k: $approx vs ${direct(k)}")
     }
+    val gate = SparkEntry.queries("q_hll_rollup")(spark, sfDir)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(gate.nonEmpty && gate.forall(_._5), s"gate est_ok flags: ${gate.mkString(",")}")
+    gate.foreach { case (k, _, nDays, nExact, _) =>
+      assert(nExact == exact(k)); assert(nDays >= 1L)
+    }
   }
 
-  test("q_approx_percentile: estimates land within the sketch's rank-error window") {
-    val approx = SparkEntry.queries("q_approx_percentile")(spark, sfDir)
-      .as[(String, Double, Double, Double, Long)].collect()
-      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+  test("q_approx_percentile: estimates land within the sketch's rank-error window; gate flags true") {
+    val approx = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("p"))
+      .as[(String, Seq[Double])].collect().toMap
     // accuracy=1000 bounds rank error by 1/1000: the estimate must be
     // an actual value whose rank is within n/1000 (+slack for
     // interpolation-free selection) of the target rank
@@ -76,5 +94,9 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(rank - target) <= 2 * slack,
         s"$flag p$p: value $v has rank $rank, target $target (n=$n)")
     }
+    val gate = SparkEntry.queries("q_approx_percentile")(spark, sfDir)
+      .as[(String, Long, Boolean, Boolean, Boolean)].collect()
+    assert(gate.nonEmpty && gate.forall(r => r._3 && r._4 && r._5),
+      s"gate pNN_ok flags: ${gate.mkString(",")}")
   }
 }

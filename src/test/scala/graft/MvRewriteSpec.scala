@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.plans.MvRewrite
-import graft.plans.MvRewrite.{CountStar, MaxOf, SumOf}
+import graft.plans.MvRewrite.{CountOf, CountStar, MaxOf, SumOf}
 
 /** Transparent MV rewrite: exact-match collapse to a Project, rollup
   * re-aggregation, scope guards, and exprId-stable parents. */
@@ -135,6 +135,101 @@ class MvRewriteSpec extends SparkSpec {
         assert(g.getString(0) == b.getString(0))
         assert(g.getLong(1) == b.getLong(1))
         assert(g.getDouble(2) == b.getDouble(2))
+      }
+    } finally MvRewrite.clear()
+  }
+
+  test("avg rewrites via the sum/count decomposition when the MV stores both halves") {
+    MvRewrite.clear()
+    def avgExact(): DataFrame =
+      spark.read.parquet(srcPath)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(avg(col("o_totalprice")).as("a"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    def avgRollup(): DataFrame =
+      spark.read.parquet(srcPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(avg(col("o_totalprice")).as("a"))
+        .orderBy(col("o_orderstatus"))
+    val exactBase = avgExact().collect().toSeq
+    val rollupBase = avgRollup().collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("mva").toString + "/mv"
+    spark.read.parquet(srcPath)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"),
+        count(col("o_totalprice")).as("cnt_price"))
+      .write.parquet(dir)
+    MvRewrite.register(spark, srcPath, dir,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      aggs = Map("cnt" -> CountStar, "total" -> SumOf("o_totalprice"),
+        "cnt_price" -> CountOf("o_totalprice")))
+    try {
+      val q1 = avgExact()
+      assert(scansMv(q1, dir), s"avg exact match did not scan the MV:\n${q1.queryExecution}")
+      assert(!q1.queryExecution.executedPlan.toString.contains("HashAggregate"),
+        "exact avg = stored sum / stored count: aggregate-free")
+      q1.collect().toSeq.zip(exactBase).foreach { case (g, b) =>
+        assert(g.getString(0) == b.getString(0) && g.getString(1) == b.getString(1))
+        assert(math.abs(g.getDouble(2) - b.getDouble(2)) <=
+          1e-9 * math.abs(b.getDouble(2)), s"avg drift: $g vs $b")
+        assert(g.getLong(3) == b.getLong(3))
+      }
+      val q2 = avgRollup()
+      assert(scansMv(q2, dir), s"avg rollup did not scan the MV:\n${q2.queryExecution}")
+      q2.collect().toSeq.zip(rollupBase).foreach { case (g, b) =>
+        assert(g.getString(0) == b.getString(0))
+        assert(math.abs(g.getDouble(1) - b.getDouble(1)) <=
+          1e-9 * math.abs(b.getDouble(1)), s"rollup avg drift: $g vs $b")
+      }
+    } finally MvRewrite.clear()
+  }
+
+  test("two registered MVs: exact match beats rollup; among rollups the fewest-rows MV wins") {
+    MvRewrite.clear()
+    def q(): DataFrame = spark.read.parquet(srcPath)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+      .orderBy(col("o_orderstatus"))
+    val baseline = q().collect().toSeq
+    // fine rollup candidate: (status, priority) — ~15 rows
+    val fineDir = buildMv()
+    // coarse-but-bigger rollup candidate: (status, custkey) — ~1k rows
+    val bigDir = java.nio.file.Files.createTempDirectory("mvb").toString + "/mv"
+    spark.read.parquet(srcPath)
+      .groupBy(col("o_orderstatus"), col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+      .write.parquet(bigDir)
+    registerMv(fineDir)
+    MvRewrite.register(spark, srcPath, bigDir,
+      groupCols = Seq("o_orderstatus", "o_custkey"),
+      aggs = Map("cnt" -> CountStar, "total" -> SumOf("o_totalprice")))
+    try {
+      // both are rollup candidates; the fewest-rows one must be chosen
+      val q1 = q()
+      assert(scansMv(q1, fineDir) && !scansMv(q1, bigDir),
+        s"expected the ~15-row MV, got:\n${q1.queryExecution.executedPlan}")
+      // now register an EXACT-match MV: it costs zero re-aggregation
+      // and must win over both rollups
+      val exactDir = java.nio.file.Files.createTempDirectory("mve").toString + "/mv"
+      spark.read.parquet(srcPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+        .write.parquet(exactDir)
+      MvRewrite.register(spark, srcPath, exactDir,
+        groupCols = Seq("o_orderstatus"),
+        aggs = Map("cnt" -> CountStar, "total" -> SumOf("o_totalprice")))
+      val q2 = q()
+      assert(scansMv(q2, exactDir) && !scansMv(q2, fineDir),
+        s"exact MV must beat rollups:\n${q2.queryExecution.executedPlan}")
+      assert(!q2.queryExecution.executedPlan.toString.contains("HashAggregate"))
+      // results identical through every choice (exprIds preserved:
+      // the orderBy above the aggregate still resolves)
+      val got = q2.collect().toSeq
+      assert(got.size == baseline.size)
+      got.zip(baseline).foreach { case (g, b) =>
+        assert(g.getString(0) == b.getString(0) && g.getLong(1) == b.getLong(1))
+        assert(math.abs(g.getDouble(2) - b.getDouble(2)) <=
+          1e-9 * math.abs(b.getDouble(2)))
       }
     } finally MvRewrite.clear()
   }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.DatasetShim
+import graft.functions.{CdcBoundaries, CdcBoundariesImpl}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pins the CdcBoundaries rolling-hash kernel to the per-window
+  * polynomial SUM the DuckDB oracle replays — the BpeEncode pattern:
+  * the kernel and the oracle can only change together or this fails.
+  */
+class RollingHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 8
+  private val Base = 31L
+  private val Mod = 61L
+
+  /** The oracle's form: exact 8-term window sum per position. */
+  private def bruteBoundaries(s: String): Seq[Int] = {
+    val cp = s.codePoints().toArray
+    (K to cp.length).filter { i =>
+      val h = (0 until K).map(j => cp(i - K + j) * math.pow(Base.toDouble, (K - 1 - j).toDouble).toLong).sum
+      h % Mod == 0
+    }
+  }
+
+  test("kernel == per-window polynomial sum on synthetic + non-BMP strings") {
+    val samples = Seq(
+      "", "a", "short", "abcdefg", "abcdefgh",
+      "the quick brown fox jumps over the lazy dog " * 20,
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "mixed 123 punctuation!? and\ttabs\nnewlines " * 10,
+      // non-BMP: each emoji is ONE codepoint position on both engines
+      "surrogate 😀 pairs 🚀 in the middle of text padded out to length")
+    samples.foreach { s =>
+      val got = CdcBoundariesImpl.compute(UTF8String.fromString(s), K, Base, Mod)
+        .toIntArray().toSeq
+      assert(got == bruteBoundaries(s), s"mismatch on ${s.take(40)}…")
+    }
+  }
+
+  test("kernel column == spelled-out window-sum SQL form on real documents") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val kernel = docs.withColumn("bnds",
+      DatasetShim.column(CdcBoundaries(DatasetShim.expression(col("text")))))
+    // the same rule written the oracle's way: filter positions k..L by
+    // the exact 8-term polynomial (ascii(substring) = DuckDB ord)
+    val weights = (0 until K).map(j => math.pow(Base.toDouble, (K - 1 - j).toDouble).toLong)
+    val spelled = docs
+      .withColumn("L", length(col("text")))
+      .withColumn("bnds2",
+        when(col("L") >= K,
+          filter(sequence(lit(K), col("L")), i =>
+            weights.zipWithIndex.map { case (w, j) =>
+              ascii(col("text").substr(i - (K - 1 - j), lit(1))) * lit(w)
+            }.reduce(_ + _) % Mod === 0))
+          .otherwise(array().cast("array<int>")))
+    val diff = kernel.join(spelled.select(col("doc_id"), col("bnds2")), "doc_id")
+      .where(not(col("bnds") <=> col("bnds2").cast("array<int>")))
+      .count()
+    assert(diff == 0, s"$diff documents disagree between kernel and SQL form")
+    // sanity: the rule actually cuts (avg chunk ≈ mod chars on prose)
+    val nB = kernel.select(sum(size(col("bnds")))).as[Long].head()
+    assert(nB > 0, "no boundaries found on the corpus")
+  }
+
+  test("content-defined property: an insertion shifts O(1) chunks, not all downstream") {
+    val base = "it was the best of times it was the worst of times " * 8
+    val edited = base.patch(10, "XYZ", 0) // insert near the front
+    def chunks(s: String): Seq[String] = {
+      val b = CdcBoundariesImpl.compute(UTF8String.fromString(s), K, Base, Mod)
+        .toIntArray().toSeq
+      val starts = 1 +: b.map(_ + 1)
+      val ends = b :+ s.codePoints().toArray.length
+      starts.zip(ends).collect { case (st, en) if st <= en =>
+        new String(s.codePoints().toArray, st - 1, en - st + 1) }
+    }
+    val a = chunks(base).toSet
+    val b = chunks(edited).toSet
+    // all chunks after the edit's chunk re-align: the two docs share
+    // most chunks (fixed-width blocking would share none)
+    val shared = a.intersect(b).size
+    assert(shared >= a.size - 3,
+      s"expected O(1) chunk churn, shared $shared of ${a.size}")
+  }
+}

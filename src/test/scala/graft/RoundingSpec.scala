@@ -14,14 +14,11 @@ class RoundingSpec extends AnyFunSuite {
   }
 
   test("every oracle query has a matching Spark query and vice versa") {
-    // approx sketches have engine-specific values, and k-means||
-    // centroids are iterative → deliberately oracle-less (driver
-    // applies its weaker rows-only check; ApproxSpec / KMeansSpec
-    // carry the real assertions)
-    val rowsOnly = Set("q_approx_distinct", "q_approx_percentile", "q_hll_rollup")
+    // since r9 the sketch queries emit exact-value + bound-flag
+    // outputs, so EVERY query is oracle-backed — no rows-only set left
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
-    assert((q -- rowsOnly).subsetOf(o), s"query without oracle: ${q -- rowsOnly -- o}")
+    assert(q.subsetOf(o), s"query without oracle: ${q -- o}")
   }
 }

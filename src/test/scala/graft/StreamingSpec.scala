@@ -696,18 +696,26 @@ class StreamingSpec extends SparkSpec {
   test("A29: streaming enrichment re-reads the PK dim per batch; upserts become visible") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sinks.{PkTableSink, TableStats}
+    import org.apache.spark.sql.types._
     val dimRoot = java.nio.file.Files.createTempDirectory("dim").toString + "/t"
+    val dimSchema = StructType(Seq(StructField("cust", LongType),
+      StructField("ver", LongType), StructField("tier", StringType),
+      StructField("del", BooleanType)))
+    val input = MemoryStream[Long]
+    val facts = input.toDF().withColumnRenamed("value", "cust_id")
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = CdcPipeline.toEnrichedSink(facts, dimRoot, "cust_id", "cust", dimSchema,
+      (df, bid) => seen ++= df.select(col("cust_id"), col("tier")).collect()
+        .map(r => (bid, r.getLong(0), Option(r.getString(1)).getOrElse("<none>"))))
+      .start()
+    // batch -1 equivalent: dim root has NO committed version at all —
+    // facts must pass through with null dim columns (the advertised
+    // late-dimension contract), not die on a zero-column frame
+    input.addData(9L); q.processAllAvailable()
     PkTableSink.mergeTx(spark, dimRoot,
       Seq((1L, 1L, "gold", false)).toDF("cust", "ver", "tier", "del"),
       Seq("cust"), Seq("ver"), "del", writer = "w")
     TableStats.analyzeTx(spark, dimRoot)
-    val input = MemoryStream[Long]
-    val facts = input.toDF().withColumnRenamed("value", "cust_id")
-    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
-    val q = CdcPipeline.toEnrichedSink(facts, dimRoot, "cust_id", "cust",
-      (df, bid) => seen ++= df.select(col("cust_id"), col("tier")).collect()
-        .map(r => (bid, r.getLong(0), Option(r.getString(1)).getOrElse("<none>"))))
-      .start()
     input.addData(1L, 2L); q.processAllAvailable()
     // dimension moves BETWEEN batches: cust 2 appears, cust 1 upgrades
     PkTableSink.mergeTx(spark, dimRoot,
@@ -717,9 +725,11 @@ class StreamingSpec extends SparkSpec {
     input.addData(1L, 2L); q.processAllAvailable()
     q.stop()
     val byBatch = seen.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
-    assert(byBatch(0L) == Map(1L -> "gold", 2L -> "<none>"),
-      s"batch 0 enriched wrong: ${byBatch(0L)}") // late dim → null passthrough, not a drop
-    assert(byBatch(1L) == Map(1L -> "platinum", 2L -> "silver"),
-      s"batch 1 must see the between-batch upsert: ${byBatch(1L)}")
+    assert(byBatch(0L) == Map(9L -> "<none>"),
+      s"pre-bootstrap batch must null-passthrough: ${byBatch.get(0L)}")
+    assert(byBatch(1L) == Map(1L -> "gold", 2L -> "<none>"),
+      s"batch 1 enriched wrong: ${byBatch(1L)}") // late dim → null passthrough, not a drop
+    assert(byBatch(2L) == Map(1L -> "platinum", 2L -> "silver"),
+      s"batch 2 must see the between-batch upsert: ${byBatch(2L)}")
   }
 }

@@ -52,6 +52,14 @@ def fresh_con():
     return con
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# scale-gate overrides: bounded-memory (statement-staged) variants of
+# heavy oracles, semantically identical — only applied when the caller
+# opts in (ScaleGate sets CHECK_SCALE_ORACLES=1; the sf0.01 run keeps
+# the single-statement forms the driver itself replays)
+if os.environ.get("CHECK_SCALE_ORACLES") == "1":
+    p = f"{outdir}/oracle_sql_scale.json"
+    if os.path.exists(p):
+        oracle.update(json.load(open(p)))
 fail = ok = 0
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
@@ -60,10 +68,16 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(pdir):
         print(f"FAIL {name}: no spark output dir"); fail += 1; continue
     try:
+        # close in finally: an oracle that raises must not leave its
+        # memory-capped connection (and spill state) open for the rest
+        # of the 160-query run — that re-creates the accumulation the
+        # per-query isolation exists to prevent
         con = fresh_con()
-        spark_df = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
-        ora_df = con.sql(sql).df()
-        con.close()
+        try:
+            spark_df = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
+            ora_df = con.sql(sql).df()
+        finally:
+            con.close()
     except Exception as e:
         print(f"FAIL {name}: {e}"); fail += 1; continue
     sc, oc = sorted(spark_df.columns), sorted(ora_df.columns)
