@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * only when its stamped version equals the table's current version —
   * [[readTxEncoded]] falls back to the un-encoded read otherwise.
   * Codes are assigned by SORTED value order, so a rebuild on the same
-  * value set is bit-identical and code order preserves value order
-  * (range filters could translate, too).
+  * value set is bit-identical and code order preserves value order —
+  * which is what lets [[readTxEncodedRange]] translate value-range
+  * predicates into one code interval.
   */
 object GlobalDict {
 
@@ -84,6 +85,67 @@ object GlobalDict {
       case None =>
         (PkTableSink.readTx(spark, root, schemaOf), None)
     }
+
+  /** RANGE-FILTER TRANSLATION — the promise the sorted-order code
+    * assignment exists to keep: `column BETWEEN lower AND upper`
+    * translated through the dictionary BEFORE the scan plans.
+    *
+    * Codes are order-preserving, so the value range maps to one code
+    * interval [cLo, cHi] — resolved with one filter+agg over the
+    * NDV-sized dict (driver-side, 4 scalars). Two artifacts come back:
+    *
+    *  - the interval's VALUE-domain image [vLo, vHi] (bounds SNAPPED to
+    *    actual dictionary values — usually tighter than the caller's
+    *    literals) is applied to the base read, where it reaches the
+    *    parquet scan as PushedFilters: the data files store strings,
+    *    so the snapped string range is exactly what the scan can
+    *    prune with (codes live only post-encode — pushing an int
+    *    predicate at file level would require physically re-encoded
+    *    files);
+    *  - the CODE interval is applied on the encoded row path
+    *    (`<column>__code BETWEEN cLo AND cHi`, a 4-byte integer
+    *    compare), so every downstream operator — and any further
+    *    predicate a caller composes in the code domain — works on
+    *    codes, never strings.
+    *
+    * An empty intersection (no dict value inside the range) returns
+    * the encoded frame filtered to zero rows without scanning. A
+    * stale/absent dict degrades to (plain readTx + raw range filter,
+    * None) — the [[readTxEncoded]] staleness contract: correctness
+    * never depends on the dict, only the optimization does.
+    */
+  def readTxEncodedRange(spark: SparkSession, root: String, schemaOf: => DataFrame,
+                         column: String, lower: String, upper: String)
+      : (DataFrame, Option[DataFrame]) = {
+    require(lower <= upper, s"empty range: '$lower' > '$upper'")
+    dictTx(spark, root, column) match {
+      case None =>
+        val raw = PkTableSink.readTx(spark, root, schemaOf)
+        (raw.where(col(column) >= lower && col(column) <= upper), None)
+      case Some(dict) =>
+        val hit = dict.where(col("value") >= lower && col("value") <= upper)
+          .agg(min(col("code")).as("c_lo"), max(col("code")).as("c_hi"),
+            min(col("value")).as("v_lo"), max(col("value")).as("v_hi"))
+          .head()
+        val base = PkTableSink.readTx(spark, root, schemaOf)
+        val d = broadcast(dict)
+          .withColumnRenamed("value", "__dict_value")
+          .withColumnRenamed("code", s"${column}__code")
+        if (hit.isNullAt(0)) {
+          // no dictionary value inside the range ⇒ no row can match
+          val enc = base.join(d, base(column).cast("string") === d("__dict_value"), "left")
+            .drop("__dict_value").drop(column)
+          (enc.where(lit(false)), Some(dict))
+        } else {
+          val (cLo, cHi) = (hit.getInt(0), hit.getInt(1))
+          val (vLo, vHi) = (hit.getString(2), hit.getString(3))
+          val pruned = base.where(col(column) >= vLo && col(column) <= vHi)
+          val enc = pruned.join(d, pruned(column).cast("string") === d("__dict_value"), "left")
+            .drop("__dict_value").drop(column)
+          (enc.where(col(s"${column}__code").between(cLo, cHi)), Some(dict))
+        }
+    }
+  }
 
   /** Late decode: translate `codeCol` back to the string value as
     * `outCol` via a broadcast of the (NDV-sized) dict — run AFTER the

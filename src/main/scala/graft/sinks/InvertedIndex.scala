@@ -176,6 +176,38 @@ object InvertedIndex {
     }
   }
 
+  /** PHRASE search (the StarRocks `MATCH` phrase shape): rows whose
+    * ANALYZED token stream contains `phrase`'s tokens consecutively
+    * and in order. The index stores positionless bitmap postings, so
+    * the phrase plans as its MATCH_ALL term set through the posting
+    * probe (phrase ⊆ all-terms-present: candidates are a superset)
+    * and the adjacency check runs as a row-local predicate on the
+    * FETCHED candidates only — the classic positionless-index
+    * post-verify, cost ∝ matched-candidate rows, never the corpus.
+    * A broken chain inherits [[searchTx]]'s exact full-scan fallback,
+    * with the same phrase predicate applied — correct either way.
+    */
+  def phraseTx(spark: SparkSession, root: String, schemaOf: => DataFrame,
+               idCol: String, textCol: String, phrase: String): DataFrame = {
+    // analyzer-normalize KEEPING order and duplicates — "the the end"
+    // must match exactly that token run
+    val terms = phrase.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, s"no indexable token in phrase '$phrase'")
+    val p = terms.length
+    val toks = tokens(col(textCol))
+    // adjacency: some start i in [1, n-p+1] has toks[i+j-1] == term_j
+    // ∀j. Guarded: sequence(1, n-p+1) would run DESCENDING for n < p.
+    val phrasePred =
+      when(size(toks) >= p,
+        exists(sequence(lit(1), size(toks) - (p - 1)), i =>
+          terms.zipWithIndex.map { case (t, j) =>
+            element_at(toks, i + j) === lit(t)
+          }.reduce(_ && _)))
+        .otherwise(lit(false))
+    searchTx(spark, root, schemaOf, idCol, textCol, terms, requireAll = true)
+      .where(phrasePred)
+  }
+
   /** Probe accounting for a spec/bench: (chain served?, rows). */
   def searchStatsTx(spark: SparkSession, root: String, schemaOf: => DataFrame,
                     idCol: String, textCol: String, terms: Seq[String],

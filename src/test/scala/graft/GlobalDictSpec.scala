@@ -51,6 +51,48 @@ class GlobalDictSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"decode join not broadcast:\n${plan.take(500)}")
   }
 
+  test("range filter translates to the code domain; scan pushes the snapped value bounds") {
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root, rows, Seq("id"), Seq("ver"), "del", writer = "w")
+    GlobalDict.buildTx(spark, root, "segment")
+    // caller bounds deliberately OFF the dictionary values: 'seg-1x'
+    // and 'seg-4x' snap inward to actual values seg-2 and seg-4
+    val (enc, dictOpt) = GlobalDict.readTxEncodedRange(spark, root,
+      rows.drop("del"), "segment", lower = "seg-1x", upper = "seg-4x")
+    assert(dictOpt.isDefined)
+    val plan = enc.queryExecution.executedPlan.toString
+    // the scan's PushedFilters carry the SNAPPED string bounds (the
+    // value-domain image of the code interval — data files store
+    // strings, so this is what file-level pruning can use)...
+    // (the plan-string PushedFilters list is display-truncated, so
+    // assert on the scan's DataFilters lines instead)
+    assert(plan.contains(">= seg-2)") && plan.contains("<= seg-4)"),
+      s"snapped bounds missing from the scan filters:\n${plan.take(1500)}")
+    // ...and the code interval reaches the dict scan as an int range
+    // (Catalyst also converts the left join to inner under it)
+    assert(plan.contains(">= 2)") && plan.contains("<= 4)"),
+      s"code interval missing:\n${plan.take(1500)}")
+    assert(plan.contains("segment__code"), "code-domain column missing")
+    // row parity with the raw read + raw range filter
+    val want = PkTableSink.readTx(spark, root, rows.drop("del"))
+      .where(col("segment") >= "seg-1x" && col("segment") <= "seg-4x")
+      .select(col("id")).as[Long].collect().toSet
+    val got = enc.select(col("id")).as[Long].collect().toSet
+    assert(got == want && got.nonEmpty, s"rows differ: ${got.size} vs ${want.size}")
+    // empty intersection: bounds between two adjacent dict values
+    val (empty, _) = GlobalDict.readTxEncodedRange(spark, root,
+      rows.drop("del"), "segment", lower = "seg-2a", upper = "seg-2z")
+    assert(empty.count() == 0)
+    // stale dict: fallback still filters correctly on the raw column
+    PkTableSink.mergeTx(spark, root,
+      Seq((5001L, 1L, "seg-3", 3L, false)).toDF("id", "ver", "segment", "x", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    val (fb, fbDict) = GlobalDict.readTxEncodedRange(spark, root,
+      rows.drop("del"), "segment", lower = "seg-1x", upper = "seg-4x")
+    assert(fbDict.isEmpty)
+    assert(fb.select(col("id")).as[Long].collect().toSet == want + 5001L)
+  }
+
   test("a commit with unseen values withdraws the dict; rebuild restores codes") {
     val root = freshRoot()
     PkTableSink.mergeTx(spark, root, rows, Seq("id"), Seq("ver"), "del", writer = "w")

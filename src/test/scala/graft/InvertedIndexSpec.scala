@@ -67,6 +67,48 @@ class InvertedIndexSpec extends SparkSpec {
     assert(search(Seq("Spark!"), all = true) == Set(0L, 2L, 4L))
   }
 
+  test("phrase search: in-order adjacency parity vs brute force; chain + fallback unchanged") {
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root, docs, Seq("id"), Seq("ver"), "del", writer = "w")
+    InvertedIndex.buildTx(spark, root, "id", "text")
+    def phrase(p: String): Set[Long] =
+      InvertedIndex.phraseTx(spark, root, docs.drop("del"), "id", "text", p)
+        .select(col("id")).as[Long].collect().toSet
+    // adjacency in order: docs 0 and 4 share tokens {across?, the,
+    // cluster}; "across the" is adjacent only in doc 0, while the
+    // MATCH_ALL candidate set for {the, cluster} spans both
+    assert(bruteForce(Seq("the", "cluster"), all = true) == Set(0L, 4L))
+    assert(phrase("the cluster") == Set(0L, 4L))
+    assert(phrase("across the") == Set(0L))
+    assert(phrase("cluster runs") == Set(4L))
+    // both terms present in doc 4 but not adjacent ⇒ no phrase hit
+    assert(phrase("cluster spark") == Set.empty)
+    // case/punctuation normalize through the analyzer
+    assert(phrase("SPARK, plans!") == Set(2L))
+    // terms present but never adjacent ⇒ empty (MATCH_ALL would hit)
+    assert(phrase("catalyst spark") == Set.empty)
+    // single-token phrase degrades to MATCH on that term
+    assert(phrase("spark") == Set(0L, 2L, 4L))
+    // phrase longer than any doc ⇒ empty, no descending-sequence crash
+    assert(phrase("spark shuffles data across the cluster and beyond today") == Set.empty)
+    // chain maintenance: an upsert changes doc 4's phrase; delta chain
+    // serves the probe and the stale posting re-verifies away
+    PkTableSink.mergeTx(spark, root,
+      Seq((4L, 2L, "the cluster idles without Spark", false))
+        .toDF("id", "ver", "text", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    InvertedIndex.updateTx(spark, root, "id", "text")
+    assert(InvertedIndex.isCurrent(spark, root))
+    assert(phrase("the cluster") == Set(0L, 4L))
+    assert(phrase("cluster runs") == Set.empty, "stale adjacency must re-verify away")
+    // broken chain (commit without updateTx) → exact fallback parity
+    PkTableSink.mergeTx(spark, root,
+      Seq((5L, 1L, "spark plans nothing here", false)).toDF("id", "ver", "text", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    assert(!InvertedIndex.isCurrent(spark, root))
+    assert(phrase("spark plans") == Set(2L, 5L))
+  }
+
   test("posting probe pushes token equality to the scan; no base-table scan in the ids plan") {
     val root = freshRoot()
     PkTableSink.mergeTx(spark, root, docs, Seq("id"), Seq("ver"), "del", writer = "w")
