@@ -2548,5 +2548,52 @@ object QueriesData {
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents);
          |$rounds
          |SELECT merge_rank, lhs, rhs, n FROM ($sel) ORDER BY merge_rank""".stripMargin
+    },
+    // bpe_encode: same staging rationale — 16 chained apply rounds;
+    // the single-statement form holds all 16 token streams live
+    "bpe_encode" -> {
+      val rounds = (1 to 16).map { r =>
+        val prev = s"s${r - 1}"
+        s"""CREATE TEMP TABLE s$r AS SELECT doc_id, seq AS pos,
+           |  CASE WHEN take = 1 THEN unit || ' ' || nxt ELSE unit END AS unit
+           |FROM (
+           |  SELECT doc_id, seq, unit, nxt, take,
+           |    lag(take) OVER (PARTITION BY doc_id ORDER BY seq) AS ptake
+           |  FROM (
+           |    SELECT *, CASE WHEN m = 1 AND (seq - min(seq)
+           |      OVER (PARTITION BY doc_id, m, isl)) % 2 = 0 THEN 1 ELSE 0 END AS take
+           |    FROM (
+           |      SELECT *, seq - row_number()
+           |        OVER (PARTITION BY doc_id, m ORDER BY seq) AS isl
+           |      FROM (
+           |        SELECT doc_id, unit, seq,
+           |          lead(unit) OVER (PARTITION BY doc_id ORDER BY seq) AS nxt,
+           |          CASE WHEN unit || ' ' || lead(unit) OVER (PARTITION BY doc_id ORDER BY seq)
+           |            = (SELECT pair FROM mg WHERE rnk = $r) THEN 1 ELSE 0 END AS m
+           |        FROM (SELECT doc_id, unit,
+           |          row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seq
+           |          FROM $prev)))))
+           |WHERE coalesce(ptake, 0) = 0;
+           |DROP TABLE $prev;""".stripMargin
+      }.mkString("\n")
+      s"""CREATE TEMP TABLE mg AS
+         |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+         |  FROM (SELECT pair, count(*) AS n FROM (
+         |    SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS pair
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |    WHERE len(w) >= 2)
+         |  GROUP BY pair ORDER BY n DESC, pair LIMIT 16);
+         |CREATE TEMP TABLE s0 AS
+         |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS unit
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents);
+         |$rounds
+         |CREATE TEMP TABLE vocab AS
+         |  SELECT unit, CAST(row_number() OVER (ORDER BY unit) AS BIGINT) AS token_id
+         |  FROM (SELECT DISTINCT unit FROM s16);
+         |SELECT s.doc_id,
+         |  CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS BIGINT) AS seq,
+         |  s.unit AS token, v.token_id
+         |FROM s16 s JOIN vocab v USING (unit)
+         |ORDER BY doc_id, seq""".stripMargin
     })
 }
