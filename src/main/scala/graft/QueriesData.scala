@@ -373,28 +373,42 @@ object QueriesData {
     },
 
     // ANN RECALL AUDIT — the dedup_quality_audit (C65) construction
-    // applied to the ANN family: per approximate index, top-k recall
-    // against the brute-force ground truth on the SAME query set
-    // (%40, k=3), one summary row per index, regenerated and
-    // oracle-checked every round. KMeansSpec's ≥0.6/≥0.9 pins remain
-    // the hard floor; this makes the measured number a per-round gate
-    // artifact instead of a spec-only assertion. Composes the
-    // already-oracle-backed index queries, so the oracle replays BOTH
+    // applied to the ANN family: per approximate index (ivf,
+    // ivf_nprobe, trained-kmeans ivf, int8+rerank, pq, ivfpq), top-3
+    // SET recall against the brute-force ground truth on the SAME
+    // query set (%40, k=3), one summary row per index, regenerated and
+    // oracle-checked every round. KMeansSpec's top-1 pins (int8 ≥0.9,
+    // pq ≥0.6) remain the hard floor; this makes the measured numbers
+    // gate artifacts instead of spec-only assertions — including the
+    // HONESTLY LOW cell-probe recalls on the isotropic synthetic
+    // corpus (IVF's documented worst case), which is exactly what the
+    // rerank variants exist to recover. Composes the already-
+    // oracle-backed index queries verbatim, so the oracle replays BOTH
     // pair sets and the intersection arithmetic end to end.
     "ann_recall_audit" -> { (s, dir) =>
+      import s.implicits._
       val exact = Similarity.topkBruteForce(Tables.embeddings(s, dir),
           col("vec_id"), col("embedding"), isQuery = _ % 40 === 0, k = 3)
         .select(col("qid"), col("nid"))
-      def ids(q: String) = QueriesData.queries(q)(s, dir)
-        .select(col("qid"), col("nid"))
-      val per = Seq("ivf" -> "ann_ivf", "ivf_nprobe" -> "ann_ivf_nprobe",
-        "pq" -> "ann_pq", "ivfpq" -> "ann_ivfpq").map { case (nm, q) =>
-        ids(q).join(exact, Seq("qid", "nid"), "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(nm).as("index_name"), col("n_hits"))
-      }
+      val indexes = Seq("ivf" -> "ann_ivf", "ivf_nprobe" -> "ann_ivf_nprobe",
+        "ivf_kmeans" -> "ann_ivf_kmeans", "int8" -> "ann_int8_rerank",
+        "pq" -> "ann_pq", "ivfpq" -> "ann_ivfpq")
+      // ONE unioned candidate frame → one semi-join against the ground
+      // truth → one aggregation: the brute-force baseline (the audit's
+      // expensive side — |queries|×|corpus| cosines at gate scale)
+      // evaluates twice (hits + n_queries), not once per index. The
+      // zero-hit edge keeps its row via the left join from the
+      // 4-row index list.
+      val cand = indexes.map { case (nm, q) =>
+        QueriesData.queries(q)(s, dir)
+          .select(lit(nm).as("index_name"), col("qid"), col("nid"))
+      }.reduce(_ unionByName _)
+      val hits = cand.join(exact, Seq("qid", "nid"), "left_semi")
+        .groupBy(col("index_name")).agg(count(lit(1)).as("n_hits"))
       val nq = exact.agg(countDistinct(col("qid")).as("n_queries"))
-      per.reduce(_ unionByName _)
+      indexes.map(_._1).toDF("index_name")
+        .join(hits, Seq("index_name"), "left")
+        .na.fill(0L, Seq("n_hits"))
         .crossJoin(broadcast(nq))
         .select(col("index_name"), col("n_queries"), col("n_hits"),
           Rounding.r(col("n_hits").cast("double") /
@@ -2462,6 +2476,7 @@ object QueriesData {
     * intersection arithmetic. */
   private def annRecallAuditOracle: String = {
     val idx = Seq("ivf" -> "ann_ivf", "ivf_nprobe" -> "ann_ivf_nprobe",
+      "ivf_kmeans" -> "ann_ivf_kmeans", "int8" -> "ann_int8_rerank",
       "pq" -> "ann_pq", "ivfpq" -> "ann_ivfpq")
     val ctes = idx.map { case (nm, q) =>
       s"i_$nm AS (SELECT qid, nid FROM (\n${oracleSqlBase(q)}\n))"
