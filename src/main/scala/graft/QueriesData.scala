@@ -2474,33 +2474,57 @@ object QueriesData {
     * oracle verbatim (wrapped as a derived table — so the two can only
     * drift together), the %40/k=3 brute-force ground truth, and the
     * intersection arithmetic. */
-  private def annRecallAuditOracle: String = {
-    val idx = Seq("ivf" -> "ann_ivf", "ivf_nprobe" -> "ann_ivf_nprobe",
-      "ivf_kmeans" -> "ann_ivf_kmeans", "int8" -> "ann_int8_rerank",
-      "pq" -> "ann_pq", "ivfpq" -> "ann_ivfpq")
-    val ctes = idx.map { case (nm, q) =>
-      s"i_$nm AS (SELECT qid, nid FROM (\n${oracleSqlBase(q)}\n))"
-    }.mkString(",\n")
-    val rows = idx.map { case (nm, _) =>
+  private val annAuditIndexes = Seq("ivf" -> "ann_ivf",
+    "ivf_nprobe" -> "ann_ivf_nprobe", "ivf_kmeans" -> "ann_ivf_kmeans",
+    "int8" -> "ann_int8_rerank", "pq" -> "ann_pq", "ivfpq" -> "ann_ivfpq")
+
+  private val annAuditExact3 =
+    """SELECT qid, nid FROM (
+      |  SELECT qid, v.vec_id AS nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) DESC,
+      |      v.vec_id) AS rank
+      |    FROM (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |          FROM embeddings WHERE vec_id % 40 = 0) q
+      |    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) v
+      |      ON v.vec_id <> qid)
+      |  WHERE rank <= 3""".stripMargin
+
+  private def annAuditFinal: String = {
+    val rows = annAuditIndexes.map { case (nm, _) =>
       s"""SELECT '$nm' AS index_name,
          |  (SELECT count(DISTINCT qid) FROM exact3) AS n_queries,
          |  (SELECT count(*) FROM i_$nm JOIN exact3 USING (qid, nid)) AS n_hits"""
         .stripMargin
     }.mkString("\nUNION ALL ")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 40 = 0),
-       |exact3 AS (SELECT qid, nid FROM (
-       |  SELECT qid, v.vec_id AS nid,
-       |    row_number() OVER (PARTITION BY qid ORDER BY
-       |      list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) DESC,
-       |      v.vec_id) AS rank
-       |    FROM q JOIN v ON v.vec_id <> qid)
-       |  WHERE rank <= 3),
-       |$ctes
-       |SELECT index_name, n_queries, n_hits,
+    s"""SELECT index_name, n_queries, n_hits,
        |  round(CAST(n_hits AS DOUBLE) / CAST(n_queries * 3 AS DOUBLE), 4) AS recall
        |FROM ($rows)
        |ORDER BY index_name""".stripMargin
+  }
+
+  private def annRecallAuditOracle: String = {
+    val ctes = annAuditIndexes.map { case (nm, q) =>
+      s"i_$nm AS (SELECT qid, nid FROM (\n${oracleSqlBase(q)}\n))"
+    }.mkString(",\n")
+    s"""WITH exact3 AS ($annAuditExact3),
+       |$ctes
+       |$annAuditFinal""".stripMargin
+  }
+
+  /** Scale-gate variant of the audit oracle: each index replay runs as
+    * its OWN statement into a temp table (every one of them passes the
+    * sf1 gate individually, so one-at-a-time they fit by
+    * construction), where the single-statement form runs all six big
+    * window/cross-join pipelines in one plan and overflowed the spill
+    * disk at 10×. Same replays, same arithmetic. */
+  private def annRecallAuditOracleStaged: String = {
+    val stages = annAuditIndexes.map { case (nm, q) =>
+      s"CREATE TEMP TABLE i_$nm AS SELECT qid, nid FROM (\n${oracleSqlBase(q)}\n);"
+    }.mkString("\n")
+    s"""CREATE TEMP TABLE exact3 AS $annAuditExact3;
+       |$stages
+       |$annAuditFinal""".stripMargin
   }
 
   val oracleSql: Map[String, String] =
@@ -2524,6 +2548,7 @@ object QueriesData {
     * CHECK_SCALE_ORACLES), so divergence between them fails a gate.
     */
   val oracleSqlScale: Map[String, String] = Map(
+    "ann_recall_audit" -> annRecallAuditOracleStaged,
     "bpe_train" -> {
       val rounds = (1 to 6).map { r =>
         val prev = s"s${r - 1}"
