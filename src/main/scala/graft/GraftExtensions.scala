@@ -78,6 +78,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val dedup = children.size > 3 && lit(3, "dedup").toString.toBoolean
         graft.functions.WindowFunnelMax(children(0), steps, micros, dedup)
       }))
+    // content-defined chunk boundaries in SQL:
+    //   cdc_boundaries(text[, k, base, mod])
+    // config args must be literals — they parameterize the codegen'd
+    // rolling-hash kernel (defaults = the chunk_cdc rule: 8, 31, 61)
+    e.injectFunction((
+      FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[graft.functions.CdcBoundaries].getName,
+        "cdc_boundaries"),
+      (children: Seq[Expression]) => {
+        if (children.isEmpty || children.size > 4)
+          throw new IllegalArgumentException(
+            s"cdc_boundaries(text[, k, base, mod]) expects 1-4 arguments, " +
+              s"got ${children.size}")
+        def lit(i: Int, what: String, default: Long): Long =
+          if (children.size <= i) default
+          else children(i) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(null, _) =>
+              throw new IllegalArgumentException(
+                s"cdc_boundaries $what must be a non-NULL literal")
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.toString.toLong
+            case other => throw new IllegalArgumentException(
+              s"cdc_boundaries $what must be a literal, got $other")
+          }
+        graft.functions.CdcBoundaries(children.head,
+          k = lit(1, "window k", 8L).toInt,
+          base = lit(2, "base", 31L), mod = lit(3, "mod", 61L))
+      }))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // transparent MV rewrite (no-op while no MV is registered)
     e.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))

@@ -65,6 +65,33 @@ class RollingHashSpec extends SparkSpec {
     assert(nB > 0, "no boundaries found on the corpus")
   }
 
+  test("SQL surface: cdc_boundaries(text) == the kernel column; config must be literal") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("rh_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, cdc_boundaries(text) AS b FROM rh_docs")
+    val viaKernel = docs.withColumn("b2",
+      DatasetShim.column(CdcBoundaries(DatasetShim.expression(col("text")))))
+    val diff = viaSql.join(viaKernel.select(col("doc_id"), col("b2")), "doc_id")
+      .where(not(col("b") <=> col("b2"))).count()
+    assert(diff == 0)
+    // the kernel runs inside whole-stage codegen — the `*(n)` stage
+    // marker must sit on the Project computing the boundaries
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("cdc_boundaries") && l.trim.startsWith("*(")),
+      s"boundary pass fell out of codegen:\n${plan.take(600)}")
+    // explicit config args work; non-literal / NULL config is a named error
+    assert(spark.sql("SELECT cdc_boundaries('abcdefghij', 8, 31, 61) AS b")
+      .collect().nonEmpty)
+    val e1 = intercept[Exception](
+      spark.sql("SELECT cdc_boundaries(text, length(text)) FROM rh_docs").collect())
+    assert(e1.getMessage.contains("literal"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT cdc_boundaries('abc', NULL) AS b").collect())
+    assert(e2.getMessage.contains("non-NULL"))
+  }
+
   test("content-defined property: an insertion shifts O(1) chunks, not all downstream") {
     val base = "it was the best of times it was the worst of times " * 8
     val edited = base.patch(10, "XYZ", 0) // insert near the front
