@@ -131,6 +131,37 @@ class OpsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), "edit dedup must stay banded")
   }
 
+  test("SimHashGramsPair: fp1 is bit-identical to SimHashGrams; fp2 from the digest tail") {
+    import graft.functions.SimHashGramsImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    // the single-digest pair's first view must equal the classic
+    // fingerprint EXACTLY — that is what keeps editdist banding
+    // unchanged across the r9 one-pass rewrite — and the second view
+    // must equal a from-scratch fold of md5 bytes 8-15
+    val samples = Seq("", "ab", "abcdef", "abcdefg",
+      "the quick brown fox jumps over the lazy dog " * 5,
+      "𝄞a𝄢b astral-plane codepoints count one position each padded")
+    samples.foreach { s =>
+      val u = UTF8String.fromString(s)
+      val pair = SimHashGramsImpl.computePair(u, 6)
+      assert(pair.getLong(0) == SimHashGramsImpl.compute(u, 6),
+        s"fp1 diverged on '${s.take(30)}'")
+      // fp2 reference: fold the tail half of each gram digest
+      val cp = s.codePoints().toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](64)
+      (0 to cp.length - 6).foreach { i =>
+        val d = md.digest(new String(cp, i, 6).getBytes("UTF-8"))
+        var h = 0L; (8 until 16).foreach(b => h = (h << 8) | (d(b) & 0xffL))
+        (0 until 64).foreach(j =>
+          counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1))
+      }
+      var want = 0L
+      (0 until 64).foreach(j => if (counts(j) > 0) want |= (1L << j))
+      assert(pair.getLong(1) == want, s"fp2 diverged on '${s.take(30)}'")
+    }
+  }
+
   test("simhash_grams: wrong arity raises a named error, not an index crash") {
     def msgChain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
