@@ -960,6 +960,41 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B69: mergeable PERCENTILE sketch ROLLUP — the third StarRocks
+    // sketch-column workflow beside B57 (HLL) and B58 (BITMAP): the
+    // PERCENTILE type's percentile_union. Daily per-type quantile
+    // sketches (functions.Qsk, the MRL/KLL compactor family — ≤ k
+    // values per level, weight-conserving compaction) are the stored
+    // pre-aggregate; per-type p50/p90 come from MERGING sketches,
+    // never re-scanning raw events. Sketch values are partition-order
+    // dependent → the gate output carries exact counts + rank-bound
+    // flags (the B22/B42/B57 construction): each estimate's actual
+    // rank, recomputed against the raw rows via a 5-row broadcast
+    // join, must sit within 5% of target (QskSpec pins the tighter
+    // ~2% bound and weight conservation under shuffled partitionings).
+    "q_percentile_rollup" -> { (s, dir) =>
+      import graft.functions.Qsk
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(Qsk.qskOf(col("value")).as("sk"), count(lit(1)).as("n"))
+      val rolled = daily.groupBy(col("event_type"))
+        .agg(Qsk.qskMergeQuantile(col("sk"), 0.5).as("p50_est"),
+          Qsk.qskMergeQuantile(col("sk"), 0.9).as("p90_est"),
+          sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+      val ranks = Tables.events(s, dir)
+        .join(broadcast(rolled), "event_type")
+        .groupBy(col("event_type"), col("n_events"), col("n_days"))
+        .agg(sum((col("value") <= col("p50_est")).cast("long")).as("r50"),
+          sum((col("value") <= col("p90_est")).cast("long")).as("r90"))
+      def ok(r: String, q: Double) =
+        abs(col(r) - lit(q) * col("n_events")) <=
+          lit(0.05) * col("n_events") + lit(1.0)
+      ranks.select(col("event_type"), col("n_events"), col("n_days"),
+          ok("r50", 0.5).as("p50_ok"), ok("r90", 0.9).as("p90_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // B59: SLIDING-window exact distinct users (2 h windows every
     // 30 min). The naive form re-shuffles every raw event once per
     // overlapping window (4× here, 48× for day/half-hour); instead
@@ -1290,6 +1325,11 @@ object QueriesOlap {
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
         |  count(DISTINCT user_id) AS n_exact, true AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_percentile_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  true AS p50_ok, true AS p90_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Spark array_position yields 0 for a miss; DuckDB list_position
     // yields NULL → coalesce. list_reverse is absent in DuckDB 1.0 →

@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions.udaf
   *    at the default capacity (StarRocks `approx_top_k` family; the
   *    variable-k form stays in the typed API — SQL registration binds
   *    one instance)
+  *  - `percentile_sketch(x)`    → mergeable quantile sketch of a
+  *    double column (StarRocks `percentile_union(percentile_hash(x))`
+  *    fused — the PERCENTILE column pre-aggregate)
+  *  - `percentile_union(sk)`    → merge stored sketches, as a sketch
+  *  - `percentile_union_p50/p90(sk)` → merge + extract one quantile
+  *    (`percentile_approx_raw(percentile_union(sk), q)`; a bound-q
+  *    instance per name, the mg_sketch convention — variable q stays
+  *    in the typed API, `Qsk.qskMergeQuantile`)
   *
   * Scalar bitmap algebra (`Rbm.cardinality` / `andBm` / `toIds`) is
   * pure built-in column math over the map representation, so it needs
@@ -36,5 +44,9 @@ object SqlFunctions {
     spark.udf.register("bitmap_union_count", udaf(new Rbm.RbmUnionCount))
     spark.udf.register("bitmap_distinct_count", udaf(new Rbm.RbmDistinct))
     spark.udf.register("mg_sketch", udaf(new HeavyHitters(50)))
+    spark.udf.register("percentile_sketch", udaf(new Qsk.QskOf()))
+    spark.udf.register("percentile_union", udaf(new Qsk.QskMerge))
+    spark.udf.register("percentile_union_p50", udaf(new Qsk.QskMergeQuantile(0.5)))
+    spark.udf.register("percentile_union_p90", udaf(new Qsk.QskMergeQuantile(0.9)))
   }
 }
