@@ -186,6 +186,16 @@ object Qsk {
     override def outputEncoder: Encoder[Sk] = ExpressionEncoder[Sk]()
   }
 
+  private[functions] class QskOfQuantile(q: Double, k: Int = DefaultK)
+      extends Aggregator[Double, State, Double] {
+    override def zero: State = empty(k)
+    override def reduce(b: State, v: Double): State = update(b, v)
+    override def merge(a: State, b: State): State = Qsk.merge(a, b)
+    override def finish(s: State): Double = quantile(s, q)
+    override def bufferEncoder: Encoder[State] = ExpressionEncoder[State]()
+    override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
+  }
+
   private[functions] class QskMergeQuantile(q: Double) extends Aggregator[Sk, State, Double] {
     override def zero: State = empty()
     override def reduce(b: State, s: Sk): State = Qsk.merge(b, fromSk(s))
@@ -206,4 +216,10 @@ object Qsk {
     * (percentile_union + percentile_approx_raw in one aggregate). */
   def qskMergeQuantile(sketch: Column, q: Double): Column =
     udaf(new QskMergeQuantile(q)).apply(sketch)
+
+  /** Rows → one quantile estimate directly (build + extract fused) —
+    * the streaming-window form: state is one bounded sketch per
+    * group, merged associatively across micro-batch partials. */
+  def qskQuantileAgg(value: Column, q: Double, k: Int = DefaultK): Column =
+    udaf(new QskOfQuantile(q, k)).apply(value.cast("double"))
 }

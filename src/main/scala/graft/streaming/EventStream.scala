@@ -62,6 +62,30 @@ object EventStream {
         col("window.end").as("window_end"),
         col(typeCol), col("n_distinct"), col("n"))
 
+  /** Continuously-maintained windowed PERCENTILES — the streaming
+    * twin of the batch q_percentile_rollup (B69) and the third
+    * sketch-state kernel beside the bitmap-distinct and heavy-hitter
+    * streams: per (window, type) the state is ONE bounded Qsk
+    * compactor sketch (≤ k values/level — never the raw value
+    * stream), partials merge associatively across micro-batches, the
+    * watermark expires whole windows, and each trigger emits the
+    * window's current quantile estimate (rank error ≤ the QskSpec
+    * bound at any partitioning/arrival order).
+    */
+  def percentileStream(events: DataFrame, tsCol: String, typeCol: String,
+                       valueCol: String, q: Double = 0.5,
+                       window: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(typeCol))
+      .agg(graft.functions.Qsk.qskQuantileAgg(col(valueCol), q).as("p_est"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(typeCol), col("p_est"), col("n"))
+
   /** Gap-based session windows per key (the streaming twin of the
     * batch sessionization query): a session closes after `gap` of
     * inactivity; state is bounded by the watermark.

@@ -140,6 +140,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("01:00", "click", 1L, 1L)), s"got $rows") // u8 only
   }
 
+  test("streaming windowed percentiles: sketch-state p50 within rank bound, cross-batch + out-of-order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStream.percentileStream(df, "ts", "event_type", "value",
+      q = 0.5, window = "1 hour", watermark = "2 hours")
+    val q = agg.writeStream.format("memory").queryName("pct_stream")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // window [00:00,01:00): 1001 values delivered across two batches,
+    // second batch out-of-order (earlier timestamps than the first)
+    val w0 = (0 until 1001).map(i => (t(0, 1 + (i % 55)), "click", i.toDouble))
+    val (b1, b2) = w0.splitAt(600)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2.reverse: _*) // out-of-order arrival
+    input.addData((t(1, 10), "click", 9999.0)) // second window
+    q.processAllAvailable()
+    input.addData((t(9, 0), "click", 0.0)) // advance watermark, close windows
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("pct_stream")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("p_est"), col("n"))
+      .as[(String, String, Double, Long)].collect()
+    val first = rows.find(r => r._1 == "00:00" && r._2 == "click").get
+    assert(first._4 == 1001L)
+    // exact values are 0..1000 → true median 500; sketch rank bound 3%
+    assert(math.abs(first._3 - 500.0) <= 0.03 * 1001 + 1,
+      s"windowed p50 ${first._3} too far from 500")
+    val second = rows.find(r => r._1 == "01:00" && r._2 == "click").get
+    assert(second._3 == 9999.0 && second._4 == 1L)
+  }
+
   test("streaming dedup: re-deliveries within the watermark are dropped, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
