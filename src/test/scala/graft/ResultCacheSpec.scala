@@ -40,6 +40,51 @@ class ResultCacheSpec extends SparkSpec {
       want.find(_.getLong(0) == 3).get.getLong(1) + 1)
   }
 
+  test("a commit landing DURING evaluation is never published under the old stamp") {
+    val root = fresh("rcMid") + "/t"
+    val cacheDir = fresh("rc-cache3")
+    PkTableSink.mergeTx(spark, root,
+      (0L until 50L).map(i => (i, 1L, false)).toDF("id", "ver", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    // the query COMMITS to its own source as an evaluation side effect
+    // (local[n] single JVM: the executor task runs the merge) — the
+    // deterministic stand-in for "another writer lands mid-query"
+    val committed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def q = {
+      val base = PkTableSink.readTx(spark, root, spark.emptyDataFrame)
+        .select(col("id")).as[Long].collect() // snapshot BEFORE the commit
+      if (committed.compareAndSet(false, true))
+        PkTableSink.mergeTx(spark, root,
+          Seq((999L, 1L, false)).toDF("id", "ver", "del"),
+          Seq("id"), Seq("ver"), "del", writer = "w2")
+      base.toSeq.toDF("id")
+    }
+    val (r1, hit1) = ResultCache.cached(spark, cacheDir, "mid", Seq(root))(q)
+    assert(!hit1 && r1.count() == 50, "the evaluated result is served")
+    // nothing may be published: neither the old stamp (result computed
+    // against it is fine, but the stamp moved before publish — the
+    // conservative contract refuses) nor any other visible entry
+    val fs = new org.apache.hadoop.fs.Path(cacheDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(cacheDir))
+      .map(_.getPath.getName).filter(n => n.startsWith("mid.v")).toSeq
+    assert(entries.forall(e =>
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$cacheDir/$e/_SUCCESS"))),
+      s"stale-stamp entry published: $entries")
+    // next call misses (no entry) and, with no mid-flight commit this
+    // time, publishes under the NEW stamp; a third call hits it
+    val (_, hit2) = ResultCache.cached(spark, cacheDir, "mid", Seq(root))(
+      PkTableSink.readTx(spark, root, spark.emptyDataFrame).groupBy().count())
+    val (_, hit3) = ResultCache.cached(spark, cacheDir, "mid", Seq(root))(
+      PkTableSink.readTx(spark, root, spark.emptyDataFrame).groupBy().count())
+    assert(!hit2 && hit3)
+    // vacuum clears any orphaned publish-race temp dirs
+    ResultCache.vacuum(spark, cacheDir, Map("mid" -> Seq(root)))
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(cacheDir))
+      .map(_.getPath.getName).filter(_.startsWith(".tmp_")).toSeq
+    assert(leftovers.isEmpty, s"orphaned temp dirs: $leftovers")
+  }
+
   test("multi-table stamp: a commit to EITHER source misses; vacuum drops only stale") {
     val rootA = fresh("rcA") + "/t"
     val rootB = fresh("rcB") + "/t"
