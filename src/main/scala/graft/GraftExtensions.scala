@@ -106,6 +106,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           k = lit(1, "window k", 8L).toInt,
           base = lit(2, "base", 31L), mod = lit(3, "mod", 61L))
       }))
+    // scalar quantile extraction from a stored Qsk sketch column:
+    //   percentile_approx_raw(sk, q)   (q a literal in [0,1])
+    e.injectFunction((
+      FunctionIdentifier("percentile_approx_raw"),
+      new ExpressionInfo(classOf[graft.functions.QskQuantile].getName,
+        "percentile_approx_raw"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"percentile_approx_raw(sk, q) expects 2 arguments, got ${children.size}")
+        val q = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(null, _) =>
+            throw new IllegalArgumentException(
+              "percentile_approx_raw q must be a non-NULL literal")
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toDouble
+          case other => throw new IllegalArgumentException(
+            s"percentile_approx_raw q must be a literal, got $other")
+        }
+        graft.functions.QskQuantile(children.head, q)
+      }))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // transparent MV rewrite (no-op while no MV is registered)
     e.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))

@@ -222,4 +222,83 @@ object Qsk {
     * group, merged associatively across micro-batch partials. */
   def qskQuantileAgg(value: Column, q: Double, k: Int = DefaultK): Column =
     udaf(new QskOfQuantile(q, k)).apply(value.cast("double"))
+
+  /** Scalar quantile extraction from a STORED sketch map value —
+    * [[QskQuantile]]'s eval body, shared with generated code. */
+  def quantileOfMap(m: org.apache.spark.sql.catalyst.util.MapData,
+                    q: Double): Double = {
+    val keys = m.keyArray()
+    val vals = m.valueArray()
+    var count = 0L
+    var n = 0
+    var i = 0
+    while (i < m.numElements()) {
+      val l = keys.getInt(i)
+      if (l == -1) count = vals.getArray(i).getDouble(0).toLong
+      else if (l >= 0) n += vals.getArray(i).getDouble(0).toInt
+      i += 1
+    }
+    if (count == 0L || n == 0) return Double.NaN
+    val items = new Array[Double](n)
+    val weights = new Array[Long](n)
+    var w = 0
+    i = 0
+    while (i < m.numElements()) {
+      val l = keys.getInt(i)
+      if (l >= 0) {
+        val arr = vals.getArray(i)
+        val cnt = arr.getDouble(0).toInt
+        var j = 1
+        while (j <= cnt) {
+          items(w) = arr.getDouble(j); weights(w) = 1L << l; w += 1; j += 1
+        }
+      }
+      i += 1
+    }
+    // sort items with their weights (indices by value)
+    val order = (0 until n).sortBy(items(_))
+    val total = weights.sum
+    val target = math.max(1L, math.ceil(q * total).toLong)
+    var cum = 0L
+    var oi = 0
+    while (oi < n) {
+      cum += weights(order(oi))
+      if (cum >= target) return items(order(oi))
+      oi += 1
+    }
+    items(order(n - 1))
+  }
+}
+
+/** `percentile_approx_raw(sk, q)` — scalar quantile extraction from a
+  * stored [[Qsk]] sketch column (the StarRocks function of the same
+  * name over PERCENTILE values): any `q`, evaluated per row inside
+  * whole-stage codegen — so stored daily sketches serve arbitrary
+  * quantiles without re-aggregation. Registered by GraftExtensions
+  * (q must be a literal in SQL).
+  */
+case class QskQuantile(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                       q: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(q >= 0.0 && q <= 1.0, s"quantile $q out of [0,1]")
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "percentile_approx_raw"
+
+  override def nullSafeEval(input: Any): Any =
+    Qsk.quantileOfMap(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData], q)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Qsk.quantileOfMap($c, $q)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
 }

@@ -108,6 +108,40 @@ class QskSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx_raw: scalar extraction from stored sketches at arbitrary q") {
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .createOrReplaceTempView("qsk_events2")
+    // the full StarRocks PERCENTILE read path: stored sketches →
+    // percentile_union → scalar percentile_approx_raw at ANY q
+    val got = spark.sql(
+      """SELECT event_type,
+        |  percentile_approx_raw(usk, 0.25) AS p25,
+        |  percentile_approx_raw(usk, 0.5)  AS p50,
+        |  percentile_approx_raw(usk, 0.75) AS p75
+        |FROM (SELECT event_type, percentile_union(sk) AS usk FROM
+        |  (SELECT event_type, day, percentile_sketch(value) AS sk
+        |   FROM qsk_events2 GROUP BY event_type, day)
+        |  GROUP BY event_type)""".stripMargin)
+      .as[(String, Double, Double, Double)].collect()
+    val exact = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (t, p25, p50, p75) =>
+      assert(p25 <= p50 && p50 <= p75, s"$t: non-monotone quantiles")
+      val vals = exact(t); val n = vals.length
+      for ((q, v) <- Seq(0.25 -> p25, 0.5 -> p50, 0.75 -> p75))
+        assert(math.abs(rankOf(vals.toArray, v) - q * n) <= 0.03 * n + 1,
+          s"$t q=$q out of bound")
+    }
+    // literal-config errors are named
+    val e = intercept[Exception](spark.sql(
+      "SELECT percentile_approx_raw(map(), value) FROM qsk_events2").collect())
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("edges: empty sketch, single value, q=0/1, duplicate-heavy input") {
     assert(Qsk.quantile(Qsk.empty(), 0.5).isNaN)
     var one = Qsk.empty(); one = Qsk.update(one, 42.0)
