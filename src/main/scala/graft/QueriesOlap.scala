@@ -154,6 +154,39 @@ object QueriesOlap {
         ORDER BY event_type""")
     },
 
+    // B70: the SQL-TEXT percentile path end-to-end (B68's construction
+    // for the PERCENTILE surface): stored daily sketches →
+    // percentile_union → scalar percentile_approx_raw at two
+    // quantiles, all authored as spark.sql against a temp view — the
+    // migrating user's literal PERCENTILE-column workflow through the
+    // same oracle gate. Estimates are engine-internal → output is the
+    // B69 bound-flag construction (exact counts + 5% rank flags).
+    "q_sql_percentile" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+        .createOrReplaceTempView("events_psql")
+      val est = s.sql("""
+        SELECT event_type,
+          percentile_approx_raw(usk, 0.5) AS p50_est,
+          percentile_approx_raw(usk, 0.9) AS p90_est
+        FROM (SELECT event_type, percentile_union(sk) AS usk
+              FROM (SELECT event_type, day, percentile_sketch(value) AS sk
+                    FROM events_psql GROUP BY event_type, day)
+              GROUP BY event_type)""")
+      def ok(r: String, q: Double) =
+        abs(col(r) - lit(q) * col("n_events")) <=
+          lit(0.05) * col("n_events") + lit(1.0)
+      Tables.events(s, dir)
+        .join(broadcast(est), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("value") <= col("p50_est")).cast("long")).as("r50"),
+          sum((col("value") <= col("p90_est")).cast("long")).as("r90"))
+        .select(col("event_type"), col("n_events"),
+          ok("r50", 0.5).as("p50_ok"), ok("r90", 0.9).as("p90_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // B66: MOVING MEDIAN of daily per-type volumes — the robust
     // smoothing twin of B64's EWMA (one outlier day shifts an EWMA,
     // never a median): trailing-7 frame collected per row, sorted
@@ -1329,6 +1362,10 @@ object QueriesOlap {
     "q_percentile_rollup" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  true AS p50_ok, true AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_percentile" ->
+      """SELECT event_type, count(*) AS n_events,
         |  true AS p50_ok, true AS p90_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Spark array_position yields 0 for a miss; DuckDB list_position
