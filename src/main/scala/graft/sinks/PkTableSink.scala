@@ -930,6 +930,85 @@ object PkTableSink {
       case None    => schemaOf.limit(0)
     }
 
+  /** The table's key/version column lists as recorded in the CURRENT
+    * manifest — what makes [[deleteWhereTx]]/[[updateWhereTx]]
+    * self-describing. */
+  private def keyMetaOf(spark: SparkSession, root: String): (Seq[String], Seq[String]) = {
+    val m = TxLog.current(spark, root).getOrElse(throw new IllegalStateException(
+      s"no committed version under $root"))
+    val keys = m.meta.get(MetaKeys).filter(_.nonEmpty).map(_.split(",").toSeq)
+      .getOrElse(throw new IllegalStateException(s"no key meta under $root"))
+    val vers = m.meta.get(MetaVers).filter(_.nonEmpty).map(_.split(",").toSeq)
+      .getOrElse(throw new IllegalStateException(s"no version meta under $root"))
+    (keys, vers)
+  }
+
+  /** The rows matching `predicate`, with their FIRST version column
+    * bumped by one so the emitted batch supersedes the rows it read.
+    * Refuses non-numeric version columns loudly. */
+  private def matchedBumped(spark: SparkSession, root: String,
+                            predicate: org.apache.spark.sql.Column): DataFrame = {
+    val matched = readTx(spark, root, spark.emptyDataFrame).where(predicate)
+    val v0 = keyMetaOf(spark, root)._2.head
+    require(matched.schema(v0).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"deleteWhereTx/updateWhereTx need a numeric first version column; " +
+        s"'$v0' is ${matched.schema(v0).dataType.simpleString}")
+    matched.withColumn(v0, col(v0) + lit(1))
+  }
+
+  /** `DELETE FROM <root> WHERE predicate` (the StarRocks PK-table
+    * DELETE verb): matched rows re-commit as version-bumped
+    * tombstones — ONE delta commit whose write cost is ∝ matched
+    * rows (the scan to find them prunes like any filtered read), the
+    * standard merge-on-read delete shape. Returns the matched count
+    * (0 ⇒ no commit). Concurrency contract is the table's usual
+    * optimistic version-wins merge: a writer updating a matched key
+    * with a higher version AFTER our snapshot read wins over the
+    * tombstone — DELETE is a CDC participant, not a lock. */
+  def deleteWhereTx(spark: SparkSession, root: String,
+                    predicate: org.apache.spark.sql.Column,
+                    writer: String, maxAttempts: Int = 5): Long = {
+    val (keys, vers) = keyMetaOf(spark, root)
+    val batch = matchedBumped(spark, root, predicate)
+      .withColumn("__graft_delw", lit(true))
+      .localCheckpoint(true) // pin the snapshot: count + commit see one read
+    val n = batch.count()
+    if (n > 0)
+      mergeTx(spark, root, batch, keys, vers, "__graft_delw", writer,
+        maxAttempts = maxAttempts)
+    n
+  }
+
+  /** `UPDATE <root> SET col = expr, ... WHERE predicate` (the
+    * StarRocks PK-table UPDATE verb): matched rows re-commit with the
+    * SET columns applied and the version bumped — one delta commit,
+    * write ∝ matched rows. Key and version columns refuse assignment
+    * (an UPDATE that moves a key is a delete + insert — say so).
+    * Same optimistic concurrency contract as [[deleteWhereTx]]. */
+  def updateWhereTx(spark: SparkSession, root: String,
+                    predicate: org.apache.spark.sql.Column,
+                    set: Map[String, org.apache.spark.sql.Column],
+                    writer: String, maxAttempts: Int = 5): Long = {
+    require(set.nonEmpty, "updateWhereTx: empty SET")
+    val (keys, vers) = keyMetaOf(spark, root)
+    set.keys.foreach { c =>
+      require(!keys.contains(c) && !vers.contains(c),
+        s"updateWhereTx may not assign key/version column '$c' " +
+          "(a key move is a delete + insert)")
+    }
+    val matched = matchedBumped(spark, root, predicate)
+    set.keys.foreach(c => require(matched.columns.contains(c),
+      s"updateWhereTx: unknown column '$c'"))
+    val updated = set.foldLeft(matched) { case (df, (c, e)) => df.withColumn(c, e) }
+      .withColumn("__graft_delw", lit(false))
+      .localCheckpoint(true)
+    val n = updated.count()
+    if (n > 0)
+      mergeTx(spark, root, updated, keys, vers, "__graft_delw", writer,
+        maxAttempts = maxAttempts)
+    n
+  }
+
   /** PROJECTED merge-on-read: the same rows as
     * `readTx(...).select(columns)` but with the narrow schema pushed
     * BELOW the latest-per-key merge, so the parquet scans read only
