@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.{Doctor, GlobalDict, InvertedIndex, PkTableSink, SidecarGc, TableStats}
+
+/** D35: table-health diagnostic — findings mirror the serving rules
+  * exactly, remedies name the fixing call, and applying each remedy
+  * flips its finding back to ok. */
+class DoctorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("findings track the freshness protocols through degrade -> remedy cycles") {
+    val root = java.nio.file.Files.createTempDirectory("doc").toString + "/t"
+    PkTableSink.mergeTx(spark, root,
+      (0L until 200L).map(i => (i, 1L, s"seg-${i % 5}", s"alpha beta doc $i", false))
+        .toDF("id", "ver", "segment", "text", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    TableStats.analyzeTx(spark, root)
+    GlobalDict.buildTx(spark, root, "segment")
+    InvertedIndex.buildTx(spark, root, "id", "text")
+    val healthy = Doctor.examine(spark, root)
+    assert(healthy.healthy, s"expected healthy:\n${healthy.render}")
+    assert(healthy.findings.exists(f => f.check == "table stats" && f.detail.contains("200 rows")))
+
+    // one commit without refreshing anything: stats + dict withdraw,
+    // index chain breaks, old sidecar generations become garbage
+    PkTableSink.mergeTx(spark, root,
+      Seq((500L, 1L, "seg-NEW", "gamma delta doc", false))
+        .toDF("id", "ver", "segment", "text", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    val degraded = Doctor.examine(spark, root)
+    val bad = degraded.degraded.map(_.check).toSet
+    assert(bad.contains("table stats") && bad.contains("dict 'segment'") &&
+      bad.contains("inverted index") && bad.contains("sidecar garbage"),
+      s"missing findings:\n${degraded.render}")
+    // remedies name the actual calls
+    assert(degraded.degraded.find(_.check == "table stats").get.remedy
+      .contains("analyzeTx"))
+    assert(degraded.degraded.find(_.check == "inverted index").get.remedy
+      .contains("updateTx"))
+
+    // apply every named remedy: the report returns to healthy
+    TableStats.analyzeTx(spark, root)
+    GlobalDict.buildTx(spark, root, "segment")
+    InvertedIndex.updateTx(spark, root, "id", "text")
+    SidecarGc.vacuum(spark, root)
+    val fixed = Doctor.examine(spark, root)
+    assert(fixed.healthy, s"expected healthy after remedies:\n${fixed.render}")
+    assert(fixed.version == healthy.version + 1)
+
+    // deep delta chains surface with the compaction remedy
+    (0 until 10).foreach { i =>
+      PkTableSink.mergeTx(spark, root,
+        Seq((600L + i, 1L, "seg-0", "row", false))
+          .toDF("id", "ver", "segment", "text", "del"),
+        Seq("id"), Seq("ver"), "del", writer = "w",
+        compactAfterDeltas = 1000)
+    }
+    val deep = Doctor.examine(spark, root)
+    val dc = deep.findings.find(_.check == "delta chain").get
+    assert(!dc.ok && dc.remedy.contains("compactTx"), deep.render)
+    // render is one line per finding plus the header
+    assert(deep.render.linesIterator.size == deep.findings.size + 1)
+  }
+}
