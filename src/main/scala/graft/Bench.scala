@@ -122,7 +122,11 @@ object Bench {
           // r8 additions with row-scale hot paths
           "chunk_cdc", "sketch_countmin", "sample_split_leakage",
           "dedup_quality_audit", "quality_perplexity_buckets",
-          "q_weighted_percentile", "decontaminate_embedding")
+          "q_weighted_percentile", "decontaminate_embedding",
+          // r9: the mergeable-sketch rollups — their near-flat
+          // exponents are the bounded-state claim as numbers (the
+          // re-aggregation carries sketch/bitmap state, never rows)
+          "q_percentile_rollup", "q_hll_rollup", "q_bitmap_rollup")
         val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
         ScaleUp.ensure(spark, sfDir, dst, factor)
         val baseTimes = results.toMap
