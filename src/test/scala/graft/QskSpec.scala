@@ -142,6 +142,21 @@ class QskSpec extends SparkSpec {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("merging sketches of different k keeps the larger capacity and the bound") {
+    val rnd = new scala.util.Random(3)
+    val vals = Array.fill(20000)(rnd.nextDouble() * 1000)
+    var small = Qsk.empty(k = 64)
+    var big = Qsk.empty(k = 512)
+    vals.take(10000).foreach(v => small = Qsk.update(small, v))
+    vals.drop(10000).foreach(v => big = Qsk.update(big, v))
+    val m = Qsk.merge(small, big)
+    assert(m.k == 512 && m.count == 20000 && Qsk.weight(m) == 20000)
+    val sorted = vals.sorted
+    val r = sorted.count(_ <= Qsk.quantile(m, 0.5))
+    // the k=64 half contributes its coarser error; 5% covers it
+    assert(math.abs(r - 10000) <= 0.05 * 20000 + 1, s"mixed-k median rank $r")
+  }
+
   test("edges: empty sketch, single value, q=0/1, duplicate-heavy input") {
     assert(Qsk.quantile(Qsk.empty(), 0.5).isNaN)
     var one = Qsk.empty(); one = Qsk.update(one, 42.0)

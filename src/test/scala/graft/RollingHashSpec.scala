@@ -92,6 +92,26 @@ class RollingHashSpec extends SparkSpec {
     assert(e2.getMessage.contains("non-NULL"))
   }
 
+  test("config guard: a base^k that could overflow Int64 is refused at construction") {
+    // base=31,k=8 is proven safe; base=127,k=8 would overflow for high
+    // codepoints — the kernel must refuse rather than wrap silently
+    val e = intercept[IllegalArgumentException] {
+      CdcBoundaries(DatasetShim.expression(lit("x")), k = 8, base = 127L)
+    }
+    assert(e.getMessage.contains("overflow"))
+    // custom-but-safe config works end to end
+    val got = CdcBoundariesImpl.compute(
+      UTF8String.fromString("abcdefghij"), 4, 7L, 3L).toIntArray().toSeq
+    val brute = {
+      val cp = "abcdefghij".codePoints().toArray
+      (4 to cp.length).filter { i =>
+        (0 until 4).map(j => cp(i - 4 + j) * math.pow(7.0, (3 - j).toDouble).toLong)
+          .sum % 3 == 0
+      }
+    }
+    assert(got == brute)
+  }
+
   test("content-defined property: an insertion shifts O(1) chunks, not all downstream") {
     val base = "it was the best of times it was the worst of times " * 8
     val edited = base.patch(10, "XYZ", 0) // insert near the front
