@@ -386,7 +386,8 @@ object PkTableSink {
                       targetRowsPerFile: Long = 4L << 20,
                       maxAttempts: Int = 5,
                       recoverTornAfterMs: Long = 60000L): Long = {
-    require(zCols.size == 2, s"z-order takes exactly 2 columns, got $zCols")
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"z-order takes 2-4 columns, got $zCols")
     try TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       val m = requireSingleTable(base.getOrElse(throw new IllegalStateException(
         s"compactTxZOrder: no committed version under $root")), root)
@@ -398,14 +399,14 @@ object PkTableSink {
       val rows = merged.count()
       val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
       val keyCols = m.meta.get(MetaKeys).map(_.split(",").toSeq).getOrElse(Nil)
-      val b = merged.agg(
-        min(col(zCols(0)).cast("double")), max(col(zCols(0)).cast("double")),
-        min(col(zCols(1)).cast("double")), max(col(zCols(1)).cast("double"))).head()
+      val boundAggs = zCols.flatMap(c => Seq(
+        min(col(c).cast("double")), max(col(c).cast("double"))))
+      val b = merged.agg(boundAggs.head, boundAggs.tail: _*).head()
       def bound(i: Int) = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
       val zc = "__graft_z"
       val packed = merged
-        .withColumn(zc, ZOrder.zvalue(col(zCols(0)), bound(0), bound(1),
-          col(zCols(1)), bound(2), bound(3)))
+        .withColumn(zc, ZOrder.zvalueN(zCols.zipWithIndex.map { case (c, i) =>
+          (col(c), bound(2 * i), bound(2 * i + 1)) }))
         .repartitionByRange(nFiles, col(zc))
         .sortWithinPartitions(col(zc))
         .drop(zc)

@@ -54,4 +54,29 @@ object ZOrder {
   def zvalue(a: Column, aMin: Double, aMax: Double,
              b: Column, bMin: Double, bMax: Double): Column =
     morton2(bucket16(a, aMin, aMax), bucket16(b, bMin, bMax))
+
+  /** Round-robin bit interleave of 2-4 16-bit bucket columns: bit `b`
+    * of column `j` lands at position `b·N + j`, so files cover
+    * N-dimensional boxes and a range on ANY of the N columns
+    * intersects ~F^((N−1)/N) of F files' zones. 16·N ≤ 64 bits. The
+    * N=2 case keeps the mask-cascade fast path; N>2 is a 16·N-term
+    * shift-mask sum — constant shifts, folded flat in codegen, and
+    * only ever evaluated once per compaction rewrite. */
+  def mortonN(codes: Seq[Column]): Column = {
+    require(codes.size >= 2 && codes.size <= 4,
+      s"z-order interleave takes 2-4 columns, got ${codes.size}")
+    val n = codes.size
+    if (n == 2) morton2(codes(0), codes(1))
+    else {
+      val terms = for {
+        (c, j) <- codes.zipWithIndex
+        b <- 0 until 16
+      } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + j)
+      terms.reduce(_ bitwiseOR _)
+    }
+  }
+
+  /** The z-value of N numeric columns given (col, min, max) bounds. */
+  def zvalueN(cols: Seq[(Column, Double, Double)]): Column =
+    mortonN(cols.map { case (c, mn, mx) => bucket16(c, mn, mx) })
 }

@@ -68,6 +68,46 @@ class ZOrderSpec extends SparkSpec {
       s"b-range should prune, scans ${scanZb.size}/$totalZ")
   }
 
+  test("N-column z-order: ranges on EACH of three columns prune; row parity holds") {
+    // 4096 rows over a 16×16×16 (a, b, c) cube in a-major order
+    val cube = (0L until 4096L)
+      .map(i => (i, 1L, i / 256L, (i / 16L) % 16L, i % 16L, false))
+      .toDF("id", "ver", "a", "b", "c", "del")
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root, cube, Seq("id"), Seq("ver"), "del",
+      writer = "w")
+    PkTableSink.compactTxZOrder(spark, root, "w", Seq("a", "b", "c"),
+      targetRowsPerFile = 256)
+    // each dimension's narrow range intersects only a strict subset of
+    // files (boxes, not slabs) — F^(2/3) ideally, assert ≤ 3/4 with
+    // bucket-edge slack
+    for (dim <- Seq("a", "b", "c")) {
+      val (scan, total) = PkTableSink.pruneStatsOn(spark, root, dim, 3, 4)
+      assert(total >= 12, s"expected a many-file base, got $total")
+      assert(scan.size <= total * 3 / 4,
+        s"$dim-range should prune, scans ${scan.size}/$total")
+    }
+    // pruned read ≡ full read filtered, on every dimension
+    for (dim <- Seq("a", "b", "c")) {
+      val pruned = PkTableSink.readTxRangeOn(spark, root,
+          spark.emptyDataFrame, dim, 3, 4)
+        .select(col("id")).as[Long].collect().toSet
+      val full = PkTableSink.readTx(spark, root, spark.emptyDataFrame)
+        .where(col(dim) >= 3 && col(dim) <= 4)
+        .select(col("id")).as[Long].collect().toSet
+      assert(pruned == full && full.nonEmpty, s"$dim parity")
+    }
+    // the interleave itself round-trips: mortonN bit positions
+    val z = spark.range(1).select(ZOrder.mortonN(Seq(lit(1L), lit(2L), lit(4L)))
+      .as("z")).as[Long].head()
+    // bit 0 of col0 -> pos 0; bit 1 of col1 -> pos 4; bit 2 of col2 -> pos 8
+    assert(z == ((1L << 0) | (1L << 4) | (1L << 8)), s"z=$z")
+    // 2-5 column arity is enforced
+    intercept[IllegalArgumentException](ZOrder.mortonN(Seq(lit(1L))))
+    intercept[IllegalArgumentException](
+      ZOrder.mortonN(Seq(lit(1L), lit(1L), lit(1L), lit(1L), lit(1L))))
+  }
+
   test("readTxRangeOn ≡ full read filtered; unpruned-but-correct with deltas") {
     val root = freshRoot()
     PkTableSink.mergeTx(spark, root, grid(), Seq("id"), Seq("ver"), "del",
