@@ -109,4 +109,16 @@ object Doctor {
 
     Report(root, m.version, findings.result())
   }
+
+  /** CLI: `sbt "runMain graft.sinks.Doctor <tableRoot> [...]"` —
+    * prints one report per root; exits 1 if any is degraded (usable
+    * as a health gate in a cron/CI step). */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Doctor <tableRoot> [...]")
+    val spark = graft.GraftSession.get()
+    val reports = args.toSeq.map(examine(spark, _))
+    reports.foreach(r => println(r.render))
+    spark.stop()
+    if (reports.exists(!_.healthy)) sys.exit(1)
+  }
 }
