@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   *
   * Error: each level-`l` compaction moves any rank by ≤ 2^(l-1);
   * with ~n/(k·2^l) compactions at level `l` the worst-case rank drift
-  * is ≤ levels·n/(2k) — ~1.6 % of n at k=256 / n=10⁵, shrinking as k
-  * grows. The alternating-offset choice makes the sketch
+  * is ≤ levels·n/(2k) — ~0.8 % of n at the k=512 default / n=10⁵,
+  * shrinking as k grows (the gate queries' 5 % flags carry ~6×
+  * headroom over it). The alternating-offset choice makes the sketch
   * DETERMINISTIC GIVEN AN INPUT ORDER but (like any partial
   * aggregation) dependent on Spark's partition merge order — so
   * sketch VALUES are engine-internal, and gate-facing queries emit
@@ -56,7 +57,7 @@ object Qsk {
     * meta keys -1/-2/-3 carry count/flips/k as exact doubles. */
   type Sk = Map[Int, Array[Double]]
 
-  val DefaultK = 256
+  val DefaultK = 512
 
   def toSk(s: State): Sk =
     s.levels.collect { case (l, arr) if arr(0).toInt > 0 =>
