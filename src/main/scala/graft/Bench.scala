@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * the output rather than silently averaged away.
   */
 object Bench {
+  // Locale-pinned decimal formatting: the summary line is machine-
+  // parsed JSON, and scala's f"" uses the JVM default locale — on a
+  // comma-decimal locale that emits "1,23" and breaks the parse.
+  private def fmt(v: Double, places: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -144,7 +150,7 @@ object Bench {
                 if (base > 0 && scaled > 0) math.log(scaled / base) / math.log(factor)
                 else Double.NaN
               s""""$name":{"base":$base,"scaled":$scaled,""" +
-                s""""exponent":${if (expo.isNaN) "null" else f"$expo%.2f"}}"""
+                s""""exponent":${if (expo.isNaN) "null" else fmt(expo, 2)}}"""
             } catch { case e: Throwable =>
               System.err.println(s"[bench] scale $name FAILED: ${e.getMessage}")
               s""""$name":{"base":$base,"scaled":-1,"exponent":null}"""
@@ -203,7 +209,7 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     val top10 = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
-      .map { case (k, (med, _)) => "\"" + k + "\":" + f"$med%.2f" }
+      .map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med, 2) }
       .mkString("{", ",", "}")
     val nQueries = results.size
     val nFailed = results.count(_._2._1 < 0)
@@ -214,9 +220,9 @@ object Bench {
       val es = re.findAllMatchIn(scalingJson)
         .map(m => m.group(1) -> m.group(2).toDouble).toSeq.sortBy(-_._2).take(3)
       if (es.isEmpty) "null"
-      else es.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      else es.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
     }
-    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec",""" +
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec",""" +
       s""""n_queries":$nQueries,"n_failed":$nFailed,"queries":$top10,""" +
       s""""queries_note":"slowest 10 of $nQueries; full per-query medians+mins in BENCH_LOCAL.json",""" +
       s""""stream_rows_per_sec":$streamRate,""" +

@@ -89,6 +89,22 @@ object Bpe {
   /** Encode each document and explode to one row per token with a
     * deterministic id: (doc_id, seq, token, token_id), ids dense
     * 1..|vocab| in token lexicographic order.
+    *
+    * The id assignment is a BUCKETED numbering, not a global sort
+    * (the curriculumOrder construction, ops/TextAnalysis.scala): the
+    * distinct vocabulary is range-bucketed by its 2-char token prefix
+    * — a key MONOTONE in the token's binary order, since UTF-8 byte
+    * order equals code-point order and a prefix difference decides
+    * the full comparison — numbered per bucket by a PARTITIONED
+    * row_number, and shifted by broadcast cumulative bucket offsets.
+    * There is NO unpartitioned window anywhere in the plan (the
+    * BpePlanSpec assertion): each bucket's numbering is a streaming
+    * row_number over its own hash partition, and the offsets are a
+    * driver cumsum over the distinct-PREFIX count frame (thousands of
+    * rows on any real corpus — a merge-table-class fetch), never the
+    * 10⁸-10⁹-token web-scale vocabulary. For even bigger
+    * vocabularies, lengthen the prefix — the construction is
+    * unchanged.
     */
   def encodeWithIds(df: DataFrame, id: Column, text: Column,
                     merges: Seq[(String, String)]): DataFrame = {
@@ -96,11 +112,31 @@ object Bpe {
       .select(id.cast("long").as("doc_id"), encode(split(text, " "), merges).as("ts"))
       .select(col("doc_id"), posexplode(col("ts")).as(Seq("seq0", "token")))
       .select(col("doc_id"), (col("seq0") + 1).cast("long").as("seq"), col("token"))
-    // vocab-cardinality frame BEFORE the single-partition numbering
-    // window; the id join back is broadcast-eligible
-    val vocab = toks.select(col("token")).distinct()
-      .withColumn("token_id",
-        row_number().over(Window.orderBy(col("token"))).cast("long"))
+    val distinctToks = toks.select(col("token")).distinct()
+      .withColumn("bkt", substring(col("token"), 1, 2))
+    // Bucket offsets are a PREFIX-cardinality fetch (one count row per
+    // distinct 2-char prefix — a merge-table-class driver fetch, never
+    // row-scale) cumulated on the driver in UTF-8 BYTE order, the same
+    // binary comparison Spark's string sort and the DuckDB oracle use
+    // (Java String.compareTo is UTF-16 order and disagrees on
+    // supplementary code points — so compare the encoded bytes).
+    val prefixOrd: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bktCounts = distinctToks.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n_bkt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)(prefixOrd)
+    var acc = 0L
+    val offsetRows = bktCounts.map { case (b, n) => val o = acc; acc += n; (b, o) }
+    val offsets = df.sparkSession
+      .createDataFrame(offsetRows.toSeq).toDF("bkt", "offset")
+    val vocab = distinctToks.join(broadcast(offsets), "bkt")
+      .withColumn("token_id", (col("offset") +
+        row_number().over(Window.partitionBy(col("bkt"))
+          .orderBy(col("token")))).cast("long"))
+      .select(col("token"), col("token_id"))
     toks.join(vocab, Seq("token"))
       .select(col("doc_id"), col("seq"), col("token"), col("token_id"))
   }

@@ -110,6 +110,16 @@ object MvRewrite {
   }
 
   def deregister(sourcePath: String): Unit = registry.remove(normalize(sourcePath))
+
+  /** Remove ONE MV for the source (e.g. a dropped month-level rollup)
+    * without deregistering its siblings. */
+  def deregister(sourcePath: String, mvPath: String): Unit =
+    registry.updateWith(normalize(sourcePath)) {
+      case Some(m) =>
+        val rest = m - mvPath
+        if (rest.isEmpty) None else Some(rest)
+      case None => None
+    }
   def clear(): Unit = registry.clear()
   private[plans] def lookup(path: String): Seq[MvDef] =
     registry.get(path).map(_.values.toSeq).getOrElse(Nil)

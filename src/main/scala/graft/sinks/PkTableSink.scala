@@ -947,15 +947,20 @@ object PkTableSink {
   /** The rows matching `predicate`, with their FIRST version column
     * bumped by one so the emitted batch supersedes the rows it read.
     * Refuses non-numeric version columns loudly. */
-  private def matchedBumped(spark: SparkSession, root: String,
-                            predicate: org.apache.spark.sql.Column): DataFrame = {
+  /** Matched rows of the current snapshot, UNBUMPED — callers apply
+    * their rewrite against the old row and then [[bumpVersion]]. */
+  private def matchedRows(spark: SparkSession, root: String,
+                          predicate: org.apache.spark.sql.Column): DataFrame = {
     val matched = readTx(spark, root, spark.emptyDataFrame).where(predicate)
     val v0 = keyMetaOf(spark, root)._2.head
     require(matched.schema(v0).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"deleteWhereTx/updateWhereTx need a numeric first version column; " +
         s"'$v0' is ${matched.schema(v0).dataType.simpleString}")
-    matched.withColumn(v0, col(v0) + lit(1))
+    matched
   }
+
+  private def bumpVersion(df: DataFrame, v0: String): DataFrame =
+    df.withColumn(v0, col(v0) + lit(1))
 
   /** `DELETE FROM <root> WHERE predicate` (the StarRocks PK-table
     * DELETE verb): matched rows re-commit as version-bumped
@@ -970,7 +975,7 @@ object PkTableSink {
                     predicate: org.apache.spark.sql.Column,
                     writer: String, maxAttempts: Int = 5): Long = {
     val (keys, vers) = keyMetaOf(spark, root)
-    val batch = matchedBumped(spark, root, predicate)
+    val batch = bumpVersion(matchedRows(spark, root, predicate), vers.head)
       .withColumn("__graft_delw", lit(true))
       .localCheckpoint(true) // pin the snapshot: count + commit see one read
     val n = batch.count()
@@ -997,10 +1002,18 @@ object PkTableSink {
         s"updateWhereTx may not assign key/version column '$c' " +
           "(a key move is a delete + insert)")
     }
-    val matched = matchedBumped(spark, root, predicate)
+    val matched = matchedRows(spark, root, predicate)
     set.keys.foreach(c => require(matched.columns.contains(c),
       s"updateWhereTx: unknown column '$c'"))
-    val updated = set.foldLeft(matched) { case (df, (c, e)) => df.withColumn(c, e) }
+    // SQL UPDATE semantics: every SET right-hand side reads the OLD
+    // row — all assignments applied in ONE select over the pre-update
+    // snapshot (a sequential withColumn fold would let one SET read
+    // another's already-updated value, with Map-iteration-order
+    // nondeterminism), and the version bump lands only afterwards so
+    // an RHS referencing the version column sees the pre-bump value.
+    val updated = bumpVersion(
+      matched.select(matched.columns.map(c => set.getOrElse(c, col(c)).as(c)): _*),
+      vers.head)
       .withColumn("__graft_delw", lit(false))
       .localCheckpoint(true)
     val n = updated.count()

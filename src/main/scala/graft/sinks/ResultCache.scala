@@ -64,8 +64,21 @@ object ResultCache {
       val tmp = s"$cacheDir/.tmp_${tag}_${java.util.UUID.randomUUID()}"
       query.write.mode("overwrite").parquet(tmp)
       val stillCurrent = stampOf(spark, roots) == stamp
-      val published = stillCurrent &&
-        (fs.exists(new Path(dir, "_SUCCESS")) || fs.rename(new Path(tmp), new Path(dir)))
+      val published = stillCurrent && {
+        if (fs.exists(new Path(dir, "_SUCCESS"))) {
+          // lost the publish race — the winner's copy serves; our
+          // temp copy is garbage NOW, not at the next vacuum
+          fs.delete(new Path(tmp), true)
+          true
+        } else {
+          // Hadoop rename into an EXISTING directory moves the source
+          // INSIDE it (and "succeeds") — a dir without _SUCCESS is a
+          // crashed publish remnant and must be cleared, or every
+          // later hit-check would see a dir holding only .tmp_* junk.
+          if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
+          fs.rename(new Path(tmp), new Path(dir))
+        }
+      }
       if (published) {
         (spark.read.parquet(dir), false)
       } else {

@@ -52,31 +52,47 @@ class ConnectorControl(baseUrl: String,
 
   private val base = baseUrl.stripSuffix("/")
 
-  private def send(what: String, req: HttpRequest,
-                   okCodes: Set[Int]): String = {
+  private def sendResp(what: String, req: HttpRequest,
+                       okCodes: Set[Int]): HttpResponse[String] = {
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     if (!okCodes.contains(resp.statusCode()))
       throw RestError(resp.statusCode(), resp.body(), what)
-    resp.body()
+    resp
   }
+
+  private def send(what: String, req: HttpRequest,
+                   okCodes: Set[Int]): String =
+    sendResp(what, req, okCodes).body()
 
   private def req(path: String) =
     HttpRequest.newBuilder(URI.create(s"$base$path"))
       .header("Accept", "application/json")
+
+  /** Connector names ride in URL path segments; a space or reserved
+    * character would make URI.create throw IllegalArgumentException
+    * instead of surfacing a clean RestError — percent-encode the
+    * segment (URLEncoder is form-encoding, so its '+' must become
+    * the path-legal "%20"). */
+  private def enc(name: String): String =
+    java.net.URLEncoder.encode(name, java.nio.charset.StandardCharsets.UTF_8)
+      .replace("+", "%20")
 
   /** POST the connector-create JSON (`{"name": …, "config": {…}}`).
     * Returns the connector name from the response. 409 = already
     * exists (Connect's duplicate-register answer) surfaces as a
     * RestError with that code, not a silent overwrite. */
   def register(connectorJson: String): String = {
-    val body = send("register",
+    val resp = sendResp("register",
       req("/connectors")
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(connectorJson)).build(),
       okCodes = Set(200, 201))
-    JsonMethods.parse(body) \ "name" match {
+    JsonMethods.parse(resp.body()) \ "name" match {
       case JString(n) => n
-      case _ => throw RestError(200, body, "register (no name in response)")
+      case _ =>
+        // carry the server's ACTUAL status (200 vs 201), not a guess
+        throw RestError(resp.statusCode(), resp.body(),
+          "register (no name in response)")
     }
   }
 
@@ -88,7 +104,7 @@ class ConnectorControl(baseUrl: String,
 
   def status(name: String): ConnectorStatus = {
     val j = JsonMethods.parse(send("status",
-      req(s"/connectors/$name/status").GET().build(), Set(200)))
+      req(s"/connectors/${enc(name)}/status").GET().build(), Set(200)))
     val state = j \ "connector" \ "state" match {
       case JString(s) => s; case _ => "UNKNOWN"
     }
@@ -102,22 +118,22 @@ class ConnectorControl(baseUrl: String,
   }
 
   def pause(name: String): Unit =
-    send("pause", req(s"/connectors/$name/pause")
+    send("pause", req(s"/connectors/${enc(name)}/pause")
       .PUT(HttpRequest.BodyPublishers.noBody()).build(), Set(200, 202))
 
   def resume(name: String): Unit =
-    send("resume", req(s"/connectors/$name/resume")
+    send("resume", req(s"/connectors/${enc(name)}/resume")
       .PUT(HttpRequest.BodyPublishers.noBody()).build(), Set(200, 202))
 
   def delete(name: String): Unit =
-    send("delete", req(s"/connectors/$name").DELETE().build(), Set(204))
+    send("delete", req(s"/connectors/${enc(name)}").DELETE().build(), Set(204))
 
   /** Fetch the registered connector's live config and translate it to
     * the Spark Kafka source options — the bridge from "connector is
     * registered" to "stream is reading the right topics from the
     * right offset". */
   def sourceConfig(name: String, brokers: String): KafkaCdc.Config = {
-    val body = send("config", req(s"/connectors/$name/config").GET().build(),
+    val body = send("config", req(s"/connectors/${enc(name)}/config").GET().build(),
       Set(200))
     val cfg = JsonMethods.parse(body) match {
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap

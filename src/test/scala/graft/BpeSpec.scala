@@ -80,6 +80,42 @@ class BpeSpec extends SparkSpec {
     assert(vocab.zipWithIndex.forall { case (t, i) => idOf(t) == i + 1 })
   }
 
+  test("encodeWithIds: dense lexicographic ids across many prefix buckets, " +
+    "and the plan has NO unpartitioned window") {
+    // Tokens spanning many 2-char prefix buckets, including 1-char
+    // tokens (whose prefix is a proper prefix of longer tokens — the
+    // boundary case of the monotone-bucketing argument) and repeats.
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "ab", "abc", "b", "ba", "bb", "c", "ca",
+      "q", "qq", "qqq", "z", "zz", "x y", "!", "!!", "0", "01")
+    val docs = (1L to 60L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = Bpe.encodeWithIds(df, col("doc_id"), col("text"), merges = Nil)
+    val rows = out.as[(Long, Long, String, Long)].collect().toSeq
+    // global contract: ids dense 1..|vocab| in binary token order
+    val idOf = rows.map(r => r._3 -> r._4).toMap
+    val vocab = rows.map(_._3).distinct.sorted
+    assert(vocab.zipWithIndex.forall { case (t, i) => idOf(t) == i + 1 },
+      s"ids not dense-lexicographic: ${vocab.map(t => t -> idOf(t))}")
+    // scale assertion (the r9-verdict fix): every WindowExec in the
+    // executed plan is PARTITIONED — the vocabulary numbering never
+    // runs as a single-task global sort
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+    }.flatten
+    val ws = windows(out.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the bucketed numbering WindowExec")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned WindowExec in bpe_encode plan:\n$w"))
+  }
+
   test("trainMerges is truly iterative: later rounds rank pairs of MERGED units") {
     // corpus "a b c a b c": static pair counts are (a,b)=2, (b,c)=2,
     // (c,a)=1 — a static top-2 table would adopt (a,b) then (b,c).
