@@ -187,6 +187,27 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B71 (r10): the SQL-TEXT funnel path — the migrating user's
+    // literal `window_funnel(...)` workflow authored as spark.sql over
+    // a temp view (B68/B70's construction, completing the SQL-text
+    // gate for the third registered analytics surface): per-user
+    // sorted step-event list → the codegen'd window_funnel scalar with
+    // multi-anchor max semantics — hash-matches B32's oracle verbatim.
+    "q_sql_funnel" -> { (s, dir) =>
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+        .createOrReplaceTempView("events_fsql")
+      s.sql("""
+        SELECT user_id,
+          window_funnel(
+            sort_array(collect_list(
+              CASE WHEN event_type IN ('signup', 'click', 'purchase')
+                THEN struct(unix_micros(ts) AS ts, event_type AS et) END)),
+            'signup,click,purchase', 86400000000) AS funnel_depth
+        FROM events_fsql
+        GROUP BY user_id
+        ORDER BY user_id""")
+    },
+
     // B66: MOVING MEDIAN of daily per-type volumes — the robust
     // smoothing twin of B64's EWMA (one outlier day shifts an EWMA,
     // never a median): trailing-7 frame collected per row, sorted
@@ -1340,7 +1361,13 @@ object QueriesOlap {
         .orderBy(col("user_id"))
     })
 
-  val oracleSql: Map[String, String] = Map(
+  // lazy: oracleSqlBase is declared below (initialization order)
+  lazy val oracleSql: Map[String, String] = oracleSqlBase +
+    // B71 rides B32's replay: the SQL-text scalar implements the same
+    // multi-anchor max contract, so one oracle gates both paths
+    ("q_sql_funnel" -> oracleSqlBase("q_window_funnel_multi"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     // The three sketch queries emit exact values + a boolean bound
     // flag (est_ok / pNN_ok) computed Spark-side from the
     // engine-internal estimate; the oracle recomputes the exact side
@@ -1760,7 +1787,9 @@ object QueriesOlap {
         |       CAST(p2r IS NOT NULL AND (k2 IS NULL OR p2r < k2) AS BIGINT) AS funnel_depth
         |FROM p ORDER BY user_id""".stripMargin,
     // B32: per-anchor trial funnels, max depth wins; users who never
-    // fire the anchor step score 0
+    // fire the anchor step score 0. B71 (q_sql_funnel) is the same
+    // semantics reached through the registered SQL scalar, so it
+    // shares this replay verbatim (assigned after the map literal).
     "q_window_funnel_multi" ->
       """WITH anchors AS (SELECT user_id, ts AS a FROM events WHERE event_type = 'signup'),
         |c AS (SELECT an.user_id, an.a, min(e.ts) AS c1

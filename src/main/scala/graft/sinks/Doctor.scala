@@ -71,7 +71,8 @@ object Doctor {
         Finding("table stats", ok = false,
           if (any) "present but STALE (a commit landed since ANALYZE)"
           else "never analyzed — dimension broadcasts rely on planner guesses",
-          "TableStats.analyzeTx re-measures at the current version")
+          if (any) "TableStats.refreshTx extends them from the change feed (∝ delta)"
+          else "TableStats.analyzeTx measures at the current version")
     })
 
     // global dictionaries: per encoded column, serving or withdrawn
@@ -84,7 +85,8 @@ object Doctor {
         case Some(_) => Finding(s"dict '$c'", ok = true, s"fresh at v${m.version}")
         case None => Finding(s"dict '$c'", ok = false,
           "stale — encoded reads fall back to raw strings",
-          s"GlobalDict.buildTx(root, \"$c\") re-stamps it")
+          s"GlobalDict.refreshTx(root, \"$c\") appends new codes from " +
+            "the change feed (buildTx for a sorted full rebuild)")
       })
     }
 
@@ -108,6 +110,62 @@ object Doctor {
       if (garbage > 0) "SidecarGc.vacuum removes unreachable generations" else "")
 
     Report(root, m.version, findings.result())
+  }
+
+  /** CLOSED-LOOP maintenance: apply the remedy each degraded finding
+    * names, under the same concurrency contracts as doing it by hand
+    * (compactions are ordinary optimistic commits; refreshes write
+    * new stamped generations readers only see once complete) — so
+    * concurrent readers are never disturbed and a re-run on a healthy
+    * table is a no-op. Order matters and is fixed here:
+    *
+    *  1. structural compactions FIRST (partial-column fold, then
+    *     delta-chain fold) — they commit new versions, which would
+    *     immediately re-stale any freshness work done before them;
+    *  2. freshness refreshes (stats, dicts, inverted index), each ∝
+    *     the change feed via the refreshTx/updateTx paths;
+    *  3. sidecar GC LAST — it removes superseded generations, and
+    *     must run after the refreshes that consume them as bases.
+    *
+    * `invertedIndexCols` carries the (idCol, textCol) the index was
+    * built over; without it a broken index chain is left degraded
+    * (reported, not guessed). A dict whose refresh overflows
+    * `dictMaxCardinality` also stays degraded — the report says so.
+    * Returns the post-repair report; callers compare
+    * `examine(...)` before / after or just check `.healthy`. */
+  def repair(spark: SparkSession, root: String, writer: String,
+             invertedIndexCols: Option[(String, String)] = None,
+             dictMaxCardinality: Long = 1L << 22): Report = {
+    val before = examine(spark, root)
+    def bad(check: String) = before.degraded.exists(_.check == check)
+    if (bad("partial-column deltas"))
+      PkTableSink.compactTxPartial(spark, root, writer)
+    if (bad("delta chain"))
+      PkTableSink.compactTx(spark, root, writer)
+    val compacted = bad("partial-column deltas") || bad("delta chain")
+    val names = fsOf(spark, root).listStatus(new Path(root))
+      .map(_.getPath.getName).toSeq
+    // stats: refresh when stale/absent, or when a compaction above
+    // re-staled a previously-fresh sidecar (refreshTx falls back to
+    // the full analyze exactly when no generation exists to extend)
+    val statsPresent = names.exists(_.startsWith("_stats.v"))
+    if (bad("table stats") || (statsPresent && compacted))
+      TableStats.refreshTx(spark, root)
+    // dicts: every column with any generation on disk
+    names.collect {
+      case n if n.startsWith("_dict.") =>
+        n.stripPrefix("_dict.").takeWhile(_ != '.')
+    }.distinct.foreach { c =>
+      if (GlobalDict.dictTx(spark, root, c).isEmpty)
+        GlobalDict.refreshTx(spark, root, c, dictMaxCardinality)
+    }
+    if (names.exists(_.startsWith("_invidx.")) &&
+        (!InvertedIndex.isCurrent(spark, root) || compacted))
+      invertedIndexCols.foreach { case (id, txt) =>
+        InvertedIndex.updateTx(spark, root, id, txt)
+      }
+    SidecarGc.vacuum(spark, root)
+    examine(spark, root)
   }
 
   /** CLI: `sbt "runMain graft.sinks.Doctor <tableRoot> [...]"` —

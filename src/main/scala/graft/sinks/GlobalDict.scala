@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   * introduce values the dict has never seen, so the dict is served
   * only when its stamped version equals the table's current version —
   * [[readTxEncoded]] falls back to the un-encoded read otherwise.
-  * Codes are assigned by SORTED value order, so a rebuild on the same
-  * value set is bit-identical and code order preserves value order —
-  * which is what lets [[readTxEncodedRange]] translate value-range
-  * predicates into one code interval.
+  * [[refreshTx]] restores freshness at delta cost (append-only code
+  * extension) instead of [[buildTx]]'s full distinct pass.
+  * [[buildTx]] assigns codes by SORTED value order, so a rebuild on
+  * the same value set is bit-identical and code order preserves value
+  * order — which is what lets [[readTxEncodedRange]] translate
+  * value-range predicates into one code interval; a refresh-appended
+  * dict loses global order, and the range path's interval-density
+  * check detects that per query and falls back to pure value-domain
+  * pruning (exact either way).
   */
 object GlobalDict {
 
@@ -63,6 +68,85 @@ object GlobalDict {
     val p = new Path(root, dirName(column, m.version))
     if (!fsOf(spark, root).exists(p)) return None
     Some(spark.read.parquet(p.toString))
+  }
+
+  /** The newest dict generation at or below the current version —
+    * [[refreshTx]]'s base. Never served (serving is pinned to the
+    * exact-current-version rule in [[dictTx]]). */
+  private def latestDictVersion(spark: SparkSession, root: String,
+                                column: String, cur: Long): Option[Long] = {
+    val fs = fsOf(spark, root)
+    fs.listStatus(new Path(root)).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith(s"_dict.$column.v") =>
+        n.stripPrefix(s"_dict.$column.v") }
+      .flatMap(_.toLongOption).filter(_ <= cur)
+      .sorted(Ordering[Long].reverse).headOption
+  }
+
+  /** INCREMENTAL dict refresh, cost ∝ the change feed since the last
+    * generation (the [[InvertedIndex.updateTx]] discipline for the
+    * dict — at 100 TB a commit must not force a full-table distinct
+    * pass to restore the encoded path): values ADDED by the delta that
+    * the base dict lacks get codes appended after the current max, in
+    * sorted order among themselves; a delta adding nothing re-stamps
+    * the base dict verbatim (bit-identical, order-preserving codes
+    * intact). Values that disappeared stay in the dict — a superset
+    * dict encodes correctly, it only wastes codes (a periodic
+    * [[buildTx]] compacts).
+    *
+    * Appended codes are NOT globally order-preserving;
+    * [[readTxEncodedRange]] detects this per query (the interval-
+    * density check) and keeps the value-domain pruning while skipping
+    * only the code-interval shortcut, so correctness never depends on
+    * sortedness. Returns the stamped version, or None when the new
+    * value count would push the dict past `maxCardinality` — the
+    * low-cardinality contract is genuinely broken, the dict WITHDRAWS
+    * (stays stale) rather than ship a dictionary big enough to hurt
+    * the broadcasts it exists to feed. Falls back to a full
+    * [[buildTx]] when no prior generation survives. */
+  def refreshTx(spark: SparkSession, root: String, column: String,
+                maxCardinality: Long = 1L << 22): Option[Long] = {
+    val m = TxLog.current(spark, root).getOrElse(throw new IllegalStateException(
+      s"refreshTx: no committed version under $root"))
+    latestDictVersion(spark, root, column, m.version) match {
+      case None => Some(buildTx(spark, root, column))
+      case Some(v0) if v0 == m.version => Some(v0)
+      case Some(v0) =>
+        val old = spark.read.parquet(s"$root/${dirName(column, v0)}")
+        val feed = PkTableSink.readTxChanges(spark, root, v0, m.version)
+        val fresh = feed.where(col("_change_type") =!= "delete")
+          .select(col(column).cast("string").as("value"))
+          .where(col("value").isNotNull).distinct()
+          .join(old.select(col("value")), Seq("value"), "left_anti")
+          .orderBy(col("value"))
+        val spark2 = old.sparkSession
+        import spark2.implicits._
+        val oldSize = old.count()
+        val newCount = fresh.count()
+        // cardinality gate BEFORE the driver collect: a contract-
+        // breaking delta (a high-NDV column mistakenly dict-encoded)
+        // must not OOM the driver on its way to being refused
+        if (oldSize + newCount > maxCardinality) None
+        else {
+          val newVals = fresh.as[String].collect()
+          val dict =
+            if (newVals.isEmpty) old
+            else {
+              val maxCode = old.agg(max(col("code"))).head().getInt(0)
+              old.unionByName(newVals.zipWithIndex
+                .map { case (v, i) => (v, maxCode + 1 + i) }.toSeq
+                .toDF("value", "code"))
+            }
+          // localCheckpoint-free double-read is fine: both sides are
+          // dictionary-sized. Write via temp+rename-less overwrite is
+          // safe — the new stamped dir is never read until it exists
+          // (dictTx checks existence) and a partial write fails the
+          // exists+read, not correctness.
+          dict.write.mode("overwrite")
+            .parquet(s"$root/${dirName(column, m.version)}")
+          Some(m.version)
+        }
+    }
   }
 
   /** Merged read with `column` replaced by its int code in
@@ -125,7 +209,8 @@ object GlobalDict {
       case Some(dict) =>
         val hit = dict.where(col("value") >= lower && col("value") <= upper)
           .agg(min(col("code")).as("c_lo"), max(col("code")).as("c_hi"),
-            min(col("value")).as("v_lo"), max(col("value")).as("v_hi"))
+            min(col("value")).as("v_lo"), max(col("value")).as("v_hi"),
+            count(col("code")).as("n_codes"))
           .head()
         val base = PkTableSink.readTx(spark, root, schemaOf)
         val d = broadcast(dict)
@@ -142,7 +227,19 @@ object GlobalDict {
           val pruned = base.where(col(column) >= vLo && col(column) <= vHi)
           val enc = pruned.join(d, pruned(column).cast("string") === d("__dict_value"), "left")
             .drop("__dict_value").drop(column)
-          (enc.where(col(s"${column}__code").between(cLo, cHi)), Some(dict))
+          // INTERVAL-DENSITY check: k matching codes spanning an
+          // interval of exactly width k ⇒ the interval contains no
+          // foreign code, so the code-domain shortcut is sound. A
+          // refreshTx-appended dict can fail this (its codes are not
+          // globally order-preserving); the value-domain pruning above
+          // is already exact then — a dict covering every stored value
+          // means rows in [vLo,vHi] are precisely the range's matches —
+          // so only the code-interval SHORTCUT is skipped, never rows.
+          val contiguous = hit.getLong(4) == (cHi.toLong - cLo.toLong + 1L)
+          val out = if (contiguous)
+            enc.where(col(s"${column}__code").between(cLo, cHi))
+          else enc
+          (out, Some(dict))
         }
     }
   }

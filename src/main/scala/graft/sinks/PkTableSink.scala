@@ -682,7 +682,24 @@ object PkTableSink {
     * unpruned; vacuumed `from` dirs fail like [[readTxAt]].
     */
   def readTxChanges(spark: SparkSession, root: String,
-                    fromVersion: Long, toVersion: Long): DataFrame = {
+                    fromVersion: Long, toVersion: Long): DataFrame =
+    changesImpl(spark, root, fromVersion, toVersion, cdf = false)
+
+  /** [[readTxChanges]] with BOTH update images (the Delta CDF row
+    * convention): an updated key emits `update_preimage` (the
+    * from-version row) AND `update_postimage` (the to-version row)
+    * instead of one `update` row. Exactly what delta-proportional
+    * maintenance of subtractable aggregates needs — [[TableStats]]'
+    * incremental refresh subtracts the preimage's contribution and
+    * adds the postimage's, which the single-image feed cannot
+    * express. Same cost shape as [[readTxChanges]]. */
+  def readTxChangesCdf(spark: SparkSession, root: String,
+                       fromVersion: Long, toVersion: Long): DataFrame =
+    changesImpl(spark, root, fromVersion, toVersion, cdf = true)
+
+  private def changesImpl(spark: SparkSession, root: String,
+                          fromVersion: Long, toVersion: Long,
+                          cdf: Boolean): DataFrame = {
     require(toVersion >= fromVersion,
       s"readTxChanges: to=$toVersion < from=$fromVersion")
     def manifest(v: Long) = TxLog.at(spark, root, v)
@@ -741,11 +758,25 @@ object PkTableSink {
     val ct = when(!visF && visT, lit("insert"))
       .when(visF && !visT, lit("delete"))
       .when(visF && visT && !(rowF <=> rowT), lit("update"))
-    j.withColumn(ChangeType, ct)
-      .where(col(ChangeType).isNotNull)
-      .select(keys.map(col) ++ nonKey.map(c =>
+    val tagged = j.withColumn(ChangeType, ct).where(col(ChangeType).isNotNull)
+    if (!cdf)
+      tagged.select(keys.map(col) ++ nonKey.map(c =>
         when(col(ChangeType) === "delete", col(s"$pF$c"))
           .otherwise(col(s"$pT$c")).as(c)) :+ col(ChangeType): _*)
+    else {
+      // CDF form: updates fan out to (preimage, postimage); schema
+      // alignment above guarantees the two image structs agree
+      def img(p: String, tag: String) = struct(
+        nonKey.map(c => col(s"$p$c").as(c)) :+ lit(tag).as(ChangeType): _*)
+      val arr = when(col(ChangeType) === "insert", array(img(pT, "insert")))
+        .when(col(ChangeType) === "delete", array(img(pF, "delete")))
+        .otherwise(array(img(pF, "update_preimage"),
+          img(pT, "update_postimage")))
+      tagged.select(keys.map(col) :+ explode(arr).as("__graft_img"): _*)
+        .select(keys.map(col) ++ nonKey.map(c =>
+          col(s"__graft_img.$c").as(c)) :+
+          col(s"__graft_img.$ChangeType").as(ChangeType): _*)
+    }
   }
 
   /** One table's batch inside a multi-table transactional commit. */

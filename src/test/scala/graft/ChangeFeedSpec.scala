@@ -36,6 +36,31 @@ class ChangeFeedSpec extends SparkSpec {
     assert(changes(root, v2, v2) === Set.empty)
   }
 
+  test("CDF form: updates fan out to preimage + postimage; others match the net feed") {
+    val root = freshRoot()
+    val v0 = merge(root, (1L, 1L, "a", false), (2L, 1L, "b", false),
+      (3L, 1L, "c", false))
+    val v2 = {
+      merge(root, (2L, 2L, "b2", false), (5L, 1L, "e", false))
+      merge(root, (3L, 2L, "", true))
+    }
+    val cdf = PkTableSink.readTxChangesCdf(spark, root, v0, v2)
+      .select("id", "ver", "v", "_change_type")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(cdf === Set(
+      (2L, 1L, "b", "update_preimage"),   // the OLD image — what the
+      (2L, 2L, "b2", "update_postimage"), // net feed cannot express
+      (5L, 1L, "e", "insert"),
+      (3L, 1L, "c", "delete")))
+    // the two forms agree after collapsing the update pair
+    val net = changes(root, v0, v2)
+    val collapsed = cdf.collect {
+      case (id, ver, v, "update_postimage") => (id, ver, v, "update")
+      case t @ (_, _, _, ct) if ct != "update_preimage" => t
+    }
+    assert(collapsed === net)
+  }
+
   test("a late delta that loses the version merge emits no change") {
     val root = freshRoot()
     merge(root, (1L, 5L, "new", false))

@@ -33,9 +33,9 @@ class DoctorSpec extends SparkSpec {
     assert(bad.contains("table stats") && bad.contains("dict 'segment'") &&
       bad.contains("inverted index") && bad.contains("sidecar garbage"),
       s"missing findings:\n${degraded.render}")
-    // remedies name the actual calls
+    // remedies name the actual calls (stale stats -> the ∝-delta refresh)
     assert(degraded.degraded.find(_.check == "table stats").get.remedy
-      .contains("analyzeTx"))
+      .contains("refreshTx"))
     assert(degraded.degraded.find(_.check == "inverted index").get.remedy
       .contains("updateTx"))
 
@@ -61,5 +61,52 @@ class DoctorSpec extends SparkSpec {
     assert(!dc.ok && dc.remedy.contains("compactTx"), deep.render)
     // render is one line per finding plus the header
     assert(deep.render.linesIterator.size == deep.findings.size + 1)
+  }
+
+  test("repair() closes the loop: degrade -> repair -> healthy, idempotent, " +
+    "table contents undisturbed") {
+    val root = java.nio.file.Files.createTempDirectory("docr").toString + "/t"
+    PkTableSink.mergeTx(spark, root,
+      (0L until 300L).map(i => (i, 1L, s"seg-${i % 5}", s"alpha beta doc $i", false))
+        .toDF("id", "ver", "segment", "text", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    TableStats.analyzeTx(spark, root)
+    GlobalDict.buildTx(spark, root, "segment")
+    InvertedIndex.buildTx(spark, root, "id", "text")
+    assert(Doctor.examine(spark, root).healthy)
+    // degrade EVERYTHING at once: ten deltas (deep chain), new dict
+    // value, new indexed text, all sidecars staled
+    (0 until 10).foreach { i =>
+      PkTableSink.mergeTx(spark, root,
+        Seq((1000L + i, 1L, if (i == 0) "seg-NEW" else "seg-0",
+          s"gamma delta doc ${1000 + i}", false))
+          .toDF("id", "ver", "segment", "text", "del"),
+        Seq("id"), Seq("ver"), "del", writer = "w",
+        compactAfterDeltas = 1000)
+    }
+    val degraded = Doctor.examine(spark, root)
+    assert(!degraded.healthy)
+    assert(degraded.degraded.exists(_.check == "delta chain"), degraded.render)
+    val preRows = PkTableSink.readTx(spark, root, spark.emptyDataFrame)
+      .collect().map(_.getLong(0)).toSet
+
+    val after = Doctor.repair(spark, root, writer = "doctor",
+      invertedIndexCols = Some(("id", "text")))
+    assert(after.healthy, s"repair left findings:\n${after.render}")
+    // contents untouched, every auxiliary serves again
+    val postRows = PkTableSink.readTx(spark, root, spark.emptyDataFrame)
+      .collect().map(_.getLong(0)).toSet
+    assert(postRows == preRows)
+    assert(TableStats.statsTx(spark, root).exists(_.rows == 310L))
+    val dict = GlobalDict.dictTx(spark, root, "segment")
+    assert(dict.isDefined && dict.get.count() == 6) // seg-0..4 + seg-NEW
+    assert(InvertedIndex.isCurrent(spark, root))
+
+    // idempotent: a second repair on the healthy table commits nothing
+    val v = after.version
+    val again = Doctor.repair(spark, root, writer = "doctor",
+      invertedIndexCols = Some(("id", "text")))
+    assert(again.healthy && again.version == v,
+      s"re-repair moved the table: v$v -> v${again.version}")
   }
 }

@@ -114,4 +114,79 @@ class GlobalDictSpec extends SparkSpec {
     assert(codeOfNew == "seg-NEW")
     assert(dict2.count() == 8)
   }
+
+  test("refreshTx: append-only code extension from the change feed; " +
+    "range path stays exact on the unsorted dict") {
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root, rows, Seq("id"), Seq("ver"), "del", writer = "w")
+    GlobalDict.buildTx(spark, root, "segment")
+    val before = GlobalDict.dictTx(spark, root, "segment").get
+      .as[(String, Int)].collect().toMap
+    // delta: two NEW values (one sorting BEFORE every old value — the
+    // case that breaks global code order), one deleted key, one update
+    PkTableSink.mergeTx(spark, root,
+      Seq((5000L, 1L, "aaa-first", 3L, false),
+        (5001L, 1L, "seg-ZZZ", 4L, false),
+        (3L, 2L, "", 0L, true),
+        (7L, 2L, "seg-1", 7L, false))
+        .toDF("id", "ver", "segment", "x", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    val stamped = GlobalDict.refreshTx(spark, root, "segment")
+    assert(stamped.isDefined)
+    val after = GlobalDict.dictTx(spark, root, "segment").get
+      .as[(String, Int)].collect().toMap
+    // old codes UNCHANGED (append-only), new values appended past max
+    before.foreach { case (v, c) => assert(after(v) == c, s"code of $v moved") }
+    val oldMax = before.values.max
+    assert(after("aaa-first") > oldMax && after("seg-ZZZ") > oldMax)
+    assert(after.size == before.size + 2)
+    // encoded group-by on the refreshed dict equals the raw group-by
+    val (enc, Some(dict)) = GlobalDict.readTxEncoded(
+      spark, root, rows.drop("del"), "segment"): @unchecked
+    val got = GlobalDict.decode(
+        enc.groupBy(col("segment__code")).agg(count(lit(1)).as("n")),
+        dict, "segment__code", "segment")
+      .select(col("segment"), col("n"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val want = PkTableSink.readTx(spark, root, rows.drop("del"))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(got == want)
+    // the range path: a range covering "aaa-first" plus low seg-* —
+    // the matched codes are NOT an interval (appended code sits past
+    // max), the density check must fall back and stay exact
+    val (ranged, _) = GlobalDict.readTxEncodedRange(
+      spark, root, rows.drop("del"), "segment", "a", "seg-1")
+    val rawCount = PkTableSink.readTx(spark, root, rows.drop("del"))
+      .where(col("segment") >= "a" && col("segment") <= "seg-1").count()
+    assert(ranged.count() == rawCount && rawCount > 0)
+    // no-new-values delta: refresh re-stamps bit-identically (sorted
+    // order preserved), and the interval shortcut works again
+    PkTableSink.mergeTx(spark, root,
+      Seq((8L, 3L, "seg-2", 9L, false)).toDF("id", "ver", "segment", "x", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    assert(GlobalDict.dictTx(spark, root, "segment").isEmpty)
+    GlobalDict.refreshTx(spark, root, "segment")
+    val restamped = GlobalDict.dictTx(spark, root, "segment").get
+      .as[(String, Int)].collect().toMap
+    assert(restamped == after)
+  }
+
+  test("refreshTx refuses a cardinality-contract-breaking delta (dict withdraws)") {
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root, rows, Seq("id"), Seq("ver"), "del", writer = "w")
+    GlobalDict.buildTx(spark, root, "segment")
+    PkTableSink.mergeTx(spark, root,
+      (0L until 50L).map(i => (9000L + i, 1L, s"uniq-$i", i, false))
+        .toDF("id", "ver", "segment", "x", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    // cap below old+new: the refresh must refuse, not ship a fat dict
+    assert(GlobalDict.refreshTx(spark, root, "segment",
+      maxCardinality = 20L).isEmpty)
+    assert(GlobalDict.dictTx(spark, root, "segment").isEmpty,
+      "an overflowing dict stays withdrawn")
+    // with room it appends fine
+    assert(GlobalDict.refreshTx(spark, root, "segment").isDefined)
+    assert(GlobalDict.dictTx(spark, root, "segment").get.count() == 7 + 50)
+  }
 }

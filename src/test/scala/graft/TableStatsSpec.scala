@@ -38,6 +38,71 @@ class TableStatsSpec extends SparkSpec {
     assert(st2.rows == 2000 && TableStats.statsTx(spark, root).contains(st2))
   }
 
+  test("refreshTx ≡ analyzeTx: insert-only deltas match field-for-field") {
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root,
+      (0L until 1000L).map(i => (i, 1L, if (i % 10 == 0) null else s"v${i % 7}", false))
+        .toDF("id", "ver", "cat", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    TableStats.analyzeTx(spark, root)
+    // insert-only delta: new keys, one new cat value, some nulls
+    PkTableSink.mergeTx(spark, root,
+      (1000L until 1200L).map(i => (i, 1L, if (i % 5 == 0) null else "v-new", false))
+        .toDF("id", "ver", "cat", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    val refreshed = TableStats.refreshTx(spark, root)
+    val rebuilt = TableStats.analyzeTx(spark, root)
+    assert(refreshed.version == rebuilt.version)
+    assert(refreshed.rows == rebuilt.rows && refreshed.rows == 1200L)
+    assert(refreshed.bytes == rebuilt.bytes)
+    // HLL union is register-max, so union(sketch(A), sketch(B)) and
+    // sketch(A ∪ B) ESTIMATE identically for insert-only deltas (the
+    // serialized blob may differ in sparse-mode internals — the
+    // numbers may not)
+    refreshed.cols.keySet.foreach { c =>
+      val (a, b) = (refreshed.cols(c), rebuilt.cols(c))
+      assert(a.nulls == b.nulls && a.min == b.min && a.max == b.max &&
+        a.ndv == b.ndv, s"col $c: refreshed $a vs rebuilt $b")
+    }
+    // and it is served as the current generation
+    assert(TableStats.statsTx(spark, root).contains(rebuilt))
+  }
+
+  test("refreshTx stays exact through updates + deletes of the extrema") {
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root,
+      (0L until 500L).map(i => (i, 1L, s"v${i % 7}", i * 2.5, false))
+        .toDF("id", "ver", "cat", "x", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    TableStats.analyzeTx(spark, root)
+    // a delta that: deletes the max-id row (max id + max x both shrink
+    // → forces the targeted re-scan path), updates values (some to
+    // null, some from one cat to another), inserts a new min-x row
+    PkTableSink.mergeTx(spark, root,
+      (Seq((499L, 2L, "", 0.0, true),            // delete the extremum
+        (10L, 2L, null.asInstanceOf[String], 25.0, false), // value -> null
+        (11L, 2L, "v0", -1.5, false),            // new GLOBAL x min via update
+        (700L, 1L, "v1", 3.25, false)))          // plain insert
+        .toDF("id", "ver", "cat", "x", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    val refreshed = TableStats.refreshTx(spark, root)
+    val rebuilt = TableStats.analyzeTx(spark, root)
+    assert(refreshed.rows == rebuilt.rows && refreshed.rows == 500L)
+    refreshed.cols.keySet.foreach { c =>
+      val (a, b) = (refreshed.cols(c), rebuilt.cols(c))
+      assert(a.nulls == b.nulls, s"col $c nulls: $a vs $b")
+      assert(a.min == b.min && a.max == b.max, s"col $c bounds: $a vs $b")
+      // NDV after deletes: the union sketch is an upper bound — never
+      // below the rebuilt truth, never above old-NDV + added-NDV
+      assert(a.ndv >= b.ndv, s"col $c ndv: refreshed ${a.ndv} < rebuilt ${b.ndv}")
+      assert(a.ndv <= b.ndv + 5, s"col $c ndv slack: $a vs $b")
+    }
+    // id max shrank from 499 to 700? no — 700 inserted; x max shrank:
+    // 499's x (1247.5) deleted, next is 498*2.5
+    assert(rebuilt.cols("x").max.toDouble == 1245.0)
+    assert(rebuilt.cols("x").min.toDouble == -1.5)
+  }
+
   test("measured stats drive the broadcast hint where size estimates cannot") {
     val root = freshRoot()
     val dim = (0L until 500L).map(i => (i, 1L, s"seg${i % 5}", false))
