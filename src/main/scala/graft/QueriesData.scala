@@ -408,6 +408,20 @@ object QueriesData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // GRAPH ANN (r10): NN-descent K-NN graph + bounded beam search —
+    // the HNSW-class index the r9 recall audit argued for: cell-probe
+    // indexes lose recall on isotropic embeddings (no cluster
+    // structure to prune by); a neighbor graph routes by LOCAL
+    // geometry and does not care. Deterministic md5-bucket initial
+    // draw, 2 NN-descent rounds, md5-smallest shared entry points,
+    // 3-hop beam-12 search — all replayed verbatim by the oracle
+    // (nndOracle below), so even the graph build is hash-gated.
+    "ann_nndescent" -> { (s, dir) =>
+      Similarity.nnDescentTopk(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), isQuery = _ % 40 === 0, k = 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // ANN RECALL AUDIT — the dedup_quality_audit (C65) construction
     // applied to the ANN family: per approximate index (ivf,
     // ivf_nprobe, trained-kmeans ivf, int8+rerank, pq, ivfpq), top-3
@@ -440,7 +454,7 @@ object QueriesData {
         .select(col("qid"), col("nid"))
       val indexes = Seq("ivf" -> "ann_ivf", "ivf_nprobe" -> "ann_ivf_nprobe",
         "ivf_kmeans" -> "ann_ivf_kmeans", "int8" -> "ann_int8_rerank",
-        "pq" -> "ann_pq", "ivfpq" -> "ann_ivfpq")
+        "pq" -> "ann_pq", "ivfpq" -> "ann_ivfpq", "nnd" -> "ann_nndescent")
       // ONE unioned candidate frame → one semi-join against the ground
       // truth → one aggregation: the brute-force baseline (the audit's
       // expensive side — |queries|×|corpus| cosines at gate scale)
@@ -2449,6 +2463,7 @@ object QueriesData {
         |  WHERE p.cr2 <= 20)
         |SELECT qid, rank, nid, round(c, 4) AS cos FROM scored
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "ann_nndescent" -> nndOracle,
     "ann_pq" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |sdim AS (SELECT unnest([0, 1, 2, 3]) AS s),
@@ -2519,13 +2534,95 @@ object QueriesData {
         |  n_est - COALESCE(ex.c, 0) AS overestimate
         |FROM est LEFT JOIN ex ON ex.t = est.p ORDER BY token""".stripMargin)
 
+  /** DuckDB replay of the NN-descent graph build + beam search —
+    * token-for-token the [[graft.ops.Similarity.nnDescentGraph]] /
+    * nnDescentTopk construction, constants imported from the same
+    * vals the Spark side uses so the two engines walk the SAME graph:
+    * md5-bucket initial draw → per-round (forward ∪ reverse ∪
+    * neighbor-of-neighbor) candidates re-ranked to top-K → shared
+    * md5-smallest entry points → per-hop expand/dedup/top-beam →
+    * final top-k. */
+  private def nndOracle: String = {
+    import graft.ops.Similarity.{NndGraphK, NndRounds, NndBucketTarget,
+      NndMinBuckets, NndLongLinkTarget, NndEntries, NndBeam, NndHops}
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+    val roundCtes = (1 to NndRounds).map { r =>
+      val prev = if (r == 1) "g0" else s"g${r - 1}"
+      s"""cnd$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM $prev
+         |  UNION ALL SELECT dst AS src, src AS dst FROM $prev
+         |  UNION ALL SELECT a.src AS src, b.dst AS dst FROM $prev a JOIN $prev b
+         |    ON a.dst = b.src AND a.src <> b.dst)),
+         |g$r AS MATERIALIZED (SELECT src, dst FROM (
+         |  SELECT c.src, c.dst, row_number() OVER (PARTITION BY c.src ORDER BY
+         |    ${cos("s.e", "d.e")} DESC, c.dst) AS rn
+         |  FROM cnd$r c JOIN v s ON s.vec_id = c.src JOIN v d ON d.vec_id = c.dst)
+         |  WHERE rn <= $NndGraphK)""".stripMargin
+    }.mkString(",\n")
+    val gFinal = "ga" // near edges ∪ long links — what the walk follows
+    val hopCtes = (1 to NndHops).map { h =>
+      val prev = if (h == 1) "f0" else s"f${h - 1}"
+      s"""ex$h AS MATERIALIZED (SELECT DISTINCT qid, nid FROM (
+         |  SELECT qid, nid FROM $prev
+         |  UNION ALL SELECT f.qid, g.dst AS nid
+         |  FROM $prev f JOIN $gFinal g ON g.src = f.nid)),
+         |f$h AS MATERIALIZED (SELECT qid, nid FROM (
+         |  SELECT x.qid, x.nid, row_number() OVER (PARTITION BY x.qid ORDER BY
+         |    ${cos("q.qe", "n.e")} DESC, x.nid) AS rn
+         |  FROM ex$h x JOIN q ON q.qid = x.qid JOIN v n ON n.vec_id = x.nid
+         |  WHERE x.nid <> x.qid) WHERE rn <= $NndBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bk AS MATERIALIZED (SELECT vec_id, e,
+       |  CAST('0x' || substr(md5(vec_id || ':nng'), 1, 8) AS BIGINT)
+       |    % greatest($NndMinBuckets, (SELECT count(*) FROM v) // $NndBucketTarget) AS bkt
+       |  FROM v),
+       |g0 AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT a.vec_id AS src, c.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      ${cos("a.e", "c.e")} DESC, c.vec_id) AS rn
+       |  FROM bk a JOIN bk c ON a.bkt = c.bkt AND a.vec_id <> c.vec_id)
+       |  WHERE rn <= $NndGraphK),
+       |$roundCtes,
+       |lb AS MATERIALIZED (SELECT vec_id,
+       |  CAST('0x' || substr(md5(vec_id || ':ll'), 1, 8) AS BIGINT)
+       |    % greatest(1, (SELECT count(*) FROM v) // ${NndLongLinkTarget + 1}) AS lbk
+       |  FROM v),
+       |ll AS (SELECT a.vec_id AS src, c.vec_id AS dst
+       |       FROM lb a JOIN lb c ON a.lbk = c.lbk AND a.vec_id <> c.vec_id),
+       |ga AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM g$NndRounds UNION ALL SELECT src, dst FROM ll)),
+       |ent AS (SELECT vec_id AS nid FROM v
+       |        ORDER BY md5(vec_id || ':entry'), vec_id LIMIT $NndEntries),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 40 = 0),
+       |f0 AS MATERIALIZED (SELECT qid, nid FROM (
+       |  SELECT x.qid, x.nid, row_number() OVER (PARTITION BY x.qid ORDER BY
+       |    ${cos("q.qe", "n.e")} DESC, x.nid) AS rn
+       |  FROM (SELECT q2.qid, ent.nid FROM q q2 CROSS JOIN ent) x
+       |  JOIN q ON q.qid = x.qid JOIN v n ON n.vec_id = x.nid
+       |  WHERE x.nid <> x.qid) WHERE rn <= $NndBeam),
+       |$hopCtes,
+       |vis AS (SELECT DISTINCT qid, nid FROM (
+       |  SELECT qid, nid FROM f0
+       |  ${(1 to NndHops).map(h => s"UNION ALL SELECT qid, nid FROM ex$h").mkString("\n  ")}))
+       |SELECT qid, rank, nid, round(c, 4) AS cos FROM (
+       |  SELECT x.qid, x.nid, ${cos("q.qe", "n.e")} AS c,
+       |    row_number() OVER (PARTITION BY x.qid ORDER BY
+       |      ${cos("q.qe", "n.e")} DESC, x.nid) AS rank
+       |  FROM vis x JOIN q ON q.qid = x.qid JOIN v n ON n.vec_id = x.nid
+       |  WHERE x.nid <> x.qid)
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   /** The recall-audit oracle replays every audited index's EXISTING
     * oracle verbatim (wrapped as a derived table — so the two can only
     * drift together), the %40/k=3 brute-force ground truth, and the
     * intersection arithmetic. */
   private val annAuditIndexes = Seq("ivf" -> "ann_ivf",
     "ivf_nprobe" -> "ann_ivf_nprobe", "ivf_kmeans" -> "ann_ivf_kmeans",
-    "int8" -> "ann_int8_rerank", "pq" -> "ann_pq", "ivfpq" -> "ann_ivfpq")
+    "int8" -> "ann_int8_rerank", "pq" -> "ann_pq", "ivfpq" -> "ann_ivfpq",
+    "nnd" -> "ann_nndescent")
 
   /** Brute-force top-3 ground truth on the PINNED md5 query sample
     * (AnnAuditQuerySample of the %40 set) — the truth side's cost is

@@ -765,4 +765,181 @@ object Similarity {
       centers.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) }
     } finally v.unpersist()
   }
+
+  // -----------------------------------------------------------------
+  // GRAPH ANN: NN-descent K-NN graph + bounded beam search — the
+  // HNSW-class index family the IVF recall audit argues for on
+  // isotropic embeddings (cell probes lose recall exactly when the
+  // space has no cluster structure; a neighbor GRAPH does not care).
+
+  /** Graph-build constants, shared verbatim with the DuckDB oracle
+    * replay (QueriesData) so both engines walk the same graph.
+    * Parameter study (md5-deterministic replica of this construction,
+    * measured against brute-force truth at the two gate corpora):
+    * KNN edges alone stall the walk — the frontier converges inside a
+    * local patch and recall plateaus (~0.46 at 2 k vectors however
+    * wide the beam), the classic missing-long-range-edge failure; the
+    * [[NndLongLinkTarget]] hash-bucket long links (the NSW
+    * small-world trick: a few content-free edges per node) lift the
+    * same search to 1.0 / ~0.9. */
+  val NndGraphK = 16      // near neighbors kept per node
+  val NndRounds = 3       // NN-descent refinement rounds
+  val NndBucketTarget = 48L // expected initial-draw bucket size
+  val NndMinBuckets = 8L
+  val NndLongLinkTarget = 16L // expected long-link partners per node
+  val NndEntries = 32     // shared deterministic search entry points
+  val NndBeam = 64        // frontier width per hop
+  val NndHops = 8         // expansion hops
+
+  /** Deterministic content-free bucket for the initial neighbor draw
+    * (NN-descent initializes RANDOM; md5 makes the draw engine-stable
+    * — the C15 discipline). */
+  private def nngBucket(idCol: Column, nBuckets: Long): Column =
+    conv(substring(md5(concat(idCol.cast("string"), lit(":nng"))), 1, 8), 16, 10)
+      .cast("long") % nBuckets
+
+  /** K-NN GRAPH by NN-descent (Dong, Moses, Li — WWW 2011): start from
+    * a deterministic hash-bucket neighbor draw (top-K by cosine inside
+    * buckets of ~[[NndBucketTarget]] nodes), then each round proposes
+    * every node's reverse neighbors and neighbors-of-neighbors and
+    * keeps the best K — the "a neighbor of my neighbor is probably my
+    * neighbor" fixpoint iteration.
+    *
+    * Scale shape: NO stage is super-linear. The initial draw scores
+    * N·bucketTarget pairs (bucket count grows with N, so bucket size
+    * is a CONSTANT); each round's candidate frame is ≤ N·(K² + 2K)
+    * rows, deduped and re-ranked with a per-node window — every
+    * shuffle keys on a node id, so the rounds are ordinary hash
+    * exchanges that scale out. Driver holds nothing row-scale (one
+    * count for the bucket arity). Candidate generation is blind to
+    * geometry, so the construction works for any similarity — cosine
+    * here.
+    *
+    * Returns (src, dst): directed, K rows per node. Deterministic:
+    * every rank ties on (cos DESC, dst ASC).
+    */
+  def nnDescentGraph(df: DataFrame, id: Column, vec: Column,
+                     graphK: Int = NndGraphK, rounds: Int = NndRounds): DataFrame = {
+    val v = df.select(id.as("id"), toDouble(vec).as("v"))
+      .withColumn("n2", normSq(col("v")))
+    nndGraphOf(v, v.count(), graphK, rounds)
+  }
+
+  private def nndGraphOf(v: DataFrame, n: Long,
+                         graphK: Int, rounds: Int): DataFrame = {
+    val nBuckets = math.max(NndMinBuckets, n / NndBucketTarget)
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    def topK(cand: DataFrame): DataFrame = { // cand: (src, dst) distinct
+      val vs = v.select(col("id").as("src"), col("v").as("sv"), col("n2").as("sn2"))
+      val vd = v.select(col("id").as("dst"), col("v").as("dv"), col("n2").as("dn2"))
+      cand.join(vs, "src").join(vd, "dst")
+        .select(col("src"), col("dst"),
+          cosineWithNorms(dot(col("sv"), col("dv")), col("sn2"), col("dn2")).as("cos"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= graphK)
+        .select(col("src"), col("dst"))
+    }
+    val b = v.withColumn("bkt", nngBucket(col("id"), nBuckets))
+    val init = b.select(col("bkt"), col("id").as("src"))
+      .join(b.select(col("bkt"), col("id").as("dst")), Seq("bkt"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    // each round references the previous graph FOUR times (forward,
+    // reverse, both sides of the neighbor-of-neighbor join): without a
+    // lineage cut the re-evaluations compound 4^rounds — materialize
+    // every round once (same role as the oracle replay's MATERIALIZED
+    // CTEs; N·K rows, executor-local)
+    var g = topK(init).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val rev = g.select(col("dst").as("src"), col("src").as("dst"))
+      val nn = g.as("g1").join(g.as("g2"), col("g1.dst") === col("g2.src"))
+        .where(col("g1.src") =!= col("g2.dst"))
+        .select(col("g1.src").as("src"), col("g2.dst").as("dst"))
+      g = topK(g.unionByName(rev).unionByName(nn).distinct()).localCheckpoint(true)
+    }
+    g
+  }
+
+  /** Content-free LONG-RANGE edges (Kleinberg/NSW small-world links):
+    * a second md5 draw buckets the corpus into groups of expected size
+    * [[NndLongLinkTarget]]+1 and connects each group all-pairs — ~L
+    * random partners per node, deterministic, built with one bucketed
+    * self-join (no global shuffle, no sort). The KNN edges route the
+    * LAST hops; these route the FIRST ones: without them a beam walk
+    * on isotropic embeddings converges inside the entry points' local
+    * patch and recall plateaus regardless of beam width. */
+  private def nndLongLinks(v: DataFrame, n: Long): DataFrame = {
+    val nB = math.max(1L, n / (NndLongLinkTarget + 1))
+    val b = v.select(col("id"),
+      (conv(substring(md5(concat(col("id").cast("string"), lit(":ll"))), 1, 8),
+        16, 10).cast("long") % nB).as("lb"))
+    b.select(col("lb"), col("id").as("src"))
+      .join(b.select(col("lb"), col("id").as("dst")), Seq("lb"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+  }
+
+  /** The SEARCH graph: NN-descent near edges ∪ small-world long
+    * links, deduped — what [[nnDescentTopk]] walks and what
+    * [[GraphIndex]] persists. */
+  def nndSearchGraph(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val v = df.select(id.as("id"), toDouble(vec).as("v"))
+      .withColumn("n2", normSq(col("v")))
+    val n = v.count()
+    nndGraphOf(v, n, NndGraphK, NndRounds)
+      .unionByName(nndLongLinks(v, n)).distinct()
+      .localCheckpoint(true)
+  }
+
+  /** Top-k ANN over the NN-descent graph by BOUNDED beam search: all
+    * queries start from the same [[NndEntries]] deterministic entry
+    * points (md5-smallest ids — a shared broadcast, no per-query
+    * seeding pass), then [[NndHops]] rounds of expand-neighbors /
+    * re-rank / keep-top-[[NndBeam]]. Per-query work is
+    * entries + hops·beam·K candidate cosines — independent of corpus
+    * size; the only corpus-scale joins key on node id against the
+    * K-row-per-node graph. `graphOpt` lets a caller search a
+    * PERSISTED graph ([[GraphIndex]]) instead of rebuilding.
+    *
+    * Output (qid, rank, nid, cos) — the brute-force oracle shape. */
+  def nnDescentTopk(df: DataFrame, id: Column, vec: Column,
+                    isQuery: Column => Column, k: Int,
+                    graphOpt: Option[DataFrame] = None): DataFrame = {
+    val v = df.select(id.as("id"), toDouble(vec).as("v"))
+      .withColumn("n2", normSq(col("v")))
+    val g = graphOpt.getOrElse(nndSearchGraph(df, id, vec))
+    val ent = v.orderBy(md5(concat(col("id").cast("string"), lit(":entry"))),
+        col("id"))
+      .limit(NndEntries).select(col("id").as("nid"))
+    val q = v.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val vd = v.select(col("id").as("nid"), col("v").as("nv"), col("n2").as("nn2"))
+    val wb = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    def topB(frontier: DataFrame, b: Int): DataFrame = // frontier: (qid, nid)
+      frontier.join(q, "qid").join(vd, "nid")
+        .where(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          cosineWithNorms(dot(col("qv"), col("nv")), col("qn2"), col("nn2")).as("cos"))
+        .withColumn("rn", row_number().over(wb)).where(col("rn") <= b)
+    // renamed graph columns: after hop 1 the frontier's lineage
+    // contains g, so an unrenamed join would be an ambiguous self-join
+    val gg = g.select(col("src").as("g_src"), col("dst").as("g_dst"))
+    var frontier = topB(q.select(col("qid")).crossJoin(broadcast(ent)), NndBeam)
+      .select(col("qid"), col("nid")).localCheckpoint(true)
+    // the answer ranks over every candidate the walk SCORED (classic
+    // best-first bookkeeping), not just the last frontier — same
+    // cosines, strictly better recall for free
+    var visited = frontier
+    for (_ <- 1 to NndHops) {
+      val expanded = frontier.unionByName(
+        frontier.join(gg, col("nid") === col("g_src"))
+          .select(col("qid"), col("g_dst").as("nid"))).distinct()
+        .localCheckpoint(true) // frontier feeds 3 consumers per hop
+      visited = visited.unionByName(expanded)
+      frontier = topB(expanded, NndBeam).select(col("qid"), col("nid"))
+        .localCheckpoint(true)
+    }
+    topB(visited.distinct(), k)
+      .select(col("qid"), col("rn").cast("long").as("rank"), col("nid"),
+        Rounding.r(col("cos"), 4).as("cos"))
+  }
 }
