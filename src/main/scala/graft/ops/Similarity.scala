@@ -21,7 +21,7 @@ object Similarity {
 
   /** Elementwise double-cast of a float vector (plain Cast — codegen'd,
     * no higher-order-function lambda). */
-  private def toDouble(v: Column): Column = v.cast("array<double>")
+  private[ops] def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Sequential-sum dot product in double precision — the native
     * codegen expression [[graft.functions.DoubleDot]], registered as
@@ -907,11 +907,23 @@ object Similarity {
     val v = df.select(id.as("id"), toDouble(vec).as("v"))
       .withColumn("n2", normSq(col("v")))
     val g = graphOpt.getOrElse(nndSearchGraph(df, id, vec))
+    val q = v.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    nndBeamSearch(v, g, q, k)
+  }
+
+  /** The beam-search CORE on prepared frames — shared by the
+    * in-memory query path above and the persisted [[GraphIndex]],
+    * which brings its own committed graph and an EXTERNAL query frame
+    * (ids need not belong to the corpus; a corpus-id query never
+    * returns itself). `v` = (id, v, n2) scoreable nodes, `g` =
+    * (src, dst) directed edges, `q` = (qid, qv, qn2).
+    * Output (qid, rank, nid, cos) with cos rounded to 4dp. */
+  def nndBeamSearch(v: DataFrame, g: DataFrame, q: DataFrame,
+                    k: Int): DataFrame = {
     val ent = v.orderBy(md5(concat(col("id").cast("string"), lit(":entry"))),
         col("id"))
       .limit(NndEntries).select(col("id").as("nid"))
-    val q = v.where(isQuery(col("id")))
-      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     val vd = v.select(col("id").as("nid"), col("v").as("nv"), col("n2").as("nn2"))
     val wb = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     def topB(frontier: DataFrame, b: Int): DataFrame = // frontier: (qid, nid)
