@@ -161,7 +161,14 @@ object GraphIndex {
       val edges = found
         .unionByName(found.select(col("dst").as("src"), col("src").as("dst")))
         .unionByName(internal)
-      val vDir = writeVectors(spark, root, batch)
+      // an id that is ALREADY LIVE must not commit a second vector
+      // copy (count() would inflate and beam search could rank the
+      // duplicate into two top-k slots, displacing a real neighbor) —
+      // anti-join it away. Its edges stay: every endpoint is live, so
+      // a re-add just densifies the existing node's neighborhood. A
+      // TOMBSTONED id is not live and so still resurrects, unchanged.
+      val fresh = batch.join(live.select(col("id")), Seq("id"), "left_anti")
+      val vDir = writeVectors(spark, root, fresh)
       val gDir = writeEdges(spark, root, edges)
       (m.tables
         + (Vectors -> (dirs(m, Vectors) :+ vDir).mkString(","))

@@ -790,6 +790,12 @@ object Similarity {
   val NndEntries = 32     // shared deterministic search entry points
   val NndBeam = 64        // frontier width per hop
   val NndHops = 8         // expansion hops
+  /** Node-count ceiling for the TASK-LOCAL walk: graph + vectors up to
+    * this size broadcast (~60 MB at 64 dims / 48 edges per node) and
+    * each task walks its queries in-memory in ONE stage; above it the
+    * BSP hop loop runs. Results are bit-identical either way
+    * (NndSpec pins parity). */
+  val NndLocalMaxNodes = 1 << 16
 
   /** Deterministic content-free bucket for the initial neighbor draw
     * (NN-descent initializes RANDOM; md5 makes the draw engine-stable
@@ -920,38 +926,221 @@ object Similarity {
     * (src, dst) directed edges, `q` = (qid, qv, qn2).
     * Output (qid, rank, nid, cos) with cos rounded to 4dp. */
   def nndBeamSearch(v: DataFrame, g: DataFrame, q: DataFrame,
-                    k: Int): DataFrame = {
-    val ent = v.orderBy(md5(concat(col("id").cast("string"), lit(":entry"))),
-        col("id"))
-      .limit(NndEntries).select(col("id").as("nid"))
+                    k: Int, localMaxNodes: Int = NndLocalMaxNodes): DataFrame = {
+    // TASK-LOCAL fast path: when the corpus fits a broadcast
+    // (≤ localMaxNodes nodes), the whole walk is ONE distributed
+    // stage — queries stay distributed (mapPartitions over q), each
+    // task walks its queries against the broadcast graph+vectors in
+    // memory. Every arithmetic op, tie-break, and rounding step
+    // mirrors the BSP loop below exactly (same left-to-right double
+    // dot, same (cos DESC, nid ASC) ordering, same floor-rounding),
+    // so the two paths are bit-identical — NndSpec pins it.
+    // Above the threshold the BSP hop loop runs: per-hop cost is
+    // ordinary bounded broadcast-joins against block-local corpus
+    // frames, which is the shape that scales out.
+    val longIds = v.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+      q.schema("qid").dataType == org.apache.spark.sql.types.LongType &&
+      g.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+      g.schema("dst").dataType == org.apache.spark.sql.types.LongType
+    if (longIds && localMaxNodes > 0) {
+      // bounded probe: reads at most localMaxNodes+1 rows however big
+      // the corpus is — over-threshold corpora pay one small scan
+      val probe = v.select(col("id"), col("v"), col("n2"))
+        .limit(localMaxNodes + 1).collect()
+      if (probe.length <= localMaxNodes) return nndBeamLocal(probe, g, q, k)
+    }
+    // HOP-INVARIANT vector access: every hop boundary below is an
+    // eager checkpoint, so each hop runs as its own job — without a
+    // lineage cut HERE, each of those ~NndHops jobs would re-scan the
+    // full vector table (and the query frame, and a committed graph's
+    // edge files) from source. Materialize all three ONCE per search;
+    // the walk then touches only executor-local blocks.
     val vd = v.select(col("id").as("nid"), col("v").as("nv"), col("n2").as("nn2"))
-    val wb = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    def topB(frontier: DataFrame, b: Int): DataFrame = // frontier: (qid, nid)
-      frontier.join(q, "qid").join(vd, "nid")
-        .where(col("nid") =!= col("qid"))
-        .select(col("qid"), col("nid"),
-          cosineWithNorms(dot(col("qv"), col("nv")), col("qn2"), col("nn2")).as("cos"))
-        .withColumn("rn", row_number().over(wb)).where(col("rn") <= b)
+      .localCheckpoint(true)
+    val qc = q.localCheckpoint(true)
     // renamed graph columns: after hop 1 the frontier's lineage
     // contains g, so an unrenamed join would be an ambiguous self-join
     val gg = g.select(col("src").as("g_src"), col("dst").as("g_dst"))
-    var frontier = topB(q.select(col("qid")).crossJoin(broadcast(ent)), NndBeam)
-      .select(col("qid"), col("nid")).localCheckpoint(true)
-    // the answer ranks over every candidate the walk SCORED (classic
-    // best-first bookkeeping), not just the last frontier — same
-    // cosines, strictly better recall for free
-    var visited = frontier
+      .localCheckpoint(true)
+    val ent = vd.orderBy(md5(concat(col("nid").cast("string"), lit(":entry"))),
+        col("nid"))
+      .limit(NndEntries).select(col("nid"))
+    val wb = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    // every frame except vd/gg is bounded by queries·beam·K —
+    // independent of corpus size — so it is ALWAYS the broadcast side:
+    // the corpus-scale vectors and edges stream from their local
+    // blocks and are never shuffled, no matter what a cold-stats
+    // planner would guess
+    def score(cand: DataFrame): DataFrame = // (qid, nid) -> + cos, self dropped
+      broadcast(cand.join(broadcast(qc), "qid")).join(vd, "nid")
+        .where(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          cosineWithNorms(dot(col("qv"), col("nv")), col("qn2"), col("nn2")).as("cos"))
+    def topB(scored: DataFrame, b: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(wb)).where(col("rn") <= b)
+    // the POOL carries every (qid, nid, cos) the walk has scored: a
+    // candidate's cosine is computed exactly once — re-ranking the
+    // frontier and the final answer never re-fetch vectors. Since
+    // NndEntries <= NndBeam, the pool is exactly the classic
+    // best-first visited set (same cosines, same tie-breaks), so the
+    // output is bit-identical to re-scoring — just without the
+    // ~2 extra vector joins per hop the re-scoring shape paid.
+    // the walk's ~2·NndHops eager mini-jobs are all bounded-frame
+    // plans whose joins are already hinted broadcast — AQE has nothing
+    // left to improve, but each of its exchanges would pay a runtime
+    // re-planning wait. Turn it off for the walk's own jobs (restored
+    // before returning; the final ranking below runs under the
+    // caller's conf).
+    val sess = v.sparkSession
+    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    var pool = score(qc.select(col("qid")).crossJoin(broadcast(ent)))
+      .localCheckpoint(true)
+    var frontier = topB(pool, NndBeam).select(col("qid"), col("nid"))
+      .localCheckpoint(true)
     for (_ <- 1 to NndHops) {
-      val expanded = frontier.unionByName(
-        frontier.join(gg, col("nid") === col("g_src"))
-          .select(col("qid"), col("g_dst").as("nid"))).distinct()
-        .localCheckpoint(true) // frontier feeds 3 consumers per hop
-      visited = visited.unionByName(expanded)
-      frontier = topB(expanded, NndBeam).select(col("qid"), col("nid"))
+      // nbr is NOT checkpointed: its two consumers re-derive it with
+      // one broadcast-join over gg's local blocks each — cheaper than
+      // the extra eager job a third per-hop checkpoint would cost
+      def nbr() = broadcast(frontier).join(gg, col("nid") === col("g_src"))
+        .select(col("qid"), col("g_dst").as("nid")).distinct()
+      // only candidates never seen by THIS query fetch vectors
+      pool = pool.unionByName(
+          score(nbr().join(broadcast(pool.select(col("qid"), col("nid"))),
+            Seq("qid", "nid"), "left_anti")))
+        .localCheckpoint(true)
+      frontier = topB(broadcast(frontier.unionByName(nbr()).distinct())
+          .join(pool, Seq("qid", "nid")), NndBeam)
+        .select(col("qid"), col("nid"))
         .localCheckpoint(true)
     }
-    topB(visited.distinct(), k)
+    topB(pool, k)
       .select(col("qid"), col("rn").cast("long").as("rank"), col("nid"),
         Rounding.r(col("cos"), 4).as("cos"))
+    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** The task-local twin of the BSP walk: corpus rows `(id, v, n2)`
+    * already collected (caller verified they fit), graph edges
+    * collected once, both broadcast; the walk itself runs inside
+    * `mapPartitions` over the (distributed) query frame. Adjacency
+    * keeps LIVE endpoints only — the same effect as the BSP joins,
+    * where a dormant edge's dst never becomes scoreable. */
+  private def nndBeamLocal(rows: Array[org.apache.spark.sql.Row],
+                           g: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val n2s = new Array[Double](n)
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      ids(i) = r.getLong(0)
+      vecs(i) = r.getSeq[Double](1).toArray
+      n2s(i) = r.getDouble(2)
+      idx.put(ids(i), i)
+      i += 1
+    }
+    val adjB = Array.fill(n)(new scala.collection.mutable.ArrayBuilder.ofInt)
+    g.select(col("src"), col("dst")).collect().foreach { e =>
+      val s = idx.get(e.getLong(0)); val d = idx.get(e.getLong(1))
+      if (s != null && d != null) adjB(s.intValue) += d.intValue
+    }
+    val adj: Array[Array[Int]] = adjB.map(_.result())
+    // entry points: md5-smallest ids — java.security MD5 hex equals
+    // Spark's md5() hex, and (String, Long) tuple order equals the
+    // BSP orderBy(md5, nid)
+    val entries: Array[Int] = ids.indices
+      .map(j => (md5Hex(ids(j).toString + ":entry"), ids(j), j))
+      .sorted.take(NndEntries).map(_._3).toArray
+    val sc = spark.sparkContext
+    val bIds = sc.broadcast(ids)
+    val bVecs = sc.broadcast(vecs)
+    val bN2 = sc.broadcast(n2s)
+    val bAdj = sc.broadcast(adj)
+    val bEnt = sc.broadcast(entries)
+    val kk = k
+    q.select(col("qid"), col("qv"), col("qn2"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val (eIds, eVecs, eN2, eAdj, eEnt) =
+          (bIds.value, bVecs.value, bN2.value, bAdj.value, bEnt.value)
+        it.flatMap { case (qid, qv, qn2) =>
+          nndWalkOne(qid, qv, qn2, eIds, eVecs, eN2, eAdj, eEnt, kk)
+        }
+      }
+      .toDF("qid", "rank", "nid", "cos")
+  }
+
+  /** One query's walk, in plain Scala — op-for-op the BSP hop loop:
+    * score = left-to-right double dot / sqrt(qn2·n2) with self
+    * dropped; frontier = top-beam of (frontier ∪ neighbors) by
+    * (cos DESC, id ASC); answer = top-k of every candidate scored,
+    * rounded with the engine-portable floor form. */
+  private def nndWalkOne(qid: Long, qv: Array[Double], qn2: Double,
+                         ids: Array[Long], vecs: Array[Array[Double]],
+                         n2s: Array[Double], adj: Array[Array[Int]],
+                         entries: Array[Int],
+                         k: Int): Iterator[(Long, Long, Long, Double)] = {
+    val n = ids.length
+    val cosArr = new Array[Double](n)
+    val scored = new java.util.BitSet(n) // has a pool cosine
+    val seen = new java.util.BitSet(n)   // scored or self-dropped
+    def scoreIdx(i: Int): Unit = if (!seen.get(i)) {
+      seen.set(i)
+      if (ids(i) != qid) {
+        val nv = vecs(i)
+        val m = math.min(qv.length, nv.length)
+        var s = 0.0; var j = 0
+        while (j < m) { s += qv(j) * nv(j); j += 1 }
+        cosArr(i) = s / math.sqrt(qn2 * n2s(i))
+        scored.set(i)
+      }
+    }
+    val ord: Ordering[Int] = (a: Int, b: Int) => {
+      val c = java.lang.Double.compare(cosArr(b), cosArr(a))
+      if (c != 0) c else java.lang.Long.compare(ids(a), ids(b))
+    }
+    def rank(cand: Array[Int], limit: Int): Array[Int] =
+      cand.filter(i => scored.get(i)).sorted(ord).take(limit)
+    entries.foreach(scoreIdx)
+    var frontier = rank(entries, NndBeam)
+    val inNbr = new java.util.BitSet(n)
+    for (_ <- 1 to NndHops) {
+      inNbr.clear()
+      val nbrB = new scala.collection.mutable.ArrayBuilder.ofInt
+      frontier.foreach { f =>
+        adj(f).foreach { d => if (!inNbr.get(d)) { inNbr.set(d); nbrB += d } }
+      }
+      val nbr = nbrB.result()
+      // the BSP anti-join: only never-seen candidates fetch vectors —
+      // on the SAME hop, the BSP hop scores the pre-hop pool's
+      // complement, and `seen` is exactly that pool (plus the
+      // perpetually re-dropped self, which the BSP anti-join also
+      // re-drops every hop to the same nil effect)
+      nbr.foreach(scoreIdx)
+      val expB = new scala.collection.mutable.ArrayBuilder.ofInt
+      frontier.foreach { f => if (!inNbr.get(f)) expB += f }
+      frontier = rank(expB.result() ++ nbr, NndBeam)
+    }
+    val allB = new scala.collection.mutable.ArrayBuilder.ofInt
+    var s0 = scored.nextSetBit(0)
+    while (s0 >= 0) { allB += s0; s0 = scored.nextSetBit(s0 + 1) }
+    rank(allB.result(), k).iterator.zipWithIndex.map { case (ix, r) =>
+      (qid, (r + 1).toLong, ids(ix),
+        math.floor(cosArr(ix) * 10000.0 + 0.5) / 10000.0)
+    }
   }
 }

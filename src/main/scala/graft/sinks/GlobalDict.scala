@@ -132,7 +132,11 @@ object GlobalDict {
           val dict =
             if (newVals.isEmpty) old
             else {
-              val maxCode = old.agg(max(col("code"))).head().getInt(0)
+              // max over ZERO rows is null — buildTx on an all-null
+              // column legitimately commits an empty dict, and a later
+              // delta must start coding from 0, not NPE
+              val maxRow = old.agg(max(col("code"))).head()
+              val maxCode = if (maxRow.isNullAt(0)) -1 else maxRow.getInt(0)
               old.unionByName(newVals.zipWithIndex
                 .map { case (v, i) => (v, maxCode + 1 + i) }.toSeq
                 .toDF("value", "code"))

@@ -47,8 +47,16 @@ object ResultCache {
     val stamp = stampOf(spark, roots)
     val dir = s"$cacheDir/$tag.v$stamp"
     val fs = fsOf(spark, cacheDir)
-    if (fs.exists(new Path(dir, "_SUCCESS")))
-      (spark.read.parquet(dir), true)
+    // the hit-path read can transiently fail if a racing publisher's
+    // crashed-remnant cleanup unlinks the dir between our _SUCCESS
+    // check and the read — treat that as a miss (evaluate below),
+    // never as an error
+    val hit =
+      if (!fs.exists(new Path(dir, "_SUCCESS"))) None
+      else try Some(spark.read.parquet(dir))
+      catch { case _: Exception => None }
+    if (hit.isDefined)
+      (hit.get, true)
     else {
       // Two races guarded here:
       //  1. stamp-then-evaluate: a commit landing DURING evaluation
@@ -75,8 +83,19 @@ object ResultCache {
           // INSIDE it (and "succeeds") — a dir without _SUCCESS is a
           // crashed publish remnant and must be cleared, or every
           // later hit-check would see a dir holding only .tmp_* junk.
-          if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
-          fs.rename(new Path(tmp), new Path(dir))
+          // Re-check _SUCCESS IMMEDIATELY before the delete: a winner
+          // whose rename landed between the check above and here must
+          // keep its just-published copy (we then take the lost-race
+          // branch's semantics: serve the winner, drop our temp).
+          if (fs.exists(new Path(dir))) {
+            if (fs.exists(new Path(dir, "_SUCCESS"))) {
+              fs.delete(new Path(tmp), true)
+              true
+            } else {
+              fs.delete(new Path(dir), true)
+              fs.rename(new Path(tmp), new Path(dir))
+            }
+          } else fs.rename(new Path(tmp), new Path(dir))
         }
       }
       if (published) {

@@ -225,6 +225,18 @@ object TableStats {
         if (!cols.forall(p.cols.contains))
           return analyzeTx(spark, root) // widened: new cols have no base
         val schema = feed.schema
+        // non-atomic columns (array/map/struct) store min/max as cast
+        // strings, and the reverse string->array cast the delta path
+        // needs below is unsupported — fall back to the full analyze
+        // (same degradation rule as the legacy pre-sketch sidecars),
+        // so Doctor.repair never crashes on an array-bearing table
+        val nonAtomic = cols.exists(c => schema(c).dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        if (nonAtomic) return analyzeTx(spark, root)
         val isAdd = col("_change_type").isin("insert", "update_postimage")
         val aggs = count(lit(1)).as("__n") +:
           sum(when(isAdd, 1L).otherwise(-1L)).as("__drows") +:
