@@ -89,6 +89,33 @@ object QueriesData {
       _ => Similarity.nndSearchGraph(Tables.embeddings(s, dir),
         col("vec_id"), col("embedding")))
 
+  /** Evict `dir`'s cached search graph and UNPERSIST its checkpoint
+    * blocks — call when a measurement pass is done with a corpus dir
+    * (Bench does, after the 10×-replica scaling runs) so a long-lived
+    * session scanning many corpora doesn't accumulate one pinned
+    * graph per dir. Safe while absent; the next [[nndGraphFor]]
+    * rebuilds. */
+  def evictNndGraph(s: SparkSession, dir: String): Unit = {
+    val g = nndGraphCache.remove(s.sparkContext.applicationId + "|" + dir)
+    // a localCheckpoint'ed frame's blocks live on its LogicalRDD, not
+    // in the CacheManager — Dataset.unpersist would be a no-op here
+    if (g != null) g.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => g.unpersist(false)
+    }
+  }
+
+  /** Fresh UNCACHED graph build on `dir` — the bench's `graph_build`
+    * pricing hook: [[nndGraphFor]] amortizes the build away from the
+    * timed passes (the production shape), so this explicit build is
+    * what keeps the construction cost a RECORDED number (base seconds
+    * + 10× exponent in every BENCH round). Evicts nothing and caches
+    * nothing; the returned frame's blocks are the caller's to drop. */
+  def buildNndGraphFresh(s: SparkSession, dir: String): DataFrame =
+    Similarity.nndSearchGraph(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"))
+
   /** [[shingleCte]] over the pinned md5-sample of documents — the
     * dedup_quality_audit oracle's input slice, identical to the Spark
     * side's draw. */

@@ -143,7 +143,10 @@ object GraphIndex {
           writer: String = "add",
           maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L): Long = {
     val spark = df.sparkSession
-    val batch = prep(df, id, vec).localCheckpoint(true)
+    // within-batch dedupe: the live anti-join below can't see a batch
+    // that carries the same id twice — without this, both copies
+    // would commit and inflate count()/duplicate top-k slots
+    val batch = prep(df, id, vec).dropDuplicates("id").localCheckpoint(true)
     val internal =
       if (batch.limit(2).count() < 2)
         spark.range(0).select(col("id").as("src"), col("id").as("dst"))
@@ -167,6 +170,10 @@ object GraphIndex {
       // anti-join it away. Its edges stay: every endpoint is live, so
       // a re-add just densifies the existing node's neighborhood. A
       // TOMBSTONED id is not live and so still resurrects, unchanged.
+      // CONTRACT: re-adding a live id is edge densification ONLY —
+      // the stored vector is kept even if the batch carries a changed
+      // one (the index has no in-place update verb; a vector UPDATE
+      // is delete(id) then add(id), two commits).
       val fresh = batch.join(live.select(col("id")), Seq("id"), "left_anti")
       val vDir = writeVectors(spark, root, fresh)
       val gDir = writeEdges(spark, root, edges)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
 import org.apache.spark.sql.expressions.Window
@@ -797,6 +797,14 @@ object Similarity {
     * (NndSpec pins parity). */
   val NndLocalMaxNodes = 1 << 16
 
+  /** Edge-count ceiling for the task-local walk, as a per-node
+    * factor: node count alone doesn't bound the collect — a committed
+    * [[GraphIndex]] accumulates cross-dir duplicate edges under
+    * incremental adds, so a ≤ [[NndLocalMaxNodes]]-node but edge-heavy
+    * index must stay on the BSP path. 64 edges/node ≈ 4M (long, long)
+    * rows ≈ 64 MB at the node ceiling — the broadcast-side class. */
+  val NndLocalEdgeFactor = 64
+
   /** Deterministic content-free bucket for the initial neighbor draw
     * (NN-descent initializes RANDOM; md5 makes the draw engine-stable
     * — the C15 discipline). */
@@ -943,11 +951,21 @@ object Similarity {
       g.schema("src").dataType == org.apache.spark.sql.types.LongType &&
       g.schema("dst").dataType == org.apache.spark.sql.types.LongType
     if (longIds && localMaxNodes > 0) {
-      // bounded probe: reads at most localMaxNodes+1 rows however big
-      // the corpus is — over-threshold corpora pay one small scan
-      val probe = v.select(col("id"), col("v"), col("n2"))
-        .limit(localMaxNodes + 1).collect()
-      if (probe.length <= localMaxNodes) return nndBeamLocal(probe, g, q, k)
+      // bounded ID-ONLY probes: an over-threshold corpus learns it is
+      // too big from a ≤ (n+1)-row id scan — vector payloads never
+      // ship to the driver unless the local path will actually run.
+      // The edge probe guards the other axis: a committed GraphIndex
+      // accumulates cross-dir duplicate edges under incremental adds,
+      // so a small-node but edge-heavy index stays on the BSP path
+      // instead of blowing driver memory on the collect.
+      val maxEdges =
+        math.min(localMaxNodes.toLong * NndLocalEdgeFactor, Int.MaxValue - 1L).toInt
+      val fits = v.select(col("id")).limit(localMaxNodes + 1).count() <=
+          localMaxNodes &&
+        g.select(col("src")).limit(maxEdges + 1).count() <= maxEdges
+      if (fits)
+        return nndBeamLocal(v.select(col("id"), col("v"), col("n2")).collect(),
+          g, q, k)
     }
     // HOP-INVARIANT vector access: every hop boundary below is an
     // eager checkpoint, so each hop runs as its own job — without a
@@ -988,12 +1006,12 @@ object Similarity {
     // the walk's ~2·NndHops eager mini-jobs are all bounded-frame
     // plans whose joins are already hinted broadcast — AQE has nothing
     // left to improve, but each of its exchanges would pay a runtime
-    // re-planning wait. Turn it off for the walk's own jobs (restored
-    // before returning; the final ranking below runs under the
-    // caller's conf).
+    // re-planning wait. Turn it off for the walk's own jobs via the
+    // REFCOUNTED session toggle (restored when the last overlapping
+    // walk exits — a plain save/set/restore pair interleaves under
+    // concurrency and can leave AQE permanently off).
     val sess = v.sparkSession
-    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    aqeWalkEnter(sess)
     try {
     var pool = score(qc.select(col("qid")).crossJoin(broadcast(ent)))
       .localCheckpoint(true)
@@ -1018,7 +1036,37 @@ object Similarity {
     topB(pool, k)
       .select(col("qid"), col("rn").cast("long").as("rank"), col("nid"),
         Rounding.r(col("cos"), 4).as("cos"))
-    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    } finally aqeWalkExit(sess)
+  }
+
+  /** REFCOUNTED per-session AQE suppression for the walk's bounded
+    * mini-jobs. First walk in saves the caller's value and sets
+    * false; last walk out restores it — so overlapping walks on one
+    * session can't interleave save/restore and strand the session
+    * with AQE off. Known, documented residue of any session-conf
+    * approach: an UNRELATED query planned on the same session while a
+    * walk is in flight plans without AQE for that window — bounded by
+    * the walk's duration and always restored. */
+  private val aqeLock = new Object
+  private val aqeState =
+    new java.util.HashMap[SparkSession, (Int, String)]
+  private def aqeWalkEnter(sess: SparkSession): Unit = aqeLock.synchronized {
+    aqeState.get(sess) match {
+      case null =>
+        val saved = sess.conf.get("spark.sql.adaptive.enabled", "true")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        aqeState.put(sess, (1, saved))
+      case (n, saved) => aqeState.put(sess, (n + 1, saved))
+    }
+  }
+  private def aqeWalkExit(sess: SparkSession): Unit = aqeLock.synchronized {
+    aqeState.get(sess) match {
+      case null => // unbalanced exit: nothing saved, nothing to restore
+      case (1, saved) =>
+        aqeState.remove(sess)
+        sess.conf.set("spark.sql.adaptive.enabled", saved)
+      case (n, saved) => aqeState.put(sess, (n - 1, saved))
+    }
   }
 
   private def md5Hex(s: String): String = {
@@ -1058,7 +1106,10 @@ object Similarity {
       val s = idx.get(e.getLong(0)); val d = idx.get(e.getLong(1))
       if (s != null && d != null) adjB(s.intValue) += d.intValue
     }
-    val adj: Array[Array[Int]] = adjB.map(_.result())
+    // .distinct: a committed GraphIndex can carry cross-dir duplicate
+    // edges — dedupe in the adjacency arrays (order-preserving, cheap)
+    // rather than paying a shuffle to dedupe the frame before collect
+    val adj: Array[Array[Int]] = adjB.map(_.result().distinct)
     // entry points: md5-smallest ids — java.security MD5 hex equals
     // Spark's md5() hex, and (String, Long) tuple order equals the
     // BSP orderBy(md5, nid)

@@ -49,12 +49,26 @@ object ResultCache {
     val fs = fsOf(spark, cacheDir)
     // the hit-path read can transiently fail if a racing publisher's
     // crashed-remnant cleanup unlinks the dir between our _SUCCESS
-    // check and the read — treat that as a miss (evaluate below),
-    // never as an error
+    // check and the read — treat PATH-MISSING as a miss (evaluate
+    // below). Any OTHER failure under a present _SUCCESS is a CORRUPT
+    // entry (bad footer, truncated file): swallowing it as a miss
+    // would recompute every call and never republish (the publish
+    // path sees the corrupt winner's _SUCCESS and yields), masking
+    // the corruption forever — delete the entry so the recompute
+    // below republishes a good copy.
     val hit =
       if (!fs.exists(new Path(dir, "_SUCCESS"))) None
       else try Some(spark.read.parquet(dir))
-      catch { case _: Exception => None }
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              (e.getMessage.contains("PATH_NOT_FOUND") ||
+                e.getMessage.contains("Path does not exist")) => None
+        case scala.util.control.NonFatal(_) =>
+          fs.delete(new Path(dir), true)
+          None
+      }
     if (hit.isDefined)
       (hit.get, true)
     else {

@@ -108,4 +108,35 @@ class ResultCacheSpec extends SparkSpec {
     val (_, h4) = ResultCache.cached(spark, cacheDir, "join", Seq(rootA, rootB))(q)
     assert(h4, "the live entry must survive vacuum")
   }
+
+  test("a CORRUPT entry under a valid _SUCCESS is deleted and republished, not recomputed forever") {
+    val root = fresh("rcCor") + "/t"
+    val cacheDir = fresh("rc-cache4")
+    PkTableSink.mergeTx(spark, root,
+      (0L until 30L).map(i => (i, 1L, false)).toDF("id", "ver", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    var evals = 0
+    def q = { evals += 1
+      PkTableSink.readTx(spark, root, spark.emptyDataFrame).groupBy().count() }
+    val (_, h1) = ResultCache.cached(spark, cacheDir, "cor", Seq(root))(q)
+    assert(!h1 && evals == 1)
+    // corrupt the published entry IN PLACE: overwrite every parquet
+    // part with garbage bytes while _SUCCESS stays valid
+    val fs = new org.apache.hadoop.fs.Path(cacheDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entry = fs.listStatus(new org.apache.hadoop.fs.Path(cacheDir))
+      .map(_.getPath).find(_.getName.startsWith("cor.v")).get
+    fs.listStatus(entry).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).foreach { p =>
+        val out = fs.create(p, true)
+        out.write("not a parquet footer".getBytes("UTF-8")); out.close()
+      }
+    // read fails -> entry deleted -> recompute -> REPUBLISH good copy
+    val (r2, h2) = ResultCache.cached(spark, cacheDir, "cor", Seq(root))(q)
+    assert(!h2 && evals == 2 && r2.as[Long].head() == 30L)
+    // the republished copy now serves hits again — corruption was
+    // repaired, not masked by an eternal per-call recompute
+    val (r3, h3) = ResultCache.cached(spark, cacheDir, "cor", Seq(root))(q)
+    assert(h3 && evals == 2 && r3.as[Long].head() == 30L)
+  }
 }
