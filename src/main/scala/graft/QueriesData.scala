@@ -531,6 +531,26 @@ object QueriesData {
         .select(col("index_name"), col("n_queries"), col("n_hits"),
           Rounding.r(col("n_hits").cast("double") /
             (col("n_queries") * lit(3)).cast("double"), 4).as("recall"))
+        // GATED floors (the B22/B42 est_ok construction): Spark emits
+        // the measured flag, the oracle hardcodes TRUE for the floored
+        // indexes — so a recall drop below its pin hash-mismatches and
+        // turns the CORRECTNESS row red instead of just moving a
+        // number nobody checks. Floors: nnd ≥ 0.9 (NndSpec's floor —
+        // holds at sf0.01/sf0.1/sf1 since the r12 RP-seeded graph),
+        // int8+rerank = 1.0 (exact rerank over int8 candidates must
+        // recover the true top-k here), pq ≥ 0.5 (top-3 SET recall at
+        // the driver gate corpus; KMeansSpec's 0.6 pin is TOP-1 — a
+        // different metric). nnd and int8 are hard-pinned TRUE in BOTH
+        // oracle forms (scale-invariant claims); pq only in the
+        // driver-gate form — its cell-probe recall degrades with n on
+        // isotropic corpora by design, so the sf1 staged oracle
+        // replays the comparison and the flag is report-only there.
+        // The IVF variants carry NULL — honestly low, no floor claimed.
+        .withColumn("recall_ok",
+          when(col("index_name") === "nnd", col("recall") >= 0.9)
+            .when(col("index_name") === "int8", col("recall") === 1.0)
+            .when(col("index_name") === "pq", col("recall") >= 0.5)
+            .otherwise(lit(null).cast("boolean")))
         .orderBy(col("index_name"))
     },
 
@@ -2601,6 +2621,12 @@ object QueriesData {
   private def nndOracle: String = {
     import graft.ops.Similarity.{NndGraphK, NndRounds, NndBucketTarget,
       NndMinBuckets, NndLongLinkTarget, NndEntries, NndBeam, NndHops}
+    // the RP-LSH seeded init (r12): plane count = integer
+    // ceil-log2((n + T - 1) // T), Rademacher signs from the same
+    // md5-nibble rule as Similarity.rpSign, per-plane dot via
+    // list_dot_product against the ORDERED sign list (sequential
+    // left-to-right — the same accumulation order as the Spark dot
+    // kernel, the precedent every cosine in this oracle relies on)
     def cos(a: String, b: String) =
       s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
     val roundCtes = (1 to NndRounds).map { r =>
@@ -2634,11 +2660,41 @@ object QueriesData {
        |  CAST('0x' || substr(md5(vec_id || ':nng'), 1, 8) AS BIGINT)
        |    % greatest($NndMinBuckets, (SELECT count(*) FROM v) // $NndBucketTarget) AS bkt
        |  FROM v),
+       |np AS (SELECT CASE WHEN q <= 1 THEN 0
+       |         ELSE CAST(ceil(log2(q)) AS BIGINT) END AS p
+       |       FROM (SELECT ((SELECT count(*) FROM v) + ${NndBucketTarget - 1})
+       |               // $NndBucketTarget AS q)),
+       |pls AS (SELECT unnest(generate_series(0, (SELECT p FROM np) - 1)) AS pl),
+       |dims AS (SELECT unnest(generate_series(0, len(e) - 1)) AS dim
+       |         FROM (SELECT e FROM v LIMIT 1)),
+       |sgn AS MATERIALIZED (SELECT pl,
+       |    list(CASE WHEN substr(md5('rp:' || pl || ':' || dim), 1, 1) < '8'
+       |         THEN 1.0 ELSE -1.0 END ORDER BY dim) AS sv
+       |  FROM pls CROSS JOIN dims
+       |  GROUP BY pl),
+       |rpd AS MATERIALIZED (SELECT vec_id, pl, list_dot_product(e, sv) AS dp
+       |  FROM v CROSS JOIN sgn),
+       |rpb AS MATERIALIZED (SELECT v.vec_id, CAST(COALESCE(s.rbv, 0) AS BIGINT) AS rb
+       |  FROM v LEFT JOIN (SELECT vec_id,
+       |      sum(CASE WHEN dp > 0 THEN power(2, pl) ELSE 0 END) AS rbv
+       |    FROM rpd GROUP BY vec_id) s ON s.vec_id = v.vec_id),
+       |rpc AS (SELECT rb, count(*) AS c FROM rpb GROUP BY rb),
+       |rps AS MATERIALIZED (SELECT vec_id, rb,
+       |    CAST('0x' || substr(md5(vec_id || ':rps'), 1, 8) AS BIGINT)
+       |      % greatest(1, CAST(ceil(c / ${NndBucketTarget.toDouble}) AS BIGINT)) AS sb
+       |  FROM rpb JOIN rpc USING (rb)),
+       |cand0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT a.vec_id AS src, c.vec_id AS dst
+       |  FROM bk a JOIN bk c ON a.bkt = c.bkt AND a.vec_id <> c.vec_id
+       |  UNION ALL
+       |  SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM rps a JOIN rps b ON a.rb = b.rb AND a.sb = b.sb
+       |    AND a.vec_id <> b.vec_id)),
        |g0 AS MATERIALIZED (SELECT src, dst FROM (
-       |  SELECT a.vec_id AS src, c.vec_id AS dst,
-       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |      ${cos("a.e", "c.e")} DESC, c.vec_id) AS rn
-       |  FROM bk a JOIN bk c ON a.bkt = c.bkt AND a.vec_id <> c.vec_id)
+       |  SELECT c.src, c.dst,
+       |    row_number() OVER (PARTITION BY c.src ORDER BY
+       |      ${cos("s.e", "d.e")} DESC, c.dst) AS rn
+       |  FROM cand0 c JOIN v s ON s.vec_id = c.src JOIN v d ON d.vec_id = c.dst)
        |  WHERE rn <= $NndGraphK),
        |$roundCtes,
        |lb AS MATERIALIZED (SELECT vec_id,
@@ -2700,15 +2756,27 @@ object QueriesData {
       |      ON v.vec_id <> qid)
       |  WHERE rank <= 3""".stripMargin
 
-  private def annAuditFinal: String = {
+  /** Final audit projection. `pqHard`: the driver-gate form hardcodes
+    * TRUE for pq's ≥ 0.5 floor (a drop turns the gate red); the sf1
+    * staged form replays the comparison instead — pq's cell-probe
+    * top-3 recall degrades with corpus size on isotropic data by
+    * design, so at scale the flag is an honest report, not a pin.
+    * nnd / int8 stay hardcoded TRUE in BOTH forms (scale-invariant
+    * claims the engine must keep). */
+  private def annAuditFinal(pqHard: Boolean): String = {
     val rows = annAuditIndexes.map { case (nm, _) =>
       s"""SELECT '$nm' AS index_name,
          |  (SELECT count(DISTINCT qid) FROM exact3) AS n_queries,
          |  (SELECT count(*) FROM i_$nm JOIN exact3 USING (qid, nid)) AS n_hits"""
         .stripMargin
     }.mkString("\nUNION ALL ")
+    val pqFlag =
+      if (pqHard) "TRUE"
+      else "round(CAST(n_hits AS DOUBLE) / CAST(n_queries * 3 AS DOUBLE), 4) >= 0.5"
     s"""SELECT index_name, n_queries, n_hits,
-       |  round(CAST(n_hits AS DOUBLE) / CAST(n_queries * 3 AS DOUBLE), 4) AS recall
+       |  round(CAST(n_hits AS DOUBLE) / CAST(n_queries * 3 AS DOUBLE), 4) AS recall,
+       |  CASE index_name WHEN 'nnd' THEN TRUE WHEN 'int8' THEN TRUE
+       |    WHEN 'pq' THEN $pqFlag ELSE NULL END AS recall_ok
        |FROM ($rows)
        |ORDER BY index_name""".stripMargin
   }
@@ -2719,7 +2787,7 @@ object QueriesData {
     }.mkString(",\n")
     s"""WITH exact3 AS ($annAuditExact3),
        |$ctes
-       |$annAuditFinal""".stripMargin
+       |${annAuditFinal(pqHard = true)}""".stripMargin
   }
 
   /** Scale-gate variant of the audit oracle: each index replay runs as
@@ -2734,7 +2802,7 @@ object QueriesData {
     }.mkString("\n")
     s"""CREATE TEMP TABLE exact3 AS $annAuditExact3;
        |$stages
-       |$annAuditFinal""".stripMargin
+       |${annAuditFinal(pqHard = false)}""".stripMargin
   }
 
   val oracleSql: Map[String, String] =
