@@ -436,6 +436,51 @@ object QueriesCdc {
         Seq(col("ver_ts"), col("ver_seq")), col("event_type") === "error")
         .select(col("k"), col("name"), Rounding.r(col("bal"), 4).as("bal"), col("seg"))
         .orderBy(col("k"))
+    },
+
+    // D37 in the GATE (r12): the QskMv transactional percentile-sketch
+    // MV driven end-to-end inside a driver-checked query — four
+    // deterministic event batches maintained through maintainTx (one
+    // manifest commit per batch, plus one REPLAYED batch id proving
+    // the per-writer watermark skips it without running jobs), then a
+    // B69-shape rollup served from the COMMITTED sketch column, never
+    // from raw event history. Sketch estimates are engine-internal →
+    // output is the B69 bound-flag construction: exact counts the
+    // oracle recomputes plus 5% rank flags it expects TRUE, via a
+    // per-type broadcast rank recount.
+    "qsk_mv_rollup" -> { (s, dir) =>
+      import graft.streaming.QskMv
+      val root = java.nio.file.Files.createTempDirectory("qskmv_gate")
+        .toString + "/mv"
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        to_date(col("ts")).as("day"), col("value"), col("event_id"))
+      (0 until 4).foreach { i =>
+        def run() = QskMv.maintainTx(root,
+          ev.where(pmod(col("event_id"), lit(4)) === i), i,
+          Seq("event_type", "day"), col("value"), writer = "gate")
+        require(run(), s"qsk_mv_rollup: batch $i must apply")
+        if (i == 1) require(!run(),
+          "qsk_mv_rollup: replayed batch must be watermark-skipped")
+      }
+      val schemaOf = {
+        import s.implicits._
+        Seq.empty[(String, java.sql.Date, graft.functions.Qsk.Sk, Long, Long)]
+          .toDF("event_type", "day", "sk", "n", "batch_id")
+      }
+      val rolled = QskMv.rollup(QskMv.readMv(s, root, schemaOf),
+        Seq("event_type"), Seq(0.5, 0.9))
+      def ok(r: String, q: Double) =
+        abs(col(r) - lit(q) * col("n_events")) <=
+          lit(0.05) * col("n_events") + lit(1.0)
+      Tables.events(s, dir)
+        .join(broadcast(rolled), "event_type")
+        .groupBy(col("event_type"), col("n_events"),
+          col("n_keys").as("n_days"))
+        .agg(sum((col("value") <= col("p50_est")).cast("long")).as("r50"),
+          sum((col("value") <= col("p90_est")).cast("long")).as("r90"))
+        .select(col("event_type"), col("n_events"), col("n_days"),
+          ok("r50", 0.5).as("p50_ok"), ok("r90", 0.9).as("p90_ok"))
+        .orderBy(col("event_type"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -582,5 +627,15 @@ object QueriesCdc {
         |  CASE WHEN l.user_id IS NOT NULL THEN 'EVENT' ELSE c.c_mktsegment END AS seg
         |FROM customer c FULL JOIN latest l ON c.c_custkey = l.user_id
         |WHERE l.user_id IS NULL OR l.event_type <> 'error'
-        |ORDER BY k""".stripMargin)
+        |ORDER BY k""".stripMargin,
+
+    // D37 gate: the committed-sketch rollup's exact counts recomputed
+    // from raw events; the 5% rank flags are expected TRUE (the B69
+    // est_ok construction — a sketch drifting past its bound turns
+    // this row red)
+    "qsk_mv_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  true AS p50_ok, true AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
