@@ -40,6 +40,17 @@ object GraphIndex {
   private val Graph = "graph"
   private val Tombstones = "tombstones"
 
+  /** Manifest-meta drift counter: live vectors added INCREMENTALLY
+    * since the last full build/rebuild. Incremental inserts never
+    * revisit old nodes' edge lists, so graph quality decays as this
+    * grows relative to the corpus — [[graft.sinks.Doctor]] reads it
+    * (it deliberately SURVIVES [[compact]], which folds files without
+    * re-deriving the graph; only [[rebuild]]/[[build]] reset it). */
+  val AddsKey = "adds_since_rebuild"
+
+  private def addsOf(m: TxLog.Manifest): Long =
+    m.meta.get(AddsKey).map(_.toLong).getOrElse(0L)
+
   private def nonce() = java.util.UUID.randomUUID().toString.take(8)
 
   /** Same kill-ordinal convention as [[IvfIndex]]: the Vectors-list
@@ -55,11 +66,12 @@ object GraphIndex {
 
   private def commitWith(spark: SparkSession, root: String, writer: String,
                          maxAttempts: Int, recoverTornAfterMs: Long)(
-      work: Option[TxLog.Manifest] => (Map[String, String], Seq[String])): Long = {
+      work: Option[TxLog.Manifest] =>
+        (Map[String, String], Map[String, String], Seq[String])): Long = {
     require(!root.contains(","), s"index root may not contain ',': $root")
     TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
-      val (tables, written) = work(base)
-      TxLog.Prepared(tables = tables, written = written)
+      val (tables, meta, written) = work(base)
+      TxLog.Prepared(tables = tables, meta = meta, written = written)
     }
   }
 
@@ -126,7 +138,8 @@ object GraphIndex {
             "against the new current version")
       val vDir = writeVectors(spark, root, v)
       val gDir = writeEdges(spark, root, g)
-      (Map(Vectors -> vDir, Graph -> gDir), Seq(vDir, gDir))
+      (Map(Vectors -> vDir, Graph -> gDir), Map(AddsKey -> "0"),
+        Seq(vDir, gDir))
     }
   }
 
@@ -175,11 +188,14 @@ object GraphIndex {
       // one (the index has no in-place update verb; a vector UPDATE
       // is delete(id) then add(id), two commits).
       val fresh = batch.join(live.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      val nFresh = fresh.count()
       val vDir = writeVectors(spark, root, fresh)
       val gDir = writeEdges(spark, root, edges)
       (m.tables
         + (Vectors -> (dirs(m, Vectors) :+ vDir).mkString(","))
         + (Graph -> (dirs(m, Graph) :+ gDir).mkString(",")),
+        m.meta + (AddsKey -> (addsOf(m) + nFresh).toString),
         Seq(vDir, gDir))
     }
   }
@@ -197,7 +213,7 @@ object GraphIndex {
       val dir = s"$root/t$ord-${nonce()}"
       ids.select(idCol.cast("long").as("id")).distinct().write.parquet(dir)
       (m.tables + (Tombstones -> (dirs(m, Tombstones) :+ dir).mkString(",")),
-        Seq(dir))
+        m.meta, Seq(dir))
     }
 
   /** Fold the deltas: one vector snapshot of the LIVE rows, one edge
@@ -218,7 +234,7 @@ object GraphIndex {
       val vDir = writeVectors(spark, root, live)
       val gDir = writeEdges(spark, root, edges)
       (m.tables - Tombstones + (Vectors -> vDir) + (Graph -> gDir),
-        Seq(vDir, gDir))
+        m.meta, Seq(vDir, gDir))
     }
 
   /** Re-derive the whole graph from the live vectors (the drift cure
@@ -235,7 +251,8 @@ object GraphIndex {
       val g = Similarity.nndSearchGraph(live, col("id"), col("v"))
       val vDir = writeVectors(spark, root, live)
       val gDir = writeEdges(spark, root, g)
-      (Map(Vectors -> vDir, Graph -> gDir), Seq(vDir, gDir))
+      (Map(Vectors -> vDir, Graph -> gDir), Map(AddsKey -> "0"),
+        Seq(vDir, gDir))
     }
 
   /** Top-k cosine neighbors from the CURRENT version for an external

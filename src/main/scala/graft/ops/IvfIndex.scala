@@ -38,6 +38,16 @@ object IvfIndex {
   private val Vectors = "vectors"
   private val Tombstones = "tombstones"
 
+  /** Manifest-meta drift counter: vectors added since the CENTROIDS
+    * were last trained ([[build]]/[[retrain]] reset it; [[add]]
+    * accumulates; [[compact]] deliberately carries it forward — it
+    * folds files without retraining, so assignment-quality drift
+    * persists). [[graft.sinks.Doctor]] reads it. */
+  val AddsKey = "adds_since_retrain"
+
+  private def addsOf(m: TxLog.Manifest): Long =
+    m.meta.get(AddsKey).map(_.toLong).getOrElse(0L)
+
   private def nonce() = java.util.UUID.randomUUID().toString.take(8)
 
   /** A tombstone dir's kill ordinal: the Vectors-list LENGTH at delete
@@ -63,11 +73,12 @@ object IvfIndex {
     * delta dir list in manifest values). */
   private def commitWith(spark: SparkSession, root: String, writer: String,
                          maxAttempts: Int, recoverTornAfterMs: Long)(
-      work: Option[TxLog.Manifest] => (Map[String, String], Seq[String])): Long = {
+      work: Option[TxLog.Manifest] =>
+        (Map[String, String], Map[String, String], Seq[String])): Long = {
     require(!root.contains(","), s"index root may not contain ',': $root")
     TxLog.commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
-      val (tables, written) = work(base)
-      TxLog.Prepared(tables = tables, written = written)
+      val (tables, meta, written) = work(base)
+      TxLog.Prepared(tables = tables, meta = meta, written = written)
     }
   }
 
@@ -143,7 +154,8 @@ object IvfIndex {
       val cDir = writeCentroids(spark, root, cents)
       val vDir = writeAssigned(spark, root,
         Similarity.assignCells(v, spark.read.parquet(cDir)))
-      (Map(Centroids -> cDir, Vectors -> vDir), Seq(cDir, vDir))
+      (Map(Centroids -> cDir, Vectors -> vDir), Map(AddsKey -> "0"),
+        Seq(cDir, vDir))
     }
   }
 
@@ -159,9 +171,12 @@ object IvfIndex {
       val m = base.getOrElse(throw new IllegalStateException(
         s"IvfIndex.add: no committed index under $root — build first"))
       val cDir = m.tables(Centroids)
-      val delta = writeAssigned(spark, root,
-        Similarity.assignCells(v, spark.read.parquet(cDir)))
+      val assigned = Similarity.assignCells(v, spark.read.parquet(cDir))
+        .localCheckpoint(true)
+      val nAdded = assigned.count()
+      val delta = writeAssigned(spark, root, assigned)
       (m.tables + (Vectors -> (dirs(m, Vectors) :+ delta).mkString(",")),
+        m.meta + (AddsKey -> (addsOf(m) + nAdded).toString),
         Seq(delta))
     }
   }
@@ -183,7 +198,7 @@ object IvfIndex {
       val dir = s"$root/t$ord-${nonce()}"
       ids.select(idCol.cast("long").as("id")).distinct().write.parquet(dir)
       (m.tables + (Tombstones -> (dirs(m, Tombstones) :+ dir).mkString(",")),
-        Seq(dir))
+        m.meta, Seq(dir))
     }
 
   /** Rewrite the accumulated vector deltas into ONE cell-partitioned
@@ -200,7 +215,7 @@ object IvfIndex {
         s"IvfIndex.compact: no committed index under $root"))
       val merged = readVectors(spark, m).repartition(col("cell"))
       val vDir = writeAssigned(spark, root, merged)
-      (m.tables - Tombstones + (Vectors -> vDir), Seq(vDir))
+      (m.tables - Tombstones + (Vectors -> vDir), m.meta, Seq(vDir))
     }
 
   /** Re-train centroids on everything indexed and re-assign (the
@@ -218,7 +233,8 @@ object IvfIndex {
       val withNorm = vectors.withColumn("n2", Similarity.normSq(col("v")))
       val vDir = writeAssigned(spark, root,
         Similarity.assignCells(withNorm, spark.read.parquet(cDir)))
-      (Map(Centroids -> cDir, Vectors -> vDir), Seq(cDir, vDir))
+      (Map(Centroids -> cDir, Vectors -> vDir), Map(AddsKey -> "0"),
+        Seq(cDir, vDir))
     }
 
   /** Top-k cosine neighbors from the CURRENT index version for a

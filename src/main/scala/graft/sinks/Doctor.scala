@@ -39,11 +39,27 @@ object Doctor {
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Examine `root`. Throws only when the root has no committed
-    * version at all (nothing to diagnose). */
+  private def idxDirs(m: TxLog.Manifest, key: String): Seq[String] =
+    m.tables.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+
+  /** Examine `root` — a PK lake table OR one of the three persisted
+    * index roots (IVF / LSH / graph-ANN), dispatched on the
+    * manifest's tables vocabulary. Index findings reuse each index's
+    * own serving rule (`count()` = live rows after tombstone
+    * ordinals) plus the drift counters the index verbs maintain, so
+    * the report cannot disagree with what a search actually pays.
+    * Throws only when the root has no committed version at all
+    * (nothing to diagnose). */
   def examine(spark: SparkSession, root: String): Report = {
     val m = TxLog.current(spark, root).getOrElse(throw new IllegalStateException(
       s"Doctor.examine: no committed version under $root"))
+    val t = m.tables
+    if (t.contains("centroids") && t.contains("vectors"))
+      return examineIvf(spark, root, m)
+    if (t.contains("graph") && t.contains("vectors"))
+      return examineGraph(spark, root, m)
+    if (t.contains("sigs") && t.contains("bands"))
+      return examineLsh(spark, root, m)
     val fs = fsOf(spark, root)
     val names = fs.listStatus(new Path(root)).map(_.getPath.getName).toSeq
     val findings = Seq.newBuilder[Finding]
@@ -110,6 +126,111 @@ object Doctor {
       if (garbage > 0) "SidecarGc.vacuum removes unreachable generations" else "")
 
     Report(root, m.version, findings.result())
+  }
+
+  /** Shared index checks: merge-on-read chain depth (every search
+    * unions the listed delta dirs) and tombstone mass vs live rows
+    * (dead rows are read + anti-joined on every search until a
+    * compact folds them). `live` is the index's own serving-rule
+    * count. */
+  private def indexCommon(chainDirs: Int, tombRows: Long,
+                          live: Long, compactCall: String): Seq[Finding] = {
+    val chain = Finding("delta chain", chainDirs <= 8,
+      s"$chainDirs delta dir(s) unioned per search",
+      if (chainDirs > 8) s"$compactCall folds them into one snapshot" else "")
+    val tombOk = tombRows == 0 || tombRows * 5 <= live
+    val tomb = Finding("tombstone mass", tombOk,
+      s"$tombRows tombstone row(s) vs $live live — every search pays the anti-join",
+      if (!tombOk) s"$compactCall drops dead rows physically" else "")
+    Seq(chain, tomb)
+  }
+
+  private def tombRowsOf(spark: SparkSession, m: TxLog.Manifest): Long = {
+    val dirs = idxDirs(m, "tombstones")
+    if (dirs.isEmpty) 0L
+    else dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+      .select("id").distinct().count()
+  }
+
+  /** IVF index root: chain, tombstones, and CENTROID STALENESS — the
+    * `adds_since_retrain` counter the index verbs maintain (compact
+    * carries it: folding files doesn't retrain). Vectors assigned to
+    * stale centroids crowd the wrong cells and cell-probe recall
+    * decays. */
+  private def examineIvf(spark: SparkSession, root: String,
+                         m: TxLog.Manifest): Report = {
+    val live = graft.ops.IvfIndex.count(spark, root)
+    val adds = m.meta.get(graft.ops.IvfIndex.AddsKey).map(_.toLong).getOrElse(0L)
+    val driftOk = adds == 0 || adds * 2 <= live
+    val findings = indexCommon(idxDirs(m, "vectors").size,
+      tombRowsOf(spark, m), live, "IvfIndex.compact") :+
+      Finding("centroid staleness", driftOk,
+        s"$adds vector(s) added since the centroids were trained ($live live)",
+        if (!driftOk) "IvfIndex.retrain re-trains on the live set (then compact)"
+        else "")
+    Report(root, m.version, findings)
+  }
+
+  /** Graph-ANN index root: chain, tombstones, and GRAPH-QUALITY DRIFT
+    * — `adds_since_rebuild` (incremental inserts never revisit old
+    * nodes' edge lists, so neighborhood quality decays as the
+    * incrementally-added share grows; compact folds files but cannot
+    * cure this — only rebuild re-derives the graph). */
+  private def examineGraph(spark: SparkSession, root: String,
+                           m: TxLog.Manifest): Report = {
+    val live = graft.ops.GraphIndex.count(spark, root)
+    val adds = m.meta.get(graft.ops.GraphIndex.AddsKey).map(_.toLong).getOrElse(0L)
+    val driftOk = adds == 0 || adds * 2 <= live
+    val findings = indexCommon(idxDirs(m, "vectors").size,
+      tombRowsOf(spark, m), live, "GraphIndex.compact") :+
+      Finding("graph drift", driftOk,
+        s"$adds node(s) inserted incrementally since the last full build ($live live)",
+        if (!driftOk) "GraphIndex.rebuild re-derives the NN-descent graph" else "")
+    Report(root, m.version, findings)
+  }
+
+  /** LSH dedup index root: chain depth only — signatures are exact
+    * content functions (no drift), and the index has no delete verb
+    * (dedup corpora only grow; quality never decays, only probe cost
+    * as the delta chain deepens). */
+  private def examineLsh(spark: SparkSession, root: String,
+                         m: TxLog.Manifest): Report = {
+    val nSigs = idxDirs(m, "sigs").size
+    val findings = Seq(Finding("delta chain", nSigs <= 8,
+      s"$nSigs signature delta dir(s) unioned per probe " +
+        s"(${graft.ops.LshIndex.count(spark, root)} signatures live)",
+      if (nSigs > 8) "LshIndex.compact folds them into one snapshot" else ""))
+    Report(root, m.version, findings)
+  }
+
+  /** Apply each degraded INDEX finding's remedy and re-examine —
+    * compact for chain/tombstone findings, retrain/rebuild for drift
+    * (compaction first: retrain/rebuild read the live set, and
+    * folding tombstones first keeps that read minimal). A lake root
+    * passed here dispatches to the full [[repair]]. */
+  def repairIndex(spark: SparkSession, root: String,
+                  writer: String = "doctor"): Report = {
+    val before = examine(spark, root)
+    def bad(check: String) = before.degraded.exists(_.check == check)
+    val t = TxLog.current(spark, root).map(_.tables).getOrElse(Map.empty)
+    if (t.contains("centroids") && t.contains("vectors")) {
+      if (bad("delta chain") || bad("tombstone mass"))
+        graft.ops.IvfIndex.compact(spark, root, writer = writer)
+      if (bad("centroid staleness")) {
+        val k = spark.read.parquet(t("centroids")).count().toInt
+        graft.ops.IvfIndex.retrain(spark, root, k = math.max(1, k),
+          writer = writer)
+      }
+    } else if (t.contains("graph") && t.contains("vectors")) {
+      if (bad("delta chain") || bad("tombstone mass"))
+        graft.ops.GraphIndex.compact(spark, root, writer = writer)
+      if (bad("graph drift"))
+        graft.ops.GraphIndex.rebuild(spark, root, writer = writer)
+    } else if (t.contains("sigs") && t.contains("bands")) {
+      if (bad("delta chain"))
+        graft.ops.LshIndex.compact(spark, root, writer = writer)
+    } else return repair(spark, root, writer)
+    examine(spark, root)
   }
 
   /** CLOSED-LOOP maintenance: apply the remedy each degraded finding

@@ -109,4 +109,71 @@ class DoctorSpec extends SparkSpec {
     assert(again.healthy && again.version == v,
       s"re-repair moved the table: v$v -> v${again.version}")
   }
+
+  test("index roots: chain/tombstone/drift findings name compact/retrain/rebuild; " +
+    "repairIndex closes each loop") {
+    import graft.ops.{GraphIndex, IvfIndex, LshIndex}
+    val emb = Tables.embeddings(spark, sfDir)
+
+    // GRAPH index — degrade all three axes: more nodes inserted
+    // incrementally than the build had (quality drift), nine add
+    // commits (deep chain), and a delete of a third of the corpus
+    // (tombstone mass vs live)
+    val gRoot = java.nio.file.Files.createTempDirectory("docg").toString + "/g"
+    GraphIndex.build(emb.where(col("vec_id") < 200),
+      col("vec_id"), col("embedding"), gRoot)
+    (0 until 9).foreach { i =>
+      GraphIndex.add(
+        emb.where(col("vec_id") >= 200 + i * 30 && col("vec_id") < 230 + i * 30),
+        col("vec_id"), col("embedding"), gRoot)
+    }
+    GraphIndex.delete(spark, gRoot,
+      emb.where(col("vec_id") < 120).select(col("vec_id")), col("vec_id"))
+    val gBad = Doctor.examine(spark, gRoot)
+    assert(gBad.degraded.map(_.check).toSet ==
+      Set("delta chain", "tombstone mass", "graph drift"), gBad.render)
+    assert(gBad.degraded.find(_.check == "graph drift").get.remedy
+      .contains("rebuild"), gBad.render)
+    assert(gBad.degraded.find(_.check == "tombstone mass").get.remedy
+      .contains("compact"), gBad.render)
+    val gFixed = Doctor.repairIndex(spark, gRoot)
+    assert(gFixed.healthy, gFixed.render)
+    assert(GraphIndex.count(spark, gRoot) == 350,
+      "repair must not change the live node set")
+
+    // IVF index — centroid staleness: more vectors assigned to the
+    // trained centroids than the training set held; repair retrains
+    // with the SAME k and resets the counter
+    val iRoot = java.nio.file.Files.createTempDirectory("doci").toString + "/i"
+    IvfIndex.build(emb.where(col("vec_id") < 200),
+      col("vec_id"), col("embedding"), iRoot, k = 4)
+    IvfIndex.add(emb.where(col("vec_id") >= 200 && col("vec_id") < 450),
+      col("vec_id"), col("embedding"), iRoot)
+    val iBad = Doctor.examine(spark, iRoot)
+    assert(iBad.degraded.map(_.check) == Seq("centroid staleness"), iBad.render)
+    assert(iBad.degraded.head.remedy.contains("retrain"), iBad.render)
+    val iFixed = Doctor.repairIndex(spark, iRoot)
+    assert(iFixed.healthy, iFixed.render)
+    assert(IvfIndex.count(spark, iRoot) == 450)
+    val cDir = graft.sinks.TxLog.current(spark, iRoot).get.tables("centroids")
+    assert(spark.read.parquet(cDir).count() == 4,
+      "retrain must keep the trained k")
+
+    // LSH index — probe-cost chain only (no deletes, no drift:
+    // signatures are exact content functions); repair compacts
+    val docs = Tables.documents(spark, sfDir)
+    val lRoot = java.nio.file.Files.createTempDirectory("docl").toString + "/l"
+    LshIndex.build(docs.where(col("doc_id") % 10 === 0),
+      col("doc_id"), col("text"), lRoot)
+    (1 to 9).foreach { i =>
+      LshIndex.add(docs.where(col("doc_id") % 10 === i),
+        col("doc_id"), col("text"), lRoot)
+    }
+    val lBad = Doctor.examine(spark, lRoot)
+    assert(lBad.degraded.map(_.check) == Seq("delta chain") &&
+      lBad.degraded.head.remedy.contains("compact"), lBad.render)
+    val lFixed = Doctor.repairIndex(spark, lRoot)
+    assert(lFixed.healthy, lFixed.render)
+    assert(LshIndex.count(spark, lRoot) == docs.count())
+  }
 }
