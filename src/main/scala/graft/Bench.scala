@@ -136,7 +136,13 @@ object Bench {
           // r11: the graph-ANN family (the r10 verdict's missing scale
           // evidence) — nnd pays one amortized graph build per corpus
           // then walks; the audit probes the same shared graph
-          "ann_nndescent", "ann_recall_audit")
+          "ann_nndescent", "ann_recall_audit",
+          // r12: the KMV sketch pass scans lineitem and shuffles
+          // bounded sketches (near-flat expected); the hybrid fusion's
+          // hot paths are the token equi-join + the cosine scan
+          "q_kmv_setops", "ann_hybrid_rrf",
+          // the fourth sketch-rollup row: bounded KMV state per group
+          "q_kmv_rollup")
         val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
         ScaleUp.ensure(spark, sfDir, dst, factor)
         val baseTimes = results.toMap

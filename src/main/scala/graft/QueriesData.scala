@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
-import graft.ops.{Bpe, Dedup, Mixture, Multimodal, Packing, Profiling, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, HybridRetrieval, Mixture, Multimodal, Packing, Profiling, Similarity, TextAnalysis}
 
 /** Training-data pipeline query surface (SURVEY §2 section C):
   * dedup, similarity search, text analysis, multimodal plumbing.
@@ -429,6 +429,22 @@ object QueriesData {
     "ann_topk_agg" -> { (s, dir) =>
       Similarity.topkAgg(Tables.embeddings(s, dir), col("vec_id"),
         col("embedding"), isQuery = _ % 50 === 0, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // C69: hybrid lexical+semantic retrieval fused by Reciprocal Rank
+    // Fusion (Cormack et al. SIGIR'09) — the two-tower search shape a
+    // curation/RAG stack runs over the corpus: idf-weighted token
+    // overlap (sparse) and embedding cosine (dense) ranked
+    // independently, lists cut to top-20, fused by Σ 1/(60+rank).
+    // Each leg ranks on 4dp-rounded scores (cross-engine Σ-order
+    // drift collapsed — the text_tfidf construction) so the whole
+    // fusion hash-replays in the oracle.
+    "ann_hybrid_rrf" -> { (s, dir) =>
+      HybridRetrieval.rrfTopk(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        isQuery = _ % 40 === 0, k = 5, listN = 20)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -2490,6 +2506,41 @@ object QueriesData {
         |    v.vec_id) AS rank
         |  FROM q JOIN v ON v.vec_id <> qid)
         |SELECT qid, rank, nid, round(c, 4) AS cos FROM scored
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // C69: both legs rank on 4dp-rounded scores with id tie-breaks;
+    // RRF scores are exact rationals of integer ranks — IEEE-identical
+    // cross-engine, so the fused list hash-matches.
+    "ann_hybrid_rrf" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, unnest(w) AS t FROM docs),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM docs),
+        |df AS (SELECT t, CAST(count(*) AS DOUBLE) AS dft FROM dt GROUP BY t),
+        |lex AS (SELECT q.doc_id AS qid, d.doc_id AS nid,
+        |    round(sum(ln(1 + (nd - dft + 0.5) / (dft + 0.5))), 4) AS s
+        |  FROM dt q JOIN dt d USING (t) JOIN df USING (t) CROSS JOIN n
+        |  WHERE q.doc_id % 40 = 0 AND d.doc_id <> q.doc_id
+        |  GROUP BY 1, 2),
+        |lrank AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rl
+        |  FROM lex),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sem AS (SELECT q.vec_id AS qid, v.vec_id AS nid,
+        |    round(list_dot_product(q.e, v.e) /
+        |      sqrt(list_dot_product(q.e, q.e) * list_dot_product(v.e, v.e)), 4) AS c
+        |  FROM v q JOIN v ON v.vec_id <> q.vec_id WHERE q.vec_id % 40 = 0),
+        |srank AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rs
+        |  FROM sem),
+        |fused AS (SELECT coalesce(l.qid, s.qid) AS qid,
+        |    coalesce(l.nid, s.nid) AS nid,
+        |    coalesce(1.0 / (60 + rl), 0) + coalesce(1.0 / (60 + rs), 0) AS rrf
+        |  FROM (SELECT * FROM lrank WHERE rl <= 20) l
+        |  FULL JOIN (SELECT * FROM srank WHERE rs <= 20) s
+        |    ON l.qid = s.qid AND l.nid = s.nid),
+        |ranked AS (SELECT qid, nid, rrf,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
+        |  FROM fused)
+        |SELECT qid, rank, nid, round(rrf, 6) AS rrf FROM ranked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // C43b: trained-cell replay (shared CTE) + PQ codebook/encode/ADC
     // replay (C43's fragments) + probe-pruned candidates

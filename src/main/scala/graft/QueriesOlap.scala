@@ -1014,6 +1014,85 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B72: KMV bottom-k sketch SET EXPRESSIONS (functions.Kmv) — the
+    // sketch-column family member HLL and BITMAP both lack: bounded
+    // O(k) state per group AND every set operation. Per-returnflag
+    // bottom-k sketches of the distinct orderkey domain answer
+    // |A|, |A∩B|, |A∪B|, Jaccard for every flag pair from sketch
+    // state alone; the exact sides (computed here only to audit) are
+    // what a 100 TB deployment would NOT recompute — the sketch frame
+    // is 3 rows × ~8 KB. Estimates are engine-internal (no second
+    // engine replays xxhash64), so the gate emits exact values +
+    // error-bound flags (the B22/B42/B57 construction; tolerances
+    // carry ≥5σ headroom over the k=1024 estimator error, and KMV's
+    // distinct-bottom-k is partition-order-deterministic so the
+    // flags cannot flap run to run — KmvSpec pins both).
+    "q_kmv_setops" -> { (s, dir) =>
+      import graft.functions.Kmv
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"), col("l_orderkey").as("okey"))
+      val sk = li.groupBy(col("flag"))
+        .agg(Kmv.kmvOf(Kmv.hash63(col("okey"))).as("sk"),
+          countDistinct(col("okey")).as("n_exact"))
+      val dk = li.distinct()
+      val inter = dk.as("a").join(dk.as("b"),
+          col("a.okey") === col("b.okey") && col("a.flag") < col("b.flag"))
+        .groupBy(col("a.flag").as("flag_a"), col("b.flag").as("flag_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val pairs = sk.as("a").join(broadcast(sk.as("b")), col("a.flag") < col("b.flag"))
+        .select(col("a.flag").as("flag_a"), col("b.flag").as("flag_b"),
+          col("a.n_exact").as("n_a"), col("b.n_exact").as("n_b"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"))
+        .join(broadcast(inter), Seq("flag_a", "flag_b"))
+      val nUnion = col("n_a") + col("n_b") - col("n_inter")
+      pairs.select(col("flag_a"), col("flag_b"), col("n_a"), col("n_b"),
+          col("n_inter"), nUnion.as("n_union"),
+          Rounding.r(col("n_inter").cast("double") / nUnion, 4).as("jaccard"),
+          (abs(Kmv.distinctEst(col("ska")) - col("n_a")) <=
+            lit(0.10) * col("n_a") + lit(32)).as("da_ok"),
+          (abs(Kmv.distinctEst(col("skb")) - col("n_b")) <=
+            lit(0.10) * col("n_b") + lit(32)).as("db_ok"),
+          (abs(Kmv.intersectEst(col("ska"), col("skb")) - col("n_inter")) <=
+            lit(0.15) * col("n_inter") + lit(32)).as("inter_ok"),
+          (abs(Kmv.unionEst(col("ska"), col("skb")) - nUnion) <=
+            lit(0.10) * nUnion + lit(32)).as("union_ok"),
+          (abs(Kmv.jaccardEst(col("ska"), col("skb")) -
+            col("n_inter").cast("double") / nUnion) <= lit(0.08)).as("jac_ok"))
+        .orderBy(col("flag_a"), col("flag_b"))
+    },
+
+    // B73: KMV sketch ROLLUP — B57's stored-sketch workflow with the
+    // bottom-k sketch: daily per-type KMV sketches of the user_id
+    // domain are the stored pre-aggregate, per-type totals come from
+    // kmvMerge over the sketch COLUMN (≤ k longs per group shuffle,
+    // never rows). KMV's distinct-bottom-k is order-free, so the
+    // merged sketch is BIT-IDENTICAL to sketching all events directly
+    // — merge_det_ok gates that in the driver (not just the spec):
+    // array-equality of the rolled-up and direct sketches. est_ok is
+    // the B22/B57 construction (exact recount + bound flag; KMV
+    // estimates are hash-deterministic, so flags cannot flap).
+    "q_kmv_rollup" -> { (s, dir) =>
+      import graft.functions.Kmv
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"), Kmv.hash63(col("user_id")).as("h"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(Kmv.kmvOf(col("h")).as("sk"), count(lit(1)).as("n"))
+      val rolled = daily.groupBy(col("event_type"))
+        .agg(Kmv.kmvMerge(col("sk")).as("sk"),
+          sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+      val direct = ev.groupBy(col("event_type"))
+        .agg(Kmv.kmvOf(col("h")).as("dsk"),
+          countDistinct(col("user_id")).as("n_exact"))
+      rolled.join(direct, "event_type")
+        .select(col("event_type"), col("n_events"), col("n_days"),
+          col("n_exact"),
+          (abs(Kmv.distinctEst(col("sk")) - col("n_exact")) <=
+            lit(0.10) * col("n_exact") + lit(32)).as("est_ok"),
+          (col("sk") === col("dsk")).as("merge_det_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // B69: mergeable PERCENTILE sketch ROLLUP — the third StarRocks
     // sketch-column workflow beside B57 (HLL) and B58 (BITMAP): the
     // PERCENTILE type's percentile_union. Daily per-type quantile
@@ -1385,6 +1464,24 @@ object QueriesOlap {
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
         |  count(DISTINCT user_id) AS n_exact, true AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_kmv_setops" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag AS f, l_orderkey AS k FROM lineitem),
+        |t AS (SELECT f, count(*) AS n FROM d GROUP BY f),
+        |i AS (SELECT a.f AS fa, b.f AS fb, count(*) AS n_inter
+        |      FROM d a JOIN d b ON a.k = b.k AND a.f < b.f GROUP BY 1, 2)
+        |SELECT fa AS flag_a, fb AS flag_b, ta.n AS n_a, tb.n AS n_b, n_inter,
+        |  ta.n + tb.n - n_inter AS n_union,
+        |  round(CAST(n_inter AS DOUBLE) / (ta.n + tb.n - n_inter), 4) AS jaccard,
+        |  true AS da_ok, true AS db_ok, true AS inter_ok,
+        |  true AS union_ok, true AS jac_ok
+        |FROM i JOIN t ta ON ta.f = fa JOIN t tb ON tb.f = fb
+        |ORDER BY flag_a, flag_b""".stripMargin,
+    "q_kmv_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(DISTINCT user_id) AS n_exact,
+        |  true AS est_ok, true AS merge_det_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentile_rollup" ->
       """SELECT event_type, count(*) AS n_events,

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding
+
+/** Hybrid lexical + semantic retrieval with Reciprocal Rank Fusion
+  * (Cormack, Clarke & Buettcher SIGIR'09) — the standard two-tower
+  * search shape of a training-data curation / RAG stack: a sparse
+  * (idf-weighted token overlap, i.e. BM25 with tf saturated to 1)
+  * ranking and a dense (embedding cosine) ranking are computed
+  * independently, each list is cut to its top-N, and candidates are
+  * fused by rrf(d) = Σ_lists 1/(c + rank_d) with the published c=60.
+  * RRF needs no score calibration between the legs — only ranks —
+  * which is exactly why it is the production default for fusing
+  * heterogeneous retrievers.
+  *
+  * Scale shape: the query side of BOTH legs is broadcast (queries
+  * are a sampled, bounded set); the corpus side streams through one
+  * token equi-join (sparse leg — shuffle ∝ matched postings, the
+  * inverted-index shape) and one broadcast cosine scan (dense leg,
+  * same plan as ann_topk_bruteforce — the IVF/graph variants are the
+  * corpus-scale path, C8/C68). Each leg cuts to top-`listN` per
+  * query BEFORE the fusion join, so the fusion frame is ≤ 2·listN
+  * rows per query regardless of corpus size.
+  *
+  * Determinism: both legs rank on 4dp-ROUNDED scores with id
+  * tie-breaks (the text_tfidf construction — double Σ order differs
+  * between engines, the round collapses it), and RRF scores are
+  * exact rationals of integer ranks, IEEE-identical cross-engine.
+  *
+  * Reference analogue: the OLAP serving role of the StarRocks tables
+  * (mysql-cdc-debezium-starrocks docs/ARCHITECTURE.md) extended with
+  * the retrieval surface its users pair the warehouse with.
+  */
+object HybridRetrieval {
+
+  /** Fused top-k over a documents frame (id, text — whitespace
+    * tokens) and an embeddings frame (id, vector), joined by id.
+    *
+    * @param isQuery  deterministic query-set predicate on the id
+    * @param k        fused results per query
+    * @param listN    per-leg candidate-list depth before fusion
+    * @param rrfC     the RRF constant (60 in the paper)
+    */
+  def rrfTopk(docs: DataFrame, docId: Column, text: Column,
+              embs: DataFrame, vecId: Column, vec: Column,
+              isQuery: Column => Column, k: Int = 5, listN: Int = 20,
+              rrfC: Int = 60): DataFrame = {
+
+    // ---- sparse leg: idf-weighted shared-token score ----
+    val dt = docs.select(docId.as("id"), explode(split(text, " ")).as("t")).distinct()
+    val nDocs = docs.select(countDistinct(docId).cast("double").as("nd"))
+    val df = dt.groupBy(col("t")).agg(count(lit(1)).cast("double").as("dft"))
+    val qt = dt.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("t"))
+    val lex = qt.join(dt, "t")
+      .where(col("id") =!= col("qid"))
+      .join(df, "t")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(Rounding.r(sum(log(lit(1.0) +
+        (col("nd") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5)))), 4).as("s"))
+    val wl = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("nid").asc)
+    val lrank = lex.withColumn("rl", row_number().over(wl)).where(col("rl") <= listN)
+      .select(col("qid"), col("nid"), col("rl"))
+
+    // ---- dense leg: cosine top-listN (the brute-force baseline) ----
+    val v = embs.select(vecId.as("id"), Similarity.toDouble(vec).as("v"))
+      .withColumn("n2", Similarity.normSq(col("v")))
+    val q = v.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val sem = v.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"),
+        Rounding.r(Similarity.cosineWithNorms(
+          Similarity.dot(col("qv"), col("v")), col("qn2"), col("n2")), 4).as("c"))
+    val ws = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid").asc)
+    val srank = sem.withColumn("rs", row_number().over(ws)).where(col("rs") <= listN)
+      .select(col("qid").as("sqid"), col("nid").as("snid"), col("rs"))
+
+    // ---- fusion: full outer on (qid, nid), absent leg contributes 0 ----
+    val fused = lrank.join(srank,
+        col("qid") === col("sqid") && col("nid") === col("snid"), "full_outer")
+      .select(coalesce(col("qid"), col("sqid")).as("qid"),
+        coalesce(col("nid"), col("snid")).as("nid"),
+        (coalesce(lit(1.0) / (lit(rrfC) + col("rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfC) + col("rs")), lit(0.0))).as("rrf"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid").asc)
+    fused.withColumn("rank", row_number().over(wf)).where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        Rounding.r(col("rrf"), 6).as("rrf"))
+  }
+}
