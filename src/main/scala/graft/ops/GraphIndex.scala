@@ -271,6 +271,14 @@ object GraphIndex {
   def count(spark: SparkSession, root: String): Long =
     readVectors(spark, currentOrFail(spark, root)).count()
 
+  /** Live node ids at the current version — the membership probe a
+    * streaming front door anti-joins to drop id REDELIVERIES before
+    * they reach the (self-excluding, so membership-blind) beam
+    * search. Column-pruned: only `id` (+ the tombstone merge) is
+    * read from the vector deltas, never the vector payloads. */
+  def liveIds(spark: SparkSession, root: String): DataFrame =
+    readVectors(spark, currentOrFail(spark, root)).select(col("id"))
+
   /** Retention: reference-counted against kept manifests (shared
     * carried-forward delta dirs survive). */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Seq[Long] =

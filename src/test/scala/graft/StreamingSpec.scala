@@ -725,6 +725,49 @@ class StreamingSpec extends SparkSpec {
     assert(LshIndex.count(spark, root) == 3)
   }
 
+  test("A36: streaming embedding ingest dedup against the persisted graph-ANN index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.GraphIndex
+    import graft.streaming.VectorIngest
+    // the dense-vector front door: micro-batches of (id, embedding)
+    // probe the committed graph index; near-dups of any EARLIER batch
+    // (by cosine) and id redeliveries are dropped; novel vectors flow
+    // downstream AND extend the index as one delta commit
+    val root = java.nio.file.Files.createTempDirectory("ving").toString + "/idx"
+    val input = MemoryStream[(Long, Array[Double])]
+    val passed = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF().toDF("id", "vec").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val novel = VectorIngest.ingestTx(root, batch, col("id"), col("vec"))
+        passed ++= novel.select(col("id")).as[Long].collect()
+        ()
+      }.start()
+    val e1 = Array(1.0, 0.0, 0.0, 0.0)
+    val e2 = Array(0.0, 1.0, 0.0, 0.0)
+    val e3 = Array(0.0, 0.0, 1.0, 0.0)
+    input.addData((1L, e1), (2L, e2))
+    q.processAllAvailable()
+    // batch 2: id 3 is a near-dup of vector 1 from the PREVIOUS batch
+    // (cos ≈ 0.9988 ≥ 0.995) + one genuinely novel direction
+    input.addData((3L, Array(1.0, 0.05, 0.0, 0.0)), (4L, e3))
+    q.processAllAvailable()
+    // batch 3: id 1 REDELIVERED (membership, not similarity — the
+    // search excludes self-matches, the liveIds anti-join catches it)
+    // and an exact content copy of vector 2 under a fresh id (cos 1.0)
+    input.addData((1L, e1), (5L, e2))
+    q.processAllAvailable()
+    q.stop()
+    assert(passed.toSet == Set(1L, 2L, 4L), s"passed: $passed")
+    // the index grew by exactly the novel vectors
+    assert(GraphIndex.count(spark, root) == 3)
+    // and serves them: nearest committed neighbor of e2's direction
+    val hit = GraphIndex.search(spark, root,
+        Seq((9L, Array(0.0, 0.9, 0.1, 0.0))).toDF("id", "vec"),
+        col("id"), col("vec"), k = 1)
+      .select(col("nid")).as[Long].collect()
+    assert(hit.toSeq == Seq(2L), s"hit: ${hit.toSeq}")
+  }
+
   test("A29: streaming enrichment re-reads the PK dim per batch; upserts become visible") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sinks.{PkTableSink, TableStats}
