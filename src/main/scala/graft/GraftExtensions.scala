@@ -127,6 +127,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.QskQuantile(children.head, q)
       }))
+    // the KMV (bottom-k / theta) scalar family — each SQL name is the
+    // SAME native-expression composition the typed Column helpers
+    // build (GraftSqlBridge wraps the parsed children as Columns and
+    // hands the composed tree back): zero UDFs, whole-stage codegen,
+    // one definition for both surfaces. k is bound to Kmv.DefaultK,
+    // the SQL-registration-binds-one-instance convention (mg_sketch,
+    // percentile_union_p50); variable k stays in the typed API.
+    locally {
+      import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+      import graft.functions.Kmv
+      def scalar1(name: String, f: org.apache.spark.sql.Column =>
+          org.apache.spark.sql.Column): Unit =
+        e.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(Kmv.getClass.getName, name),
+          (children: Seq[Expression]) => {
+            if (children.size != 1) throw new IllegalArgumentException(
+              s"$name(x) expects 1 argument, got ${children.size}")
+            expression(f(column(children.head)))
+          }))
+      def scalar2(name: String, f: (org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Unit =
+        e.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(Kmv.getClass.getName, name),
+          (children: Seq[Expression]) => {
+            if (children.size != 2) throw new IllegalArgumentException(
+              s"$name(a, b) expects 2 arguments, got ${children.size}")
+            expression(f(column(children(0)), column(children(1))))
+          }))
+      scalar1("kmv_hash", Kmv.hash63)
+      scalar1("kmv_distinct_est", sk => Kmv.distinctEst(sk))
+      scalar2("kmv_intersect_est", (a, b) => Kmv.intersectEst(a, b))
+      scalar2("kmv_union_est", (a, b) => Kmv.unionEst(a, b))
+      scalar2("kmv_jaccard_est", (a, b) => Kmv.jaccardEst(a, b))
+    }
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // transparent MV rewrite (no-op while no MV is registered)
     e.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))

@@ -1093,6 +1093,62 @@ object QueriesOlap {
         .orderBy(col("event_type"))
     },
 
+    // B74: the SQL-TEXT KMV path (B68/B70/B71's construction for the
+    // FOURTH registered sketch surface): the migrating user's literal
+    // set-expression workflow authored as spark.sql over a temp view —
+    // daily `kmv_sketch(kmv_hash(user_id))` pre-aggregates roll up
+    // via `kmv_union`, and the injected scalar estimator family
+    // answers per-type audience sizes and pairwise overlaps from the
+    // SKETCH COLUMNS alone (every kmv_* SQL name expands to the same
+    // native-expression composition the typed helpers build — zero
+    // UDFs). Gate output = exact recounts + bound flags, the
+    // q_kmv_setops construction on the events cross-type audience.
+    "q_sql_kmv" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .createOrReplaceTempView("events_ksql")
+      val est = s.sql("""
+        WITH daily AS (
+          SELECT event_type, day, kmv_sketch(kmv_hash(user_id)) AS sk
+          FROM events_ksql GROUP BY event_type, day),
+        rolled AS (
+          SELECT event_type, kmv_union(sk) AS sk FROM daily GROUP BY event_type)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+          kmv_distinct_est(a.sk) AS da_est, kmv_distinct_est(b.sk) AS db_est,
+          kmv_intersect_est(a.sk, b.sk) AS inter_est,
+          kmv_union_est(a.sk, b.sk) AS union_est,
+          kmv_jaccard_est(a.sk, b.sk) AS jac_est
+        FROM rolled a JOIN rolled b ON a.event_type < b.event_type""")
+      val d = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val t = d.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = d.as("a").join(d.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val nUnion = col("n_a") + col("n_b") - col("n_inter")
+      est.join(broadcast(t.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(t.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .join(broadcast(inter), Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_inter"), nUnion.as("n_union"),
+          (abs(col("da_est") - col("n_a")) <=
+            lit(0.10) * col("n_a") + lit(32)).as("da_ok"),
+          (abs(col("db_est") - col("n_b")) <=
+            lit(0.10) * col("n_b") + lit(32)).as("db_ok"),
+          (abs(col("inter_est") - col("n_inter")) <=
+            lit(0.15) * col("n_inter") + lit(32)).as("inter_ok"),
+          (abs(col("union_est") - nUnion) <=
+            lit(0.10) * nUnion + lit(32)).as("union_ok"),
+          (abs(col("jac_est") - col("n_inter").cast("double") / nUnion) <=
+            lit(0.08)).as("jac_ok"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // B69: mergeable PERCENTILE sketch ROLLUP — the third StarRocks
     // sketch-column workflow beside B57 (HLL) and B58 (BITMAP): the
     // PERCENTILE type's percentile_union. Daily per-type quantile
@@ -1477,6 +1533,17 @@ object QueriesOlap {
         |  true AS union_ok, true AS jac_ok
         |FROM i JOIN t ta ON ta.f = fa JOIN t tb ON tb.f = fb
         |ORDER BY flag_a, flag_b""".stripMargin,
+    "q_sql_kmv" ->
+      """WITH d AS (SELECT DISTINCT event_type AS f, user_id AS u FROM events),
+        |t AS (SELECT f, count(*) AS n FROM d GROUP BY f),
+        |i AS (SELECT a.f AS fa, b.f AS fb, count(*) AS n_inter
+        |      FROM d a JOIN d b ON a.u = b.u AND a.f < b.f GROUP BY 1, 2)
+        |SELECT fa AS type_a, fb AS type_b, ta.n AS n_a, tb.n AS n_b, n_inter,
+        |  ta.n + tb.n - n_inter AS n_union,
+        |  true AS da_ok, true AS db_ok, true AS inter_ok,
+        |  true AS union_ok, true AS jac_ok
+        |FROM i JOIN t ta ON ta.f = fa JOIN t tb ON tb.f = fb
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_kmv_rollup" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT CAST(ts AS DATE)) AS n_days,

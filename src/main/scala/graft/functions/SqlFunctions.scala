@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions.udaf
   *    instance per name, the mg_sketch convention — variable q stays
   *    in the typed API, `Qsk.qskMergeQuantile`)
   *
+  *  - `kmv_sketch(h)`           → bottom-k (theta) distinct sketch of
+  *    a 63-bit hash column (`kmv_hash(x)` — injected scalar)
+  *  - `kmv_union(sk)`           → merge stored KMV sketches, as a
+  *    sketch (bit-identical to sketching the concatenated input)
+  *  - `kmv_distinct_count(h)`   → distinct estimate of a hash column
+  *    (exact below k); the scalar estimator family over STORED
+  *    sketch columns (`kmv_distinct_est` / `kmv_intersect_est` /
+  *    `kmv_union_est` / `kmv_jaccard_est`) is injected by
+  *    [[graft.GraftExtensions]] as native-expression compositions
+  *
   * Scalar bitmap algebra (`Rbm.cardinality` / `andBm` / `toIds`) is
   * pure built-in column math over the map representation, so it needs
   * no registration — it composes in SQL as soon as the aggregate
@@ -48,5 +58,11 @@ object SqlFunctions {
     spark.udf.register("percentile_union", udaf(new Qsk.QskMerge))
     spark.udf.register("percentile_union_p50", udaf(new Qsk.QskMergeQuantile(0.5)))
     spark.udf.register("percentile_union_p90", udaf(new Qsk.QskMergeQuantile(0.9)))
+    // KMV (bottom-k / theta) sketch aggregates at the default k —
+    // input is a 63-bit hash column (`kmv_hash(x)`, injected by
+    // GraftExtensions beside the scalar estimator family)
+    spark.udf.register("kmv_sketch", udaf(new Kmv.KmvOf()))
+    spark.udf.register("kmv_union", udaf(new Kmv.KmvMerge()))
+    spark.udf.register("kmv_distinct_count", udaf(new Kmv.KmvDistinct()))
   }
 }

@@ -75,6 +75,37 @@ class KmvSpec extends SparkSpec {
     }
   }
 
+  test("SQL-name surface is bit-identical to the typed helpers") {
+    // every kmv_* SQL name expands through GraftSqlBridge to the SAME
+    // native composition the Column helpers build, so equality here is
+    // exact — sketches compare as arrays, estimates as doubles
+    graft.functions.SqlFunctions.register(spark)
+    (1L to 20000L).map(i => (i % 9000, i % 3)).toDF("v", "g")
+      .createOrReplaceTempView("kmv_sql_src")
+    val sql = spark.sql(
+      """WITH per AS (SELECT g, kmv_sketch(kmv_hash(v)) AS sk
+        |            FROM kmv_sql_src GROUP BY g),
+        |m AS (SELECT kmv_union(sk) AS sk FROM per)
+        |SELECT kmv_distinct_est(sk) AS d,
+        |  kmv_intersect_est(sk, sk) AS i, kmv_union_est(sk, sk) AS u,
+        |  kmv_jaccard_est(sk, sk) AS j, sk FROM m""".stripMargin)
+      .as[(Double, Double, Double, Double, Array[Long])].head()
+    val typedSk = (1L to 20000L).map(i => (i % 9000, i % 3)).toDF("v", "g")
+      .select(col("g"), Kmv.hash63(col("v")).as("h"))
+      .groupBy(col("g")).agg(Kmv.kmvOf(col("h")).as("sk"))
+      .agg(Kmv.kmvMerge(col("sk")).as("sk"))
+    val typed = typedSk
+      .select(Kmv.distinctEst(col("sk")).as("d"),
+        Kmv.intersectEst(col("sk"), col("sk")).as("i"),
+        Kmv.unionEst(col("sk"), col("sk")).as("u"),
+        Kmv.jaccardEst(col("sk"), col("sk")).as("j"), col("sk"))
+      .as[(Double, Double, Double, Double, Array[Long])].head()
+    assert(sql._5.sameElements(typed._5), "stored sketches differ")
+    assert(sql._1 == typed._1 && sql._2 == typed._2 &&
+      sql._3 == typed._3 && sql._4 == typed._4, s"$sql vs $typed")
+    assert(sql._4 == 1.0, "self-jaccard must be exactly 1.0")
+  }
+
   test("q_kmv_setops gate: exact values match a recount and every flag is true") {
     val out = SparkEntry.queries("q_kmv_setops")(spark, sfDir).collect()
     assert(out.length == 3, s"3 returnflag pairs expected, got ${out.length}")
