@@ -481,6 +481,48 @@ object QueriesCdc {
         .select(col("event_type"), col("n_events"), col("n_days"),
           ok("r50", 0.5).as("p50_ok"), ok("r90", 0.9).as("p90_ok"))
         .orderBy(col("event_type"))
+    },
+
+    // D38 in the GATE (r12): the KmvMv transactional DISTINCT-COUNT
+    // sketch MV (the StarRocks HLL aggregate-column workflow on the
+    // KMV bottom-k sketch) driven end-to-end — qsk_mv_rollup's
+    // construction: four deterministic event batches through
+    // maintainTx plus one REPLAYED id the per-writer watermark must
+    // skip, then a distinct-users-per-type rollup served from the
+    // COMMITTED sketch column, never from raw event history. Output
+    // is exact counts the oracle recomputes plus an estimator flag it
+    // expects TRUE (KMV estimates are hash-deterministic — the flag
+    // cannot flap run to run; a sketch regression turns the row red).
+    "kmv_mv_rollup" -> { (s, dir) =>
+      import graft.streaming.KmvMv
+      val root = java.nio.file.Files.createTempDirectory("kmvmv_gate")
+        .toString + "/mv"
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        to_date(col("ts")).as("day"), col("user_id"), col("event_id"))
+      (0 until 4).foreach { i =>
+        def run() = KmvMv.maintainTx(root,
+          ev.where(pmod(col("event_id"), lit(4)) === i), i,
+          Seq("event_type", "day"), col("user_id"), writer = "gate")
+        require(run(), s"kmv_mv_rollup: batch $i must apply")
+        if (i == 1) require(!run(),
+          "kmv_mv_rollup: replayed batch must be watermark-skipped")
+      }
+      val schemaOf = {
+        import s.implicits._
+        Seq.empty[(String, java.sql.Date, Array[Long], Long, Long)]
+          .toDF("event_type", "day", "sk", "n", "batch_id")
+      }
+      val rolled = KmvMv.rollup(KmvMv.readMv(s, root, schemaOf),
+        Seq("event_type"))
+      val exact = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      rolled.join(broadcast(exact), "event_type")
+        .select(col("event_type"), col("n_events"),
+          col("n_keys").as("n_days"), col("n_users"),
+          (abs(col("du_est") - col("n_users")) <=
+            lit(0.10) * col("n_users") + lit(32)).as("du_ok"))
+        .orderBy(col("event_type"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -637,5 +679,14 @@ object QueriesCdc {
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
         |  true AS p50_ok, true AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // D38 gate: the committed distinct-count MV's exact counts
+    // recomputed from raw events; the estimator flag is expected TRUE
+    // (hash-deterministic, cannot flap — the B22 est_ok construction)
+    "kmv_mv_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(DISTINCT user_id) AS n_users, true AS du_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

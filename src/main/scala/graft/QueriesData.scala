@@ -154,6 +154,32 @@ object QueriesData {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // C70: cross-SOURCE near-duplicate overlap matrix — corpus
+    // governance: which ingestion sources re-serve each other's
+    // content (mirror detection, license triage, mixture
+    // double-counting). The pair set is C3's verified MinHash-LSH
+    // output (banded candidates + exact-Jaccard verify — never an
+    // all-pairs stage); each pair fetches its endpoints' sources via
+    // two hash equi-joins on doc_id (the pair frame is the SMALL side
+    // at any corpus size — near-dup mass, not corpus mass), and the
+    // matrix is one groupBy over the normalized source pair. Same-
+    // source rows stay in: intra-source duplication mass is the other
+    // governance number.
+    "dedup_source_overlap" -> { (s, dir) =>
+      val srcs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      Dedup.minhashLshPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          "doc_a")
+        .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          Rounding.r(avg(col("jaccard")), 4).as("mean_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // C65: dedup QUALITY AUDIT — the number the LSH docs only assert:
     // banding recall measured against the exact PPJoin ground truth on
     // the same corpus and threshold. Verified LSH output is a subset
@@ -275,6 +301,33 @@ object QueriesData {
     "dedup_clusters" -> { (s, dir) =>
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
       Dedup.duplicateClusters(pairs)
+        .orderBy(col("doc_id"))
+    },
+
+    // C71: SOFT dedup — sample with keep-probability 1/cluster_size
+    // instead of hard-dropping duplicates (the production middle
+    // ground: hard dedup erases naturally-popular content's frequency
+    // signal entirely; no dedup lets mirrors dominate; 1/n keeps each
+    // distinct content's EXPECTED mass equal to one copy). Clusters
+    // are C20's connected components over the verified near-dup
+    // pairs; unclustered docs are singletons (always kept — u < 2³²
+    // is vacuous at size 1). The accept test is integer-exact:
+    // u · size < 2³², u the first 8 md5 hex digits of a salted
+    // doc_id, so the sample is deterministic and hash-replayable
+    // cross-engine with zero FP anywhere.
+    "sample_softdedup" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"))
+      val clusters = Dedup.duplicateClusters(pairs) // (doc_id, cluster)
+      val withC = d.select(col("doc_id")).join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val sizes = withC.groupBy(col("cluster")).agg(count(lit(1)).as("c_size"))
+      val u = conv(substring(md5(concat(col("doc_id"), lit(":sdd"))), 1, 8),
+        16, 10).cast("long")
+      withC.join(sizes, "cluster")
+        .where(u * col("c_size") < lit(4294967296L))
+        .select(col("doc_id"), col("cluster"), col("c_size"))
         .orderBy(col("doc_id"))
     },
 
@@ -1329,6 +1382,41 @@ object QueriesData {
         |md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |count(*) AS n_copies
         |FROM documents GROUP BY 2 ORDER BY keep_id""".stripMargin,
+    // C70: C3's full pair replay (same CTEs) + source fetch + the
+    // normalized-pair matrix
+    "dedup_source_overlap" -> {
+      import graft.ops.Dedup.{MinhashP => p, minhashA, minhashB}
+      val mins = (0 until 32)
+        .map(i => s"min((x * ${minhashA(i)} + ${minhashB(i)}) % $p) AS m$i")
+        .mkString(",\n")
+      val bandHashes = (0 until 8).map(b =>
+        s"md5(${(0 until 4).map(j => s"m${b * 4 + j}::VARCHAR").mkString(" || '|' || ")}) AS bh$b")
+        .mkString(",\n")
+      val bandMatch = (0 until 8).map(b => s"a.bh$b = b.bh$b").mkString(" OR ")
+      s"""WITH $shingleCte,
+         |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+         |xs AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $p AS x FROM tok),
+         |mh AS (SELECT doc_id,
+         |$mins
+         |FROM xs GROUP BY doc_id),
+         |bandw AS (SELECT doc_id,
+         |$bandHashes
+         |FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bandw a JOIN bandw b ON a.doc_id < b.doc_id AND ($bandMatch)),
+         |ver AS (SELECT c.doc_a, c.doc_b, len(list_intersect(x.s, y.s)) AS inter,
+         |               len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
+         |        FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id),
+         |pr AS (SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 4) AS jaccard
+         |       FROM ver WHERE inter * 5 >= uni * 4),
+         |sp AS (SELECT least(da.source, db.source) AS source_a,
+         |              greatest(da.source, db.source) AS source_b, jaccard
+         |       FROM pr JOIN documents da ON pr.doc_a = da.doc_id
+         |                JOIN documents db ON pr.doc_b = db.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |  round(avg(jaccard), 4) AS mean_jaccard
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "dedup_minhash_lsh" -> {
       import graft.ops.Dedup.{MinhashP => p, minhashA, minhashB}
       val mins = (0 until 32)
@@ -1473,6 +1561,34 @@ object QueriesData {
          |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m)
          |SELECT id AS doc_id, min(m) AS cluster FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // C71: the C20 recursive-CTE cluster chain + singleton fill +
+    // the integer-exact u·size < 2³² accept
+    "sample_softdedup" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |szd AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+         |tok AS (SELECT doc_id, sz, unnest(s) AS t FROM szd),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+         |    AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 4
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING count(*) * 5 >= (a.sz + b.sz - count(*)) * 4),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |cl AS (SELECT id AS doc_id, min(m) AS cluster FROM reach GROUP BY id),
+         |wc AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+         |       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |sz AS (SELECT cluster, count(*) AS c_size FROM wc GROUP BY cluster)
+         |SELECT wc.doc_id, wc.cluster, sz.c_size
+         |FROM wc JOIN sz ON wc.cluster = sz.cluster
+         |WHERE CAST('0x' || substr(md5(wc.doc_id || ':sdd'), 1, 8) AS BIGINT)
+         |      * sz.c_size < 4294967296
+         |ORDER BY wc.doc_id""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $shingleCte,
          |szd AS (SELECT doc_id, s, len(s) AS sz FROM sh),

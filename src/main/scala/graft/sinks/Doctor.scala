@@ -60,6 +60,8 @@ object Doctor {
       return examineGraph(spark, root, m)
     if (t.contains("sigs") && t.contains("bands"))
       return examineLsh(spark, root, m)
+    if (t.nonEmpty)
+      return examineGroup(spark, root, m)
     val fs = fsOf(spark, root)
     val names = fs.listStatus(new Path(root)).map(_.getPath.getName).toSeq
     val findings = Seq.newBuilder[Finding]
@@ -203,6 +205,25 @@ object Doctor {
     Report(root, m.version, findings)
   }
 
+  /** Generic multi-table GROUP root (mergeTxGroup commits: the
+    * sketch-MV roots QskMv/KmvMv maintain, or any TableBatch group):
+    * one merge-on-read chain finding PER TABLE — every read of table
+    * `t` unions its listed dirs, and a per-micro-batch writer grows
+    * each list by one dir per commit, so an unmaintained MV degrades
+    * linearly in batches until a compact folds it. */
+  private def examineGroup(spark: SparkSession, root: String,
+                           m: TxLog.Manifest): Report = {
+    val findings = m.tables.keys.toSeq.sorted.map { tbl =>
+      val n = idxDirs(m, tbl).size
+      Finding(s"delta chain '$tbl'", n <= 8,
+        s"$n delta dir(s) unioned per read of '$tbl'",
+        if (n > 8)
+          s"""PkTableSink.compactTxGroup(root, "$tbl") folds them into one snapshot"""
+        else "")
+    }
+    Report(root, m.version, findings)
+  }
+
   /** Apply each degraded INDEX finding's remedy and re-examine —
     * compact for chain/tombstone findings, retrain/rebuild for drift
     * (compaction first: retrain/rebuild read the live set, and
@@ -229,6 +250,13 @@ object Doctor {
     } else if (t.contains("sigs") && t.contains("bands")) {
       if (bad("delta chain"))
         graft.ops.LshIndex.compact(spark, root, writer = writer)
+    } else if (t.nonEmpty) {
+      // generic group root (sketch MVs et al.): compact each
+      // over-chained table — reads after this union ONE dir per table
+      t.keys.toSeq.sorted.foreach { tbl =>
+        if (bad(s"delta chain '$tbl'"))
+          PkTableSink.compactTxGroup(spark, root, tbl, writer = writer)
+      }
     } else return repair(spark, root, writer)
     examine(spark, root)
   }

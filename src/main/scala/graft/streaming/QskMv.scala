@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Qsk
-import graft.sinks.{PkTableSink, TxLog}
 
 /** Transactional PERCENTILE-SKETCH materialized view — the write-path
   * completion of the A35 streaming percentile kernel: a CDC/event
@@ -35,19 +34,16 @@ import graft.sinks.{PkTableSink, TxLog}
   * QskMvSpec pins the end-to-end contract: stream → foreachBatch →
   * committed sketches → [[rollup]] ≡ the one-shot batch recompute
   * over all events, including through a mid-stream duplicate
-  * delivery.
+  * delivery. The flavor-independent machinery (watermark, touched-key
+  * semi-join, atomic commit) lives in [[SketchMv]], shared with the
+  * distinct-count twin [[KmvMv]].
   */
 object QskMv {
-
-  private val Mv = "mv"
-  private val Gone = "__qskmv_gone"
-
-  private def wmKey(writer: String) = s"wm.$writer"
 
   /** Last applied batch id for `writer`, if any. */
   def appliedWatermark(spark: SparkSession, root: String,
                        writer: String): Option[Long] =
-    TxLog.current(spark, root).flatMap(_.meta.get(wmKey(writer))).map(_.toLong)
+    SketchMv.appliedWatermark(spark, root, writer)
 
   /** Apply one micro-batch: fold to per-group sketch partials, union
     * into the committed view, commit atomically. Returns false (no
@@ -55,38 +51,16 @@ object QskMv {
     * Call from `foreachBatch`. */
   def maintainTx(root: String, batch: DataFrame, batchId: Long,
                  groupCols: Seq[String], valueCol: Column,
-                 writer: String = "qskmv"): Boolean = {
-    val spark = batch.sparkSession
-    if (appliedWatermark(spark, root, writer).exists(batchId <= _))
-      return false
-    val gc = groupCols.map(col)
-    val partial = batch.groupBy(gc: _*)
-      .agg(Qsk.qskOf(valueCol).as("sk"), count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    // stored sketches for TOUCHED groups only — an untouched group's
-    // row carries forward in its delta dir, unread
-    val cur = PkTableSink.readTxGroup(spark, root, Mv,
-      partial.withColumn("batch_id", lit(batchId)))
-    val touched = partial.select(gc: _*)
-    val merged = cur.join(broadcast(touched), groupCols, "left_semi")
-      .select((gc :+ col("sk") :+ col("n")): _*)
-      .unionByName(partial)
-      .groupBy(gc: _*)
-      .agg(Qsk.qskMerge(col("sk")).as("sk"), sum(col("n")).as("n"))
-      .withColumn("batch_id", lit(batchId))
-      .withColumn(Gone, lit(false))
-    PkTableSink.mergeTxGroup(spark, root,
-      Map(Mv -> PkTableSink.TableBatch(merged, groupCols,
-        Seq("batch_id"), Gone)),
-      writer = writer,
-      extraMeta = Map(wmKey(writer) -> batchId.toString))
-    true
-  }
+                 writer: String = "qskmv"): Boolean =
+    SketchMv.maintainTx(root, batch, batchId, groupCols,
+      partialAggs = Seq(Qsk.qskOf(valueCol).as("sk"), count(lit(1)).as("n")),
+      mergeAggs = Seq(Qsk.qskMerge(col("sk")).as("sk"), sum(col("n")).as("n")),
+      stateCols = Seq("sk", "n"), writer = writer, gone = "__qskmv_gone")
 
   /** The committed view: (groupCols…, sk, n, batch_id). */
   def readMv(spark: SparkSession, root: String,
              schemaOf: => DataFrame): DataFrame =
-    PkTableSink.readTxGroup(spark, root, Mv, schemaOf)
+    SketchMv.readMv(spark, root, schemaOf)
 
   /** B69-shape rollup over the COMMITTED sketch column: re-group the
     * stored per-key sketches to `rollupCols` and emit one estimate
