@@ -439,7 +439,7 @@ object QueriesCdc {
     },
 
     // D37 in the GATE (r12): the QskMv transactional percentile-sketch
-    // MV driven end-to-end inside a driver-checked query — four
+    // MV driven end-to-end inside a driver-checked query — three
     // deterministic event batches maintained through maintainTx (one
     // manifest commit per batch, plus one REPLAYED batch id proving
     // the per-writer watermark skips it without running jobs), then a
@@ -454,9 +454,9 @@ object QueriesCdc {
         .toString + "/mv"
       val ev = Tables.events(s, dir).select(col("event_type"),
         to_date(col("ts")).as("day"), col("value"), col("event_id"))
-      (0 until 4).foreach { i =>
+      (0 until 3).foreach { i =>
         def run() = QskMv.maintainTx(root,
-          ev.where(pmod(col("event_id"), lit(4)) === i), i,
+          ev.where(pmod(col("event_id"), lit(3)) === i), i,
           Seq("event_type", "day"), col("value"), writer = "gate")
         require(run(), s"qsk_mv_rollup: batch $i must apply")
         if (i == 1) require(!run(),
@@ -486,7 +486,7 @@ object QueriesCdc {
     // D38 in the GATE (r12): the KmvMv transactional DISTINCT-COUNT
     // sketch MV (the StarRocks HLL aggregate-column workflow on the
     // KMV bottom-k sketch) driven end-to-end — qsk_mv_rollup's
-    // construction: four deterministic event batches through
+    // construction: three deterministic event batches through
     // maintainTx plus one REPLAYED id the per-writer watermark must
     // skip, then a distinct-users-per-type rollup served from the
     // COMMITTED sketch column, never from raw event history. Output
@@ -499,9 +499,9 @@ object QueriesCdc {
         .toString + "/mv"
       val ev = Tables.events(s, dir).select(col("event_type"),
         to_date(col("ts")).as("day"), col("user_id"), col("event_id"))
-      (0 until 4).foreach { i =>
+      (0 until 3).foreach { i =>
         def run() = KmvMv.maintainTx(root,
-          ev.where(pmod(col("event_id"), lit(4)) === i), i,
+          ev.where(pmod(col("event_id"), lit(3)) === i), i,
           Seq("event_type", "day"), col("user_id"), writer = "gate")
         require(run(), s"kmv_mv_rollup: batch $i must apply")
         if (i == 1) require(!run(),

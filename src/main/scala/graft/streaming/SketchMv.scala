@@ -58,23 +58,37 @@ object SketchMv {
     val partial = batch.groupBy(gc: _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
       .localCheckpoint(true)
-    // stored state for TOUCHED groups only — an untouched group's row
-    // carries forward in its delta dir, unread
-    val cur = PkTableSink.readTxGroup(spark, root, Mv,
-      partial.withColumn("batch_id", lit(batchId)))
-    val touched = partial.select(gc: _*)
-    val merged = cur.join(broadcast(touched), groupCols, "left_semi")
-      .select((gc ++ stateCols.map(col)): _*)
-      .unionByName(partial)
-      .groupBy(gc: _*)
-      .agg(mergeAggs.head, mergeAggs.tail: _*)
-      .withColumn("batch_id", lit(batchId))
-      .withColumn(gone, lit(false))
-    PkTableSink.mergeTxGroup(spark, root,
-      Map(Mv -> PkTableSink.TableBatch(merged, groupCols,
-        Seq("batch_id"), gone)),
-      writer = writer,
-      extraMeta = Map(wmKey(writer) -> batchId.toString))
+    try {
+      // stored state for TOUCHED groups only — an untouched group's
+      // row carries forward in its delta dir, unread
+      val cur = PkTableSink.readTxGroup(spark, root, Mv,
+        partial.withColumn("batch_id", lit(batchId)))
+      val touched = partial.select(gc: _*)
+      val merged = cur.join(broadcast(touched), groupCols, "left_semi")
+        .select((gc ++ stateCols.map(col)): _*)
+        .unionByName(partial)
+        .groupBy(gc: _*)
+        .agg(mergeAggs.head, mergeAggs.tail: _*)
+        .withColumn("batch_id", lit(batchId))
+        .withColumn(gone, lit(false))
+      PkTableSink.mergeTxGroup(spark, root,
+        Map(Mv -> PkTableSink.TableBatch(merged, groupCols,
+          Seq("batch_id"), gone)),
+        writer = writer,
+        extraMeta = Map(wmKey(writer) -> batchId.toString))
+    } finally {
+      // the checkpointed partial is consumed entirely by this commit —
+      // free its blocks so a long-lived writer (or the bench JVM, which
+      // drives many batches across many runs) doesn't accumulate
+      // pinned block-manager state one commit at a time. A
+      // localCheckpoint'ed frame's blocks live on its LogicalRDD, not
+      // in the CacheManager — Dataset.unpersist would be a no-op.
+      partial.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => partial.unpersist(false)
+      }
+    }
     true
   }
 
