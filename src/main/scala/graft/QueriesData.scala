@@ -173,10 +173,17 @@ object QueriesData {
         .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")),
           "doc_b")
         .select(least(col("sa"), col("sb")).as("source_a"),
-          greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+          greatest(col("sa"), col("sb")).as("source_b"),
+          // exact 1e-4 units: jaccard is already 4dp both engines, so
+          // ju is an exact long and the mean rounds half-up via
+          // floor((2Σ+n)/(2n)) — no FP boundary can flap (the r12 sf1
+          // 1-ulp lesson; same construction as q_interpolate)
+          floor(col("jaccard") * 10000d + 0.5d).cast("long").as("ju"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("n_pairs"),
-          Rounding.r(avg(col("jaccard")), 4).as("mean_jaccard"))
+          (floor((lit(2) * sum(col("ju")) + count(lit(1))).cast("double") /
+            (lit(2) * count(lit(1))).cast("double"))
+            .cast("double") / 10000d).as("mean_jaccard"))
         .orderBy(col("source_a"), col("source_b"))
     },
 
@@ -1410,11 +1417,14 @@ object QueriesData {
          |pr AS (SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 4) AS jaccard
          |       FROM ver WHERE inter * 5 >= uni * 4),
          |sp AS (SELECT least(da.source, db.source) AS source_a,
-         |              greatest(da.source, db.source) AS source_b, jaccard
+         |              greatest(da.source, db.source) AS source_b,
+         |              CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS ju
          |       FROM pr JOIN documents da ON pr.doc_a = da.doc_id
          |                JOIN documents db ON pr.doc_b = db.doc_id)
          |SELECT source_a, source_b, count(*) AS n_pairs,
-         |  round(avg(jaccard), 4) AS mean_jaccard
+         |  CAST(floor(CAST(2 * sum(ju) + count(*) AS DOUBLE) /
+         |             CAST(2 * count(*) AS DOUBLE)) AS DOUBLE) / 10000
+         |    AS mean_jaccard
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     "dedup_minhash_lsh" -> {

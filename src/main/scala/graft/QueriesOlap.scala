@@ -934,12 +934,25 @@ object QueriesOlap {
     // deterministic; the interpolant itself is one mul + one div + one
     // add on exact integer hour distances, rounded once.
     "q_interpolate" -> { (s, dir) =>
+      // EXACT-INTEGER basis (the §6 q5 construction, applied after a
+      // 1-ulp sf1 boundary flap in r12): values become 1e-4 units
+      // (floor(v·10⁴+0.5) — exact longs both engines), the per-bucket
+      // average rounds half-up IN UNITS via floor((2Σ+n)/(2n)), and
+      // the linear interpolation rounds half-up in units via
+      // floor((2m+d)/(2d)). Both floors take a correctly-rounded
+      // double quotient of exact <2⁵³ integers whose true value is a
+      // small-denominator rational — its distance from any integer
+      // (≥ 1/(2d)) dwarfs the quotient's ulp, so the floor is exact
+      // and engine-identical at ANY scale; /10⁴ at the end maps equal
+      // integers to equal doubles.
       val e = Tables.events(s, dir)
         .select(col("event_type"),
           floor(unix_timestamp(col("ts")) / 3600).cast("long").as("bucket"),
-          col("value"))
+          floor(col("value") * 10000d + 0.5d).cast("long").as("vu"))
       val obs = e.groupBy(col("event_type"), col("bucket"))
-        .agg(Rounding.r(avg(col("value")), 4).as("v_obs"), count(lit(1)).as("n_obs"))
+        .agg(floor((lit(2) * sum(col("vu")) + count(lit(1)))
+            .cast("double") / (lit(2) * count(lit(1))).cast("double"))
+          .cast("long").as("vu_obs"), count(lit(1)).as("n_obs"))
       val spine = obs.groupBy(col("event_type"))
         .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
         .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("bucket"))
@@ -947,23 +960,25 @@ object QueriesOlap {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wNext = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val m = (col("nv") - col("pv")) * (col("bucket") - col("pt"))
+      val d = col("nt") - col("pt")
       spine.join(obs, Seq("event_type", "bucket"), "left")
-        .withColumn("pv", last(col("v_obs"), ignoreNulls = true).over(wPrev))
-        .withColumn("pt", last(when(col("v_obs").isNotNull, col("bucket")),
+        .withColumn("pv", last(col("vu_obs"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(when(col("vu_obs").isNotNull, col("bucket")),
           ignoreNulls = true).over(wPrev))
-        .withColumn("nv", first(col("v_obs"), ignoreNulls = true).over(wNext))
-        .withColumn("nt", first(when(col("v_obs").isNotNull, col("bucket")),
+        .withColumn("nv", first(col("vu_obs"), ignoreNulls = true).over(wNext))
+        .withColumn("nt", first(when(col("vu_obs").isNotNull, col("bucket")),
           ignoreNulls = true).over(wNext))
-        .withColumn("filled",
-          when(col("v_obs").isNotNull, col("v_obs"))
+        .withColumn("filled_u",
+          when(col("vu_obs").isNotNull, col("vu_obs"))
             .when(col("pt").isNull, col("nv"))
             .when(col("nt").isNull, col("pv"))
-            .otherwise(Rounding.r(col("pv") + (col("nv") - col("pv")) *
-              ((col("bucket") - col("pt")).cast("double") /
-                (col("nt") - col("pt")).cast("double")), 4)))
+            .otherwise(col("pv") + floor((lit(2) * m + d).cast("double") /
+              (lit(2) * d).cast("double")).cast("long")))
         .select(col("event_type"), col("bucket"),
           coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-          col("v_obs").isNull.as("gap"), col("filled"))
+          col("vu_obs").isNull.as("gap"),
+          (col("filled_u").cast("double") / 10000d).as("filled"))
         .orderBy(col("event_type"), col("bucket"))
     },
 
@@ -2110,23 +2125,29 @@ object QueriesOlap {
         |  count(*) AS n FROM e GROUP BY 1)
         |SELECT event_type, mode_bucket, median_value, n
         |FROM md JOIN m2 USING (event_type) ORDER BY event_type""".stripMargin,
+    // exact 1e-4-unit basis mirroring the Spark side: unit averages
+    // and the interpolation both round half-up via floor((2m+d)/(2d))
+    // over exact integers, so the sf1 boundary flap cannot recur
     "q_interpolate" ->
       """WITH e AS (SELECT event_type,
-        |  CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket, value FROM events),
-        |obs AS (SELECT event_type, bucket, round(avg(value), 4) AS v_obs,
+        |  CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vu FROM events),
+        |obs AS (SELECT event_type, bucket,
+        |  CAST(floor(CAST(2 * sum(vu) + count(*) AS DOUBLE) /
+        |             CAST(2 * count(*) AS DOUBLE)) AS BIGINT) AS vu_obs,
         |  count(*) AS n_obs FROM e GROUP BY 1, 2),
         |bounds AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
         |  FROM obs GROUP BY 1),
         |spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS bucket
         |  FROM bounds),
-        |j AS (SELECT s.event_type, s.bucket, o.v_obs, o.n_obs
+        |j AS (SELECT s.event_type, s.bucket, o.vu_obs, o.n_obs
         |  FROM spine s LEFT JOIN obs o USING (event_type, bucket)),
         |w AS (SELECT *,
-        |  last_value(v_obs IGNORE NULLS) OVER wp AS pv,
-        |  last_value(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS)
+        |  last_value(vu_obs IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN vu_obs IS NOT NULL THEN bucket END IGNORE NULLS)
         |    OVER wp AS pt,
-        |  first_value(v_obs IGNORE NULLS) OVER wn AS nv,
-        |  first_value(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS)
+        |  first_value(vu_obs IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN vu_obs IS NOT NULL THEN bucket END IGNORE NULLS)
         |    OVER wn AS nt
         |  FROM j WINDOW
         |  wp AS (PARTITION BY event_type ORDER BY bucket
@@ -2134,13 +2155,14 @@ object QueriesOlap {
         |  wn AS (PARTITION BY event_type ORDER BY bucket
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT event_type, bucket, COALESCE(n_obs, 0) AS n_obs,
-        |  v_obs IS NULL AS gap,
-        |  CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |  vu_obs IS NULL AS gap,
+        |  CAST(CASE WHEN vu_obs IS NOT NULL THEN vu_obs
         |       WHEN pt IS NULL THEN nv
         |       WHEN nt IS NULL THEN pv
-        |       ELSE round(pv + (nv - pv) *
-        |         (CAST(bucket - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)), 4) END
-        |    AS filled
+        |       ELSE pv + CAST(floor(
+        |         CAST(2 * (nv - pv) * (bucket - pt) + (nt - pt) AS DOUBLE) /
+        |         CAST(2 * (nt - pt) AS DOUBLE)) AS BIGINT) END
+        |    AS DOUBLE) / 10000 AS filled
         |FROM w ORDER BY event_type, bucket""".stripMargin,
     "q_bitmap_rollup" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id
