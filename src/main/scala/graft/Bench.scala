@@ -14,7 +14,30 @@ object Bench {
   private def fmt(v: Double, places: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
 
+  /** Single-core CPU drift probe (r12 verdict finding #5): a fixed
+    * deterministic arithmetic loop, timed after one JIT warm pass —
+    * recorded in every bench artifact so cross-round totals can be
+    * normalized against machine drift MECHANICALLY (r12's ~1.7-2.2×
+    * uniform environment slowdown was diagnosed with exactly this
+    * probe, run by hand; now it is a number in the artifact). The
+    * work is input-independent, so the probe moves only when the
+    * machine does. */
+  private def cpuProbeSec(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 1469598103934665603L // FNV offset basis
+      var i = 0
+      while (i < 200000000) { acc = (acc ^ i) * 1099511628211L; i += 1 }
+      // consume acc so the loop cannot be dead-code-eliminated
+      if (acc == 42L) System.err.println("cpu probe sentinel")
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT warm — discard
+    (1 to 3).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
+    val cpuProbe = cpuProbeSec()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.ready(GraftSession.builder(master = s"local[$cpus]",
@@ -242,6 +265,7 @@ object Bench {
     import StreamBench.percentile
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpu_probe_sec":${fmt(cpuProbe, 3)},""" +
       s""""queries_min":$qsMin,""" +
       s""""stream_rows_per_sec":$streamRate,"stream_rows":$streamRows,""" +
       s""""latency_ms":{"p50":${percentile(insLat, 0.50)},"p95":${percentile(insLat, 0.95)},"p99":${percentile(insLat, 0.99)}},""" +
@@ -284,6 +308,7 @@ object Bench {
     }
     val summary =
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec",""" +
+      s""""cpu_probe_sec":${fmt(cpuProbe, 3)},""" +
       s""""n_queries":$nQueries,"n_failed":$nFailed,"queries":$top10,""" +
       s""""queries_note":"slowest 10 of $nQueries; full per-query medians+mins in BENCH_LOCAL.json",""" +
       s""""stream_rows_per_sec":$streamRate,""" +

@@ -18,6 +18,17 @@ object QueriesCdc {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Recursively delete a gate query's temp root — best-effort (a
+    * failed delete must not fail the gate; the OS tmp reaper is the
+    * backstop), deepest-first via reverse-sorted walk. */
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    } catch { case _: java.io.IOException => () }
+
   private def opCol: Column =
     when(col("event_type") === "signup", Envelope.OpCreate)
       .when(col("event_type") === "error", Envelope.OpDelete)
@@ -450,25 +461,31 @@ object QueriesCdc {
     // per-type broadcast rank recount.
     "qsk_mv_rollup" -> { (s, dir) =>
       import graft.streaming.QskMv
-      val root = java.nio.file.Files.createTempDirectory("qskmv_gate")
-        .toString + "/mv"
-      val ev = Tables.events(s, dir).select(col("event_type"),
-        to_date(col("ts")).as("day"), col("value"), col("event_id"))
-      (0 until 3).foreach { i =>
-        def run() = QskMv.maintainTx(root,
-          ev.where(pmod(col("event_id"), lit(3)) === i), i,
-          Seq("event_type", "day"), col("value"), writer = "gate")
-        require(run(), s"qsk_mv_rollup: batch $i must apply")
-        if (i == 1) require(!run(),
-          "qsk_mv_rollup: replayed batch must be watermark-skipped")
-      }
-      val schemaOf = {
-        import s.implicits._
-        Seq.empty[(String, java.sql.Date, graft.functions.Qsk.Sk, Long, Long)]
-          .toDF("event_type", "day", "sk", "n", "batch_id")
-      }
-      val rolled = QskMv.rollup(QskMv.readMv(s, root, schemaOf),
-        Seq("event_type"), Seq(0.5, 0.9))
+      val tmp = java.nio.file.Files.createTempDirectory("qskmv_gate")
+      val root = tmp.toString + "/mv"
+      // the rollup is MATERIALIZED (a handful of per-type rows) before
+      // the finally deletes the gate's committed roots — bench drives
+      // this query dozens of times per round and each run must leave
+      // /tmp clean, not accumulate orphaned sketch-MV parquet
+      val rolled = try {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          to_date(col("ts")).as("day"), col("value"), col("event_id"))
+        (0 until 3).foreach { i =>
+          def run() = QskMv.maintainTx(root,
+            ev.where(pmod(col("event_id"), lit(3)) === i), i,
+            Seq("event_type", "day"), col("value"), writer = "gate")
+          require(run(), s"qsk_mv_rollup: batch $i must apply")
+          if (i == 1) require(!run(),
+            "qsk_mv_rollup: replayed batch must be watermark-skipped")
+        }
+        val schemaOf = {
+          import s.implicits._
+          Seq.empty[(String, java.sql.Date, graft.functions.Qsk.Sk, Long, Long)]
+            .toDF("event_type", "day", "sk", "n", "batch_id")
+        }
+        QskMv.rollup(QskMv.readMv(s, root, schemaOf),
+          Seq("event_type"), Seq(0.5, 0.9)).localCheckpoint(true)
+      } finally deleteTree(tmp)
       def ok(r: String, q: Double) =
         abs(col(r) - lit(q) * col("n_events")) <=
           lit(0.05) * col("n_events") + lit(1.0)
@@ -495,25 +512,28 @@ object QueriesCdc {
     // cannot flap run to run; a sketch regression turns the row red).
     "kmv_mv_rollup" -> { (s, dir) =>
       import graft.streaming.KmvMv
-      val root = java.nio.file.Files.createTempDirectory("kmvmv_gate")
-        .toString + "/mv"
-      val ev = Tables.events(s, dir).select(col("event_type"),
-        to_date(col("ts")).as("day"), col("user_id"), col("event_id"))
-      (0 until 3).foreach { i =>
-        def run() = KmvMv.maintainTx(root,
-          ev.where(pmod(col("event_id"), lit(3)) === i), i,
-          Seq("event_type", "day"), col("user_id"), writer = "gate")
-        require(run(), s"kmv_mv_rollup: batch $i must apply")
-        if (i == 1) require(!run(),
-          "kmv_mv_rollup: replayed batch must be watermark-skipped")
-      }
-      val schemaOf = {
-        import s.implicits._
-        Seq.empty[(String, java.sql.Date, Array[Long], Long, Long)]
-          .toDF("event_type", "day", "sk", "n", "batch_id")
-      }
-      val rolled = KmvMv.rollup(KmvMv.readMv(s, root, schemaOf),
-        Seq("event_type"))
+      val tmp = java.nio.file.Files.createTempDirectory("kmvmv_gate")
+      val root = tmp.toString + "/mv"
+      // materialize-then-delete, same as qsk_mv_rollup above
+      val rolled = try {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          to_date(col("ts")).as("day"), col("user_id"), col("event_id"))
+        (0 until 3).foreach { i =>
+          def run() = KmvMv.maintainTx(root,
+            ev.where(pmod(col("event_id"), lit(3)) === i), i,
+            Seq("event_type", "day"), col("user_id"), writer = "gate")
+          require(run(), s"kmv_mv_rollup: batch $i must apply")
+          if (i == 1) require(!run(),
+            "kmv_mv_rollup: replayed batch must be watermark-skipped")
+        }
+        val schemaOf = {
+          import s.implicits._
+          Seq.empty[(String, java.sql.Date, Array[Long], Long, Long)]
+            .toDF("event_type", "day", "sk", "n", "batch_id")
+        }
+        KmvMv.rollup(KmvMv.readMv(s, root, schemaOf),
+          Seq("event_type")).localCheckpoint(true)
+      } finally deleteTree(tmp)
       val exact = Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))

@@ -2642,7 +2642,7 @@ object QueriesData {
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM docs),
         |df AS (SELECT t, CAST(count(*) AS DOUBLE) AS dft FROM dt GROUP BY t),
         |lex AS (SELECT q.doc_id AS qid, d.doc_id AS nid,
-        |    round(sum(ln(1 + (nd - dft + 0.5) / (dft + 0.5))), 4) AS s
+        |    sum(CAST(floor(ln(1 + (nd - dft + 0.5) / (dft + 0.5)) * 10000 + 0.5) AS BIGINT)) AS s
         |  FROM dt q JOIN dt d USING (t) JOIN df USING (t) CROSS JOIN n
         |  WHERE q.doc_id % 40 = 0 AND d.doc_id <> q.doc_id
         |  GROUP BY 1, 2),

@@ -1047,14 +1047,25 @@ object QueriesOlap {
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("flag"), col("l_orderkey").as("okey"))
       val sk = li.groupBy(col("flag"))
-        .agg(Kmv.kmvOf(Kmv.hash63(col("okey"))).as("sk"),
-          countDistinct(col("okey")).as("n_exact"))
-      val dk = li.distinct()
-      val inter = dk.as("a").join(dk.as("b"),
-          col("a.okey") === col("b.okey") && col("a.flag") < col("b.flag"))
-        .groupBy(col("a.flag").as("flag_a"), col("b.flag").as("flag_b"))
+        .agg(Kmv.kmvOf(Kmv.hash63(col("okey"))).as("sk"))
+      // exact-verify leg in ONE corpus shuffle (the r12 verdict's
+      // de-linearization — the old distinct() + okey self-join
+      // measured a 0.89 exponent at 10×): per-okey distinct flag SET
+      // (collect_set map-side-combines to a ≤|flag-domain| array),
+      // then |A| per flag and |A∩B| per flag pair both fall out of
+      // row-local explodes over that bounded frame — the downstream
+      // groupBys aggregate ≤ 2³ flag keys, never corpus rows.
+      val fs = li.groupBy(col("okey"))
+        .agg(collect_set(col("flag")).as("flags"))
+      val tot = fs.select(explode(col("flags")).as("flag"))
+        .groupBy(col("flag")).agg(count(lit(1)).as("n_exact"))
+      val inter = fs.select(explode(col("flags")).as("fa"), col("flags"))
+        .select(col("fa"), explode(col("flags")).as("fb"))
+        .where(col("fa") < col("fb"))
+        .groupBy(col("fa").as("flag_a"), col("fb").as("flag_b"))
         .agg(count(lit(1)).as("n_inter"))
-      val pairs = sk.as("a").join(broadcast(sk.as("b")), col("a.flag") < col("b.flag"))
+      val skt = sk.join(broadcast(tot), "flag")
+      val pairs = skt.as("a").join(broadcast(skt.as("b")), col("a.flag") < col("b.flag"))
         .select(col("a.flag").as("flag_a"), col("b.flag").as("flag_b"),
           col("a.n_exact").as("n_a"), col("b.n_exact").as("n_b"),
           col("a.sk").as("ska"), col("b.sk").as("skb"))
@@ -1134,14 +1145,18 @@ object QueriesOlap {
           kmv_union_est(a.sk, b.sk) AS union_est,
           kmv_jaccard_est(a.sk, b.sk) AS jac_est
         FROM rolled a JOIN rolled b ON a.event_type < b.event_type""")
-      val d = Tables.events(s, dir)
-        .select(col("event_type"), col("user_id")).distinct()
-      val t = d.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      val inter = d.as("a").join(d.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.event_type") < col("b.event_type"))
-        .groupBy(col("a.event_type").as("type_a"),
-          col("b.event_type").as("type_b"))
+      // exact-verify leg: the q_kmv_setops one-shuffle construction —
+      // per-user distinct type set, then totals and pairwise
+      // intersections from row-local explodes (no distinct self-join)
+      val fs = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(collect_set(col("event_type")).as("types"))
+      val t = fs.select(explode(col("types")).as("event_type"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = fs.select(explode(col("types")).as("fa"), col("types"))
+        .select(col("fa"), explode(col("types")).as("fb"))
+        .where(col("fa") < col("fb"))
+        .groupBy(col("fa").as("type_a"), col("fb").as("type_b"))
         .agg(count(lit(1)).as("n_inter"))
       val nUnion = col("n_a") + col("n_b") - col("n_inter")
       est.join(broadcast(t.select(col("event_type").as("type_a"),

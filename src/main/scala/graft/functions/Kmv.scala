@@ -145,6 +145,9 @@ object Kmv {
       extends Aggregator[Array[Long], Array[Long], Array[Long]] {
     override def zero: Array[Long] = Array(0L)
     override def reduce(buf: Array[Long], sk: Array[Long]): Array[Long] = {
+      // a NULL sketch row (outer-join miss, never-written column) is
+      // an empty set — skip it instead of NPEing on sk.length
+      if (sk == null) return buf
       val wrapped = new Array[Long](sk.length + 1)
       wrapped(0) = sk.length
       System.arraycopy(sk, 0, wrapped, 1, sk.length)

@@ -25,10 +25,12 @@ import graft.functions.Rounding
   * query BEFORE the fusion join, so the fusion frame is ≤ 2·listN
   * rows per query regardless of corpus size.
   *
-  * Determinism: both legs rank on 4dp-ROUNDED scores with id
-  * tie-breaks (the text_tfidf construction — double Σ order differs
-  * between engines, the round collapses it), and RRF scores are
-  * exact rationals of integer ranks, IEEE-identical cross-engine.
+  * Determinism: the sparse leg sums per-token idf PRE-ROUNDED to
+  * 1e-4 integer units (Σ-order-free by construction — the exact-
+  * integer-basis discipline of q_interpolate/dedup_source_overlap);
+  * the dense leg ranks on 4dp-rounded cosines with id tie-breaks;
+  * RRF scores are exact rationals of integer ranks, IEEE-identical
+  * cross-engine.
   *
   * Reference analogue: the OLAP serving role of the StarRocks tables
   * (mysql-cdc-debezium-starrocks docs/ARCHITECTURE.md) extended with
@@ -55,13 +57,22 @@ object HybridRetrieval {
     val df = dt.groupBy(col("t")).agg(count(lit(1)).cast("double").as("dft"))
     val qt = dt.where(isQuery(col("id")))
       .select(col("id").as("qid"), col("t"))
+    // per-token idf pre-rounded to 1e-4 UNITS and summed as LONGS:
+    // integer addition commutes exactly, so the per-pair score is
+    // Σ-order-free — a rank can only move if a single token's ln()
+    // differs by an ulp ACROSS ENGINES at its own rounding boundary,
+    // the smallest possible amplification (the r12-advice fix; a
+    // 4dp-rounded FP Σ was order-dependent, and here a boundary flap
+    // changes RANKS, which the fusion then amplifies)
+    val idfU = floor(log(lit(1.0) +
+      (col("nd") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5))) *
+      lit(1e4) + lit(0.5)).cast("long")
     val lex = qt.join(dt, "t")
       .where(col("id") =!= col("qid"))
       .join(df, "t")
       .crossJoin(broadcast(nDocs))
       .groupBy(col("qid"), col("id").as("nid"))
-      .agg(Rounding.r(sum(log(lit(1.0) +
-        (col("nd") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5)))), 4).as("s"))
+      .agg(sum(idfU).as("s"))
     val wl = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("nid").asc)
     val lrank = lex.withColumn("rl", row_number().over(wl)).where(col("rl") <= listN)
       .select(col("qid"), col("nid"), col("rl"))

@@ -27,7 +27,7 @@ import graft.functions.Kmv
   *
   * Exactly-once, atomic commits, and touched-key I/O bounds are
   * [[SketchMv]]'s contract; the gate query `kmv_mv_rollup` drives
-  * four batches + one replayed id end-to-end under the DuckDB oracle.
+  * three batches + one replayed id end-to-end under the DuckDB oracle.
   */
 object KmvMv {
 
@@ -47,7 +47,8 @@ object KmvMv {
       partialAggs = Seq(Kmv.kmvOf(Kmv.hash63(idCol)).as("sk"),
         count(lit(1)).as("n")),
       mergeAggs = Seq(Kmv.kmvMerge(col("sk")).as("sk"), sum(col("n")).as("n")),
-      stateCols = Seq("sk", "n"), writer = writer, gone = "__kmvmv_gone")
+      stateCols = Seq("sk", "n"), writer = writer, gone = "__kmvmv_gone",
+      flavor = "kmv")
 
   /** The committed view: (groupCols…, sk, n, batch_id). */
   def readMv(spark: SparkSession, root: String,

@@ -55,7 +55,8 @@ object QskMv {
     SketchMv.maintainTx(root, batch, batchId, groupCols,
       partialAggs = Seq(Qsk.qskOf(valueCol).as("sk"), count(lit(1)).as("n")),
       mergeAggs = Seq(Qsk.qskMerge(col("sk")).as("sk"), sum(col("n")).as("n")),
-      stateCols = Seq("sk", "n"), writer = writer, gone = "__qskmv_gone")
+      stateCols = Seq("sk", "n"), writer = writer, gone = "__qskmv_gone",
+      flavor = "qsk")
 
   /** The committed view: (groupCols…, sk, n, batch_id). */
   def readMv(spark: SparkSession, root: String,

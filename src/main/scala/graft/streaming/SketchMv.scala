@@ -32,10 +32,17 @@ import graft.sinks.{PkTableSink, TxLog}
   * `mergeAggs` re-folds (stored ∪ partial) state rows keyed by those
   * names. Everything else — watermark, touched-key semi-join, the
   * atomic commit — is flavor-independent and lives here once.
+  *
+  * Flavor safety: both flavors commit to the same fixed table name,
+  * so a QskMv writer pointed at a KmvMv root would silently
+  * interleave incompatible sketch encodings. The FIRST commit stamps
+  * `sketch.flavor` in the manifest meta; every later maintainTx
+  * fails fast on a mismatch instead of corrupting the view.
   */
 object SketchMv {
 
   private val Mv = "mv"
+  private val FlavorKey = "sketch.flavor"
 
   private def wmKey(writer: String) = s"wm.$writer"
 
@@ -50,9 +57,16 @@ object SketchMv {
                  groupCols: Seq[String],
                  partialAggs: Seq[Column], mergeAggs: Seq[Column],
                  stateCols: Seq[String], writer: String,
-                 gone: String): Boolean = {
+                 gone: String, flavor: String): Boolean = {
     val spark = batch.sparkSession
-    if (appliedWatermark(spark, root, writer).exists(batchId <= _))
+    val cur0 = TxLog.current(spark, root)
+    cur0.flatMap(_.meta.get(FlavorKey)).foreach { committed =>
+      require(committed == flavor,
+        s"sketch MV at $root holds flavor '$committed'; a '$flavor' " +
+          "writer would interleave incompatible sketch encodings")
+    }
+    if (cur0.flatMap(_.meta.get(wmKey(writer))).map(_.toLong)
+        .exists(batchId <= _))
       return false
     val gc = groupCols.map(col)
     val partial = batch.groupBy(gc: _*)
@@ -75,7 +89,8 @@ object SketchMv {
         Map(Mv -> PkTableSink.TableBatch(merged, groupCols,
           Seq("batch_id"), gone)),
         writer = writer,
-        extraMeta = Map(wmKey(writer) -> batchId.toString))
+        extraMeta = Map(wmKey(writer) -> batchId.toString,
+          FlavorKey -> flavor))
     } finally {
       // the checkpointed partial is consumed entirely by this commit —
       // free its blocks so a long-lived writer (or the bench JVM, which

@@ -20,13 +20,21 @@ import graft.sinks.TxLog
   * bounded-broadcast beam walks, and no stage ever rescans or
   * shuffles the corpus.
   *
-  * Exactly-once downstream WITHOUT a watermark: the front door
+  * Duplicate-free downstream WITHOUT a watermark: the front door
   * anti-joins the batch against [[GraphIndex.liveIds]] first —
   * the beam search excludes self-matches by id, so membership is
   * checked by id, near-duplication by content. A replayed batch
   * (crash after the add committed) finds all its novel ids live and
   * emits nothing; a replayed FIRST batch (crash after build) takes
-  * the probe path and likewise drains to empty. In-batch near-dup
+  * the probe path and likewise drains to empty. Note the delivery
+  * contract this buys is at-LEAST-once dedup / at-MOST-once emit in
+  * the crash window between the index commit and the caller's
+  * downstream write: if the process dies there, the replay finds the
+  * ids live and the rows never reach downstream. A caller needing
+  * exactly-once must commit its downstream sink before (or
+  * atomically with) consuming the returned frame — e.g. write the
+  * novel rows to a transactional sink keyed by batch id FIRST, then
+  * let a later batch's ingestTx observe the index. In-batch near-dup
   * resolution is deliberately out of scope (C28's
   * dropDuplicatesWithinWatermark / the batch dedup operators own
   * it) — this is the cross-batch, near-duplicate, restart-surviving

@@ -150,4 +150,36 @@ class KmvMvSpec extends SparkSpec {
     assert(math.abs(before._3 - 2000.0) <= 200.0,
       s"2000 distinct ids within the KMV band: $before")
   }
+
+  test("flavor guard: a QskMv writer pointed at a KmvMv root fails fast") {
+    import graft.streaming.QskMv
+    val root = java.nio.file.Files.createTempDirectory("kmvflav").toString + "/mv"
+    assert(KmvMv.maintainTx(root,
+      Seq(("a", java.sql.Date.valueOf("2024-01-01"), 1L))
+        .toDF("event_type", "day", "user_id"),
+      0L, Seq("event_type", "day"), col("user_id")))
+    // the same root through the OTHER flavor must refuse before any
+    // commit — interleaved sketch encodings would corrupt the view
+    val e = intercept[IllegalArgumentException] {
+      QskMv.maintainTx(root,
+        Seq(("a", java.sql.Date.valueOf("2024-01-01"), 2.0))
+          .toDF("event_type", "day", "value"),
+        1L, Seq("event_type", "day"), col("value"))
+    }
+    assert(e.getMessage.contains("flavor"), e.getMessage)
+    // the ORIGINAL flavor continues unharmed
+    assert(KmvMv.maintainTx(root,
+      Seq(("a", java.sql.Date.valueOf("2024-01-01"), 2L))
+        .toDF("event_type", "day", "user_id"),
+      1L, Seq("event_type", "day"), col("user_id")))
+  }
+
+  test("kmv_union over a NULL sketch row skips it instead of NPE") {
+    val df = Seq(Tuple1(Seq(1L, 5L, 9L)), Tuple1(null.asInstanceOf[Seq[Long]]),
+        Tuple1(Seq(5L, 7L)))
+      .toDF("sk")
+    val merged = df.agg(Kmv.kmvMerge(col("sk")).as("m"))
+      .select(col("m")).as[Array[Long]].head()
+    assert(merged.toSeq == Seq(1L, 5L, 7L, 9L), merged.toSeq)
+  }
 }
