@@ -165,7 +165,11 @@ object Bench {
           // hot paths are the token equi-join + the cosine scan
           "q_kmv_setops", "ann_hybrid_rrf",
           // the fourth sketch-rollup row: bounded KMV state per group
-          "q_kmv_rollup")
+          "q_kmv_rollup",
+          // r13: the persisted-index hybrid — probe cost ∝
+          // queries·(postings + beam); index builds amortize in the
+          // warm pass (build_excluded, like the other graph rows)
+          "ann_hybrid_indexed")
         val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
         ScaleUp.ensure(spark, sfDir, dst, factor)
         val baseTimes = results.toMap
@@ -177,7 +181,8 @@ object Bench {
             // build itself is priced by the graph_build block below,
             // not by these exponents
             val flag =
-              if (name == "ann_nndescent" || name == "ann_recall_audit")
+              if (name == "ann_nndescent" || name == "ann_recall_audit" ||
+                  name == "ann_hybrid_indexed")
                 """"build_excluded":true,"""
               else ""
             try {
@@ -225,9 +230,11 @@ object Bench {
           """"graph_build":null"""
         }
         // the scaling pass is done with the replica — drop its cached
-        // walk graph so a 10× graph doesn't stay pinned in memory for
-        // the rest of the process
+        // walk graph (pinned memory) and persisted hybrid-index roots
+        // (temp disk) so a 10× corpus doesn't stay resident for the
+        // rest of the process
         QueriesData.evictNndGraph(spark, dst)
+        QueriesData.evictHybridIndex(spark, dst)
         val json =
           s""""scaling":{"factor":$factor,"queries":{${entries.mkString(",")}}},""" +
             graphBuildJson
@@ -325,6 +332,7 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}") }
     QueriesData.evictNndGraph(spark, sfDir) // measurement done with this corpus
+    QueriesData.evictHybridIndex(spark, sfDir)
     spark.stop()
     // …and print it straight to the process stdout stream as late as
     // possible (after spark teardown), so under a forked sbt run with

@@ -543,9 +543,187 @@ object QueriesCdc {
           (abs(col("du_est") - col("n_users")) <=
             lit(0.10) * col("n_users") + lit(32)).as("du_ok"))
         .orderBy(col("event_type"))
+    },
+
+    // D39 in the GATE (r13): TRANSPARENT sketch-MV rewrite end to
+    // end — the read-side completion of D37/D38 and the StarRocks
+    // promise those MVs mimic: a user's literal
+    // `approx_count_distinct` / `percentile_approx` SQL over the
+    // SOURCE is optimizer-rewritten (plans.MvRewrite sketch path) to
+    // scan the PUBLISHED snapshot of a committed KmvMv/QskMv root,
+    // never the raw history. The gate maintains both MVs over a flat
+    // copy of events, publishes them (registerSketchSnapshot), runs
+    // the two user queries through spark.sql, and require()-asserts
+    // ON THE PLAN that each scans its sketch snapshot and NOT the
+    // source. Output is the est-flag construction: exact recounts the
+    // oracle replays + bound flags it expects TRUE (count(*) rolls up
+    // EXACTLY via sum of the MV's n column — hash-equal to the
+    // oracle's count, so a silently-broken rewrite that still
+    // estimated well could not hide).
+    "mv_sketch_rewrite" -> { (s, dir) =>
+      import graft.streaming.{KmvMv, QskMv}
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvrw_gate")
+      val src = tmp.toString + "/events_flat"
+      val out = try {
+        Tables.events(s, dir).select(col("event_type"),
+            to_date(col("ts")).as("day"), col("user_id"), col("value"))
+          .write.mode("overwrite").parquet(src)
+        val flat = s.read.parquet(src)
+        val kroot = tmp.toString + "/kmv/mv"
+        val qroot = tmp.toString + "/qsk/mv"
+        require(KmvMv.maintainTx(kroot, flat, 0L, Seq("event_type", "day"),
+          col("user_id"), writer = "gate"), "kmv maintain must apply")
+        require(QskMv.maintainTx(qroot, flat, 0L, Seq("event_type", "day"),
+          col("value"), writer = "gate"), "qsk maintain must apply")
+        val kpub = tmp.toString + "/kmv_pub"
+        val qpub = tmp.toString + "/qsk_pub"
+        val kschema = {
+          import s.implicits._
+          Seq.empty[(String, java.sql.Date, Array[Long], Long, Long)]
+            .toDF("event_type", "day", "sk", "n", "batch_id")
+        }
+        val qschema = {
+          import s.implicits._
+          Seq.empty[(String, java.sql.Date, graft.functions.Qsk.Sk, Long, Long)]
+            .toDF("event_type", "day", "sk", "n", "batch_id")
+        }
+        MvRewrite.registerSketchSnapshot(s, src,
+          KmvMv.readMv(s, kroot, kschema)
+            .select(col("event_type"), col("day"), col("sk"), col("n")),
+          kpub, Seq("event_type", "day"),
+          Map("sk" -> MvRewrite.KmvSketchOf("user_id"),
+            "n" -> MvRewrite.CountStar))
+        MvRewrite.registerSketchSnapshot(s, src,
+          QskMv.readMv(s, qroot, qschema)
+            .select(col("event_type"), col("day"), col("sk"), col("n")),
+          qpub, Seq("event_type", "day"),
+          Map("sk" -> MvRewrite.QskSketchOf("value"),
+            "n" -> MvRewrite.CountStar))
+        flat.createOrReplaceTempView("events_mvr")
+        val qd = s.sql("""SELECT event_type, count(*) AS n_events,
+          approx_count_distinct(user_id) AS du_est
+          FROM events_mvr GROUP BY event_type""")
+        val qp = s.sql("""SELECT event_type,
+          percentile_approx(value, 0.5D) AS p50_est
+          FROM events_mvr GROUP BY event_type""")
+        // the whole point: the plans must read the sketch snapshots,
+        // never the source — asserted on the ACTUAL scan relations
+        def scanRoots(df: DataFrame): Seq[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+          }.flatten
+        def assertScans(df: DataFrame, wantUnder: String, q: String): Unit = {
+          val roots = scanRoots(df)
+          val want = new org.apache.hadoop.fs.Path(wantUnder).toUri.getPath
+          val bad = new org.apache.hadoop.fs.Path(src).toUri.getPath
+          require(roots.exists(_.startsWith(want)),
+            s"$q must scan the sketch snapshot $want; scans: $roots")
+          require(!roots.exists(_.startsWith(bad)),
+            s"$q must NOT rescan the source; scans: $roots")
+        }
+        assertScans(qd, kpub, "approx_count_distinct")
+        assertScans(qp, qpub, "percentile_approx")
+        qd.join(qp, "event_type").localCheckpoint(true)
+      } finally {
+        MvRewrite.deregister(src)
+        deleteTree(tmp)
+      }
+      val exact = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      Tables.events(s, dir)
+        .join(broadcast(out.join(broadcast(exact), "event_type")),
+          "event_type")
+        .groupBy(col("event_type"), col("n_events"), col("n_exact"),
+          col("du_est"), col("p50_est"))
+        .agg(sum((col("value") <= col("p50_est")).cast("long")).as("r50"))
+        .select(col("event_type"), col("n_events"), col("n_exact"),
+          (abs(col("du_est") - col("n_exact")) <=
+            lit(0.10) * col("n_exact") + lit(32)).as("du_ok"),
+          (abs(col("r50") - lit(0.5) * col("n_events")) <=
+            lit(0.05) * col("n_events") + lit(1.0)).as("p50_ok"))
+        .orderBy(col("event_type"))
+    },
+
+    // D40 in the GATE (r13): transparent BITMAP-MV rewrite — the
+    // EXACT member of the sketch-rewrite family (StarRocks BITMAP
+    // aggregate column: to_bitmap on load, bitmap_union_count on
+    // read): a committed RbmMv holds per-(type, day) exact id
+    // bitmaps; a user's literal `count(DISTINCT user_id)` SQL is
+    // optimizer-rewritten to bitmap-union the published snapshot.
+    // Exactness upgrades the gate from bound FLAGS to VALUE-IDENTITY:
+    // the output counts are compared hash-for-hash with the oracle's
+    // raw count(DISTINCT) — zero tolerance anywhere. A replayed batch
+    // id is proven watermark-skipped in-query, and the plan assertion
+    // (snapshot scanned, source not) matches mv_sketch_rewrite's.
+    "mv_bitmap_rewrite" -> { (s, dir) =>
+      import graft.streaming.RbmMv
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("bmrw_gate")
+      val src = tmp.toString + "/events_flat"
+      try {
+        Tables.events(s, dir).select(col("event_type"),
+            to_date(col("ts")).as("day"), col("user_id"))
+          .write.mode("overwrite").parquet(src)
+        val flat = s.read.parquet(src)
+        val root = tmp.toString + "/rbm/mv"
+        (0 until 2).foreach { i =>
+          def run() = RbmMv.maintainTx(root,
+            flat.where(pmod(col("user_id"), lit(2)) === i), i,
+            Seq("event_type", "day"), col("user_id"), writer = "gate")
+          require(run(), s"mv_bitmap_rewrite: batch $i must apply")
+          if (i == 1) require(!run(),
+            "mv_bitmap_rewrite: replayed batch must be watermark-skipped")
+        }
+        val schemaOf = {
+          import s.implicits._
+          Seq.empty[(String, java.sql.Date, Map[Long, Array[Long]], Long, Long)]
+            .toDF("event_type", "day", "sk", "n", "batch_id")
+        }
+        val pub = tmp.toString + "/rbm_pub"
+        MvRewrite.registerSketchSnapshot(s, src,
+          RbmMv.readMv(s, root, schemaOf)
+            .select(col("event_type"), col("day"), col("sk"), col("n")),
+          pub, Seq("event_type", "day"),
+          Map("sk" -> MvRewrite.RbmSketchOf("user_id"),
+            "n" -> MvRewrite.CountStar))
+        flat.createOrReplaceTempView("events_bmr")
+        val q = s.sql("""SELECT event_type, count(*) AS n_events,
+          count(DISTINCT user_id) AS n_users
+          FROM events_bmr GROUP BY event_type ORDER BY event_type""")
+        val roots = q.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+        }.flatten
+        val want = new org.apache.hadoop.fs.Path(pub).toUri.getPath
+        val bad = new org.apache.hadoop.fs.Path(src).toUri.getPath
+        require(roots.exists(_.startsWith(want)),
+          s"count(DISTINCT) must scan the bitmap snapshot; scans: $roots")
+        require(!roots.exists(_.startsWith(bad)),
+          s"count(DISTINCT) must NOT rescan the source; scans: $roots")
+        q.localCheckpoint(true)
+      } finally {
+        MvRewrite.deregister(src)
+        deleteTree(tmp)
+      }
     })
 
   val oracleSql: Map[String, String] = Map(
+    "mv_sketch_rewrite" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_exact,
+        |  true AS du_ok, true AS p50_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // D40: the bitmap-served counts are EXACT — the oracle compares
+    // values directly, no flags
+    "mv_bitmap_rewrite" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "cdc_scd2_intervals" ->
       """WITH iv AS (SELECT user_id, event_id, value, ts AS valid_from,
         |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),

@@ -119,6 +119,54 @@ object QueriesData {
     Similarity.nndSearchGraph(Tables.embeddings(s, dir),
       col("vec_id"), col("embedding"))
 
+  /** AMORTIZED per-corpus PERSISTED hybrid-index fixture for
+    * `ann_hybrid_indexed`: one committed InvertedIndex (docs lake
+    * table + postings) and one committed GraphIndex per (application,
+    * corpus dir) — the production contract again: a recurring serving
+    * query probes indexes, it never builds them. The GraphIndex
+    * commit REUSES [[nndGraphFor]]'s shared NN-descent build
+    * (GraphIndex.build graphOpt), so the corpus pays ONE graph
+    * construction total across the in-memory and persisted families.
+    * Roots live under a temp dir deleted by a JVM shutdown hook (and
+    * eagerly by [[evictHybridIndex]], which Bench calls per corpus).
+    * Returns (invertedIndexRoot, graphRoot, nDocs). */
+  private val hybridIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
+  private def hybridIndexRoots(s: SparkSession, dir: String): (String, String, Long) =
+    hybridIdxCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("hybidx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(tmp)))
+      val inv = tmp.toString + "/inv"
+      val g = tmp.toString + "/graph"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+        .withColumn("ver", lit(0L)).withColumn("del", lit(false))
+      graft.sinks.PkTableSink.mergeTx(s, inv, docs, Seq("id"), Seq("ver"),
+        "del", writer = "hyb")
+      graft.sinks.InvertedIndex.buildTx(s, inv, "id", "text")
+      graft.ops.GraphIndex.build(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), g, graphOpt = Some(nndGraphFor(s, dir)))
+      val n = Tables.documents(s, dir).count()
+      (inv, g, n)
+    })
+
+  /** Drop `dir`'s persisted hybrid-index roots (Bench calls this with
+    * [[evictNndGraph]] when a measurement pass is done with a
+    * corpus). Safe while absent; next use rebuilds. */
+  def evictHybridIndex(s: SparkSession, dir: String): Unit = {
+    val e = hybridIdxCache.remove(s.sparkContext.applicationId + "|" + dir)
+    if (e != null)
+      deleteTree(java.nio.file.Paths.get(e._1).getParent)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    } catch { case _: java.io.IOException => () }
+
   /** [[shingleCte]] over the pinned md5-sample of documents — the
     * dedup_quality_audit oracle's input slice, identical to the Spark
     * side's draw. */
@@ -506,6 +554,44 @@ object QueriesData {
         Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
         isQuery = _ % 40 === 0, k = 5, listN = 20)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // C72 (r13): hybrid retrieval SERVED FROM THE PERSISTED INDEXES —
+    // the r12 verdict's production shape: sparse leg = committed
+    // InvertedIndex postings (rankTx, idf from index-resident df on
+    // the same 1e-4 integer basis → identical ranks to C69's leg on a
+    // fresh index), dense leg = committed GraphIndex beam probe
+    // (approximate — recall per the gated audit), fused by the SAME
+    // RRF arithmetic. Cost ∝ queries·(postings + beam), never a
+    // corpus scan. The gate pins fused-top-5 OVERLAP vs the C69
+    // brute-fusion ground truth on a pinned md5 query sample (the
+    // dedup_quality_audit construction): the oracle replays the
+    // sample draw and expects every overlap_ok TRUE — a recall
+    // regression in either persisted index turns rows red.
+    "ann_hybrid_indexed" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      val qids = emb.where(col("vec_id") % 40 === 0)
+        .orderBy(md5(concat(col("vec_id"), lit(":hyq"))), col("vec_id"))
+        .limit(AnnAuditQuerySample)
+        .select(col("vec_id")).as[Long].collect().toSeq
+      val base = HybridRetrieval.rrfTopk(docs, col("doc_id"), col("text"),
+          emb, col("vec_id"), col("embedding"),
+          isQuery = _.isin(qids: _*), k = 5, listN = 20)
+        .select(col("qid"), col("nid"))
+      val (invRoot, gRoot, nDocs) = hybridIndexRoots(s, dir)
+      val idx = HybridRetrieval.rrfTopkIndexed(s, invRoot, gRoot,
+          docs.where(col("doc_id").isin(qids: _*)), col("doc_id"), col("text"),
+          emb.where(col("vec_id").isin(qids: _*)), col("vec_id"), col("embedding"),
+          nDocs, k = 5, listN = 20)
+        .select(col("qid"), col("nid"))
+      val overlap = idx.join(base, Seq("qid", "nid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+      qids.toDF("qid")
+        .join(overlap, Seq("qid"), "left").na.fill(0L, Seq("n_overlap"))
+        .select(col("qid"), (col("n_overlap") >= 3).as("overlap_ok"))
+        .orderBy(col("qid"))
     },
 
     // C30: int8-quantized ANN + exact rerank (FAISS SQ8 shape): codes
@@ -2668,6 +2754,14 @@ object QueriesData {
         |  FROM fused)
         |SELECT qid, rank, nid, round(rrf, 6) AS rrf FROM ranked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // C72: the oracle replays the pinned md5 query-sample draw and
+    // expects every persisted-index fused-top-5 overlap flag TRUE
+    // (the flag itself is engine-measured — the recall_ok idiom)
+    "ann_hybrid_indexed" ->
+      s"""SELECT qid, true AS overlap_ok FROM (
+        |  SELECT vec_id AS qid FROM embeddings WHERE vec_id % 40 = 0
+        |  ORDER BY md5(vec_id || ':hyq'), vec_id LIMIT $AnnAuditQuerySample)
+        |ORDER BY qid""".stripMargin,
     // C43b: trained-cell replay (shared CTE) + PQ codebook/encode/ADC
     // replay (C43's fragments) + probe-pruned candidates
     "ann_ivfpq" ->

@@ -125,10 +125,15 @@ object GraphIndex {
     * silently dropped. Returns the committed version. */
   def build(df: DataFrame, id: Column, vec: Column, root: String,
             writer: String = "build",
-            maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L): Long = {
+            maxAttempts: Int = 5, recoverTornAfterMs: Long = 60000L,
+            graphOpt: Option[DataFrame] = None): Long = {
     val spark = df.sparkSession
     val v = prep(df, id, vec)
-    val g = Similarity.nndSearchGraph(df, id, vec)
+    // graphOpt: a caller already holding THE nndSearchGraph of df
+    // (e.g. an amortized per-corpus build shared with in-memory
+    // queries) passes it in to skip the recompute — the build is
+    // deterministic, so the committed index is identical either way
+    val g = graphOpt.getOrElse(Similarity.nndSearchGraph(df, id, vec))
     val baseAtEntry = TxLog.current(spark, root).map(_.version)
     commitWith(spark, root, writer, maxAttempts, recoverTornAfterMs) { base =>
       if (base.map(_.version) != baseAtEntry)

@@ -90,7 +90,15 @@ object HybridRetrieval {
     val srank = sem.withColumn("rs", row_number().over(ws)).where(col("rs") <= listN)
       .select(col("qid").as("sqid"), col("nid").as("snid"), col("rs"))
 
-    // ---- fusion: full outer on (qid, nid), absent leg contributes 0 ----
+    fuse(lrank, srank, k, rrfC)
+  }
+
+  /** RRF fusion of a lexical rank list (qid, nid, rl) and a semantic
+    * rank list (sqid, snid, rs): full outer on (qid, nid), an absent
+    * leg contributes 0 — shared by the in-memory and the
+    * persisted-index paths so the fusion arithmetic cannot drift. */
+  private def fuse(lrank: DataFrame, srank: DataFrame,
+                   k: Int, rrfC: Int): DataFrame = {
     val fused = lrank.join(srank,
         col("qid") === col("sqid") && col("nid") === col("snid"), "full_outer")
       .select(coalesce(col("qid"), col("sqid")).as("qid"),
@@ -101,5 +109,43 @@ object HybridRetrieval {
     fused.withColumn("rank", row_number().over(wf)).where(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
         Rounding.r(col("rrf"), 6).as("rrf"))
+  }
+
+  /** The PRODUCTION hybrid shape — both legs served from PERSISTED
+    * transactional indexes, cost ∝ queries · (posting sizes + beam
+    * walk), never a corpus scan or a broadcast cosine sweep:
+    *
+    *  - sparse leg: [[graft.sinks.InvertedIndex.rankTx]] over the
+    *    committed postings chain (idf from index-resident df, the
+    *    same 1e-4 integer-unit basis as [[rrfTopk]]'s in-memory leg —
+    *    identical ranks on a fresh index);
+    *  - dense leg: [[graft.ops.GraphIndex.search]] beam probe of the
+    *    committed graph-ANN index (approximate — recall per the gated
+    *    `ann_recall_audit` floors);
+    *  - fusion: the SAME [[fuse]] arithmetic as [[rrfTopk]].
+    *
+    * The driver gate `ann_hybrid_indexed` pins fused-top-k overlap
+    * against [[rrfTopk]] on a deterministic query sample per round.
+    *
+    * @param queryDocs (qid, text) of the query documents
+    * @param queryVecs (qid, vector) of the same queries
+    * @param nDocs     corpus document count (for idf)
+    */
+  def rrfTopkIndexed(spark: org.apache.spark.sql.SparkSession,
+                     invRoot: String, graphRoot: String,
+                     queryDocs: DataFrame, qDocId: Column, qText: Column,
+                     queryVecs: DataFrame, qVecId: Column, qVec: Column,
+                     nDocs: Long, k: Int = 5, listN: Int = 20,
+                     rrfC: Int = 60): DataFrame = {
+    val lex = graft.sinks.InvertedIndex.rankTx(spark, invRoot,
+      queryDocs.select(qDocId.as("qid"), qText.as("qtext")),
+      col("qid"), col("qtext"), nDocs)
+    val wl = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("id").asc)
+    val lrank = lex.withColumn("rl", row_number().over(wl)).where(col("rl") <= listN)
+      .select(col("qid"), col("id").as("nid"), col("rl"))
+    val srank = GraphIndex.search(spark, graphRoot, queryVecs, qVecId, qVec,
+        k = listN)
+      .select(col("qid").as("sqid"), col("nid").as("snid"), col("rank").as("rs"))
+    fuse(lrank, srank, k, rrfC)
   }
 }

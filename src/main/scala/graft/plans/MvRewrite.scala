@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Average, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -66,6 +66,34 @@ object MvRewrite {
   /** count of NON-NULL values of `col` — what `avg(col)` needs as its
     * divisor (CountStar would miscount when `col` is nullable). */
   final case class CountOf(col: String) extends AggKind
+  /** The MV column stores a KMV distinct-count sketch of source
+    * `col` ([[graft.streaming.KmvMv]]'s `sk`): answers the query's
+    * `approx_count_distinct(col)` via kmv-merge + the bottom-k
+    * estimator. NOTE the estimator substitution — the rewritten
+    * query returns the KMV estimate where the raw scan would return
+    * HLL++'s; both are approximate answers to the same question and
+    * carry comparable error at default precision (the StarRocks
+    * HLL-column contract: `approx_count_distinct` over an HLL column
+    * serves from the sketch, not the raw rows). */
+  final case class KmvSketchOf(col: String) extends AggKind
+  /** The MV column stores a Qsk percentile sketch of source `col`
+    * ([[graft.streaming.QskMv]]'s `sk`): answers the query's
+    * `percentile_approx(col, q)` via qsk-merge + quantile extraction
+    * (same estimator-substitution caveat as [[KmvSketchOf]], vs
+    * Spark's KLL-ish ApproximatePercentile). */
+  final case class QskSketchOf(col: String) extends AggKind
+  /** The MV column stores an EXACT Rbm bitmap of source `col`
+    * ([[graft.streaming.RbmMv]]'s `sk`): answers the query's
+    * `count(DISTINCT col)` via bitmap-union + cardinality — EXACTLY
+    * (no estimator substitution; the rewritten answer is
+    * value-identical to the raw scan's, the StarRocks BITMAP-column
+    * contract). Requires non-null integer ids — see RbmMv. */
+  final case class RbmSketchOf(col: String) extends AggKind
+
+  private[plans] def isSketch(k: AggKind): Boolean = k match {
+    case _: KmvSketchOf | _: QskSketchOf | _: RbmSketchOf => true
+    case _ => false
+  }
 
   /** One registered MV: `aggs` maps each MV output column name to the
     * aggregate (over the SOURCE) it stores. `rows` is the MV's row
@@ -107,6 +135,23 @@ object MvRewrite {
       case Some(m) => Some(m + (mvPath -> entry))
       case None    => Some(Map(mvPath -> entry))
     }
+  }
+
+  /** PUBLISH a transactional sketch MV for transparent rewrite: dump
+    * `mvFrame` (a [[graft.streaming.KmvMv]]/[[graft.streaming.QskMv]]
+    * `readMv` view, or any frame of (groupCols…, sketch/state cols))
+    * as a plain-parquet snapshot at `snapshotDir` and register THAT —
+    * the snapshot is the pinned read surface, exactly the path-based
+    * contract [[register]] already enforces (refresh the MV → publish
+    * again to re-pin; the StarRocks MV "publish version" shape). The
+    * snapshot is MV-row-sized (one bounded sketch per group), so the
+    * dump is result-scale work, never a source scan. */
+  def registerSketchSnapshot(spark: SparkSession, sourcePath: String,
+                             mvFrame: org.apache.spark.sql.DataFrame,
+                             snapshotDir: String, groupCols: Seq[String],
+                             aggs: Map[String, AggKind]): Unit = {
+    mvFrame.write.mode("overwrite").parquet(snapshotDir)
+    register(spark, sourcePath, snapshotDir, groupCols, aggs)
   }
 
   def deregister(sourcePath: String): Unit = registry.remove(normalize(sourcePath))
@@ -215,7 +260,10 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val ordered = mvs.sortBy(mv =>
       (if (groupNames.toSet == mv.groupCols.toSet) 0 else 1, mv.rows, mv.mvPath))
     ordered.iterator
-      .map(mv => tryRewrite(agg, ges, aes, filterOpt, mv))
+      .map(mv =>
+        if (mv.aggs.values.exists(isSketch))
+          tryRewriteSketch(ges, aes, filterOpt, mv)
+        else tryRewrite(agg, ges, aes, filterOpt, mv))
       .collectFirst { case Some(p) => p }
   }
 
@@ -227,6 +275,129 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     cond.deterministic &&
       !cond.exists(_.isInstanceOf[PlanExpression[_]]) &&
       cond.references.forall(a => mv.groupCols.contains(a.name))
+
+  // ---- sketch-MV path (StarRocks HLL/PERCENTILE aggregate-column
+  // acceleration): a query's approx_count_distinct / percentile_approx
+  // over the SOURCE is served by merging the MV's stored sketch
+  // column — shuffle ∝ MV rows carrying O(k) sketches, never source
+  // rows. See KmvSketchOf/QskSketchOf for the estimator-substitution
+  // contract. ----
+
+  private sealed trait SketchReq
+  private case class ReqApproxDistinct(col: String) extends SketchReq
+  private case class ReqApproxPerc(col: String, q: Double) extends SketchReq
+  private case class ReqCountDistinct(col: String) extends SketchReq
+  private case object ReqCountStar extends SketchReq
+
+  /** What one query aggregate asks of a sketch MV, if it is a
+    * sketch-servable kind over a bare column. */
+  private def sketchReqOf(ae: AggregateExpression): Option[SketchReq] =
+    if (ae.filter.nonEmpty) None
+    else if (ae.isDistinct) ae.aggregateFunction match {
+      // EXACT count(DISTINCT x) — servable from an Rbm bitmap column
+      // with value-identical results (no estimator involved)
+      case Count(Seq(a: AttributeReference)) => Some(ReqCountDistinct(a.name))
+      case _ => None
+    }
+    else ae.aggregateFunction match {
+      case h: HyperLogLogPlusPlus => h.child match {
+        case a: AttributeReference => Some(ReqApproxDistinct(a.name))
+        case _ => None
+      }
+      case p: ApproximatePercentile if p.dataType == DoubleType =>
+        (p.children.head, p.children(1)) match {
+          // scalar foldable percentage only (an ARRAY of percentages
+          // yields ArrayType and is filtered by the dataType guard)
+          case (a: AttributeReference, Literal(v, _)) =>
+            Some(ReqApproxPerc(a.name, v.toString.toDouble))
+          case _ => None
+        }
+      case Count(Seq(Literal(_, _))) => Some(ReqCountStar)
+      case _ => None
+    }
+
+  /** Rewrite an approx-aggregate query onto a registered sketch MV.
+    * Unlike [[tryRewrite]] (pure catalyst surgery), the replacement
+    * subtree is built through the full Dataset pipeline — groupBy/agg
+    * over the snapshot scan — because the sketch merge aggregators are
+    * typed udafs whose encoders only resolve during ANALYSIS; an
+    * optimizer rule cannot splice an unresolved ScalaAggregator
+    * directly. The analyzed subtree is then re-anchored under a
+    * Project that restores the query's original exprIds, and the
+    * optimizer's own fixpoint passes prune/plan it like any other
+    * scan. Group-set containment, the group-column-only filter rule,
+    * and type preservation match the classic path exactly. */
+  private def tryRewriteSketch(ges: Seq[Expression],
+                               aes: Seq[NamedExpression],
+                               filterOpt: Option[Expression],
+                               mv: MvDef): Option[LogicalPlan] = {
+    filterOpt.foreach(c => if (!filterRewritable(c, mv)) return None)
+    val groupNames = ges.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (groupNames.distinct.size != groupNames.size) return None
+    if (!groupNames.toSet.subsetOf(mv.groupCols.toSet)) return None
+    // outputs are re-anchored by NAME below — ambiguity disqualifies
+    if (aes.map(_.name).distinct.size != aes.size) return None
+
+    import org.apache.spark.sql.functions.{col, floor, lit, sum}
+    val mvPlan = mv.mvPlan match {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+      case other => other
+    }
+    var mvDf: DataFrame = GraftSqlBridge.ofRows(spark, mvPlan)
+    filterOpt.foreach { c =>
+      val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+      val re = c.transform { case a: AttributeReference => mvAttr(a.name) }
+      mvDf = mvDf.where(GraftSqlBridge.column(re))
+    }
+    val aggCols: Seq[Column] = aes.flatMap {
+      case a: AttributeReference if groupNames.contains(a.name) => None
+      case al @ Alias(ae: AggregateExpression, name) =>
+        sketchReqOf(ae).getOrElse(return None) match {
+          case ReqApproxDistinct(x) =>
+            val sk = mv.aggs.collectFirst {
+              case (c0, KmvSketchOf(c1)) if c1 == x => c0 }.getOrElse(return None)
+            if (al.dataType != LongType) return None
+            // kmv-merge the stored sketches, estimate, round to the
+            // LongType approx_count_distinct contract (floor(x+0.5)
+            // is exact below k, where the estimate IS the count)
+            Some(floor(graft.functions.Kmv.distinctEst(
+              graft.functions.Kmv.kmvMerge(col(sk))) + lit(0.5)).as(name))
+          case ReqApproxPerc(x, q) =>
+            val sk = mv.aggs.collectFirst {
+              case (c0, QskSketchOf(c1)) if c1 == x => c0 }.getOrElse(return None)
+            if (al.dataType != DoubleType) return None
+            Some(graft.functions.Qsk.qskMergeQuantile(col(sk), q).as(name))
+          case ReqCountDistinct(x) =>
+            val sk = mv.aggs.collectFirst {
+              case (c0, RbmSketchOf(c1)) if c1 == x => c0 }.getOrElse(return None)
+            if (al.dataType != LongType) return None
+            // bitmap-union the stored exact bitmaps, then cardinality
+            // — value-identical to the raw count(DISTINCT x)
+            Some(graft.functions.Rbm.cardinality(
+              graft.functions.Rbm.rbmUnion(col(sk))).as(name))
+          case ReqCountStar =>
+            val n = mv.aggs.collectFirst {
+              case (c0, CountStar) => c0 }.getOrElse(return None)
+            if (al.dataType != LongType) return None
+            Some(sum(col(n)).as(name))
+        }
+      case _ => return None
+    }
+    if (aggCols.isEmpty) return None
+    val rdf = mvDf.groupBy(groupNames.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val rplan = rdf.queryExecution.analyzed
+    val byName: Map[String, Attribute] = rplan.output.map(a => a.name -> a).toMap
+    val projected = aes.map { ne =>
+      val src = byName.getOrElse(ne.name, return None)
+      if (src.dataType != ne.dataType) return None
+      Alias(src, ne.name)(exprId = ne.exprId)
+    }
+    Some(Project(projected, rplan))
+  }
 
   private def tryRewrite(agg: Aggregate, ges: Seq[Expression],
                          aes: Seq[NamedExpression], filterOpt: Option[Expression],
@@ -314,6 +485,10 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   Sum(src)
                 case _: MinOf => Min(src)
                 case _: MaxOf => Max(src)
+                // kindOf never yields sketch kinds (they belong to
+                // tryRewriteSketch); bail if one ever reaches here
+                case _: KmvSketchOf | _: QskSketchOf | _: RbmSketchOf =>
+                  return None
               }
               val rolledAgg = ae.copy(aggregateFunction = rolledFn)
               if (rolledAgg.dataType != al.dataType) return None

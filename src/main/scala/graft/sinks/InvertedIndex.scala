@@ -208,6 +208,59 @@ object InvertedIndex {
       .where(phrasePred)
   }
 
+  /** IDF-RANKED lexical candidates from the COMMITTED postings chain —
+    * the serving half of a hybrid retrieval stack
+    * ([[graft.ops.HybridRetrieval]] fuses this with a graph-ANN
+    * probe): for a BOUNDED query frame `(qid, text)`, each shared
+    * token's idf comes from INDEX-RESIDENT document frequency (the
+    * chain-union posting bitmap's cardinality — standard IR practice:
+    * ranking reads index stats, never the corpus) pre-rounded to 1e-4
+    * integer units, and each (query, candidate) score is the Σ of
+    * shared-token units — order-free long addition, the same exact
+    * basis as HybridRetrieval's in-memory sparse leg, so on a fresh
+    * index over the same corpus the two rank IDENTICALLY.
+    *
+    * Cost ∝ query tokens × matched posting sizes (the query-token set
+    * is broadcast; only its postings are read — token equality pushed
+    * to the parquet scan). Self-pairs (id == qid) are excluded.
+    * Requires a FRESH chain: ranking cannot re-verify staleness the
+    * way [[searchTx]] does (a stale posting would misrank silently),
+    * so a broken/behind chain throws — run [[updateTx]] first.
+    *
+    * @param nDocs corpus document count for the idf denominator (the
+    *              caller's table stat; not derivable from postings)
+    * @return (qid, id, s) for every candidate sharing ≥1 token
+    */
+  def rankTx(spark: SparkSession, root: String, queryDocs: DataFrame,
+             qid: Column, qtext: Column, nDocs: Long): DataFrame = {
+    val m = TxLog.current(spark, root).getOrElse(throw new IllegalStateException(
+      s"rankTx: no committed version under $root"))
+    val dirs = chain(spark, root, m.version) match {
+      case Some((end, ds)) if end == m.version => ds
+      case _ => throw new IllegalStateException(
+        s"rankTx: postings chain stale or absent under $root — updateTx first")
+    }
+    val posts = spark.read.parquet(dirs: _*)
+    val qt = queryDocs.select(qid.cast("long").as("qid"),
+      explode(array_distinct(tokens(qtext))).as("token"))
+    val matched = posts
+      .join(broadcast(qt.select(col("token")).distinct()), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(Rbm.rbmUnion(col("postings")).as("postings"))
+      .withColumn("dft", Rbm.cardinality(col("postings")).cast("double"))
+    // per-token idf in 1e-4 integer units (HybridRetrieval's basis)
+    val iu = floor(log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("dft") + lit(0.5)) / (col("dft") + lit(0.5))) *
+      lit(1e4) + lit(0.5)).cast("long")
+    val perTok = matched.withColumn("iu", iu)
+      .select(col("token"), col("iu"),
+        explode(Rbm.toIds(col("postings"))).as("id"))
+    qt.join(perTok, "token")
+      .where(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("iu")).as("s"))
+  }
+
   /** Probe accounting for a spec/bench: (chain served?, rows). */
   def searchStatsTx(spark: SparkSession, root: String, schemaOf: => DataFrame,
                     idCol: String, textCol: String, terms: Seq[String],

@@ -30,4 +30,13 @@ object GraftSqlBridge {
     */
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame over an already-analyzed logical plan (classic
+    * `Dataset.ofRows` is private[sql]) — lets an optimizer rule build
+    * a REPLACEMENT subtree through the full Dataset/analysis pipeline
+    * (so udaf encoders resolve, functions bind) and splice the result
+    * back into the plan under rewrite. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

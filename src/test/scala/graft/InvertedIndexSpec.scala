@@ -206,4 +206,40 @@ class InvertedIndexSpec extends SparkSpec {
       "id", "text", Seq("spark"))
     assert(used2 && n2 == 4, s"rebuilt index must serve: used=$used2 n=$n2")
   }
+
+  test("rankTx: idf ranking from committed postings matches the brute computation; stale chain throws") {
+    val root = freshRoot()
+    PkTableSink.mergeTx(spark, root, docs, Seq("id"), Seq("ver"), "del", writer = "w")
+    InvertedIndex.buildTx(spark, root, "id", "text")
+    val n = docs.count()
+    val q = docs.where(col("id") === 0L) // query doc: spark/shuffles/data/across/the/cluster
+    val got = InvertedIndex.rankTx(spark, root, q, col("id"), col("text"), n)
+      .select(col("qid"), col("id"), col("s"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (-r._3, r._2))
+    // brute: per-token idf units over ALL docs, summed per candidate
+    val dt = docs.select(col("id"),
+        explode(array_distinct(InvertedIndex.tokens(col("text")))).as("t"))
+      .as[(Long, String)].collect().toSeq
+    val df = dt.groupBy(_._2).map { case (t, xs) => t -> xs.size }.toMap
+    def iu(t: String): Long =
+      math.floor(math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * 1e4 + 0.5).toLong
+    val qToks = dt.filter(_._1 == 0L).map(_._2).toSet
+    val want = dt.filter(x => x._1 != 0L && qToks.contains(x._2))
+      .groupBy(_._1).map { case (id, xs) => (0L, id, xs.map(x => iu(x._2)).sum) }
+      .toSeq.sortBy(r => (-r._3, r._2))
+    assert(got == want, s"got $got\nwant $want")
+    // ranking needs a FRESH chain: a commit past the chain end throws
+    PkTableSink.mergeTx(spark, root,
+      Seq((9L, 2L, "new spark doc", false)).toDF("id", "ver", "text", "del"),
+      Seq("id"), Seq("ver"), "del", writer = "w")
+    val e = intercept[IllegalStateException] {
+      InvertedIndex.rankTx(spark, root, q, col("id"), col("text"), n + 1)
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+    // updateTx heals the chain and the new doc ranks (shares "spark")
+    InvertedIndex.updateTx(spark, root, "id", "text")
+    val healed = InvertedIndex.rankTx(spark, root, q, col("id"), col("text"), n + 1)
+      .select(col("id")).as[Long].collect().toSet
+    assert(healed.contains(9L), s"new doc must rank after updateTx: $healed")
+  }
 }

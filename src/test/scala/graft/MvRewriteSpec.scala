@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.plans.MvRewrite
-import graft.plans.MvRewrite.{CountOf, CountStar, MaxOf, SumOf}
+import graft.plans.MvRewrite.{CountOf, CountStar, KmvSketchOf, MaxOf, QskSketchOf, RbmSketchOf, SumOf}
 
 /** Transparent MV rewrite: exact-match collapse to a Project, rollup
   * re-aggregation, scope guards, and exprId-stable parents. */
@@ -255,6 +255,143 @@ class MvRewriteSpec extends SparkSpec {
       assert(!scansMv(foreign, mvDir), "group-by outside the MV set")
       // and the guarded queries still compute correctly from the source
       assert(avgQ.collect().nonEmpty && foreign.collect().nonEmpty)
+    } finally MvRewrite.clear()
+  }
+
+  // ---- sketch-MV path: approx aggregates served from committed
+  // sketch columns (the StarRocks HLL/PERCENTILE acceleration) ----
+
+  private def buildSketchMvs(): (String, String) = {
+    import graft.functions.{Kmv, Qsk}
+    val base = java.nio.file.Files.createTempDirectory("skmv").toString
+    val kmvDir = base + "/kmv_pub"
+    val qskDir = base + "/qsk_pub"
+    val mv = spark.read.parquet(srcPath)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(Kmv.kmvOf(Kmv.hash63(col("o_custkey"))).as("sk"),
+        Qsk.qskOf(col("o_totalprice")).as("psk"),
+        count(lit(1)).as("n"))
+    MvRewrite.registerSketchSnapshot(spark, srcPath,
+      mv.select(col("o_orderstatus"), col("o_orderpriority"), col("sk"), col("n")),
+      kmvDir, Seq("o_orderstatus", "o_orderpriority"),
+      Map("sk" -> KmvSketchOf("o_custkey"), "n" -> CountStar))
+    MvRewrite.registerSketchSnapshot(spark, srcPath,
+      mv.select(col("o_orderstatus"), col("o_orderpriority"), col("psk"), col("n")),
+      qskDir, Seq("o_orderstatus", "o_orderpriority"),
+      Map("psk" -> QskSketchOf("o_totalprice"), "n" -> CountStar))
+    (kmvDir, qskDir)
+  }
+
+  test("approx_count_distinct rolls up from the KMV sketch MV; estimate within band") {
+    MvRewrite.clear()
+    val exact = spark.read.parquet(srcPath)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("d"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (kmvDir, _) = buildSketchMvs()
+    try {
+      val q = spark.read.parquet(srcPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("d"),
+          count(lit(1)).as("n"))
+      assert(scansMv(q, kmvDir),
+        s"plan did not scan the KMV sketch MV:\n${q.queryExecution.optimizedPlan}")
+      assert(!q.queryExecution.executedPlan.toString.contains(
+        new org.apache.hadoop.fs.Path(srcPath).toUri.getPath),
+        "rewritten plan must not rescan the source")
+      q.collect().foreach { r =>
+        val (d, n) = exact(r.getString(0))
+        assert(r.getLong(2) == n, s"count(*) must roll up exactly: $r vs $n")
+        assert(math.abs(r.getLong(1) - d) <= 0.1 * d + 32,
+          s"KMV estimate out of band: got ${r.getLong(1)}, exact $d")
+      }
+    } finally MvRewrite.clear()
+  }
+
+  test("percentile_approx rolls up from the Qsk sketch MV (SQL text form)") {
+    MvRewrite.clear()
+    val (_, qskDir) = buildSketchMvs()
+    try {
+      spark.read.parquet(srcPath).createOrReplaceTempView("orders_mvr")
+      val q = spark.sql(
+        """SELECT o_orderstatus, percentile_approx(o_totalprice, 0.5) AS p50
+          |FROM orders_mvr GROUP BY o_orderstatus""".stripMargin)
+      assert(scansMv(q, qskDir),
+        s"SQL-text plan did not scan the Qsk sketch MV:\n${q.queryExecution.optimizedPlan}")
+      // rank check: the served p50 must sit near the true median
+      val est = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val rows = spark.read.parquet(srcPath)
+        .select(col("o_orderstatus"), col("o_totalprice"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      est.foreach { case (st, p) =>
+        val vs = rows.filter(_._1 == st).map(_._2)
+        val below = vs.count(_ <= p).toDouble / vs.length
+        assert(math.abs(below - 0.5) <= 0.05 + 2.0 / vs.length,
+          s"p50 rank off for $st: $below (est $p)")
+      }
+    } finally MvRewrite.clear()
+  }
+
+  test("sketch scope guards: unregistered columns and filtered aggregates stay on the source") {
+    MvRewrite.clear()
+    val (kmvDir, qskDir) = buildSketchMvs()
+    try {
+      // distinct over a column no sketch covers
+      val other = spark.read.parquet(srcPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_orderkey")).as("d"))
+      assert(!scansMv(other, kmvDir) && !scansMv(other, qskDir),
+        "o_orderkey has no registered sketch")
+      // non-group-column filter disqualifies
+      val filtered = spark.read.parquet(srcPath)
+        .where(col("o_totalprice") > 1000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("d"))
+      assert(!scansMv(filtered, kmvDir), "non-group filter must disqualify")
+      // a GROUP-column filter rewrites (constant within MV groups)
+      val gf = spark.read.parquet(srcPath)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("d"))
+      assert(scansMv(gf, kmvDir), "group-column filter must rewrite")
+      assert(other.collect().nonEmpty && filtered.collect().nonEmpty &&
+        gf.collect().nonEmpty)
+    } finally MvRewrite.clear()
+  }
+
+  test("count(DISTINCT) rewrites onto an Rbm bitmap MV with VALUE-identical results") {
+    import graft.functions.Rbm
+    MvRewrite.clear()
+    val exact = spark.read.parquet(srcPath)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("rbmv").toString + "/pub"
+    MvRewrite.registerSketchSnapshot(spark, srcPath,
+      spark.read.parquet(srcPath)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(Rbm.rbmOf(col("o_custkey")).as("sk"), count(lit(1)).as("n")),
+      dir, Seq("o_orderstatus", "o_orderpriority"),
+      Map("sk" -> RbmSketchOf("o_custkey"), "n" -> CountStar))
+    try {
+      val q = spark.read.parquet(srcPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("d"))
+      assert(scansMv(q, dir),
+        s"plan did not scan the bitmap MV:\n${q.queryExecution.optimizedPlan}")
+      q.collect().foreach { r =>
+        assert(r.getLong(1) == exact(r.getString(0)),
+          s"bitmap-served count(DISTINCT) must be EXACT: $r vs ${exact(r.getString(0))}")
+      }
+      // a KMV sketch cannot serve an exact count(DISTINCT): with only
+      // the approx MV registered, the query stays on the source
+      MvRewrite.clear()
+      val (kmvDir, _) = buildSketchMvs()
+      val q2 = spark.read.parquet(srcPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("d"))
+      assert(!scansMv(q2, kmvDir),
+        "exact count(DISTINCT) must NOT be served by the approx KMV sketch")
     } finally MvRewrite.clear()
   }
 }
