@@ -243,8 +243,18 @@ object InvertedIndex {
     val posts = spark.read.parquet(dirs: _*)
     val qt = queryDocs.select(qid.cast("long").as("qid"),
       explode(array_distinct(tokens(qtext))).as("token"))
-    val matched = posts
-      .join(broadcast(qt.select(col("token")).distinct()), Seq("token"), "left_semi")
+    // the query-token set is bounded by contract — collect it and
+    // PUSH the token filter into the parquet scan (`isin` reaches
+    // PushedFilters; a broadcast semi-join would stream every
+    // posting row through the join instead). Past the cap, fall back
+    // to the semi-join rather than ship a megabyte filter.
+    val qTokens = qt.select(col("token")).distinct()
+      .limit(20001).collect().map(_.getString(0))
+    val narrowed =
+      if (qTokens.length <= 20000) posts.where(col("token").isin(qTokens.toSeq: _*))
+      else posts.join(broadcast(qt.select(col("token")).distinct()),
+        Seq("token"), "left_semi")
+    val matched = narrowed
       .groupBy(col("token"))
       .agg(Rbm.rbmUnion(col("postings")).as("postings"))
       .withColumn("dft", Rbm.cardinality(col("postings")).cast("double"))
@@ -253,6 +263,13 @@ object InvertedIndex {
       (lit(nDocs.toDouble) - col("dft") + lit(0.5)) / (col("dft") + lit(0.5))) *
       lit(1e4) + lit(0.5)).cast("long")
     val perTok = matched.withColumn("iu", iu)
+      // zero-unit tokens (dft ≈ nDocs — stopwords at corpus scale)
+      // cannot move any score; pruning them BEFORE the posting
+      // explode is what keeps rank cost ∝ informative postings
+      // instead of ∝ the "the"-posting (which is the corpus). Only
+      // zero-signal tail candidates (reachable through no positive
+      // token) can drop from the candidate set.
+      .where(col("iu") > lit(0))
       .select(col("token"), col("iu"),
         explode(Rbm.toIds(col("postings"))).as("id"))
     qt.join(perTok, "token")
