@@ -228,6 +228,14 @@ class InvertedIndexSpec extends SparkSpec {
       .groupBy(_._1).map { case (id, xs) => (0L, id, xs.map(x => iu(x._2)).sum) }
       .toSeq.sortBy(r => (-r._3, r._2))
     assert(got == want, s"got $got\nwant $want")
+    // the token filter must reach the postings parquet scan (isin →
+    // PushedFilters In) — the 100 TB contract: rank cost ∝ the query's
+    // postings, never the index
+    val plan = InvertedIndex.rankTx(spark, root, q, col("id"), col("text"), n)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token") ||
+      plan.contains("PushedFilters: [IsNotNull(token), In(token"),
+      s"token filter not pushed to the postings scan:\n$plan")
     // ranking needs a FRESH chain: a commit past the chain end throws
     PkTableSink.mergeTx(spark, root,
       Seq((9L, 2L, "new spark doc", false)).toDF("id", "ver", "text", "del"),
