@@ -394,4 +394,25 @@ class MvRewriteSpec extends SparkSpec {
         "exact count(DISTINCT) must NOT be served by the approx KMV sketch")
     } finally MvRewrite.clear()
   }
+
+  test("parents above a sketch-rewritten aggregate survive (exprIds preserved)") {
+    MvRewrite.clear()
+    val (kmvDir, _) = buildSketchMvs()
+    try {
+      // sort + post-aggregation filter above the rewritten aggregate
+      val q = spark.read.parquet(srcPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("d"),
+          count(lit(1)).as("n"))
+        .where(col("n") > 0L)
+        .orderBy(col("d").desc, col("o_orderstatus"))
+      assert(scansMv(q, kmvDir),
+        s"plan did not scan the sketch MV:\n${q.queryExecution.optimizedPlan}")
+      val rows = q.collect()
+      assert(rows.nonEmpty)
+      // the sort actually applied on the rewritten column
+      val ds = rows.map(_.getLong(1)).toSeq
+      assert(ds == ds.sortBy(-_), s"not sorted by d desc: $ds")
+    } finally MvRewrite.clear()
+  }
 }
