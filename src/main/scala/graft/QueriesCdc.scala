@@ -594,13 +594,13 @@ object QueriesCdc {
             .select(col("event_type"), col("day"), col("sk"), col("n")),
           kpub, Seq("event_type", "day"),
           Map("sk" -> MvRewrite.KmvSketchOf("user_id"),
-            "n" -> MvRewrite.CountStar))
+            "n" -> MvRewrite.CountStar), mvRoot = Some(kroot))
         MvRewrite.registerSketchSnapshot(s, src,
           QskMv.readMv(s, qroot, qschema)
             .select(col("event_type"), col("day"), col("sk"), col("n")),
           qpub, Seq("event_type", "day"),
           Map("sk" -> MvRewrite.QskSketchOf("value"),
-            "n" -> MvRewrite.CountStar))
+            "n" -> MvRewrite.CountStar), mvRoot = Some(qroot))
         flat.createOrReplaceTempView("events_mvr")
         val qd = s.sql("""SELECT event_type, count(*) AS n_events,
           approx_count_distinct(user_id) AS du_est
@@ -690,7 +690,7 @@ object QueriesCdc {
             .select(col("event_type"), col("day"), col("sk"), col("n")),
           pub, Seq("event_type", "day"),
           Map("sk" -> MvRewrite.RbmSketchOf("user_id"),
-            "n" -> MvRewrite.CountStar))
+            "n" -> MvRewrite.CountStar), mvRoot = Some(root))
         flat.createOrReplaceTempView("events_bmr")
         val q = s.sql("""SELECT event_type, count(*) AS n_events,
           count(DISTINCT user_id) AS n_users

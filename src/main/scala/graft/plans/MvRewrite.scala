@@ -149,9 +149,44 @@ object MvRewrite {
   def registerSketchSnapshot(spark: SparkSession, sourcePath: String,
                              mvFrame: org.apache.spark.sql.DataFrame,
                              snapshotDir: String, groupCols: Seq[String],
-                             aggs: Map[String, AggKind]): Unit = {
+                             aggs: Map[String, AggKind],
+                             mvRoot: Option[String] = None): Unit = {
     mvFrame.write.mode("overwrite").parquet(snapshotDir)
+    // freshness stamp: the sketch-MV root and its TxLog version at
+    // publish time, so staleness is a CHECKABLE fact ([[publishStale]])
+    // instead of an operator's memory — the snapshot itself stays
+    // correct-as-of-publish either way (the pinned-listing contract)
+    mvRoot.foreach { root =>
+      val v = graft.sinks.TxLog.current(spark, root).map(_.version)
+        .getOrElse(throw new IllegalStateException(
+          s"registerSketchSnapshot: no committed MV under $root"))
+      val p = new org.apache.hadoop.fs.Path(snapshotDir, "_publish.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(
+        s"""{"mv_root":"$root","mv_version":$v}""".getBytes("UTF-8"))
+      finally out.close()
+    }
     register(spark, sourcePath, snapshotDir, groupCols, aggs)
+  }
+
+  /** True when a stamped snapshot is BEHIND its sketch-MV root (a
+    * maintainTx commit landed after publish) — the re-publish signal
+    * an MV refresh loop polls. Unstamped snapshots (no mvRoot given
+    * at publish) and missing roots report false: no claim is made,
+    * matching the classic register contract (pin + re-register). */
+  def publishStale(spark: SparkSession, snapshotDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(snapshotDir, "_publish.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val m = """\{"mv_root":"(.+)","mv_version":(-?\d+)\}""".r
+    txt match {
+      case m(root, v) =>
+        graft.sinks.TxLog.current(spark, root).exists(_.version > v.toLong)
+      case _ => false
+    }
   }
 
   def deregister(sourcePath: String): Unit = registry.remove(normalize(sourcePath))

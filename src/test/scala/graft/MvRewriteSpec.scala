@@ -415,4 +415,38 @@ class MvRewriteSpec extends SparkSpec {
       assert(ds == ds.sortBy(-_), s"not sorted by d desc: $ds")
     } finally MvRewrite.clear()
   }
+
+  test("publishStale: a maintainTx commit after publish flips the stamp; re-publish clears it") {
+    import graft.streaming.KmvMv
+    MvRewrite.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("pubstale")
+    val root = tmp.toString + "/mv"
+    val pub = tmp.toString + "/pub"
+    val src = tmp.toString + "/src"
+    val rows = Seq((java.sql.Date.valueOf("2024-01-01"), "a", 1L),
+      (java.sql.Date.valueOf("2024-01-01"), "a", 2L))
+      .toDF("day", "event_type", "user_id")
+    rows.write.parquet(src)
+    assert(KmvMv.maintainTx(root, rows, 0L, Seq("event_type", "day"), col("user_id")))
+    val schemaOf = Seq.empty[(String, java.sql.Date, Array[Long], Long, Long)]
+      .toDF("event_type", "day", "sk", "n", "batch_id")
+    def publish(): Unit = MvRewrite.registerSketchSnapshot(spark, src,
+      KmvMv.readMv(spark, root, schemaOf)
+        .select(col("event_type"), col("day"), col("sk"), col("n")),
+      pub, Seq("event_type", "day"),
+      Map("sk" -> KmvSketchOf("user_id"), "n" -> CountStar),
+      mvRoot = Some(root))
+    publish()
+    try {
+      assert(!MvRewrite.publishStale(spark, pub), "fresh publish must not be stale")
+      assert(KmvMv.maintainTx(root,
+        Seq((java.sql.Date.valueOf("2024-01-02"), "a", 3L))
+          .toDF("day", "event_type", "user_id"),
+        1L, Seq("event_type", "day"), col("user_id")))
+      assert(MvRewrite.publishStale(spark, pub),
+        "a commit past the publish must flip the stamp")
+      publish() // refresh loop re-publishes
+      assert(!MvRewrite.publishStale(spark, pub), "re-publish must clear staleness")
+    } finally MvRewrite.clear()
+  }
 }
