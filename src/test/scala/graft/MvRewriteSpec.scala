@@ -449,4 +449,55 @@ class MvRewriteSpec extends SparkSpec {
       assert(!MvRewrite.publishStale(spark, pub), "re-publish must clear staleness")
     } finally MvRewrite.clear()
   }
+
+  test("async refresh loop: stream -> maintainTx -> publishStale poll -> re-publish; serving tracks the stream") {
+    import graft.streaming.KmvMv
+    MvRewrite.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mvloop")
+    val root = tmp.toString + "/mv"
+    val pub = tmp.toString + "/pub"
+    val src = tmp.toString + "/src"
+    val day = java.sql.Date.valueOf("2024-01-01")
+    def batchDf(ids: Range) =
+      ids.map(i => (day, "a", i.toLong)).toDF("day", "event_type", "user_id")
+    val schemaOf = Seq.empty[(String, java.sql.Date, Array[Long], Long, Long)]
+      .toDF("event_type", "day", "sk", "n", "batch_id")
+    // the source table the USER queries (grows with the stream; the
+    // MV loop's job is to keep the snapshot close behind it)
+    def publish(): Unit = MvRewrite.registerSketchSnapshot(spark, src,
+      KmvMv.readMv(spark, root, schemaOf)
+        .select(col("event_type"), col("day"), col("sk"), col("n")),
+      pub, Seq("event_type", "day"),
+      Map("sk" -> KmvSketchOf("user_id"), "n" -> CountStar),
+      mvRoot = Some(root))
+    def served(): (Long, Long) = {
+      val q = spark.read.parquet(src)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("d"), count(lit(1)).as("n"))
+      assert(scansMv(q, pub), "serving must come from the snapshot")
+      val r = q.collect().head
+      (r.getLong(1), r.getLong(2))
+    }
+    try {
+      // the async-refresh loop, three micro-batches (disjoint ids —
+      // distinct count == row count, so exactness is checkable below k)
+      var written = 0
+      Seq(0 until 100, 100 until 250, 250 until 450).zipWithIndex.foreach {
+        case (ids, i) =>
+          val b = batchDf(ids)
+          b.write.mode("append").parquet(src)
+          written += ids.size
+          assert(KmvMv.maintainTx(root, b, i, Seq("event_type", "day"),
+            col("user_id")))
+          // refresh worker: poll, re-publish only when stale
+          if (i == 0 || MvRewrite.publishStale(spark, pub)) publish()
+          assert(!MvRewrite.publishStale(spark, pub))
+          val (d, n) = served()
+          // below k=1024 KMV is exact: the served count tracks the
+          // stream precisely after every refresh
+          assert(d == written && n == written,
+            s"after batch $i: served ($d, $n), want $written")
+      }
+    } finally MvRewrite.clear()
+  }
 }
