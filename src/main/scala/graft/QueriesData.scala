@@ -728,6 +728,26 @@ object QueriesData {
         .orderBy(col("doc_id"))
     },
 
+    // C73 (r13): SPAN-level decontamination (cross-corpus ExactSubstr,
+    // Lee et al. 2022 applied to test-set leakage): maximal ≥ 20-token
+    // train spans whose every 20-window occurs verbatim in the C21
+    // held-out slice (doc_id % 10 = 3) — catches the exact-excerpt
+    // contamination shingle-overlap (C21) under-weighs and embedding
+    // similarity (C60) misses when the leak is a small fraction of the
+    // train doc. Train-train repeats deliberately do NOT mark. Ref
+    // windows collapse to distinct md5s; train side semi-joins, spans
+    // merge per doc — the C46 machinery with the other corpus as the
+    // witness set, hash-replayed verbatim by the oracle.
+    "decontaminate_substring" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      Dedup.substringContamination(
+        train = d.where(col("doc_id") % 10 =!= 3),
+        trainId = col("doc_id"), trainText = col("text"),
+        ref = d.where(col("doc_id") % 10 === 3),
+        refId = col("doc_id"), refText = col("text"), k = 20)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // C21b: same decontamination through the Bloom-pruned path (for
     // eval suites too big to broadcast exactly) — the Bloom only
     // prunes the exact join's input, so the result is identical to
@@ -2240,6 +2260,24 @@ object QueriesData {
         |  FROM t WHERE len(w) >= 20),
         |d AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
         |m AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM d)),
+        |b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) > 20 THEN 1 ELSE 0 END AS brk FROM m),
+        |i AS (SELECT doc_id, pos, sum(brk)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 19 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 19 - min(pos) + 1 AS BIGINT) AS span_tokens
+        |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    // C73: the cross-corpus form — the witness set is the held-out
+    // slice's DISTINCT window hashes, not the corpus-wide duplicates
+    "decontaminate_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(range(1, len(w) - 18)) AS pos,
+        |  unnest([md5(array_to_string(w[i:i+19], ' ')) for i in range(1, len(w) - 18)]) AS h
+        |  FROM t WHERE len(w) >= 20),
+        |ref AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 3),
+        |m AS (SELECT doc_id, pos FROM sh
+        |    WHERE doc_id % 10 <> 3 AND h IN (SELECT h FROM ref)),
         |b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
         |    OVER (PARTITION BY doc_id ORDER BY pos) > 20 THEN 1 ELSE 0 END AS brk FROM m),
         |i AS (SELECT doc_id, pos, sum(brk)

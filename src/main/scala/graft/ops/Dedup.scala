@@ -766,26 +766,30 @@ object Dedup {
     * Output: one row per maximal span — (doc_id, span_start, span_end,
     * span_tokens), token positions 1-based inclusive.
     */
-  def substringSpans(df: DataFrame, id: Column, text: Column, k: Int = 50): DataFrame = {
-    require(k >= 2, "span length must be at least 2 tokens")
-    import org.apache.spark.sql.expressions.Window
-    // project the words array FIRST: lambda bodies below reference it
-    // many times, and Catalyst would substitute an inline split() into
-    // every reference (O(words²) re-splits per row)
-    val sh = df.select(id.cast("long").as("doc_id"), split(text, " ").as("w"))
+  /** One row per k-token window anchor: (doc_id, pos, h) with h the
+    * md5 of the window text — the shared front of [[substringSpans]]
+    * and [[substringContamination]]. The words array is projected
+    * FIRST: lambda bodies reference it many times, and Catalyst would
+    * substitute an inline split() into every reference (O(words²)
+    * re-splits per row). */
+  private def kWindows(df: DataFrame, id: Column, text: Column,
+                       k: Int): DataFrame =
+    df.select(id.cast("long").as("doc_id"), split(text, " ").as("w"))
       .where(size(col("w")) >= k)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("w")) - (k - 1)),
         i => struct(i.cast("long").as("pos"),
           md5(concat_ws(" ", slice(col("w"), i, lit(k)))).as("h")))).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
-    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .where(col("c") >= 2).select(col("h"))
-    val marked = sh.join(dup, Seq("h"), "left_semi")
+
+  /** Gaps-and-islands over marked window anchors → maximal spans:
+    * windows [p, p+k-1] and [q, q+k-1] merge while q ≤ p + k
+    * (overlapping or abutting coverage). One window function,
+    * shuffle keyed by doc. */
+  private def anchorsToSpans(marked: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     marked
-      // windows [p, p+k-1] and [q, q+k-1] merge while q ≤ p + k
-      // (overlapping or abutting coverage)
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(byDoc))
@@ -794,6 +798,43 @@ object Dedup {
         (max(col("pos")) + (k - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  def substringSpans(df: DataFrame, id: Column, text: Column, k: Int = 50): DataFrame = {
+    require(k >= 2, "span length must be at least 2 tokens")
+    val sh = kWindows(df, id, text, k)
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("h"))
+    anchorsToSpans(sh.join(dup, Seq("h"), "left_semi"), k)
+  }
+
+  /** CROSS-CORPUS ExactSubstr — test-set decontamination at the span
+    * level (the contamination modality the shingle-overlap C21 and
+    * embedding C60 checks miss when the leaked text is a small exact
+    * excerpt at an arbitrary offset, and doc-level near-dup misses
+    * entirely): every maximal ≥ k-token span in a TRAIN document
+    * whose every k-window occurs VERBATIM anywhere in the held-out
+    * reference corpus. This is [[substringSpans]] with the duplicated-
+    * window set replaced by the reference's window set — train-train
+    * repeats do NOT mark (that is dedup's job, not decontamination's).
+    *
+    * Scale shape: ref windows collapse to DISTINCT hashes (one
+    * hash-aggregate, shuffle ≤ one digest per distinct ref window);
+    * the train side semi-joins on the hash (no broadcast assumption —
+    * an eval-suite reference can be huge) and the span merge is the
+    * shared per-doc gaps-and-islands. Nothing all-pairs, nothing
+    * driver-side.
+    *
+    * Output: one row per contaminated maximal span — (doc_id,
+    * span_start, span_end, span_tokens), positions 1-based inclusive.
+    */
+  def substringContamination(train: DataFrame, trainId: Column, trainText: Column,
+                             ref: DataFrame, refId: Column, refText: Column,
+                             k: Int = 50): DataFrame = {
+    require(k >= 2, "span length must be at least 2 tokens")
+    val tw = kWindows(train, trainId, trainText, k)
+    val rw = kWindows(ref, refId, refText, k).select(col("h")).distinct()
+    anchorsToSpans(tw.join(rw, Seq("h"), "left_semi"), k)
   }
 
   /** The dedup ACTION over [[substringSpans]]: drop every token

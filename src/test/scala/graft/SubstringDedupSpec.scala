@@ -81,4 +81,22 @@ class SubstringDedupSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].head()
     assert(s == ((9L, 25L, 0L, words("z", 25).mkString(" "))))
   }
+
+  test("substringContamination: ref-leaked span found; train-train repeats do NOT mark") {
+    val leaked = words("leak", 30)
+    val trainDup = words("td", 30)
+    // doc 1 leaks the ref excerpt at offset 5; docs 2+3 share a span
+    // with EACH OTHER only (dedup's business, not decontamination's)
+    val t1 = (words("p", 5) ++ leaked ++ words("q", 10)).mkString(" ")
+    val t2 = (trainDup ++ words("u", 10)).mkString(" ")
+    val t3 = (words("v", 8) ++ trainDup).mkString(" ")
+    val train = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val ref = Seq((100L, (words("r", 12) ++ leaked).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringContamination(train, col("doc_id"), col("text"),
+        ref, col("doc_id"), col("text"), k = 25)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // only doc 1's leaked span, maximal (1-based inclusive: 6..35)
+    assert(got == Seq((1L, 6L, 35L, 30L)), got.toString)
+  }
 }
