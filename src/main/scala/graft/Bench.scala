@@ -168,8 +168,10 @@ object Bench {
           "q_kmv_rollup",
           // r13: the persisted-index hybrid — probe cost ∝
           // queries·(postings + beam); index builds amortize in the
-          // warm pass (build_excluded, like the other graph rows)
-          "ann_hybrid_indexed")
+          // warm pass (build_excluded, like the other graph rows) —
+          // and the cross-corpus ExactSubstr decontamination (same
+          // k-window cost class as dedup_substring)
+          "ann_hybrid_indexed", "decontaminate_substring")
         val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
         ScaleUp.ensure(spark, sfDir, dst, factor)
         val baseTimes = results.toMap
