@@ -140,18 +140,43 @@ object MvRewrite {
   /** PUBLISH a transactional sketch MV for transparent rewrite: dump
     * `mvFrame` (a [[graft.streaming.KmvMv]]/[[graft.streaming.QskMv]]
     * `readMv` view, or any frame of (groupCols…, sketch/state cols))
-    * as a plain-parquet snapshot at `snapshotDir` and register THAT —
-    * the snapshot is the pinned read surface, exactly the path-based
-    * contract [[register]] already enforces (refresh the MV → publish
-    * again to re-pin; the StarRocks MV "publish version" shape). The
-    * snapshot is MV-row-sized (one bounded sketch per group), so the
-    * dump is result-scale work, never a source scan. */
+    * as a plain-parquet snapshot under `snapshotDir` and register
+    * THAT — the snapshot is the pinned read surface, exactly the
+    * path-based contract [[register]] already enforces (refresh the
+    * MV → publish again to re-pin; the StarRocks MV "publish version"
+    * shape). The snapshot is MV-row-sized (one bounded sketch per
+    * group), so the dump is result-scale work, never a source scan.
+    *
+    * SERVE-WHILE-REFRESH SAFETY: each publish writes a FRESH versioned
+    * directory `snapshotDir/v<N>` (N = max existing + 1), registers
+    * that path, and swaps out the previous registration — it never
+    * overwrites files an in-flight query (planned against the
+    * still-registered previous MvDef) may be reading; an
+    * mode("overwrite") re-publish into one shared dir would delete
+    * those files first and fail concurrent readers mid-scan. The
+    * generation BEFORE the new one is retained for exactly those
+    * in-flight readers; older generations are GC'd here (their readers
+    * finished at least one whole publish cycle ago — the StarRocks
+    * publish-version retention shape). */
   def registerSketchSnapshot(spark: SparkSession, sourcePath: String,
                              mvFrame: org.apache.spark.sql.DataFrame,
                              snapshotDir: String, groupCols: Seq[String],
                              aggs: Map[String, AggKind],
                              mvRoot: Option[String] = None): Unit = {
-    mvFrame.write.mode("overwrite").parquet(snapshotDir)
+    val base = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val verRe = "v(\\d+)".r
+    val existing: Seq[Long] =
+      if (fs.exists(base))
+        fs.listStatus(base).toSeq.filter(_.isDirectory)
+          .flatMap(st => st.getPath.getName match {
+            case verRe(n) => Some(n.toLong)
+            case _        => None
+          })
+      else Nil
+    val gen = existing.foldLeft(0L)(math.max) + 1
+    val dataDir = new org.apache.hadoop.fs.Path(base, s"v$gen").toString
+    mvFrame.write.mode("overwrite").parquet(dataDir)
     // freshness stamp: the sketch-MV root and its TxLog version at
     // publish time, so staleness is a CHECKABLE fact ([[publishStale]])
     // instead of an operator's memory — the snapshot itself stays
@@ -160,14 +185,26 @@ object MvRewrite {
       val v = graft.sinks.TxLog.current(spark, root).map(_.version)
         .getOrElse(throw new IllegalStateException(
           s"registerSketchSnapshot: no committed MV under $root"))
-      val p = new org.apache.hadoop.fs.Path(snapshotDir, "_publish.json")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(base, "_publish.json")
       val out = fs.create(p, true)
       try out.write(
         s"""{"mv_root":"$root","mv_version":$v}""".getBytes("UTF-8"))
       finally out.close()
     }
-    register(spark, sourcePath, snapshotDir, groupCols, aggs)
+    // swap: register the new generation, then drop the previous
+    // generation's registration (new queries plan against v<gen>;
+    // already-planned queries keep reading their pinned listing)
+    register(spark, sourcePath, dataDir, groupCols, aggs)
+    val basePrefix = normalize(base.toString) + "/v"
+    lookup(normalize(sourcePath))
+      .filter(mv => mv.mvPath != dataDir &&
+        normalize(mv.mvPath).startsWith(basePrefix))
+      .foreach(old => deregister(sourcePath, old.mvPath))
+    // GC generations older than the previous one — only the current
+    // and its immediate predecessor can have readers
+    existing.sorted.dropRight(1).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"v$n"), true); ()
+    }
   }
 
   /** True when a stamped snapshot is BEHIND its sketch-MV root (a
@@ -235,8 +272,10 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def kindOf(ae: AggregateExpression): Option[AggKind] =
     if (ae.isDistinct || ae.filter.nonEmpty) None
     else ae.aggregateFunction match {
-      case Count(Seq(Literal(_, _)))         => Some(CountStar)
-      case Count(Seq(a: AttributeReference)) => Some(CountOf(a.name))
+      // NON-null literal only: count(NULL) is always 0, and rewriting
+      // it to sum(mv_cnt) would return the row count instead
+      case Count(Seq(Literal(v, _))) if v != null => Some(CountStar)
+      case Count(Seq(a: AttributeReference))      => Some(CountOf(a.name))
       case s: Sum => s.child match {
         case a: AttributeReference => Some(SumOf(a.name))
         case _                     => None
@@ -347,7 +386,8 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Some(ReqApproxPerc(a.name, v.toString.toDouble))
           case _ => None
         }
-      case Count(Seq(Literal(_, _))) => Some(ReqCountStar)
+      // non-null literal only — same count(NULL) guard as kindOf
+      case Count(Seq(Literal(v, _))) if v != null => Some(ReqCountStar)
       case _ => None
     }
 

@@ -218,7 +218,14 @@ object InvertedIndex {
     * integer units, and each (query, candidate) score is the Σ of
     * shared-token units — order-free long addition, the same exact
     * basis as HybridRetrieval's in-memory sparse leg, so on a fresh
-    * index over the same corpus the two rank IDENTICALLY.
+    * index over the same corpus the two produce identical ranks AMONG
+    * POSITIVE-SCORE candidates. (Not bit-identical candidate SETS:
+    * this path prunes zero-idf-unit tokens before the posting explode,
+    * so a candidate reachable ONLY through near-stopword tokens —
+    * score exactly 0 — is absent here while the in-memory leg keeps
+    * it at score 0. A zero-score row carries no ranking signal either
+    * way; top-k consumers that might pad with zero-score rows should
+    * treat the two sets as equal only on the positive-score prefix.)
     *
     * Cost ∝ query tokens × matched posting sizes (the query-token set
     * is broadcast; only its postings are read — token equality pushed

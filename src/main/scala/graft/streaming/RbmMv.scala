@@ -23,10 +23,16 @@ import graft.functions.Rbm
   * partitioning (RbmMvSpec pins rollup ≡ direct recount through
   * out-of-order delivery and a replayed batch id).
   *
-  * CONTRACT: `idCol` must be non-null integer ids (the bitmap domain)
-  * — a null id row would coerce to 0 inside the typed aggregator and
-  * silently count as id 0. Filter nulls upstream; the CDC/event feeds
-  * this mirrors (user_id, order keys) are non-null by schema.
+  * CONTRACT: `idCol` must be non-null integer ids (the bitmap domain).
+  * ENFORCED at ingest, not just documented: a null id would otherwise
+  * coerce to 0 inside the typed aggregator and a bitmap-served
+  * `count(DISTINCT id)` would silently count nulls where the raw
+  * aggregate excludes them — invisible divergence under the
+  * transparent rewrite. [[maintainTx]] raises on the first null id
+  * instead (fail-fast beats a silent filter here: the exactness
+  * contract is the whole point of this flavor, and the CDC/event
+  * feeds this mirrors — user_id, order keys — are non-null by
+  * schema, so a null is feed corruption, not data).
   *
   * Exactly-once, atomic commits, touched-key I/O bounds, and the
   * flavor guard are [[SketchMv]]'s contract (flavor stamp: "rbm").
@@ -44,13 +50,21 @@ object RbmMv {
     * watermark. Call from `foreachBatch`. */
   def maintainTx(root: String, batch: DataFrame, batchId: Long,
                  groupCols: Seq[String], idCol: Column,
-                 writer: String = "rbmmv"): Boolean =
+                 writer: String = "rbmmv"): Boolean = {
+    // non-null ENFORCEMENT (object doc): Coalesce short-circuits, so
+    // the assert arm only evaluates (and throws) when the id IS null —
+    // zero cost on the contract-respecting path
+    val id = idCol.cast("long")
+    val checked = coalesce(id, assert_true(id.isNotNull,
+      lit("RbmMv: null id at ingest — bitmap MVs require non-null " +
+        "integer ids (count(DISTINCT) would diverge)")).cast("long"))
     SketchMv.maintainTx(root, batch, batchId, groupCols,
-      partialAggs = Seq(Rbm.rbmOf(idCol.cast("long")).as("sk"),
+      partialAggs = Seq(Rbm.rbmOf(checked).as("sk"),
         count(lit(1)).as("n")),
       mergeAggs = Seq(Rbm.rbmUnion(col("sk")).as("sk"), sum(col("n")).as("n")),
       stateCols = Seq("sk", "n"), writer = writer, gone = "__rbmmv_gone",
       flavor = "rbm")
+  }
 
   /** The committed view: (groupCols…, sk, n, batch_id). */
   def readMv(spark: SparkSession, root: String,

@@ -60,10 +60,25 @@ object SketchMv {
                  gone: String, flavor: String): Boolean = {
     val spark = batch.sparkSession
     val cur0 = TxLog.current(spark, root)
-    cur0.flatMap(_.meta.get(FlavorKey)).foreach { committed =>
-      require(committed == flavor,
-        s"sketch MV at $root holds flavor '$committed'; a '$flavor' " +
-          "writer would interleave incompatible sketch encodings")
+    cur0.foreach { m =>
+      m.meta.get(FlavorKey) match {
+        case Some(committed) =>
+          require(committed == flavor,
+            s"sketch MV at $root holds flavor '$committed'; a '$flavor' " +
+              "writer would interleave incompatible sketch encodings")
+        case None =>
+          // a committed root with NO stamp is foreign (or pre-guard):
+          // letting the first post-upgrade writer stamp its own flavor
+          // would bless a wrong writer and interleave encodings — the
+          // exact corruption the guard exists to prevent. Fail and
+          // require an explicit migration; only an EMPTY root (no
+          // committed manifest at all) may be claimed by a first write.
+          throw new IllegalStateException(
+            s"sketch MV at $root has committed state but no " +
+              s"'$FlavorKey' stamp — foreign or pre-guard root; migrate " +
+              "explicitly (re-commit its state with the stamp) before " +
+              "writing")
+      }
     }
     if (cur0.flatMap(_.meta.get(wmKey(writer))).map(_.toLong)
         .exists(batchId <= _))

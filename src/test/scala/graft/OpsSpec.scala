@@ -250,11 +250,20 @@ class OpsSpec extends SparkSpec {
     val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val local = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
     assert(local.length == n && local.forall(_._2 == 0L))
-    // reliable-checkpoint path (executor-loss-tolerant on a cluster)
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(ckptDir)
-    val reliable = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
-    assert(reliable.length == n && reliable.forall(_._2 == 0L))
+    // reliable-checkpoint path (executor-loss-tolerant on a cluster);
+    // the temp checkpoint root is deleted in finally — a test run must
+    // leave /tmp clean, same hygiene rule as the gate queries
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    try {
+      spark.sparkContext.setCheckpointDir(ckptDir.toString)
+      val reliable = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
+      assert(reliable.length == n && reliable.forall(_._2 == 0L))
+    } finally {
+      val walk = java.nio.file.Files.walk(ckptDir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
   }
 
   test("cosine math matches a hand computation") {
