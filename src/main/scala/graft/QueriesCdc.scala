@@ -710,6 +710,189 @@ object QueriesCdc {
         MvRewrite.deregister(src)
         deleteTree(tmp)
       }
+    },
+
+    // D41 in the GATE (r14): TRANSPARENT JOIN+AGG MV rewrite — the
+    // read side of A31/A32's multi-table sync MV and the last leg of
+    // the transparent-acceleration story (exact aggs → sketch MVs →
+    // joins): a user's literal `SELECT g…, count(*), sum(x) FROM
+    // orders JOIN customer ON keys GROUP BY g…` is optimizer-rewritten
+    // (plans.MvRewrite.registerJoin path) to scan a registered join-MV
+    // snapshot and NEITHER source. The MV itself is maintained
+    // INCREMENTALLY here through four interleaved CDC rounds on both
+    // tables — the A32 bilinear-delta kernel, deletes included — so
+    // the gate proves write side and read side against one oracle:
+    // DuckDB's live join over the final states, value-identical
+    // (counts + integer-cents sums, zero tolerance). Both the exact
+    // group-set match (a Project over the MV) and the coarser rollup
+    // (re-aggregating MV rows) are plan-asserted and emitted.
+    "mv_join_rewrite" -> { (s, dir) =>
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvjr_gate")
+      val oPath = tmp.toString + "/orders_flat"
+      val cPath = tmp.toString + "/customer_flat"
+      try {
+        // CDC inputs: versioned rows with the A31/A32 delete pattern
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          lit(1L).as("ov"), (col("o_orderkey") % 13 === 3).as("odel"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment"), lit(1L).as("cv"),
+          (col("c_custkey") % 17 === 5).as("cdel"))
+        // the flat lake tables the USER queries = final live states
+        o.where(!col("odel")).select(col("o_orderkey"), col("o_custkey"),
+          col("cents")).write.mode("overwrite").parquet(oPath)
+        c.where(!col("cdel")).select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment")).write.mode("overwrite").parquet(cPath)
+        // write side: the A32 kernel — 4 interleaved rounds of signed
+        // join deltas folded to per-group (n, Σcents) adjustments
+        var sl = MaterializedJoin.emptyState(o, col("odel"))
+        var sr = MaterializedJoin.emptyState(c, col("cdel"))
+        var gds: Seq[DataFrame] = Nil
+        (0 until 4).foreach { i =>
+          val st = MaterializedJoin.step(
+            sl, o.where(pmod(col("o_orderkey"), lit(4)) === i),
+            Seq("o_orderkey"), Seq(col("ov")), col("odel"),
+            sr, c.where(pmod(col("c_custkey"), lit(4)) === i),
+            Seq("c_custkey"), Seq(col("cv")), col("cdel"),
+            joinL = Seq("o_custkey"), joinR = Seq("c_custkey"),
+            outCols = Seq("o_orderkey", "cents", "c_mktsegment", "c_name"))
+          sl = st.stateL.localCheckpoint(true)
+          sr = st.stateR.localCheckpoint(true)
+          gds = gds :+ MaterializedAgg.groupDelta(st.delta,
+            Seq("c_mktsegment", "c_name"), Seq("cents" -> col("cents")))
+        }
+        val mvPath = tmp.toString + "/mv"
+        MaterializedAgg.mergeMv(None, gds.reduce(_ unionByName _),
+            Seq("c_mktsegment", "c_name"), Seq("cents"))
+          .write.mode("overwrite").parquet(mvPath)
+        // read side: register + run the user's LITERAL join SQL
+        MvRewrite.registerJoin(s, oPath, cPath,
+          Seq("o_custkey" -> "c_custkey"), mvPath,
+          groupCols = Seq("c_mktsegment", "c_name"),
+          aggs = Map("n" -> MvRewrite.CountStar,
+            "cents" -> MvRewrite.SumOf("cents")))
+        s.read.parquet(oPath).createOrReplaceTempView("o_jmv")
+        s.read.parquet(cPath).createOrReplaceTempView("c_jmv")
+        val q1 = s.sql("""SELECT c_mktsegment, c_name,
+          count(*) AS n_orders, sum(cents) AS sum_cents
+          FROM o_jmv JOIN c_jmv ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, c_name""")
+        val q2 = s.sql("""SELECT c_mktsegment,
+          count(*) AS seg_orders, sum(cents) AS seg_cents
+          FROM o_jmv JOIN c_jmv ON o_custkey = c_custkey
+          GROUP BY c_mktsegment""")
+        // the whole point: both plans read ONLY the MV snapshot
+        def scanRoots(df: DataFrame): Seq[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+          }.flatten
+        def assertScans(df: DataFrame, q: String): Unit = {
+          val roots = scanRoots(df)
+          val want = new org.apache.hadoop.fs.Path(mvPath).toUri.getPath
+          require(roots.exists(_.startsWith(want)),
+            s"$q must scan the join MV $want; scans: $roots")
+          Seq(oPath, cPath).foreach { p =>
+            val bad = new org.apache.hadoop.fs.Path(p).toUri.getPath
+            require(!roots.exists(_.startsWith(bad)),
+              s"$q must NOT rescan source $bad; scans: $roots")
+          }
+        }
+        assertScans(q1, "exact join query")
+        assertScans(q2, "rollup join query")
+        q1.join(q2, "c_mktsegment")
+          .orderBy(col("c_mktsegment"), col("c_name"))
+          .localCheckpoint(true)
+      } finally {
+        MvRewrite.deregisterJoin(oPath, cPath)
+        deleteTree(tmp)
+      }
+    },
+
+    // r14: the async MV refresh loop as a GATE — mv_bitmap_rewrite's
+    // construction extended across a REFRESH: commit batch A, publish,
+    // serve (plan-asserted + recorded); commit batch B, require
+    // publishStale()=true, re-publish (the refresh worker's move —
+    // landing in a fresh versioned snapshot dir), require staleness
+    // cleared, and require the SAME literal SQL now serves the updated
+    // counts from the NEW snapshot. Rbm exactness makes every output
+    // value hash-comparable to the oracle's recounts over the A and
+    // A∪B slices — zero tolerance; a refresh loop that silently kept
+    // serving the old snapshot could not pass.
+    "mv_refresh_loop" -> { (s, dir) =>
+      import graft.streaming.RbmMv
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvloop_gate")
+      val src = tmp.toString + "/events_flat"
+      try {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          to_date(col("ts")).as("day"), col("user_id"))
+        val bA = ev.where(pmod(col("user_id"), lit(2)) === 0)
+        val bB = ev.where(pmod(col("user_id"), lit(2)) === 1)
+        val root = tmp.toString + "/rbm/mv"
+        val pub = tmp.toString + "/pub"
+        val schemaOf = {
+          import s.implicits._
+          Seq.empty[(String, java.sql.Date, Map[Long, Array[Long]], Long, Long)]
+            .toDF("event_type", "day", "sk", "n", "batch_id")
+        }
+        def publish(): Unit = MvRewrite.registerSketchSnapshot(s, src,
+          RbmMv.readMv(s, root, schemaOf)
+            .select(col("event_type"), col("day"), col("sk"), col("n")),
+          pub, Seq("event_type", "day"),
+          Map("sk" -> MvRewrite.RbmSketchOf("user_id"),
+            "n" -> MvRewrite.CountStar), mvRoot = Some(root))
+        def userQ(): DataFrame = {
+          s.read.parquet(src).createOrReplaceTempView("events_loop")
+          s.sql("""SELECT event_type, count(*) AS n_events,
+            count(DISTINCT user_id) AS n_users
+            FROM events_loop GROUP BY event_type""")
+        }
+        def assertScans(df: DataFrame, when: String): Unit = {
+          val roots = df.queryExecution.optimizedPlan.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+          }.flatten
+          val want = new org.apache.hadoop.fs.Path(pub).toUri.getPath
+          val bad = new org.apache.hadoop.fs.Path(src).toUri.getPath
+          require(roots.exists(_.startsWith(want)),
+            s"$when: must scan the published snapshot; scans: $roots")
+          require(!roots.exists(_.startsWith(bad)),
+            s"$when: must NOT rescan the source; scans: $roots")
+        }
+        // ---- serve generation 1 (batch A only)
+        bA.write.mode("overwrite").parquet(src)
+        require(RbmMv.maintainTx(root, bA, 0L, Seq("event_type", "day"),
+          col("user_id"), writer = "gate"), "batch A must apply")
+        publish()
+        require(!MvRewrite.publishStale(s, pub),
+          "fresh publish must not read stale")
+        val q1 = userQ()
+        assertScans(q1, "before refresh")
+        val r1 = q1.select(col("event_type"), col("n_events").as("n1"),
+          col("n_users").as("d1")).localCheckpoint(true)
+        // ---- batch B lands; the refresh worker polls and re-publishes
+        bB.write.mode("append").parquet(src)
+        require(RbmMv.maintainTx(root, bB, 1L, Seq("event_type", "day"),
+          col("user_id"), writer = "gate"), "batch B must apply")
+        require(MvRewrite.publishStale(s, pub),
+          "a commit after publish must read stale")
+        publish()
+        require(!MvRewrite.publishStale(s, pub),
+          "re-publish must clear staleness")
+        val q2 = userQ()
+        assertScans(q2, "after refresh")
+        val r2 = q2.select(col("event_type"), col("n_events").as("n2"),
+          col("n_users").as("d2")).localCheckpoint(true)
+        r1.join(r2, "event_type").orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally {
+        MvRewrite.deregister(src)
+        deleteTree(tmp)
+      }
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -724,6 +907,37 @@ object QueriesCdc {
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // D41: the MV-served join aggregates are EXACT (counts +
+    // integer-cents sums) — the oracle replays the live join over the
+    // final post-delete states at both grains, zero tolerance
+    "mv_join_rewrite" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 13 <> 3),
+        |c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |  WHERE c_custkey % 17 <> 5),
+        |q1 AS (SELECT c_mktsegment, c_name, count(*) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM o JOIN c ON o_custkey = c_custkey GROUP BY 1, 2),
+        |q2 AS (SELECT c_mktsegment, count(*) AS seg_orders,
+        |    CAST(sum(cents) AS BIGINT) AS seg_cents
+        |  FROM o JOIN c ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT q1.c_mktsegment, c_name, n_orders, sum_cents,
+        |  seg_orders, seg_cents
+        |FROM q1 JOIN q2 ON q1.c_mktsegment = q2.c_mktsegment
+        |ORDER BY q1.c_mktsegment, c_name""".stripMargin,
+    // r14: refresh-loop counts are EXACT at both generations — n1/d1
+    // recount the first slice, n2/d2 the full stream
+    "mv_refresh_loop" ->
+      """WITH a AS (SELECT event_type, count(*) AS n1,
+        |    count(DISTINCT user_id) AS d1
+        |  FROM events WHERE user_id % 2 = 0 GROUP BY event_type),
+        |b AS (SELECT event_type, count(*) AS n2,
+        |    count(DISTINCT user_id) AS d2
+        |  FROM events GROUP BY event_type)
+        |SELECT a.event_type, n1, d1, n2, d2
+        |FROM a JOIN b ON a.event_type = b.event_type
+        |ORDER BY a.event_type""".stripMargin,
     "cdc_scd2_intervals" ->
       """WITH iv AS (SELECT user_id, event_id, value, ts AS valid_from,
         |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Average, Count, HyperLogLogPlusPlus, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -51,6 +52,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Delta/Iceberg snapshot-pinning convention); after refreshing the MV
   * table, re-register. Maintenance itself is
   * [[graft.cdc.MaterializedAgg]]'s job — this rule is the read side.
+  *
+  * JOIN+AGG MVs ([[registerJoin]]): the same two match levels over
+  * `Aggregate(Join(scanL, scanR, Inner, equi-keys))` — the StarRocks
+  * multi-table sync-MV read side, with [[graft.cdc.MaterializedJoin]]
+  * as the write side. The rewrite step is shared with the single-table
+  * path (names resolve against the MV identically); the extra match
+  * conditions are the equi-key-pair set equality and a referenced-name
+  * unambiguity guard (see [[MvRewriteRule.rewriteJoinAgg]]).
   *
   * Output attribute ids are preserved exprId-for-exprId, so parent
   * operators (sorts, joins, projections above the aggregate) resolve
@@ -226,6 +235,76 @@ object MvRewrite {
     }
   }
 
+  // ---- JOIN+AGG MVs (the StarRocks multi-table sync-MV read side:
+  // [[graft.cdc.MaterializedJoin]] maintains the view incrementally,
+  // this registry lets a user's literal `SELECT g…, agg… FROM L JOIN R
+  // ON keys GROUP BY g…` serve from it transparently). The MV stores
+  // the aggregate OF THE INNER JOIN — group columns and aggregate
+  // inputs are join-output columns, named by their (unambiguous)
+  // source names, exactly MaterializedJoin's "non-join columns must be
+  // distinct across the two tables" contract. Sketch agg kinds are
+  // not accepted here (the sketch maintainers are single-table). ----
+
+  /** One registered join MV: the equi-key pairs (leftCol, rightCol)
+    * plus the same (groupCols, aggs, pinned plan, rows) carrier the
+    * single-table rewrite uses — the rewrite step itself is shared. */
+  final case class JoinMvDef(pairs: Set[(String, String)], mv: MvDef)
+
+  private val joinRegistry =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), Map[String, JoinMvDef]]
+
+  /** Register a join MV for `leftPath ⋈ rightPath` on `joinPairs`
+    * (left-column, right-column equi keys). ADDS to the pair's MV set
+    * keyed by mvPath, like [[register]]; join order is normalized at
+    * lookup, so `customer JOIN orders` matches an MV registered as
+    * `orders ⋈ customer`. Pins the MV snapshot and row count the same
+    * way [[register]] does. */
+  def registerJoin(spark: SparkSession, leftPath: String, rightPath: String,
+                   joinPairs: Seq[(String, String)], mvPath: String,
+                   groupCols: Seq[String], aggs: Map[String, AggKind]): Unit = {
+    require(joinPairs.nonEmpty, "join MV needs at least one equi-key pair")
+    require(groupCols.nonEmpty, "join MV must group by at least one column")
+    require(!aggs.values.exists(isSketch),
+      "join MVs accept classic aggregate kinds only")
+    val mvDf = spark.read.parquet(mvPath)
+    val plan = mvDf.queryExecution.analyzed
+    val mvCols = plan.output.map(_.name).toSet
+    (groupCols ++ aggs.keys).foreach(c =>
+      require(mvCols.contains(c), s"join MV table $mvPath lacks column $c"))
+    val rows = mvDf.count()
+    val key = (normalize(leftPath), normalize(rightPath))
+    val entry = JoinMvDef(joinPairs.toSet,
+      MvDef(s"${key._1} JOIN ${key._2}", mvPath, groupCols, aggs, plan, rows))
+    joinRegistry.updateWith(key) {
+      case Some(m) => Some(m + (mvPath -> entry))
+      case None    => Some(Map(mvPath -> entry))
+    }
+  }
+
+  /** Remove every join MV registered for the (leftPath, rightPath)
+    * pair, in either registration order. */
+  def deregisterJoin(leftPath: String, rightPath: String): Unit = {
+    joinRegistry.remove((normalize(leftPath), normalize(rightPath)))
+    joinRegistry.remove((normalize(rightPath), normalize(leftPath)))
+    ()
+  }
+
+  /** Join MVs matching (leftPath, rightPath, equi-pair set) — tries
+    * both join orders (inner join commutes; the pair set flips). */
+  private[plans] def lookupJoin(leftPath: String, rightPath: String,
+                                pairs: Set[(String, String)]): Seq[MvDef] = {
+    val direct = joinRegistry.get((leftPath, rightPath))
+      .map(_.values.toSeq).getOrElse(Nil)
+      .filter(_.pairs == pairs).map(_.mv)
+    val flipped = joinRegistry.get((rightPath, leftPath))
+      .map(_.values.toSeq).getOrElse(Nil)
+      .filter(_.pairs == pairs.map(_.swap)).map(_.mv)
+    direct ++ flipped
+  }
+
+  private[plans] def joinIsEmpty: Boolean = joinRegistry.isEmpty
+
   def deregister(sourcePath: String): Unit = registry.remove(normalize(sourcePath))
 
   /** Remove ONE MV for the source (e.g. a dropped month-level rollup)
@@ -237,7 +316,7 @@ object MvRewrite {
         if (rest.isEmpty) None else Some(rest)
       case None => None
     }
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); joinRegistry.clear() }
   private[plans] def lookup(path: String): Seq[MvDef] =
     registry.get(path).map(_.values.toSeq).getOrElse(Nil)
   private[plans] def isEmpty: Boolean = registry.isEmpty
@@ -252,11 +331,13 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private def bare(pl: Seq[NamedExpression]) =
+    pl.forall(_.isInstanceOf[AttributeReference])
+
   /** The scan under the aggregate, looking through a column-pruning
     * Project (bare attributes only) and at most one deterministic
     * Filter. Returns (filter condition if any, scan). */
   private def scanOf(child: LogicalPlan): Option[(Option[Expression], LogicalPlan)] = {
-    def bare(pl: Seq[NamedExpression]) = pl.forall(_.isInstanceOf[AttributeReference])
     child match {
       case r: LogicalRelation => Some((None, r))
       case Project(pl, r: LogicalRelation) if bare(pl) => Some((None, r))
@@ -265,6 +346,44 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Filter(c, Project(pl, r: LogicalRelation)) if bare(pl) => Some((Some(c), r))
       case _ => None
     }
+  }
+
+  /** The INNER equi-join under the aggregate, looking through the same
+    * bare-Project / single-Filter shells as [[scanOf]]. Returns (the
+    * above-join filter if any, the join node). */
+  private def joinOf(child: LogicalPlan): Option[(Option[Expression], Join)] =
+    child match {
+      case j: Join => Some((None, j))
+      case Project(pl, j: Join) if bare(pl) => Some((None, j))
+      case Filter(c, j: Join) => Some((Some(c), j))
+      case Project(pl, Filter(c, j: Join)) if bare(pl) => Some((Some(c), j))
+      case Filter(c, Project(pl, j: Join)) if bare(pl) => Some((Some(c), j))
+      case _ => None
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** The join condition as bare equi-key NAME pairs (leftCol,
+    * rightCol) — every conjunct must be attr = attr with one side from
+    * each input; anything else (non-equi terms, expressions over keys)
+    * is a DIFFERENT join and disqualifies. */
+  private def equiPairs(cond: Expression, left: LogicalPlan,
+                        right: LogicalPlan): Option[Set[(String, String)]] = {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    val pairs = splitConjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (left.outputSet.contains(a) && right.outputSet.contains(b))
+          (a.name, b.name)
+        else if (left.outputSet.contains(b) && right.outputSet.contains(a))
+          (b.name, a.name)
+        else return None
+      case _ => return None
+    }
+    Some(pairs.toSet)
   }
 
   /** What one query aggregate computes, if it is a re-aggregable kind
@@ -310,15 +429,76 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (MvRewrite.isEmpty) plan
+    if (MvRewrite.isEmpty && MvRewrite.joinIsEmpty) plan
     else plan.transformUp {
       case agg @ Aggregate(ges, aes, child, _) =>
         (for {
           (filterOpt, scan) <- scanOf(child)
           path <- sourceOf(scan)
           rewritten <- chooseRewrite(agg, ges, aes, filterOpt, lookup(path))
-        } yield rewritten).getOrElse(agg)
+        } yield rewritten)
+          .orElse(rewriteJoinAgg(agg, ges, aes, child))
+          .getOrElse(agg)
     }
+
+  /** The JOIN+AGG MV match: `Aggregate` over an INNER equi-join of two
+    * parquet scans whose (left, right, key-pair set) has a registered
+    * join MV. Group columns, aggregates, and every filter (above the
+    * join or on either side) are then resolved BY NAME against the MV
+    * exactly like the single-table path — sound because:
+    *  - the registration contract (MaterializedJoin's) makes non-join
+    *    column names distinct across the two tables, and the match
+    *    additionally bails if any REFERENCED name is ambiguous in the
+    *    actual scan outputs (a same-named pair could silently resolve
+    *    to the wrong side);
+    *  - a side filter on an MV GROUP column commutes with the join and
+    *    the aggregation (the column is constant within every join-row
+    *    group), so re-applying it above the MV scan is exact — the
+    *    same argument as the single-table filter rule, checked by the
+    *    shared [[filterRewritable]];
+    *  - the MV stores aggregates OF THE JOIN (count(*) = Σ join-row
+    *    multiplicities), so count/sum/min/max/avg map exactly as in
+    *    [[tryRewrite]], which this delegates to.
+    */
+  private def rewriteJoinAgg(agg: Aggregate, ges: Seq[Expression],
+                             aes: Seq[NamedExpression],
+                             child: LogicalPlan): Option[LogicalPlan] = {
+    if (MvRewrite.joinIsEmpty) return None
+    for {
+      (topF, join) <- joinOf(child)
+      if join.joinType == Inner
+      cond <- join.condition
+      (lf, lscan) <- scanOf(join.left)
+      (rf, rscan) <- scanOf(join.right)
+      lpath <- sourceOf(lscan)
+      rpath <- sourceOf(rscan)
+      pairs <- equiPairs(cond, join.left, join.right)
+      // every name the query references must be unambiguous across the
+      // two scans — else by-name MV resolution could pick the wrong side
+      dup = (lscan.output ++ rscan.output).map(_.name)
+        .groupBy(identity).collect { case (n, vs) if vs.sizeIs > 1 => n }.toSet
+      refs = (ges ++ aes ++ topF ++ lf ++ rf).flatMap(_.references)
+      if !refs.exists(a => dup.contains(a.name))
+      // all filters fold into one condition; filterRewritable (inside
+      // tryRewrite) then requires group-column-only references.
+      // isnotnull(<join key>) conjuncts are DROPPED first: the
+      // optimizer's InferFiltersFromConstraints plants them under
+      // every inner equi-join, and they are implied by the join itself
+      // (null = null is never true), so the MV — an aggregate of the
+      // join — already reflects them.
+      keyNames = pairs.flatMap(p => Seq(p._1, p._2))
+      filterOpt = (topF.toSeq ++ lf ++ rf)
+        .flatMap(splitConjuncts)
+        .filterNot {
+          case org.apache.spark.sql.catalyst.expressions
+            .IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+          case _ => false
+        }
+        .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
+      rewritten <- chooseRewrite(agg, ges, aes, filterOpt,
+        lookupJoin(lpath, rpath, pairs))
+    } yield rewritten
+  }
 
   /** Among a source's registered MVs, rewrite against the CHEAPEST
     * matching one: an exact group-set match costs zero re-aggregated

@@ -500,4 +500,159 @@ class MvRewriteSpec extends SparkSpec {
       }
     } finally MvRewrite.clear()
   }
+
+  // ---- JOIN+AGG MVs (registerJoin / rewriteJoinAgg) ----
+
+  private val custPath = s"$sfDir/customer.parquet"
+
+  private def scanRoots(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+  }
+
+  private def assertServedFromJoinMv(df: DataFrame, mvDir: String): Unit = {
+    val roots = scanRoots(df)
+    val mvp = new org.apache.hadoop.fs.Path(mvDir).toUri.getPath
+    assert(roots.exists(_.startsWith(mvp)),
+      s"plan must scan the join MV $mvp; scans: $roots")
+    Seq(srcPath, custPath).foreach { p =>
+      val sp = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      assert(!roots.exists(_.startsWith(sp)),
+        s"plan must NOT rescan source $sp; scans: $roots")
+    }
+  }
+
+  /** MV ≡ SELECT c_mktsegment, c_name, count(*), sum/count/min/max(
+    * o_totalprice) FROM orders JOIN customer ON o_custkey = c_custkey
+    * GROUP BY 1, 2 — built live here (register-time snapshot); the
+    * incremental write side is cdc.MaterializedJoin's proof (A31/A32). */
+  private def buildJoinMv(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("jmv").toString + "/mv"
+    spark.read.parquet(srcPath)
+      .join(spark.read.parquet(custPath), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_name"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"),
+        count(col("o_totalprice")).as("cnt_tp"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      .write.parquet(dir)
+    dir
+  }
+
+  private def registerJoinMv(mvDir: String): Unit =
+    MvRewrite.registerJoin(spark, srcPath, custPath,
+      Seq("o_custkey" -> "c_custkey"), mvDir,
+      groupCols = Seq("c_mktsegment", "c_name"),
+      aggs = Map("cnt" -> CountStar, "total" -> SumOf("o_totalprice"),
+        "cnt_tp" -> CountOf("o_totalprice"),
+        "mn" -> graft.plans.MvRewrite.MinOf("o_totalprice"),
+        "mx" -> MaxOf("o_totalprice")))
+
+  private def joinQuery(): DataFrame =
+    spark.read.parquet(srcPath)
+      .join(spark.read.parquet(custPath), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_name"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("c_mktsegment"), col("c_name"))
+
+  test("join MV: exact group-set match serves the literal join from the MV; neither source scanned") {
+    MvRewrite.clear()
+    val baseline = joinQuery().collect().toSeq // registry empty → live join
+    val mvDir = buildJoinMv()
+    registerJoinMv(mvDir)
+    try {
+      val q = joinQuery()
+      assertServedFromJoinMv(q, mvDir)
+      // exact match: no join and no re-aggregation survive
+      val phys = q.queryExecution.executedPlan.toString
+      assert(!phys.contains("Join"), s"rewritten plan must not join:\n$phys")
+      assert(!phys.contains("HashAggregate"),
+        "exact-match join rewrite should be aggregate-free")
+      assert(q.collect().toSeq == baseline)
+    } finally MvRewrite.clear()
+  }
+
+  test("join MV: rollup to a coarser group + avg decomposition; commuted join order matches") {
+    MvRewrite.clear()
+    def rollup(): DataFrame =
+      // deliberately written CUSTOMER JOIN ORDERS — the registered
+      // orientation is orders ⋈ customer; inner join commutes
+      spark.read.parquet(custPath)
+        .join(spark.read.parquet(srcPath), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), avg(col("o_totalprice")).as("a"))
+        .orderBy(col("c_mktsegment"))
+    val baseline = rollup().collect().toSeq
+    val mvDir = buildJoinMv()
+    registerJoinMv(mvDir)
+    try {
+      val q = rollup()
+      assertServedFromJoinMv(q, mvDir)
+      val got = q.collect().toSeq
+      assert(got.size == baseline.size)
+      got.zip(baseline).foreach { case (g, b) =>
+        assert(g.getString(0) == b.getString(0))
+        assert(g.getLong(1) == b.getLong(1))
+        // avg via Σsum/Σcount differs from the raw-row avg only in FP
+        // association (same freedom Spark's partial aggregation has)
+        assert(math.abs(g.getDouble(2) - b.getDouble(2)) <=
+          1e-9 * math.abs(b.getDouble(2)), s"avg drift: $g vs $b")
+      }
+    } finally MvRewrite.clear()
+  }
+
+  test("join MV: group-column side filter rewrites; guards hold the rest on the source") {
+    MvRewrite.clear()
+    val mvDir = buildJoinMv()
+    registerJoinMv(mvDir)
+    try {
+      // side filter on an MV group column (constant per group) → serve
+      val filtered = spark.read.parquet(srcPath)
+        .join(spark.read.parquet(custPath).where(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"))
+        .agg(count(lit(1)).as("n"))
+      assertServedFromJoinMv(filtered, mvDir)
+      MvRewrite.clear(); registerJoinMv(mvDir)
+      val nBase = spark.read.parquet(srcPath)
+        .join(spark.read.parquet(custPath), col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment") === "BUILDING")
+      // guards — each must keep scanning the sources:
+      def scansSources(df: DataFrame): Boolean = {
+        val roots = scanRoots(df)
+        val sp = new org.apache.hadoop.fs.Path(srcPath).toUri.getPath
+        roots.exists(_.startsWith(sp))
+      }
+      // (a) filter on a NON-group column
+      val g1 = spark.read.parquet(srcPath).where(col("o_orderstatus") === "F")
+        .join(spark.read.parquet(custPath), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name")).agg(count(lit(1)).as("n"))
+      assert(scansSources(g1), "non-group filter must disqualify")
+      // (b) a different key set (extra equi term)
+      val g2 = spark.read.parquet(srcPath)
+        .join(spark.read.parquet(custPath),
+          col("o_custkey") === col("c_custkey") && col("o_custkey") === col("c_nationkey"))
+        .groupBy(col("c_name")).agg(count(lit(1)).as("n"))
+      assert(scansSources(g2), "different equi-key set must disqualify")
+      // (c) non-inner join
+      val g3 = spark.read.parquet(srcPath)
+        .join(spark.read.parquet(custPath),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_name")).agg(count(lit(1)).as("n"))
+      assert(scansSources(g3), "outer join must disqualify")
+      // (d) an aggregate the MV does not store
+      val g4 = spark.read.parquet(srcPath)
+        .join(spark.read.parquet(custPath), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name")).agg(sum(col("o_orderkey")).as("s"))
+      assert(scansSources(g4), "unregistered aggregate must disqualify")
+      // sanity: the filtered rewrite's values match the live join
+      val got = filtered.orderBy(col("c_name")).collect().toSeq
+      val want = nBase.groupBy(col("c_name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_name")).collect().toSeq
+      assert(got == want)
+    } finally MvRewrite.clear()
+  }
 }
