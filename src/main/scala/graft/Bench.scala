@@ -237,6 +237,7 @@ object Bench {
         // rest of the process
         QueriesData.evictNndGraph(spark, dst)
         QueriesData.evictHybridIndex(spark, dst)
+        QueriesData.evictIvfIndex(spark, dst)
         val json =
           s""""scaling":{"factor":$factor,"queries":{${entries.mkString(",")}}},""" +
             graphBuildJson
@@ -335,6 +336,7 @@ object Bench {
       System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}") }
     QueriesData.evictNndGraph(spark, sfDir) // measurement done with this corpus
     QueriesData.evictHybridIndex(spark, sfDir)
+    QueriesData.evictIvfIndex(spark, sfDir)
     spark.stop()
     // …and print it straight to the process stdout stream as late as
     // possible (after spark teardown), so under a forked sbt run with

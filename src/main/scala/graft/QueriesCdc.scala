@@ -29,6 +29,23 @@ object QueriesCdc {
       finally walk.close()
     } catch { case _: java.io.IOException => () }
 
+  /** Free a consumed localCheckpoint's blocks (SketchMv's discipline:
+    * a checkpointed frame's blocks live on its LogicalRDD, so
+    * Dataset.unpersist would be a no-op). The iterative-MV gates call
+    * this on every SUPERSEDED state inside their round loops — without
+    * it each run pins 8 corpus-scale checkpoint sets until process
+    * exit, and the queries' wall time becomes hostage to whatever
+    * block-manager/GC state the suite accumulated (the r13 ±2.24×
+    * same-code bench swing). Safe only once every consumer of the
+    * frame has MATERIALIZED (a truncated-lineage checkpoint cannot be
+    * recomputed). */
+  private def freeCkpt(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => df.unpersist(false)
+    }
+
   private def opCol: Column =
     when(col("event_type") === "signup", Envelope.OpCreate)
       .when(col("event_type") === "error", Envelope.OpDelete)
@@ -362,7 +379,16 @@ object QueriesCdc {
       // states checkpoint per round (each is read twice by the next
       // step); the signed deltas are only Σ'd, so ONE associative
       // mergeMv over the union replaces four checkpointed merges —
-      // same result by sign additivity, 4 fewer jobs
+      // same result by sign additivity, 4 fewer jobs. Deltas stay
+      // LAZY (checkpointing them would re-run each round's join work
+      // as an extra eager job — measured +2.5 s), so the superseded
+      // states can only be freed AFTER the result materializes; the
+      // point of the freeing is cross-suite hygiene (a bench pass
+      // runs this 4× and previously left 8 corpus-scale checkpoint
+      // sets pinned per run — the r13 ±2.24× same-code swing), and
+      // end-of-query freeing delivers exactly that for zero extra
+      // jobs.
+      var states: Seq[DataFrame] = Nil
       var deltas: Seq[DataFrame] = Nil
       (0 until 4).foreach { i =>
         val st = MaterializedJoin.step(
@@ -373,10 +399,15 @@ object QueriesCdc {
           joinL = Seq("o_custkey"), joinR = Seq("c_custkey"), outCols = outCols)
         sl = st.stateL.localCheckpoint(true)
         sr = st.stateR.localCheckpoint(true)
+        states = states ++ Seq(sl, sr)
         deltas = deltas :+ st.delta
       }
-      MaterializedJoin.mergeMv(None, deltas.reduce(_ unionByName _), outCols)
+      val out = MaterializedJoin
+        .mergeMv(None, deltas.reduce(_ unionByName _), outCols)
         .drop("__mult").orderBy(col("o_orderkey"))
+        .localCheckpoint(true) // result-sized; all deltas consumed here
+      states.foreach(freeCkpt)
+      out
     },
 
     // A32: JOIN + AGGREGATE materialized view — the full StarRocks MV
@@ -396,6 +427,9 @@ object QueriesCdc {
         lit(1L).as("cv"), (col("c_custkey") % 17 === 5).as("cdel"))
       var sl = MaterializedJoin.emptyState(o, col("odel"))
       var sr = MaterializedJoin.emptyState(c, col("cdel"))
+      // lazy deltas + end-of-query state freeing — cdc_mv_join's
+      // discipline (see the note there)
+      var states: Seq[DataFrame] = Nil
       var gds: Seq[DataFrame] = Nil
       (0 until 4).foreach { i =>
         val st = MaterializedJoin.step(
@@ -407,14 +441,18 @@ object QueriesCdc {
           outCols = Seq("o_orderkey", "cents", "c_name"))
         sl = st.stateL.localCheckpoint(true)
         sr = st.stateR.localCheckpoint(true)
+        states = states ++ Seq(sl, sr)
         gds = gds :+ MaterializedAgg.groupDelta(st.delta, Seq("c_name"),
           Seq("cents" -> col("cents")))
       }
-      MaterializedAgg.mergeMv(None, gds.reduce(_ unionByName _),
+      val out = MaterializedAgg.mergeMv(None, gds.reduce(_ unionByName _),
           Seq("c_name"), Seq("cents"))
         .select(col("c_name"), col("n"),
           Rounding.r(col("cents").cast("double") / 100, 2).as("revenue"))
         .orderBy(col("c_name"))
+        .localCheckpoint(true) // view-sized; all group deltas consumed here
+      states.foreach(freeCkpt)
+      out
     },
 
     "cdc_mv_incremental" -> { (s, dir) =>
@@ -749,6 +787,7 @@ object QueriesCdc {
         // join deltas folded to per-group (n, Σcents) adjustments
         var sl = MaterializedJoin.emptyState(o, col("odel"))
         var sr = MaterializedJoin.emptyState(c, col("cdel"))
+        var states: Seq[DataFrame] = Nil
         var gds: Seq[DataFrame] = Nil
         (0 until 4).foreach { i =>
           val st = MaterializedJoin.step(
@@ -760,6 +799,7 @@ object QueriesCdc {
             outCols = Seq("o_orderkey", "cents", "c_mktsegment", "c_name"))
           sl = st.stateL.localCheckpoint(true)
           sr = st.stateR.localCheckpoint(true)
+          states = states ++ Seq(sl, sr)
           gds = gds :+ MaterializedAgg.groupDelta(st.delta,
             Seq("c_mktsegment", "c_name"), Seq("cents" -> col("cents")))
         }
@@ -767,6 +807,7 @@ object QueriesCdc {
         MaterializedAgg.mergeMv(None, gds.reduce(_ unionByName _),
             Seq("c_mktsegment", "c_name"), Seq("cents"))
           .write.mode("overwrite").parquet(mvPath)
+        states.foreach(freeCkpt) // all consumed by the MV write
         // read side: register + run the user's LITERAL join SQL
         MvRewrite.registerJoin(s, oPath, cPath,
           Seq("o_custkey" -> "c_custkey"), mvPath,

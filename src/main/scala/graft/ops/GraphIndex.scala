@@ -272,6 +272,47 @@ object GraphIndex {
     Similarity.nndBeamSearch(readVectors(spark, m), readEdges(spark, m), q, k)
   }
 
+  /** Metadata-FILTERED top-k from the CURRENT version: neighbors of
+    * each query among the ELIGIBLE ids only ([[FilteredAnn]]'s
+    * two-regime strategy). `eligible` carries the ids satisfying the
+    * caller's metadata predicate (evaluated wherever the metadata
+    * lives — this index stores vectors only):
+    *
+    *  - selectivity ≤ `bruteCut` → exact brute top-k over the eligible
+    *    slice (recall 1.0; the slice is small by the branch);
+    *  - else → beam-search the FULL graph (routing may cross
+    *    ineligible nodes — pre-filtering the walk would disconnect
+    *    it) over-fetching k·overFetch, post-filter to eligible,
+    *    re-rank; under-filled queries fall back to the exact leg, so
+    *    every query returns min(k, |eligible∖{self}|) rows.
+    *
+    * Output (qid, rank, nid, cos) — [[search]]'s shape. */
+  def searchFiltered(spark: SparkSession, root: String, queries: DataFrame,
+                     qid: Column, qvec: Column, k: Int,
+                     eligible: DataFrame, eligibleId: Column,
+                     overFetch: Int = 4, bruteCut: Double = 0.2): DataFrame = {
+    require(k >= 1 && overFetch >= 1)
+    val m = currentOrFail(spark, root)
+    val live = readVectors(spark, m)
+    val elig = eligible.select(eligibleId.cast("long").as("id")).distinct()
+    val liveElig = live.join(elig, Seq("id"), "left_semi")
+    val q = queries.select(qid.as("qid"), Similarity.toDouble(qvec).as("qv"))
+      .withColumn("qn2", Similarity.normSq(col("qv")))
+    val nLive = live.count()
+    val nElig = liveElig.count()
+    if (nElig == 0)
+      return q.select(col("qid"), lit(0L).as("rank"),
+        col("qid").as("nid"), lit(0.0).as("cos")).where(lit(false))
+    if (nLive == 0 || nElig.toDouble / nLive <= bruteCut)
+      FilteredAnn.bruteTopk(liveElig, q, k)
+    else {
+      val raw = Similarity.nndBeamSearch(live, readEdges(spark, m), q,
+        k * overFetch).select(col("qid"), col("nid"), col("cos"))
+      FilteredAnn.fillExact(
+        FilteredAnn.postFilterTopk(raw, elig, k), liveElig, q, k, nElig)
+    }
+  }
+
   /** Live node count at the current version. */
   def count(spark: SparkSession, root: String): Long =
     readVectors(spark, currentOrFail(spark, root)).count()

@@ -248,6 +248,48 @@ object IvfIndex {
     Similarity.searchAssigned(readVectors(spark, m), cent, q, k, nprobe)
   }
 
+  /** Metadata-FILTERED top-k from the CURRENT index version —
+    * [[FilteredAnn]]'s two-regime strategy with IVF's natural
+    * PRE-FILTER on the broad branch: unlike a graph walk (whose
+    * connectivity a pre-filter would break), cell probing is
+    * unaffected by dropping ineligible rows, so the eligible
+    * semi-join lands BEFORE in-cell scoring — only eligible vectors
+    * are ranked, and recall relative to the filtered ground truth
+    * matches the unfiltered index's cell-probe recall at the same
+    * `nprobe`. Sharp filters (selectivity ≤ bruteCut) take the exact
+    * brute leg; under-filled queries fall back exactly, so the
+    * min(k, |eligible∖{self}|) fill guarantee matches
+    * [[GraphIndex.searchFiltered]]'s.
+    *
+    * Output (qid, rank, nid, cos) — flat, without [[search]]'s cell
+    * column (fallback rows have no probed cell). */
+  def searchFiltered(spark: SparkSession, root: String, queries: DataFrame,
+                     qid: Column, qvec: Column, k: Int,
+                     eligible: DataFrame, eligibleId: Column,
+                     nprobe: Int = 2, bruteCut: Double = 0.2): DataFrame = {
+    require(k >= 1 && nprobe >= 1)
+    val m = currentOrFail(spark, root)
+    val assigned = readVectors(spark, m)
+    val elig = eligible.select(eligibleId.cast("long").as("id")).distinct()
+    val assignedElig = assigned.join(elig, Seq("id"), "left_semi")
+    val q = queries.select(qid.as("qid"), qvec.cast("array<double>").as("qv"))
+      .withColumn("qn2", Similarity.normSq(col("qv")))
+    val nLive = assigned.count()
+    val nElig = assignedElig.count()
+    if (nElig == 0)
+      return q.select(col("qid"), lit(0L).as("rank"),
+        col("qid").as("nid"), lit(0.0).as("cos")).where(lit(false))
+    val corpusElig = assignedElig.select(col("id"), col("v"), col("n2"))
+    if (nLive == 0 || nElig.toDouble / nLive <= bruteCut)
+      FilteredAnn.bruteTopk(corpusElig, q, k)
+    else {
+      val cent = spark.read.parquet(m.tables(Centroids))
+      val probed = Similarity.searchAssigned(assignedElig, cent, q, k, nprobe)
+        .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      FilteredAnn.fillExact(probed, corpusElig, q, k, nElig)
+    }
+  }
+
   /** Indexed row count at the current version. */
   def count(spark: SparkSession, root: String): Long =
     readVectors(spark, currentOrFail(spark, root)).count()

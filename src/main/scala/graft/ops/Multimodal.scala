@@ -271,6 +271,107 @@ object Multimodal {
       .toDF("doc_id", "thumb_w", "thumb_h", "thumb_md5")
   }
 
+  // ---- image perceptual-hash near-dup (dHash) ------------------------------
+
+  /** dHash (difference hash) of a gray grid: one bit per horizontal
+    * gradient, row-major — bit (r, c) = 1 iff pix(r, c) > pix(r, c+1)
+    * — rendered as a '0'/'1' string of h·(w−1) chars (string form so a
+    * SQL oracle replays it with substr/CASE, and banding is plain
+    * substring). Gradient signs are invariant under uniform brightness
+    * shifts and exact under the lossless PNG roundtrip, which is what
+    * makes this the image near-dup key byte-md5 can't be: a re-encoded
+    * or brightness-shifted twin hashes (near-)identically while its
+    * payload bytes differ. */
+  def dhashOf(gray: Array[Int], w: Int, h: Int): String = {
+    require(gray.length == w * h, s"expected ${w * h} samples, got ${gray.length}")
+    val sb = new java.lang.StringBuilder(h * (w - 1))
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w - 1) {
+        sb.append(if (gray(r * w + c) > gray(r * w + c + 1)) '1' else '0')
+        c += 1
+      }
+      r += 1
+    }
+    sb.toString
+  }
+
+  /** Per-image dHash through the REAL codec: build the md5-derived
+    * 8×8 test image per doc, optionally brightness-shift it (`bright`
+    * added per pixel, clamped at 255 — the deterministic stand-in for
+    * a re-encode that changes bytes but not content), PNG-encode,
+    * DECODE (one codec instance per partition), and dHash the decoded
+    * samples. Output (img_id, dhash 56-char '0'/'1', pix_md5 of the
+    * decoded samples — the [[ImageCodec.hexDigest]] construction the
+    * oracle replays). PNG is lossless, so every output column is
+    * pixel-math-replayable; a codec regression breaks the hash. */
+  def imageDhash(df: DataFrame, id: Column, text: Column,
+                 bright: Int = 0, idOffset: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    df.select(id.cast("long").as("doc_id"), text.as("t"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val pix = ImageCodec.mdImage(r.getString(1))
+            .map(v => math.min(v + bright, 255))
+          val png = ImageCodec.encodeGray(pix, 8, 8, "png")
+          val dec = ImageCodec.decode(r.getLong(0) + idOffset, png)
+          val h = dhashOf(dec.gray, dec.width, dec.height)
+          // bit-packed twin of the hash string: hamming between two
+          // hashes is then ONE codegen'd bit_count(xor) per candidate
+          // pair instead of a 56-step per-char fold
+          (dec.doc_id, h, java.lang.Long.parseLong(h, 2),
+            ImageCodec.hexDigest(dec.gray))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+        Encoders.scalaLong, Encoders.STRING))
+      .toDF("img_id", "dhash", "dhash_bits", "pix_md5")
+  }
+
+  /** Hamming-banded near-dup pairs over a dHash frame
+    * `(img_id, dhash, dhash_bits, pix_md5)` — the C5 SimHash
+    * discipline applied to image hashes: split the 56-bit hash into
+    * `nBands` equal substrings, bucket-join on (band index, band
+    * value) for candidates, then EXACT-verify candidates at full
+    * hamming ≤ `maxHamming` — ONE `bit_count(xor)` on the bit-packed
+    * hash per pair. Recall contract: two hashes within hamming <
+    * nBands share ≥ 1 exact band by pigeonhole (guaranteed found);
+    * between nBands and maxHamming, discovery is probabilistic — the
+    * standard LSH trade, tuned here to 4×14-bit bands because random
+    * pairs collide on a band with p ≈ 2^-14 (a 7×8-bit split drowned
+    * the verify stage in ~n²·7/256 random candidates at corpus
+    * scale; real near-dups sit at hamming ≤ 3 anyway — a uniform
+    * re-exposure flips only 255-clamp gradients).
+    *
+    * Candidate generation is a bucketed equi-join — shuffle ∝ band
+    * buckets, never all-pairs; the hash frame is materialized ONCE
+    * (hash-sized rows) so the self-join's two branches don't re-run
+    * the upstream codec decode. Output (img_a, img_b, hamming,
+    * same_pixels) — `same_pixels` false is the proof byte-identity
+    * dedup would have missed the pair. */
+  def dhashNearDupPairs(images: DataFrame, nBands: Int = 4,
+                        maxHamming: Int = 8): DataFrame = {
+    val bits = 56
+    require(bits % nBands == 0, s"$nBands bands must divide $bits bits")
+    val bw = bits / nBands
+    val hashed = images.localCheckpoint(true)
+    val bands = hashed.select(col("img_id"), col("dhash"), col("dhash_bits"),
+        col("pix_md5"), explode(sequence(lit(0), lit(nBands - 1))).as("b"))
+      .withColumn("bv", col("dhash").substr(col("b") * bw + 1, lit(bw)))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.img_id") < col("y.img_id"))
+      .select(col("x.img_id").as("img_a"), col("y.img_id").as("img_b"),
+        col("x.dhash_bits").as("ba"), col("y.dhash_bits").as("bb"),
+        col("x.pix_md5").as("ma"), col("y.pix_md5").as("mb"))
+      .distinct()
+    cand.withColumn("hamming",
+        bit_count(col("ba").bitwiseXOR(col("bb"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("img_a"), col("img_b"), col("hamming"),
+        (col("ma") === col("mb")).as("same_pixels"))
+  }
+
   /** Per-frame energies of a signed big-endian 16-bit PCM payload:
     * (n_samples, per-frame Σs² energies). A trailing odd byte is
     * ignored; the last frame may be partial. Integer-exact by

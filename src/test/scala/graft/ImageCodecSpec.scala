@@ -67,4 +67,51 @@ class ImageCodecSpec extends SparkSpec {
       ImageCodec.boxDownsample(ImageCodec.mdImage("alpha"), 8, 8, 2))
     assert(th(10L) == ((10L, 4L, 4L, wantThumb)))
   }
+
+  test("dHash finds a re-encoded (brightness-shifted) twin where byte-md5 misses it") {
+    import spark.implicits._
+    val g = ImageCodec.mdImage("neardup")
+    val g2 = g.map(v => math.min(v + 1, 255)) // uniform re-exposure
+    val png1 = ImageCodec.encodeGray(g, 8, 8, "png")
+    val png2 = ImageCodec.encodeGray(g2, 8, 8, "png")
+    // byte identity MISSES the pair: the payloads differ
+    def md5of(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    assert(md5of(png1) != md5of(png2))
+    // ...but the decoded dHash is IDENTICAL (gradient signs are
+    // invariant under a uniform brightness shift, modulo 255-clamp)
+    val d1 = Multimodal.dhashOf(ImageCodec.decode(1L, png1).gray, 8, 8)
+    val d2 = Multimodal.dhashOf(ImageCodec.decode(2L, png2).gray, 8, 8)
+    val ham = d1.zip(d2).count { case (a, b) => a != b }
+    assert(ham <= 8, s"twin hamming $ham")
+    // the banded pipeline surfaces exactly this pair, flagged as
+    // byte-different; a third unrelated image stays unpaired
+    val g3 = ImageCodec.mdImage("unrelated")
+    def bits(h: String) = java.lang.Long.parseLong(h, 2)
+    val imgs = Seq(
+      (1L, d1, bits(d1), ImageCodec.hexDigest(ImageCodec.decode(1L, png1).gray)),
+      (2L, d2, bits(d2), ImageCodec.hexDigest(ImageCodec.decode(2L, png2).gray)),
+      (3L, Multimodal.dhashOf(g3, 8, 8), bits(Multimodal.dhashOf(g3, 8, 8)),
+        ImageCodec.hexDigest(g3)))
+      .toDF("img_id", "dhash", "dhash_bits", "pix_md5")
+    val pairs = Multimodal.dhashNearDupPairs(imgs)
+      .select("img_a", "img_b", "same_pixels")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(pairs == Set((1L, 2L, false)),
+      s"expected exactly the planted twin pair, got $pairs")
+  }
+
+  test("dHash is invariant under a lossless 2x upscale + area-mean downscale (resized twin)") {
+    val g = ImageCodec.mdImage("resize")
+    // 16x16 nearest-neighbor upscale (each pixel 2x2-replicated) — a
+    // RESIZED re-encode of the same content
+    val up = Array.tabulate(16 * 16)(i => g((i / 32) * 8 + (i % 16) / 2))
+    val png16 = ImageCodec.encodeGray(up, 16, 16, "png")
+    val dec = ImageCodec.decode(7L, png16)
+    assert(dec.width == 16 && dec.height == 16)
+    // normalize to the 8x8 hash grid with the real area-mean scaler
+    val back = ImageCodec.boxDownsample(dec.gray, 16, 16, 2)
+    assert(back.toSeq == g.toSeq, "2x up + box-mean down must be exact")
+    assert(Multimodal.dhashOf(back, 8, 8) == Multimodal.dhashOf(g, 8, 8))
+  }
 }
