@@ -934,6 +934,93 @@ object QueriesCdc {
         MvRewrite.deregister(src)
         deleteTree(tmp)
       }
+    },
+
+    // D43 in the GATE (r14): N-WAY (star) transparent join rewrite —
+    // D41 generalized past two tables, the fact ⋈ dim ⋈ dim shape
+    // real StarRocks MVs take: the matcher FLATTENS an arbitrary tree
+    // of inner equi-joins, identifies the join by (path set,
+    // unordered-key-pair set) — inner joins commute and associate, so
+    // the user's literal SQL may order/parenthesize the three tables
+    // ANY way (this gate deliberately writes customer JOIN orders
+    // JOIN lineitem where the MV was registered lineitem-first) — and
+    // serves the exact grain as a Project and a coarser grain (+ a
+    // group-column filter) as a re-aggregation of MV rows, both
+    // plan-asserted to read ONLY the MV snapshot. The MV here is a
+    // REFRESH-shape snapshot (built from the live 3-way join at
+    // register time — the StarRocks async-MV build; the INCREMENTAL
+    // write side is D41's proof); values are counts + integer-cents
+    // sums, hash-identical to the oracle's replayed star join.
+    "mv_star_rewrite" -> { (s, dir) =>
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvsr_gate")
+      val liPath = tmp.toString + "/li_flat"
+      val oPath = tmp.toString + "/o_flat"
+      val cPath = tmp.toString + "/c_flat"
+      try {
+        Tables.lineitem(s, dir).select(col("l_orderkey"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+          .write.mode("overwrite").parquet(liPath)
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"))
+          .write.mode("overwrite").parquet(oPath)
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+          .write.mode("overwrite").parquet(cPath)
+        val li = s.read.parquet(liPath)
+        val o = s.read.parquet(oPath)
+        val c = s.read.parquet(cPath)
+        val mvPath = tmp.toString + "/mv"
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .write.mode("overwrite").parquet(mvPath)
+        MvRewrite.registerJoin(s, Seq(liPath, oPath, cPath),
+          Seq("l_orderkey" -> "o_orderkey", "o_custkey" -> "c_custkey"),
+          mvPath, groupCols = Seq("c_mktsegment", "o_orderstatus"),
+          aggs = Map("n" -> MvRewrite.CountStar,
+            "cents" -> MvRewrite.SumOf("cents")))
+        li.createOrReplaceTempView("li_smv")
+        o.createOrReplaceTempView("o_smv")
+        c.createOrReplaceTempView("c_smv")
+        // the OPPOSITE join order from registration, on purpose
+        val q1 = s.sql("""SELECT c_mktsegment, o_orderstatus,
+          count(*) AS n_items, sum(cents) AS sum_cents
+          FROM c_smv JOIN o_smv ON o_custkey = c_custkey
+                     JOIN li_smv ON l_orderkey = o_orderkey
+          GROUP BY c_mktsegment, o_orderstatus""")
+        val q2 = s.sql("""SELECT o_orderstatus,
+          count(*) AS b_items, sum(cents) AS b_cents
+          FROM li_smv JOIN o_smv ON l_orderkey = o_orderkey
+                      JOIN c_smv ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY o_orderstatus""")
+        def scanRoots(df: DataFrame): Seq[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+          }.flatten
+        def assertScans(df: DataFrame, q: String): Unit = {
+          val roots = scanRoots(df)
+          val want = new org.apache.hadoop.fs.Path(mvPath).toUri.getPath
+          require(roots.exists(_.startsWith(want)),
+            s"$q must scan the star MV $want; scans: $roots")
+          Seq(liPath, oPath, cPath).foreach { p =>
+            val bad = new org.apache.hadoop.fs.Path(p).toUri.getPath
+            require(!roots.exists(_.startsWith(bad)),
+              s"$q must NOT rescan source $bad; scans: $roots")
+          }
+        }
+        assertScans(q1, "exact star query")
+        assertScans(q2, "filtered rollup star query")
+        q1.join(q2, "o_orderstatus")
+          .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally {
+        MvRewrite.deregisterJoin(liPath, oPath, cPath)
+        deleteTree(tmp)
+      }
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -967,6 +1054,25 @@ object QueriesCdc {
         |  seg_orders, seg_cents
         |FROM q1 JOIN q2 ON q1.c_mktsegment = q2.c_mktsegment
         |ORDER BY q1.c_mktsegment, c_name""".stripMargin,
+    // D43: the star-served aggregates are EXACT — the oracle replays
+    // the live 3-way join at both grains, zero tolerance
+    "mv_star_rewrite" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |j AS (SELECT c_mktsegment, o_orderstatus, cents
+        |  FROM li JOIN orders ON l_orderkey = o_orderkey
+        |          JOIN customer ON o_custkey = c_custkey),
+        |q1 AS (SELECT c_mktsegment, o_orderstatus, count(*) AS n_items,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM j GROUP BY 1, 2),
+        |q2 AS (SELECT o_orderstatus, count(*) AS b_items,
+        |    CAST(sum(cents) AS BIGINT) AS b_cents
+        |  FROM j WHERE c_mktsegment = 'BUILDING' GROUP BY 1)
+        |SELECT q1.o_orderstatus, c_mktsegment, n_items, sum_cents,
+        |  b_items, b_cents
+        |FROM q1 JOIN q2 ON q1.o_orderstatus = q2.o_orderstatus
+        |ORDER BY c_mktsegment, q1.o_orderstatus""".stripMargin,
     // r14: refresh-loop counts are EXACT at both generations — n1/d1
     // recount the first slice, n2/d2 the full stream
     "mv_refresh_loop" ->

@@ -237,71 +237,87 @@ object MvRewrite {
 
   // ---- JOIN+AGG MVs (the StarRocks multi-table sync-MV read side:
   // [[graft.cdc.MaterializedJoin]] maintains the view incrementally,
-  // this registry lets a user's literal `SELECT g…, agg… FROM L JOIN R
-  // ON keys GROUP BY g…` serve from it transparently). The MV stores
-  // the aggregate OF THE INNER JOIN — group columns and aggregate
-  // inputs are join-output columns, named by their (unambiguous)
-  // source names, exactly MaterializedJoin's "non-join columns must be
-  // distinct across the two tables" contract. Sketch agg kinds are
-  // not accepted here (the sketch maintainers are single-table). ----
+  // this registry lets a user's literal `SELECT g…, agg… FROM T1 JOIN
+  // T2 [JOIN T3 …] ON keys GROUP BY g…` serve from it transparently).
+  // The MV stores the aggregate OF THE INNER JOIN — group columns and
+  // aggregate inputs are join-output columns, named by their
+  // (unambiguous) source names, exactly MaterializedJoin's "non-join
+  // columns must be distinct across the tables" contract. Any number
+  // of tables: the matcher flattens an arbitrary tree of inner
+  // equi-joins, so a 3-table star (fact ⋈ dim ⋈ dim) matches however
+  // the optimizer shaped or reordered the tree. Join identity is the
+  // (path SET, unordered-key-pair SET): inner joins commute and
+  // associate, and column names are globally unique by the contract,
+  // so an unordered (colA, colB) name pair identifies an equi-edge
+  // regardless of which side the user (or the join reorderer) put it
+  // on. Sketch agg kinds are not accepted here (the sketch
+  // maintainers are single-table). ----
 
-  /** One registered join MV: the equi-key pairs (leftCol, rightCol)
-    * plus the same (groupCols, aggs, pinned plan, rows) carrier the
-    * single-table rewrite uses — the rewrite step itself is shared. */
+  /** One registered join MV: table-path set + normalized (unordered)
+    * equi-key-pair set, plus the same (groupCols, aggs, pinned plan,
+    * rows) carrier the single-table rewrite uses — the rewrite step
+    * itself is shared. */
   final case class JoinMvDef(pairs: Set[(String, String)], mv: MvDef)
+
+  /** Unordered pair normal form: lexicographic (names are unique
+    * across the joined tables by contract, so this is injective). */
+  private[plans] def normPair(a: String, b: String): (String, String) =
+    if (a <= b) (a, b) else (b, a)
 
   private val joinRegistry =
     scala.collection.concurrent.TrieMap
-      .empty[(String, String), Map[String, JoinMvDef]]
+      .empty[Set[String], Map[String, JoinMvDef]]
 
-  /** Register a join MV for `leftPath ⋈ rightPath` on `joinPairs`
-    * (left-column, right-column equi keys). ADDS to the pair's MV set
-    * keyed by mvPath, like [[register]]; join order is normalized at
-    * lookup, so `customer JOIN orders` matches an MV registered as
-    * `orders ⋈ customer`. Pins the MV snapshot and row count the same
-    * way [[register]] does. */
-  def registerJoin(spark: SparkSession, leftPath: String, rightPath: String,
+  /** Register a join MV over `paths` (2+ parquet tables) on
+    * `joinPairs` equi keys (each pair names columns of any two of the
+    * tables; orientation is irrelevant). ADDS to the path-set's MV
+    * set keyed by mvPath, like [[register]]; pins the MV snapshot and
+    * records its row count the same way. */
+  def registerJoin(spark: SparkSession, paths: Seq[String],
                    joinPairs: Seq[(String, String)], mvPath: String,
                    groupCols: Seq[String], aggs: Map[String, AggKind]): Unit = {
-    require(joinPairs.nonEmpty, "join MV needs at least one equi-key pair")
+    require(paths.size >= 2, "join MV needs at least two tables")
+    require(joinPairs.size >= paths.size - 1,
+      "join MV needs at least N-1 equi-key pairs to connect N tables")
     require(groupCols.nonEmpty, "join MV must group by at least one column")
     require(!aggs.values.exists(isSketch),
       "join MVs accept classic aggregate kinds only")
+    val key = paths.map(normalize).toSet
+    require(key.size == paths.size, "join MV table paths must be distinct")
     val mvDf = spark.read.parquet(mvPath)
     val plan = mvDf.queryExecution.analyzed
     val mvCols = plan.output.map(_.name).toSet
     (groupCols ++ aggs.keys).foreach(c =>
       require(mvCols.contains(c), s"join MV table $mvPath lacks column $c"))
     val rows = mvDf.count()
-    val key = (normalize(leftPath), normalize(rightPath))
-    val entry = JoinMvDef(joinPairs.toSet,
-      MvDef(s"${key._1} JOIN ${key._2}", mvPath, groupCols, aggs, plan, rows))
+    val entry = JoinMvDef(
+      joinPairs.map { case (a, b) => normPair(a, b) }.toSet,
+      MvDef(key.toSeq.sorted.mkString(" JOIN "), mvPath, groupCols, aggs,
+        plan, rows))
     joinRegistry.updateWith(key) {
       case Some(m) => Some(m + (mvPath -> entry))
       case None    => Some(Map(mvPath -> entry))
     }
   }
 
-  /** Remove every join MV registered for the (leftPath, rightPath)
-    * pair, in either registration order. */
-  def deregisterJoin(leftPath: String, rightPath: String): Unit = {
-    joinRegistry.remove((normalize(leftPath), normalize(rightPath)))
-    joinRegistry.remove((normalize(rightPath), normalize(leftPath)))
+  /** Two-table convenience form (the common fact ⋈ dim case). */
+  def registerJoin(spark: SparkSession, leftPath: String, rightPath: String,
+                   joinPairs: Seq[(String, String)], mvPath: String,
+                   groupCols: Seq[String], aggs: Map[String, AggKind]): Unit =
+    registerJoin(spark, Seq(leftPath, rightPath), joinPairs, mvPath,
+      groupCols, aggs)
+
+  /** Remove every join MV registered for this table set (any order). */
+  def deregisterJoin(paths: String*): Unit = {
+    joinRegistry.remove(paths.map(normalize).toSet)
     ()
   }
 
-  /** Join MVs matching (leftPath, rightPath, equi-pair set) — tries
-    * both join orders (inner join commutes; the pair set flips). */
-  private[plans] def lookupJoin(leftPath: String, rightPath: String,
-                                pairs: Set[(String, String)]): Seq[MvDef] = {
-    val direct = joinRegistry.get((leftPath, rightPath))
-      .map(_.values.toSeq).getOrElse(Nil)
+  /** Join MVs matching (path set, normalized equi-pair set). */
+  private[plans] def lookupJoin(paths: Set[String],
+                                pairs: Set[(String, String)]): Seq[MvDef] =
+    joinRegistry.get(paths).map(_.values.toSeq).getOrElse(Nil)
       .filter(_.pairs == pairs).map(_.mv)
-    val flipped = joinRegistry.get((rightPath, leftPath))
-      .map(_.values.toSeq).getOrElse(Nil)
-      .filter(_.pairs == pairs.map(_.swap)).map(_.mv)
-    direct ++ flipped
-  }
 
   private[plans] def joinIsEmpty: Boolean = joinRegistry.isEmpty
 
@@ -348,39 +364,49 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The INNER equi-join under the aggregate, looking through the same
-    * bare-Project / single-Filter shells as [[scanOf]]. Returns (the
-    * above-join filter if any, the join node). */
-  private def joinOf(child: LogicalPlan): Option[(Option[Expression], Join)] =
-    child match {
-      case j: Join => Some((None, j))
-      case Project(pl, j: Join) if bare(pl) => Some((None, j))
-      case Filter(c, j: Join) => Some((Some(c), j))
-      case Project(pl, Filter(c, j: Join)) if bare(pl) => Some((Some(c), j))
-      case Filter(c, Project(pl, j: Join)) if bare(pl) => Some((Some(c), j))
-      case _ => None
-    }
-
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
       splitConjuncts(a) ++ splitConjuncts(b)
     case other => Seq(other)
   }
 
-  /** The join condition as bare equi-key NAME pairs (leftCol,
-    * rightCol) — every conjunct must be attr = attr with one side from
-    * each input; anything else (non-equi terms, expressions over keys)
-    * is a DIFFERENT join and disqualifies. */
-  private def equiPairs(cond: Expression, left: LogicalPlan,
-                        right: LogicalPlan): Option[Set[(String, String)]] = {
+  /** Flatten an arbitrary tree of INNER joins over parquet scans
+    * (bare-Project and Filter shells allowed anywhere): returns the
+    * scans left-to-right, every filter conjunct found in the tree,
+    * and every join-condition conjunct. Any other node — an outer
+    * join, a conditionless (cross) join, a non-scan leaf, a
+    * transforming Project — disqualifies the whole match. */
+  private def flattenInner(p: LogicalPlan)
+      : Option[(Seq[LogicalPlan], Seq[Expression], Seq[Expression])] =
+    p match {
+      case Project(pl, q) if bare(pl) => flattenInner(q)
+      case Filter(c, q) =>
+        flattenInner(q).map { case (s, f, j) => (s, f ++ splitConjuncts(c), j) }
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        for {
+          (ls, lf, lj) <- flattenInner(j.left)
+          (rs, rf, rj) <- flattenInner(j.right)
+        } yield (ls ++ rs, lf ++ rf,
+          lj ++ rj ++ splitConjuncts(j.condition.get))
+      case r: LogicalRelation => Some((Seq(r), Nil, Nil))
+      case _ => None
+    }
+
+  /** Join-condition conjuncts as NORMALIZED equi-key name pairs: every
+    * conjunct must be attr = attr with the two attrs from two
+    * DIFFERENT scans (membership by exprId); anything else — non-equi
+    * terms, expressions over keys, a same-table equality — is a
+    * DIFFERENT join and disqualifies. */
+  private def equiPairs(conds: Seq[Expression],
+                        scans: Seq[LogicalPlan]): Option[Set[(String, String)]] = {
     import org.apache.spark.sql.catalyst.expressions.EqualTo
-    val pairs = splitConjuncts(cond).map {
+    def scanIdx(a: AttributeReference): Int =
+      scans.indexWhere(_.outputSet.contains(a))
+    val pairs = conds.map {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        if (left.outputSet.contains(a) && right.outputSet.contains(b))
-          (a.name, b.name)
-        else if (left.outputSet.contains(b) && right.outputSet.contains(a))
-          (b.name, a.name)
-        else return None
+        val (ia, ib) = (scanIdx(a), scanIdx(b))
+        if (ia < 0 || ib < 0 || ia == ib) return None
+        MvRewrite.normPair(a.name, b.name)
       case _ => return None
     }
     Some(pairs.toSet)
@@ -441,17 +467,20 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .getOrElse(agg)
     }
 
-  /** The JOIN+AGG MV match: `Aggregate` over an INNER equi-join of two
-    * parquet scans whose (left, right, key-pair set) has a registered
-    * join MV. Group columns, aggregates, and every filter (above the
-    * join or on either side) are then resolved BY NAME against the MV
-    * exactly like the single-table path — sound because:
+  /** The JOIN+AGG MV match: `Aggregate` over a tree of INNER
+    * equi-joins of 2+ parquet scans whose (path set, equi-key-pair
+    * set) has a registered join MV — the flattened tree shape, so a
+    * 3-table star matches regardless of how the user parenthesized it
+    * or how the join reorderer re-shaped it. Group columns,
+    * aggregates, and every filter (anywhere in the tree) are then
+    * resolved BY NAME against the MV exactly like the single-table
+    * path — sound because:
     *  - the registration contract (MaterializedJoin's) makes non-join
-    *    column names distinct across the two tables, and the match
+    *    column names distinct across the tables, and the match
     *    additionally bails if any REFERENCED name is ambiguous in the
     *    actual scan outputs (a same-named pair could silently resolve
-    *    to the wrong side);
-    *  - a side filter on an MV GROUP column commutes with the join and
+    *    to the wrong table);
+    *  - a filter on an MV GROUP column commutes with the joins and
     *    the aggregation (the column is constant within every join-row
     *    group), so re-applying it above the MV scan is exact — the
     *    same argument as the single-table filter rule, checked by the
@@ -465,19 +494,18 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                              child: LogicalPlan): Option[LogicalPlan] = {
     if (MvRewrite.joinIsEmpty) return None
     for {
-      (topF, join) <- joinOf(child)
-      if join.joinType == Inner
-      cond <- join.condition
-      (lf, lscan) <- scanOf(join.left)
-      (rf, rscan) <- scanOf(join.right)
-      lpath <- sourceOf(lscan)
-      rpath <- sourceOf(rscan)
-      pairs <- equiPairs(cond, join.left, join.right)
-      // every name the query references must be unambiguous across the
-      // two scans — else by-name MV resolution could pick the wrong side
-      dup = (lscan.output ++ rscan.output).map(_.name)
+      (scans, filts, joinConds) <- flattenInner(child)
+      if scans.size >= 2
+      paths = scans.flatMap(sourceOf)
+      if paths.size == scans.size // every leaf is a parquet scan
+      if paths.toSet.size == paths.size // self-joins disqualify
+      pairs <- equiPairs(joinConds, scans)
+      // every name the query references must be unambiguous across
+      // ALL scans — else by-name MV resolution could pick the wrong
+      // table
+      dup = scans.flatMap(_.output).map(_.name)
         .groupBy(identity).collect { case (n, vs) if vs.sizeIs > 1 => n }.toSet
-      refs = (ges ++ aes ++ topF ++ lf ++ rf).flatMap(_.references)
+      refs = (ges ++ aes ++ filts).flatMap(_.references)
       if !refs.exists(a => dup.contains(a.name))
       // all filters fold into one condition; filterRewritable (inside
       // tryRewrite) then requires group-column-only references.
@@ -487,8 +515,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // (null = null is never true), so the MV — an aggregate of the
       // join — already reflects them.
       keyNames = pairs.flatMap(p => Seq(p._1, p._2))
-      filterOpt = (topF.toSeq ++ lf ++ rf)
-        .flatMap(splitConjuncts)
+      filterOpt = filts
         .filterNot {
           case org.apache.spark.sql.catalyst.expressions
             .IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
@@ -496,7 +523,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
       rewritten <- chooseRewrite(agg, ges, aes, filterOpt,
-        lookupJoin(lpath, rpath, pairs))
+        lookupJoin(paths.toSet, pairs))
     } yield rewritten
   }
 

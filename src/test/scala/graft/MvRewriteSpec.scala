@@ -655,4 +655,62 @@ class MvRewriteSpec extends SparkSpec {
       assert(got == want)
     } finally MvRewrite.clear()
   }
+
+  test("star MV (3 tables): any join order/parenthesization matches; 2-table MVs don't") {
+    MvRewrite.clear()
+    val liPath = s"$sfDir/lineitem.parquet"
+    def li = spark.read.parquet(liPath)
+    def o = spark.read.parquet(srcPath)
+    def c = spark.read.parquet(custPath)
+    val mvDir = java.nio.file.Files.createTempDirectory("smv").toString + "/mv"
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("qty"))
+      .write.parquet(mvDir)
+    MvRewrite.registerJoin(spark, Seq(liPath, srcPath, custPath),
+      Seq("l_orderkey" -> "o_orderkey", "o_custkey" -> "c_custkey"), mvDir,
+      groupCols = Seq("c_mktsegment", "o_orderstatus"),
+      aggs = Map("cnt" -> CountStar, "qty" -> SumOf("l_quantity")))
+    try {
+      // shape 1: (li ⋈ o) ⋈ c, registered orientation
+      val s1 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      // shape 2: c ⋈ (o ⋈ li), opposite nesting, flipped key sides,
+      // ROLLUP grain
+      val s2 = c.join(o.join(li, col("o_orderkey") === col("l_orderkey")),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      val base1 = { MvRewrite.clear(); s1.orderBy(col("c_mktsegment"),
+        col("o_orderstatus")).collect().toSeq }
+      val base2 = s2.orderBy(col("c_mktsegment")).collect().toSeq
+      MvRewrite.registerJoin(spark, Seq(liPath, srcPath, custPath),
+        Seq("l_orderkey" -> "o_orderkey", "o_custkey" -> "c_custkey"), mvDir,
+        groupCols = Seq("c_mktsegment", "o_orderstatus"),
+        aggs = Map("cnt" -> CountStar, "qty" -> SumOf("l_quantity")))
+      def mvOnly(df: DataFrame): Unit = {
+        val roots = scanRoots(df)
+        val mvp = new org.apache.hadoop.fs.Path(mvDir).toUri.getPath
+        assert(roots.exists(_.startsWith(mvp)), s"must scan star MV; got $roots")
+        Seq(liPath, srcPath, custPath).foreach { p =>
+          val sp = new org.apache.hadoop.fs.Path(p).toUri.getPath
+          assert(!roots.exists(_.startsWith(sp)), s"must not rescan $sp")
+        }
+      }
+      mvOnly(s1); mvOnly(s2)
+      assert(s1.orderBy(col("c_mktsegment"), col("o_orderstatus"))
+        .collect().toSeq == base1)
+      assert(s2.orderBy(col("c_mktsegment")).collect().toSeq == base2)
+      // a 2-table sub-join of the star must NOT match the 3-table MV
+      val sub = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val subRoots = scanRoots(sub)
+      val sp = new org.apache.hadoop.fs.Path(srcPath).toUri.getPath
+      assert(subRoots.exists(_.startsWith(sp)),
+        "2-table query must stay on its sources")
+    } finally MvRewrite.clear()
+  }
 }
