@@ -250,20 +250,23 @@ class OpsSpec extends SparkSpec {
     val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val local = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
     assert(local.length == n && local.forall(_._2 == 0L))
-    // reliable-checkpoint path (executor-loss-tolerant on a cluster);
-    // the temp checkpoint root is deleted in finally — a test run must
-    // leave /tmp clean, same hygiene rule as the gate queries
+    // reliable-checkpoint path (executor-loss-tolerant on a cluster).
+    // The checkpoint dir is deleted by a SHUTDOWN HOOK, not in finally:
+    // setCheckpointDir sticks to the shared SparkContext, so any later
+    // test that checkpoints would silently recreate a deleted dir (the
+    // leak a finally-delete caused) — one JVM-wide dir, reaped at exit,
+    // leaves /tmp clean without racing the shared session.
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
-    try {
-      spark.sparkContext.setCheckpointDir(ckptDir.toString)
-      val reliable = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
-      assert(reliable.length == n && reliable.forall(_._2 == 0L))
-    } finally {
-      val walk = java.nio.file.Files.walk(ckptDir)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      finally walk.close()
-    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val walk = java.nio.file.Files.walk(ckptDir)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally walk.close()
+      } catch { case _: java.io.IOException => () }))
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val reliable = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
+    assert(reliable.length == n && reliable.forall(_._2 == 0L))
   }
 
   test("cosine math matches a hand computation") {
