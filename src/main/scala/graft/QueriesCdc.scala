@@ -29,22 +29,12 @@ object QueriesCdc {
       finally walk.close()
     } catch { case _: java.io.IOException => () }
 
-  /** Free a consumed localCheckpoint's blocks (SketchMv's discipline:
-    * a checkpointed frame's blocks live on its LogicalRDD, so
-    * Dataset.unpersist would be a no-op). The iterative-MV gates call
-    * this on every SUPERSEDED state inside their round loops — without
-    * it each run pins 8 corpus-scale checkpoint sets until process
-    * exit, and the queries' wall time becomes hostage to whatever
-    * block-manager/GC state the suite accumulated (the r13 ±2.24×
+  /** The iterative-MV gates call [[Ckpt.free]] on every SUPERSEDED
+    * state inside their round loops — without it each run pins 8
+    * corpus-scale checkpoint sets until process exit (the r13 ±2.24×
     * same-code bench swing). Safe only once every consumer of the
-    * frame has MATERIALIZED (a truncated-lineage checkpoint cannot be
-    * recomputed). */
-  private def freeCkpt(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case _ => df.unpersist(false)
-    }
+    * frame has MATERIALIZED. */
+  private def freeCkpt(df: DataFrame): Unit = Ckpt.free(df)
 
   private def opCol: Column =
     when(col("event_type") === "signup", Envelope.OpCreate)

@@ -186,10 +186,21 @@ object MaterializedAgg {
       val s = step(state, batch, keyCols, version, deleteFlag)
       // checkpoint bounds the lazy-plan depth across steps and pins
       // the state each side of the diff reads the same snapshot of
+      val prevState = state
+      val prevMv = mv
       state = s.state.localCheckpoint(true)
       mv = Some(mergeMv(mv, groupDelta(s.signedDelta, groupCols, sums),
         groupCols, sums.map(_._1)).localCheckpoint(true))
+      // both successors are eager, so the superseded generation's
+      // blocks are consumed — free them IN-LOOP (the cdc_mv_join
+      // discipline; a run otherwise pins every state/view generation
+      // until JVM exit and bench timings swing with block pressure)
+      graft.Ckpt.free(prevState) // no-op on the initial empty state
+      prevMv.foreach(graft.Ckpt.free)
     }
+    // the final state checkpoint has no further consumer (the returned
+    // view is itself an eager checkpoint) — release it too
+    graft.Ckpt.free(state)
     mv.get
   }
 }

@@ -355,6 +355,16 @@ object Multimodal {
     require(bits % nBands == 0, s"$nBands bands must divide $bits bits")
     val bw = bits / nBands
     val hashed = images.localCheckpoint(true)
+    // the banding below substrings fixed offsets and the verify packs
+    // exactly 56 bits — a frame hashed from a non-8×8 grid (dhashOf
+    // emits h·(w−1) bits) would band on out-of-range substrings and
+    // verify mismatched packs, silently returning wrong pairs; the
+    // checkpoint is already materialized, so this width audit is one
+    // scan of hash-sized rows, not a codec re-run
+    val badWidth = hashed.where(length(col("dhash")) =!= bits).count()
+    require(badWidth == 0,
+      s"dhashNearDupPairs expects $bits-bit hashes (8×8 dHash grid); " +
+        s"$badWidth rows have a different width")
     val bands = hashed.select(col("img_id"), col("dhash"), col("dhash_bits"),
         col("pix_md5"), explode(sequence(lit(0), lit(nBands - 1))).as("b"))
       .withColumn("bv", col("dhash").substr(col("b") * bw + 1, lit(bw)))
@@ -365,11 +375,18 @@ object Multimodal {
         col("x.dhash_bits").as("ba"), col("y.dhash_bits").as("bb"),
         col("x.pix_md5").as("ma"), col("y.pix_md5").as("mb"))
       .distinct()
-    cand.withColumn("hamming",
+    // materialize the (bounded, pairs-sized) result so the hash
+    // checkpoint can be freed HERE — otherwise every call pins a
+    // per-image block set until JVM exit (the checkpoint-accumulation
+    // failure mode the iterative-MV gates free in-loop)
+    val out = cand.withColumn("hamming",
         bit_count(col("ba").bitwiseXOR(col("bb"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("img_a"), col("img_b"), col("hamming"),
         (col("ma") === col("mb")).as("same_pixels"))
+      .localCheckpoint(true)
+    graft.Ckpt.free(hashed)
+    out
   }
 
   /** Per-frame energies of a signed big-endian 16-bit PCM payload:

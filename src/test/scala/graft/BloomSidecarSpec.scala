@@ -15,7 +15,7 @@ class BloomSidecarSpec extends SparkSpec {
     .toDF("id", "ver", "ref", "v", "del")
 
   private def freshRoot() =
-    java.nio.file.Files.createTempDirectory("bloom").toString + "/t"
+    TestTmp.dir("bloom").toString + "/t"
 
   private def build(root: String): Unit = {
     PkTableSink.mergeTx(spark, root, rows(), Seq("id"), Seq("ver"), "del",

@@ -10,7 +10,7 @@ class ChangeFeedSpec extends SparkSpec {
     rows.toDF("id", "ver", "v", "del")
 
   private def freshRoot() =
-    java.nio.file.Files.createTempDirectory("cdf").toString + "/t"
+    TestTmp.dir("cdf").toString + "/t"
 
   private def merge(root: String, rows: (Long, Long, String, Boolean)*): Long =
     PkTableSink.mergeTx(spark, root, batch(rows: _*),

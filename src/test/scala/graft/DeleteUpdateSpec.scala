@@ -11,7 +11,7 @@ class DeleteUpdateSpec extends SparkSpec {
   import spark.implicits._
 
   private def seed(): String = {
-    val root = java.nio.file.Files.createTempDirectory("dml").toString + "/t"
+    val root = TestTmp.dir("dml").toString + "/t"
     PkTableSink.mergeTx(spark, root,
       (0L until 100L).map(i => (i, 1L, s"seg-${i % 5}", i * 10, false))
         .toDF("id", "ver", "segment", "amount", "del"),

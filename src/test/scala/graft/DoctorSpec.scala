@@ -10,7 +10,7 @@ class DoctorSpec extends SparkSpec {
   import spark.implicits._
 
   test("findings track the freshness protocols through degrade -> remedy cycles") {
-    val root = java.nio.file.Files.createTempDirectory("doc").toString + "/t"
+    val root = TestTmp.dir("doc").toString + "/t"
     PkTableSink.mergeTx(spark, root,
       (0L until 200L).map(i => (i, 1L, s"seg-${i % 5}", s"alpha beta doc $i", false))
         .toDF("id", "ver", "segment", "text", "del"),
@@ -65,7 +65,7 @@ class DoctorSpec extends SparkSpec {
 
   test("repair() closes the loop: degrade -> repair -> healthy, idempotent, " +
     "table contents undisturbed") {
-    val root = java.nio.file.Files.createTempDirectory("docr").toString + "/t"
+    val root = TestTmp.dir("docr").toString + "/t"
     PkTableSink.mergeTx(spark, root,
       (0L until 300L).map(i => (i, 1L, s"seg-${i % 5}", s"alpha beta doc $i", false))
         .toDF("id", "ver", "segment", "text", "del"),
@@ -119,7 +119,7 @@ class DoctorSpec extends SparkSpec {
     // incrementally than the build had (quality drift), nine add
     // commits (deep chain), and a delete of a third of the corpus
     // (tombstone mass vs live)
-    val gRoot = java.nio.file.Files.createTempDirectory("docg").toString + "/g"
+    val gRoot = TestTmp.dir("docg").toString + "/g"
     GraphIndex.build(emb.where(col("vec_id") < 200),
       col("vec_id"), col("embedding"), gRoot)
     (0 until 9).foreach { i =>
@@ -144,7 +144,7 @@ class DoctorSpec extends SparkSpec {
     // IVF index — centroid staleness: more vectors assigned to the
     // trained centroids than the training set held; repair retrains
     // with the SAME k and resets the counter
-    val iRoot = java.nio.file.Files.createTempDirectory("doci").toString + "/i"
+    val iRoot = TestTmp.dir("doci").toString + "/i"
     IvfIndex.build(emb.where(col("vec_id") < 200),
       col("vec_id"), col("embedding"), iRoot, k = 4)
     IvfIndex.add(emb.where(col("vec_id") >= 200 && col("vec_id") < 450),
@@ -162,7 +162,7 @@ class DoctorSpec extends SparkSpec {
     // LSH index — probe-cost chain only (no deletes, no drift:
     // signatures are exact content functions); repair compacts
     val docs = Tables.documents(spark, sfDir)
-    val lRoot = java.nio.file.Files.createTempDirectory("docl").toString + "/l"
+    val lRoot = TestTmp.dir("docl").toString + "/l"
     LshIndex.build(docs.where(col("doc_id") % 10 === 0),
       col("doc_id"), col("text"), lRoot)
     (1 to 9).foreach { i =>

@@ -12,7 +12,7 @@ class FilteredAnnSpec extends SparkSpec {
 
   /** Temp index root deleted in finally — tests leave /tmp clean. */
   private def withRoot(sub: String)(body: String => Unit): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("fann")
+    val tmp = TestTmp.dir("fann")
     try body(tmp.toString + "/" + sub)
     finally {
       val walk = java.nio.file.Files.walk(tmp)

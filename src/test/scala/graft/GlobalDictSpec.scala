@@ -10,7 +10,7 @@ class GlobalDictSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshRoot() =
-    java.nio.file.Files.createTempDirectory("gdict").toString + "/t"
+    TestTmp.dir("gdict").toString + "/t"
 
   private val rows = (0L until 1000L)
     .map(i => (i, 1L, if (i % 11 == 0) null else s"seg-${i % 7}", i % 100, false))

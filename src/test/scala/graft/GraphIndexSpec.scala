@@ -13,7 +13,7 @@ class GraphIndexSpec extends SparkSpec {
   private def emb = Tables.embeddings(spark, sfDir)
 
   test("persisted graph index: build/search matches the in-memory path; lifecycle commits versions") {
-    val root = java.nio.file.Files.createTempDirectory("gidx").toString + "/idx"
+    val root = TestTmp.dir("gidx").toString + "/idx"
     val half = emb.where(col("vec_id") < 250)
     val v0 = GraphIndex.build(half, col("vec_id"), col("embedding"), root)
     assert(v0 == 0L && GraphIndex.count(spark, root) == 250)
@@ -75,7 +75,7 @@ class GraphIndexSpec extends SparkSpec {
 
   test("graph index deletes: tombstone delta, resurrection by re-add, physical fold on compact") {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("gidxdel").toString + "/idx"
+    val root = TestTmp.dir("gidxdel").toString + "/idx"
     val corpus = emb.where(col("vec_id") < 100)
     GraphIndex.build(corpus, col("vec_id"), col("embedding"), root)
     assert(GraphIndex.count(spark, root) == 100)

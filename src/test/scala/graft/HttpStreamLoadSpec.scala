@@ -146,7 +146,7 @@ class HttpStreamLoadSpec extends SparkSpec {
       StructField("v", StringType)))
     def env(id: Long, seq: Long, v: String): String =
       s"""{"before":null,"after":{"id":$id,"seq":$seq,"v":"$v"},"op":"c","ts_ms":100}"""
-    val ckpt = java.nio.file.Files.createTempDirectory("sl_ckpt").toString
+    val ckpt = TestTmp.dir("sl_ckpt").toString
     val input = MemoryStream[String]
     input.addData(env(1, 1, "a"), env(2, 1, "b"), env(3, 1, "c"))
     val cfg = CdcPipeline.Config(payload, keyField = "id", seqField = "seq")

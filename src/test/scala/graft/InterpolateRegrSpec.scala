@@ -10,7 +10,7 @@ class InterpolateRegrSpec extends SparkSpec {
   import spark.implicits._
 
   private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("interp").toString
+    val dir = TestTmp.dir("interp").toString
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -10,7 +10,7 @@ class InvertedIndexSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshRoot() =
-    java.nio.file.Files.createTempDirectory("invidx").toString + "/t"
+    TestTmp.dir("invidx").toString + "/t"
 
   private val docs = Seq(
     (0L, 1L, "Spark shuffles data across the cluster", false),

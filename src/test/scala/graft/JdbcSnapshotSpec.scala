@@ -90,7 +90,7 @@ class JdbcSnapshotSpec extends SparkSpec {
     // the reference's snapshot-then-stream bootstrap: JDBC initial
     // load lands in the transactional lake, later CDC batches merge in
     seeded
-    val root = java.nio.file.Files.createTempDirectory("jdbcsnap").toString + "/t"
+    val root = TestTmp.dir("jdbcsnap").toString + "/t"
     val snap = JdbcSnapshot.snapshotPartitioned(spark, url, "customers",
         "id", 1L, nRows.toLong, 4)
       .withColumn("ver", lit(0L)).withColumn("del", lit(false))

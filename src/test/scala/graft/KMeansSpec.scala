@@ -99,7 +99,7 @@ class KMeansSpec extends SparkSpec {
   test("persisted IVF index: build/search matches the in-memory path; lifecycle commits versions") {
     import graft.ops.{IvfIndex, Similarity}
     import graft.sinks.TxLog
-    val root = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    val root = TestTmp.dir("ivfidx").toString + "/idx"
     val half = emb.where(col("vec_id") < 250)
     val v0 = IvfIndex.build(half, col("vec_id"), col("embedding"), root, k = 8)
     assert(v0 == 0L && IvfIndex.count(spark, root) == 250)
@@ -160,7 +160,7 @@ class KMeansSpec extends SparkSpec {
   test("IVF index deletes: tombstone delta, resurrection by re-add, physical fold on compact") {
     import graft.ops.IvfIndex
     import graft.sinks.TxLog
-    val root = java.nio.file.Files.createTempDirectory("ivfdel").toString + "/idx"
+    val root = TestTmp.dir("ivfdel").toString + "/idx"
     val corpus = emb.where(col("vec_id") < 100)
     IvfIndex.build(corpus, col("vec_id"), col("embedding"), root, k = 4)
     assert(IvfIndex.count(spark, root) == 100)

@@ -26,7 +26,7 @@ class KmvMvSpec extends SparkSpec {
 
   test("stream -> committed KMV column -> distinct rollup is bit-identical to batch recompute") {
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("kmvmv").toString + "/mv"
+    val root = TestTmp.dir("kmvmv").toString + "/mv"
     // per-day ids are u + (d-1)·umax/2, so each type's two days
     // overlap by half: type a spans 600 distinct ids (below k =
     // exact), type b 4500 (above k = estimated)
@@ -114,7 +114,7 @@ class KmvMvSpec extends SparkSpec {
   test("Doctor covers the MV group root: chain degrade -> compact repair, " +
       "rollup unchanged") {
     import graft.sinks.Doctor
-    val root = java.nio.file.Files.createTempDirectory("kmvmv_doc")
+    val root = TestTmp.dir("kmvmv_doc")
       .toString + "/mv"
     // 10 micro-batches, one commit each → 10 dirs unioned per read
     (0 until 10).foreach { i =>
@@ -153,7 +153,7 @@ class KmvMvSpec extends SparkSpec {
 
   test("flavor guard: a QskMv writer pointed at a KmvMv root fails fast") {
     import graft.streaming.QskMv
-    val root = java.nio.file.Files.createTempDirectory("kmvflav").toString + "/mv"
+    val root = TestTmp.dir("kmvflav").toString + "/mv"
     assert(KmvMv.maintainTx(root,
       Seq(("a", java.sql.Date.valueOf("2024-01-01"), 1L))
         .toDF("event_type", "day", "user_id"),

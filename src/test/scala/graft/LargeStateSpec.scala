@@ -33,7 +33,7 @@ class LargeStateSpec extends SparkSpec {
       CdcStream.unwrap(envs, "json", payload, "id", "seq").toDF())
       .as[(Long, String)].collect().toMap
 
-    val work = java.nio.file.Files.createTempDirectory("largestate").toString
+    val work = TestTmp.dir("largestate").toString
     envs.coalesce(4).write.mode("overwrite").text(s"$work/input")
     val got = StateTuning.withRocksDb(spark) {
       val states = CdcStream.upsertStates(CdcStream.unwrap(

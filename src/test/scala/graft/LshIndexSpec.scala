@@ -11,7 +11,7 @@ class LshIndexSpec extends SparkSpec {
   import spark.implicits._
 
   private def root(tag: String) =
-    java.nio.file.Files.createTempDirectory(tag).toString + "/ix"
+    TestTmp.dir(tag).toString + "/ix"
 
   private val corpus = Seq(
     (1L, "the quick brown fox jumps over the lazy dog again and again today"),

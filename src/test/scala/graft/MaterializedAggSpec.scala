@@ -94,7 +94,7 @@ class MaterializedAggSpec extends SparkSpec {
 
   test("transactional maintenance: exactly-once under batch replay, atomic three-table commit") {
     import graft.sinks.PkTableSink
-    val root = java.nio.file.Files.createTempDirectory("mvtx").toString + "/g"
+    val root = TestTmp.dir("mvtx").toString + "/g"
     def apply(b: DataFrame, id: Long) = MaterializedAgg.maintainTx(root, b, id,
       Seq("k"), Seq("ver"), col("del"), Seq("g"),
       Seq("total" -> col("v")), writer = "job1")

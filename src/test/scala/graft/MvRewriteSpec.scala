@@ -13,7 +13,7 @@ class MvRewriteSpec extends SparkSpec {
   private val srcPath = s"$sfDir/orders.parquet"
 
   private def buildMv(): String = {
-    val dir = java.nio.file.Files.createTempDirectory("mv").toString + "/mv"
+    val dir = TestTmp.dir("mv").toString + "/mv"
     spark.read.parquet(srcPath)
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"),
@@ -28,10 +28,11 @@ class MvRewriteSpec extends SparkSpec {
       aggs = Map("cnt" -> CountStar, "total" -> SumOf("o_totalprice"),
         "mx" -> MaxOf("o_totalprice")))
 
+  // structural scan check (plan-STRING matching truncates long paths —
+  // spark.sql.maxMetadataStringLength — and flaps with temp-dir depth)
   private def scansMv(df: DataFrame, mvDir: String): Boolean = {
-    val files = df.queryExecution.executedPlan.toString
-    files.contains(new org.apache.hadoop.fs.Path(mvDir).toUri.getPath) ||
-      df.queryExecution.optimizedPlan.toString.contains("mv")
+    val mvp = new org.apache.hadoop.fs.Path(mvDir).toUri.getPath
+    scanRoots(df).exists(_.startsWith(mvp))
   }
 
   private def exactQuery(): DataFrame =
@@ -153,7 +154,7 @@ class MvRewriteSpec extends SparkSpec {
         .orderBy(col("o_orderstatus"))
     val exactBase = avgExact().collect().toSeq
     val rollupBase = avgRollup().collect().toSeq
-    val dir = java.nio.file.Files.createTempDirectory("mva").toString + "/mv"
+    val dir = TestTmp.dir("mva").toString + "/mv"
     spark.read.parquet(srcPath)
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"),
@@ -194,7 +195,7 @@ class MvRewriteSpec extends SparkSpec {
     // fine rollup candidate: (status, priority) — ~15 rows
     val fineDir = buildMv()
     // coarse-but-bigger rollup candidate: (status, custkey) — ~1k rows
-    val bigDir = java.nio.file.Files.createTempDirectory("mvb").toString + "/mv"
+    val bigDir = TestTmp.dir("mvb").toString + "/mv"
     spark.read.parquet(srcPath)
       .groupBy(col("o_orderstatus"), col("o_custkey"))
       .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
@@ -210,7 +211,7 @@ class MvRewriteSpec extends SparkSpec {
         s"expected the ~15-row MV, got:\n${q1.queryExecution.executedPlan}")
       // now register an EXACT-match MV: it costs zero re-aggregation
       // and must win over both rollups
-      val exactDir = java.nio.file.Files.createTempDirectory("mve").toString + "/mv"
+      val exactDir = TestTmp.dir("mve").toString + "/mv"
       spark.read.parquet(srcPath)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
@@ -263,7 +264,7 @@ class MvRewriteSpec extends SparkSpec {
 
   private def buildSketchMvs(): (String, String) = {
     import graft.functions.{Kmv, Qsk}
-    val base = java.nio.file.Files.createTempDirectory("skmv").toString
+    val base = TestTmp.dir("skmv").toString
     val kmvDir = base + "/kmv_pub"
     val qskDir = base + "/qsk_pub"
     val mv = spark.read.parquet(srcPath)
@@ -366,7 +367,7 @@ class MvRewriteSpec extends SparkSpec {
       .groupBy(col("o_orderstatus"))
       .agg(countDistinct(col("o_custkey")).as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val dir = java.nio.file.Files.createTempDirectory("rbmv").toString + "/pub"
+    val dir = TestTmp.dir("rbmv").toString + "/pub"
     MvRewrite.registerSketchSnapshot(spark, srcPath,
       spark.read.parquet(srcPath)
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -419,7 +420,7 @@ class MvRewriteSpec extends SparkSpec {
   test("publishStale: a maintainTx commit after publish flips the stamp; re-publish clears it") {
     import graft.streaming.KmvMv
     MvRewrite.clear()
-    val tmp = java.nio.file.Files.createTempDirectory("pubstale")
+    val tmp = TestTmp.dir("pubstale")
     val root = tmp.toString + "/mv"
     val pub = tmp.toString + "/pub"
     val src = tmp.toString + "/src"
@@ -453,7 +454,7 @@ class MvRewriteSpec extends SparkSpec {
   test("async refresh loop: stream -> maintainTx -> publishStale poll -> re-publish; serving tracks the stream") {
     import graft.streaming.KmvMv
     MvRewrite.clear()
-    val tmp = java.nio.file.Files.createTempDirectory("mvloop")
+    val tmp = TestTmp.dir("mvloop")
     val root = tmp.toString + "/mv"
     val pub = tmp.toString + "/pub"
     val src = tmp.toString + "/src"
@@ -530,7 +531,7 @@ class MvRewriteSpec extends SparkSpec {
     * GROUP BY 1, 2 — built live here (register-time snapshot); the
     * incremental write side is cdc.MaterializedJoin's proof (A31/A32). */
   private def buildJoinMv(): String = {
-    val dir = java.nio.file.Files.createTempDirectory("jmv").toString + "/mv"
+    val dir = TestTmp.dir("jmv").toString + "/mv"
     spark.read.parquet(srcPath)
       .join(spark.read.parquet(custPath), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_name"))
@@ -662,7 +663,7 @@ class MvRewriteSpec extends SparkSpec {
     def li = spark.read.parquet(liPath)
     def o = spark.read.parquet(srcPath)
     def c = spark.read.parquet(custPath)
-    val mvDir = java.nio.file.Files.createTempDirectory("smv").toString + "/mv"
+    val mvDir = TestTmp.dir("smv").toString + "/mv"
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderstatus"))

@@ -256,7 +256,7 @@ class OpsSpec extends SparkSpec {
     // test that checkpoints would silently recreate a deleted dir (the
     // leak a finally-delete caused) — one JVM-wide dir, reaped at exit,
     // leaves /tmp clean without racing the shared session.
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val ckptDir = TestTmp.dir("graft-ckpt")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
         val walk = java.nio.file.Files.walk(ckptDir)

@@ -11,7 +11,7 @@ class PartialUpdateSpec extends SparkSpec {
     rows.toDF("id", "ver", "name", "score", "del")
 
   private def freshRoot() =
-    java.nio.file.Files.createTempDirectory("partial").toString + "/t"
+    TestTmp.dir("partial").toString + "/t"
 
   private def bootstrap(root: String): Unit =
     PkTableSink.mergeTx(spark, root,

@@ -55,7 +55,7 @@ class PipelineSpec extends SparkSpec {
 
   test("streaming: states materialize into the versioned PK lake table") {
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("pipe_pk").toString + "/t"
+    val root = TestTmp.dir("pipe_pk").toString + "/t"
     val input = MemoryStream[String]
     input.addData(env(1, 1, "a", "c", 10), env(2, 1, "b", "c", 10))
     val q = CdcPipeline.toPkTableSink(
@@ -72,7 +72,7 @@ class PipelineSpec extends SparkSpec {
 
   test("streaming: envelope stream lands in the stream-load sink as chunks") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("pipe").toString
+    val dir = TestTmp.dir("pipe").toString
     val input = MemoryStream[String]
     // data must exist before start: AvailableNow snapshots offsets at start
     input.addData(env(1, 1, "a", "c", 10), env(2, 1, "b", "c", 10), env(2, 2, "b2", "u", 20))

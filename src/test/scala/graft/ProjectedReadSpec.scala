@@ -10,7 +10,7 @@ class ProjectedReadSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshRoot() =
-    java.nio.file.Files.createTempDirectory("prune").toString + "/t"
+    TestTmp.dir("prune").toString + "/t"
 
   private def seed(root: String) = {
     val rows = (0L until 100L).map(i => (i, 1L, s"a$i", s"b$i", s"c$i", false))

@@ -27,7 +27,7 @@ class QskMvSpec extends SparkSpec {
 
   test("stream -> committed sketch column -> B69 rollup matches batch recompute") {
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("qskmv").toString + "/mv"
+    val root = TestTmp.dir("qskmv").toString + "/mv"
     // 2 types × 2 days × values 0..499 (type a) / 0..999 (type b)
     val all = for {
       (tp, vmax) <- Seq(("a", 500), ("b", 1000)); d <- 1 to 2; v <- 0 until vmax

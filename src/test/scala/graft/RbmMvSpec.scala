@@ -22,7 +22,7 @@ class RbmMvSpec extends SparkSpec {
 
   test("stream -> committed bitmap column -> distinct rollup equals the exact recount") {
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("rbmmv").toString + "/mv"
+    val root = TestTmp.dir("rbmmv").toString + "/mv"
     // two types, two days each, per-day id ranges overlapping by half
     val all = for {
       (tp, umax) <- Seq(("a", 300), ("b", 900)); d <- 1 to 2; u <- 0 until umax

@@ -10,7 +10,7 @@ class ResultCacheSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(prefix: String) =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    TestTmp.dir(prefix).toString
 
   test("hit serves stored bytes without evaluating the query; commit misses") {
     val root = fresh("rc") + "/t"

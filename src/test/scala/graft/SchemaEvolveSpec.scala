@@ -11,7 +11,7 @@ class SchemaEvolveSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshRoot() =
-    java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
+    TestTmp.dir("evolve").toString + "/t"
 
   test("widening commit: new column null on old rows, merged on touched keys") {
     val root = freshRoot()

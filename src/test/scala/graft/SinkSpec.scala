@@ -7,7 +7,7 @@ class SinkSpec extends SparkSpec {
   import spark.implicits._
 
   test("D3: stream-load sink ships all rows as labeled JSON-line chunks") {
-    val dir = java.nio.file.Files.createTempDirectory("srsink").toString
+    val dir = TestTmp.dir("srsink").toString
     val df = (1 to 100).map(i => (i.toLong, s"name_$i")).toDF("id", "name")
     val chunks = StarRocksSink.write(df, "load1", StarRocksSink.fileTransport(dir),
       maxChunkBytes = 512)
@@ -21,7 +21,7 @@ class SinkSpec extends SparkSpec {
   }
 
   test("D1: partitioned PK-table parquet sink round-trips") {
-    val dir = java.nio.file.Files.createTempDirectory("pksink").toString + "/t"
+    val dir = TestTmp.dir("pksink").toString + "/t"
     val df = Tables.orders(spark, sfDir)
       .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
     StarRocksSink.writePkTable(df, dir, "order_month")
@@ -34,7 +34,7 @@ class SinkSpec extends SparkSpec {
 
   test("incremental PK-table sink: micro-batch merges accumulate correctly") {
     import graft.sinks.PkTableSink
-    val root = java.nio.file.Files.createTempDirectory("pkinc").toString + "/t"
+    val root = TestTmp.dir("pkinc").toString + "/t"
     def batch(rows: (Long, Long, String, Boolean)*) =
       rows.toDF("id", "ver", "v", "del")
     // batch 1: two inserts
@@ -57,7 +57,7 @@ class SinkSpec extends SparkSpec {
 
   test("PK-table sink vacuum keeps recent versions, never the current") {
     import graft.sinks.PkTableSink
-    val root = java.nio.file.Files.createTempDirectory("pkvac").toString + "/t"
+    val root = TestTmp.dir("pkvac").toString + "/t"
     def batch(rows: (Long, Long, String, Boolean)*) =
       rows.toDF("id", "ver", "v", "del")
     (1 to 4).foreach { i =>
@@ -77,7 +77,7 @@ class SinkSpec extends SparkSpec {
   test("PK-table sink commit refuses to overwrite a concurrent writer's pointer") {
     import graft.sinks.PkTableSink
     import java.nio.file.{Files, Paths}
-    val root = Files.createTempDirectory("pkconc").toString + "/t"
+    val root = TestTmp.dir("pkconc").toString + "/t"
     def batch(rows: (Long, Long, String, Boolean)*) =
       rows.toDF("id", "ver", "v", "del")
     PkTableSink.merge(spark, root, batch((1L, 1L, "a", false)), Seq("id"), Seq("ver"), "del")
@@ -93,7 +93,7 @@ class SinkSpec extends SparkSpec {
   test("PK-table sink commit survives crash debris and legacy pointers") {
     import graft.sinks.PkTableSink
     import java.nio.file.{Files, Paths}
-    val root = Files.createTempDirectory("pkcrash").toString + "/t"
+    val root = TestTmp.dir("pkcrash").toString + "/t"
     def batch(rows: (Long, Long, String, Boolean)*) =
       rows.toDF("id", "ver", "v", "del")
     PkTableSink.merge(spark, root, batch((1L, 1L, "a", false)), Seq("id"), Seq("ver"), "del")
@@ -108,7 +108,7 @@ class SinkSpec extends SparkSpec {
     assert(t == Seq((1L, "a"), (2L, "b")))
     // legacy single-_CURRENT layout still reads, and the next merge
     // migrates it to a versioned pointer
-    val legacyRoot = Files.createTempDirectory("pklegacy").toString + "/t"
+    val legacyRoot = TestTmp.dir("pklegacy").toString + "/t"
     PkTableSink.merge(spark, legacyRoot, batch((5L, 1L, "e", false)), Seq("id"), Seq("ver"), "del")
     val ptr = Paths.get(legacyRoot).toFile.listFiles().map(_.getName)
       .filter(_.startsWith("_CURRENT")).toSeq
@@ -122,7 +122,7 @@ class SinkSpec extends SparkSpec {
   }
 
   test("D2: JSON-lines and CSV sources read with explicit schemas") {
-    val dir = java.nio.file.Files.createTempDirectory("src").toString
+    val dir = TestTmp.dir("src").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.json"),
       "{\"id\":1,\"v\":\"x\"}\n{\"id\":2,\"v\":\"y\"}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.csv"),

@@ -15,6 +15,32 @@ object TestSession {
   }
 }
 
+/** JVM-wide temp-dir factory for specs: every dir is created under ONE
+  * session root that a shutdown hook deletes recursively, so a full
+  * `sbt test` leaves /tmp clean no matter how an individual test exits
+  * (the OpsSpec checkpoint-dir discipline generalized; a per-test
+  * `finally` can't cover frames that stay lazily readable until the
+  * suite ends, the shutdown hook covers everything at once). */
+object TestTmp {
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-test")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
+    p
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    } catch { case _: java.io.IOException => () }
+
+  /** Drop-in replacement for `Files.createTempDirectory(prefix)`. */
+  def dir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(root, prefix)
+}
+
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   val sfDir = "/root/testdata/sf0.001"

@@ -298,9 +298,9 @@ class StreamingSpec extends SparkSpec {
 
   test("routine-load lifecycle: pause holds position, resume continues exactly-once") {
     import graft.streaming.RoutineLoadControl
-    val dir = java.nio.file.Files.createTempDirectory("rlsrc").toString
-    val out = java.nio.file.Files.createTempDirectory("rlout").toString + "/t"
-    val ckpt = java.nio.file.Files.createTempDirectory("rlckpt").toString
+    val dir = TestTmp.dir("rlsrc").toString
+    val out = TestTmp.dir("rlout").toString + "/t"
+    val ckpt = TestTmp.dir("rlckpt").toString
     def write(f: String, lines: String*) = java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, f), lines.mkString("\n"))
     write("b0.json", env(1, 1, "a", "c", 100), env(2, 1, "b", "c", 100))
@@ -352,7 +352,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("D4: file-based CDC stream source feeds the same pipeline") {
-    val dir = java.nio.file.Files.createTempDirectory("cdcsrc").toString
+    val dir = TestTmp.dir("cdcsrc").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b0.json"),
       Seq(env(7, 1, "x", "c", 10), env(7, 2, "x2", "u", 20)).mkString("\n"))
     val states = CdcStream.upsertStates(CdcStream.unwrap(
@@ -682,7 +682,7 @@ class StreamingSpec extends SparkSpec {
     // any EARLIER batch are dropped. In-batch exact re-delivery is
     // C28's dropDuplicatesWithinWatermark — this is the cross-batch,
     // near-duplicate, restart-surviving layer.
-    val root = java.nio.file.Files.createTempDirectory("slsh").toString + "/idx"
+    val root = TestTmp.dir("slsh").toString + "/idx"
     val input = MemoryStream[(Long, String)]
     val passed = scala.collection.mutable.ArrayBuffer[Long]()
     val q = input.toDF().toDF("id", "text").writeStream.outputMode("append")
@@ -733,7 +733,7 @@ class StreamingSpec extends SparkSpec {
     // probe the committed graph index; near-dups of any EARLIER batch
     // (by cosine) and id redeliveries are dropped; novel vectors flow
     // downstream AND extend the index as one delta commit
-    val root = java.nio.file.Files.createTempDirectory("ving").toString + "/idx"
+    val root = TestTmp.dir("ving").toString + "/idx"
     val input = MemoryStream[(Long, Array[Double])]
     val passed = scala.collection.mutable.ArrayBuffer[Long]()
     val q = input.toDF().toDF("id", "vec").writeStream.outputMode("append")
@@ -772,7 +772,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import graft.sinks.{PkTableSink, TableStats}
     import org.apache.spark.sql.types._
-    val dimRoot = java.nio.file.Files.createTempDirectory("dim").toString + "/t"
+    val dimRoot = TestTmp.dir("dim").toString + "/t"
     val dimSchema = StructType(Seq(StructField("cust", LongType),
       StructField("ver", LongType), StructField("tier", StringType),
       StructField("del", BooleanType)))

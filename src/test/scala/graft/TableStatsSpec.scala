@@ -10,7 +10,7 @@ class TableStatsSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshRoot() =
-    java.nio.file.Files.createTempDirectory("stats").toString + "/t"
+    TestTmp.dir("stats").toString + "/t"
 
   test("analyzeTx records exact rows/nulls/min/max and ~exact NDV; stale stats withdrawn") {
     val root = freshRoot()

@@ -16,7 +16,7 @@ class TxCommitSpec extends SparkSpec {
     rows.toDF("id", "ver", "v", "del")
 
   private def tmpRoot(tag: String) =
-    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+    TestTmp.dir(tag).toString + "/t"
 
   test("tx: sequential merges commit ascending versions with correct contents") {
     val root = tmpRoot("txseq")

@@ -16,7 +16,7 @@ class ZOrderSpec extends SparkSpec {
     .toDF("id", "ver", "a", "b", "v", "del")
 
   private def freshRoot() =
-    java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    TestTmp.dir("zorder").toString + "/t"
 
   test("morton2 interleaves bits: x even, y odd, full 32-bit range") {
     val got = spark.range(1).select(

@@ -12,7 +12,7 @@ class ZoneMapSpec extends SparkSpec {
     rows.toDF("id", "ver", "v", "del")
 
   private def freshRoot() =
-    java.nio.file.Files.createTempDirectory("zonemap").toString + "/t"
+    TestTmp.dir("zonemap").toString + "/t"
 
   test("compacted base prunes a point lookup to one file") {
     val root = freshRoot()
