@@ -146,6 +146,135 @@ object MvRewrite {
     }
   }
 
+  // ---- versioned snapshot publish (shared by the single-table sketch
+  // path and the join path) ------------------------------------------
+
+  private val VerRe = "v(\\d+)".r
+
+  private def genOf(path: String): Option[Long] = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    name match { case VerRe(n) => Some(n.toLong); case _ => None }
+  }
+
+  /** PUBLISH one new snapshot generation under `snapshotDir` and swap
+    * the registration onto it — the engine-agnostic core of the
+    * StarRocks "publish version" MV lifecycle:
+    *
+    *  - each publish lands in a FRESH versioned directory
+    *    `snapshotDir/v<N>`, created ATOMICALLY (`fs.mkdirs` returning
+    *    false → another publisher claimed N, retry with N+1), so two
+    *    racing publishers of one snapshotDir can never overwrite each
+    *    other's files mid-write;
+    *  - a publish that fails after creating its dir (data write or
+    *    stamp) DELETES that dir before rethrowing — a dead v<N> must
+    *    not survive to confuse later retention (it would otherwise be
+    *    mistaken for the serving generation);
+    *  - the freshness stamp (`_publish.json`: the maintained MV root
+    *    and its TxLog version at publish time) makes staleness a
+    *    CHECKABLE fact ([[publishStale]]) instead of a worker's memory;
+    *  - the registration manifest (`_registration.json`) makes the
+    *    registration itself DURABLE: a restarted session recovers every
+    *    published MV via [[registerAll]] without hand re-registration
+    *    (StarRocks MVs are catalog objects, not session state);
+    *  - retention is keyed to the generations that were actually
+    *    REGISTERED (in this session's registry, or failing that the
+    *    on-disk manifest — the serving generation across a restart):
+    *    the new generation and the just-deregistered one(s) are kept
+    *    (in-flight queries planned against the old MvDef keep reading
+    *    their pinned listing); everything else is GC'd — readers of a
+    *    generation deregistered a whole publish cycle ago have
+    *    finished. Keying retention to max-existing instead would, after
+    *    one failed publish, delete the generation in-flight readers
+    *    were planned against.
+    *
+    * Returns the new generation's data dir. `registeredGens` must be
+    * the generation numbers registered for this base BEFORE the swap;
+    * `registerFn` installs the new dir; `deregisterOld` removes the
+    * superseded registrations. */
+  private def publishVersioned(spark: SparkSession, snapshotDir: String,
+                               mvFrame: org.apache.spark.sql.DataFrame,
+                               mvRoot: Option[String],
+                               registeredGens: Set[Long],
+                               registrationJson: String => String,
+                               registerFn: String => Unit,
+                               deregisterOld: () => Unit): String = {
+    val base = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing: Seq[Long] =
+      if (fs.exists(base))
+        fs.listStatus(base).toSeq.filter(_.isDirectory)
+          .flatMap(st => genOf(st.getPath.getName))
+      else Nil
+    // the generation serving before this publish: this session's
+    // registration if any, else the one the on-disk manifest records
+    // (a restarted publisher must retain what restarted READERS may
+    // have recovered via registerAll)
+    val prevServing: Set[Long] =
+      if (registeredGens.nonEmpty) registeredGens
+      else readRegistrationGen(fs, base).toSet
+    var gen = existing.foldLeft(0L)(math.max) + 1
+    var genPath = new org.apache.hadoop.fs.Path(base, s"v$gen")
+    while (!fs.mkdirs(genPath)) { // claimed concurrently — take the next
+      gen += 1
+      genPath = new org.apache.hadoop.fs.Path(base, s"v$gen")
+    }
+    val dataDir = genPath.toString
+    try {
+      mvFrame.write.mode("overwrite").parquet(dataDir)
+      mvRoot.foreach { root =>
+        val v = graft.sinks.TxLog.current(spark, root).map(_.version)
+          .getOrElse(throw new IllegalStateException(
+            s"publish: no committed MV under $root"))
+        writeSmallFile(fs, new org.apache.hadoop.fs.Path(base, "_publish.json"),
+          s"""{"mv_root":"$root","mv_version":$v}""")
+      }
+      writeSmallFile(fs,
+        new org.apache.hadoop.fs.Path(base, "_registration.json"),
+        registrationJson(dataDir))
+    } catch {
+      case t: Throwable =>
+        try { fs.delete(genPath, true); () } catch { case _: Throwable => () }
+        throw t
+    }
+    // swap: register the new generation, then drop the previous
+    // generation's registration (new queries plan against v<gen>;
+    // already-planned queries keep reading their pinned listing)
+    registerFn(dataDir)
+    deregisterOld()
+    val keep = prevServing + gen
+    existing.filterNot(keep).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"v$n"), true); ()
+    }
+    dataDir
+  }
+
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path, txt: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+
+  private def readRegistrationGen(fs: org.apache.hadoop.fs.FileSystem,
+                                  base: org.apache.hadoop.fs.Path): Option[Long] =
+    readSmallFile(fs, new org.apache.hadoop.fs.Path(base, "_registration.json"))
+      .flatMap { txt =>
+        import org.json4s._
+        scala.util.Try(org.json4s.jackson.JsonMethods.parse(txt)).toOption
+          .flatMap(j => (j \ "gen") match {
+            case JInt(n)  => Some(n.toLong)
+            case JLong(n) => Some(n)
+            case _        => None
+          })
+      }
+
   /** PUBLISH a transactional sketch MV for transparent rewrite: dump
     * `mvFrame` (a [[graft.streaming.KmvMv]]/[[graft.streaming.QskMv]]
     * `readMv` view, or any frame of (groupCols…, sketch/state cols))
@@ -155,65 +284,58 @@ object MvRewrite {
     * MV → publish again to re-pin; the StarRocks MV "publish version"
     * shape). The snapshot is MV-row-sized (one bounded sketch per
     * group), so the dump is result-scale work, never a source scan.
-    *
-    * SERVE-WHILE-REFRESH SAFETY: each publish writes a FRESH versioned
-    * directory `snapshotDir/v<N>` (N = max existing + 1), registers
-    * that path, and swaps out the previous registration — it never
-    * overwrites files an in-flight query (planned against the
-    * still-registered previous MvDef) may be reading; an
-    * mode("overwrite") re-publish into one shared dir would delete
-    * those files first and fail concurrent readers mid-scan. The
-    * generation BEFORE the new one is retained for exactly those
-    * in-flight readers; older generations are GC'd here (their readers
-    * finished at least one whole publish cycle ago — the StarRocks
-    * publish-version retention shape). */
+    * See [[publishVersioned]] for the serve-while-refresh, durability
+    * and retention contract. Single WRITER per snapshotDir per
+    * logical MV (the SketchMv writer discipline); racing publishers
+    * cannot corrupt each other (atomic generation claim) but the last
+    * manifest written wins the registration.
+    */
   def registerSketchSnapshot(spark: SparkSession, sourcePath: String,
                              mvFrame: org.apache.spark.sql.DataFrame,
                              snapshotDir: String, groupCols: Seq[String],
                              aggs: Map[String, AggKind],
                              mvRoot: Option[String] = None): Unit = {
-    val base = new org.apache.hadoop.fs.Path(snapshotDir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val verRe = "v(\\d+)".r
-    val existing: Seq[Long] =
-      if (fs.exists(base))
-        fs.listStatus(base).toSeq.filter(_.isDirectory)
-          .flatMap(st => st.getPath.getName match {
-            case verRe(n) => Some(n.toLong)
-            case _        => None
-          })
-      else Nil
-    val gen = existing.foldLeft(0L)(math.max) + 1
-    val dataDir = new org.apache.hadoop.fs.Path(base, s"v$gen").toString
-    mvFrame.write.mode("overwrite").parquet(dataDir)
-    // freshness stamp: the sketch-MV root and its TxLog version at
-    // publish time, so staleness is a CHECKABLE fact ([[publishStale]])
-    // instead of an operator's memory — the snapshot itself stays
-    // correct-as-of-publish either way (the pinned-listing contract)
-    mvRoot.foreach { root =>
-      val v = graft.sinks.TxLog.current(spark, root).map(_.version)
-        .getOrElse(throw new IllegalStateException(
-          s"registerSketchSnapshot: no committed MV under $root"))
-      val p = new org.apache.hadoop.fs.Path(base, "_publish.json")
-      val out = fs.create(p, true)
-      try out.write(
-        s"""{"mv_root":"$root","mv_version":$v}""".getBytes("UTF-8"))
-      finally out.close()
-    }
-    // swap: register the new generation, then drop the previous
-    // generation's registration (new queries plan against v<gen>;
-    // already-planned queries keep reading their pinned listing)
-    register(spark, sourcePath, dataDir, groupCols, aggs)
-    val basePrefix = normalize(base.toString) + "/v"
-    lookup(normalize(sourcePath))
-      .filter(mv => mv.mvPath != dataDir &&
-        normalize(mv.mvPath).startsWith(basePrefix))
-      .foreach(old => deregister(sourcePath, old.mvPath))
-    // GC generations older than the previous one — only the current
-    // and its immediate predecessor can have readers
-    existing.sorted.dropRight(1).foreach { n =>
-      fs.delete(new org.apache.hadoop.fs.Path(base, s"v$n"), true); ()
-    }
+    val basePrefix = normalize(snapshotDir) + "/v"
+    val prevPaths = lookup(normalize(sourcePath)).map(_.mvPath)
+      .filter(p => normalize(p).startsWith(basePrefix))
+    publishVersioned(spark, snapshotDir, mvFrame, mvRoot,
+      registeredGens = prevPaths.flatMap(p => genOf(normalize(p))).toSet,
+      registrationJson = dataDir => registrationJsonTable(
+        sourcePath, dataDir, groupCols, aggs, mvRoot),
+      registerFn = dataDir =>
+        register(spark, sourcePath, dataDir, groupCols, aggs),
+      deregisterOld = () =>
+        prevPaths.foreach(old => deregister(sourcePath, old)))
+    ()
+  }
+
+  /** [[registerSketchSnapshot]]'s JOIN-MV twin — the versioned publish
+    * + refresh lifecycle for a MULTI-TABLE MV (the StarRocks async
+    * multi-table MV: refreshed by [[graft.cdc.MaterializedJoin]]
+    * maintenance commits, re-published here, served transparently by
+    * [[MvRewriteRule.rewriteJoinAgg]] while the refresh runs).
+    * `mvFrame` is the maintained view (groupCols…, agg cols);
+    * `mvRoot` its transactional root, stamped so [[publishStale]]
+    * flips when a maintenance commit lands after this publish. */
+  def registerJoinSnapshot(spark: SparkSession, paths: Seq[String],
+                           joinPairs: Seq[(String, String)],
+                           mvFrame: org.apache.spark.sql.DataFrame,
+                           snapshotDir: String, groupCols: Seq[String],
+                           aggs: Map[String, AggKind],
+                           mvRoot: Option[String] = None): Unit = {
+    val basePrefix = normalize(snapshotDir) + "/v"
+    val key = paths.map(normalize).toSet
+    val prevPaths = joinRegistry.get(key).map(_.keys.toSeq).getOrElse(Nil)
+      .filter(p => normalize(p).startsWith(basePrefix))
+    publishVersioned(spark, snapshotDir, mvFrame, mvRoot,
+      registeredGens = prevPaths.flatMap(p => genOf(normalize(p))).toSet,
+      registrationJson = dataDir => registrationJsonJoin(
+        paths, joinPairs, dataDir, groupCols, aggs, mvRoot),
+      registerFn = dataDir =>
+        registerJoin(spark, paths, joinPairs, dataDir, groupCols, aggs),
+      deregisterOld = () =>
+        prevPaths.foreach(old => deregisterJoinMv(paths, old)))
+    ()
   }
 
   /** True when a stamped snapshot is BEHIND its sketch-MV root (a
@@ -311,6 +433,161 @@ object MvRewrite {
   def deregisterJoin(paths: String*): Unit = {
     joinRegistry.remove(paths.map(normalize).toSet)
     ()
+  }
+
+  /** Remove ONE join MV (by mvPath) without touching its siblings —
+    * the publish swap's deregistration ([[deregister]]'s join twin). */
+  def deregisterJoinMv(paths: Seq[String], mvPath: String): Unit =
+    joinRegistry.updateWith(paths.map(normalize).toSet) {
+      case Some(m) =>
+        val rest = m - mvPath
+        if (rest.isEmpty) None else Some(rest)
+      case None => None
+    }
+
+  // ---- durable registrations ([[registerAll]] recovery) -------------
+  //
+  // A registration routes queries to a published snapshot; StarRocks
+  // MVs are catalog objects that survive restarts, so the routing info
+  // must too. Every publish writes `_registration.json` next to its
+  // snapshot generations; [[registerAll]] scans a root for these
+  // manifests and re-registers each MV against its recorded current
+  // generation — a restarted session serves every committed MV with
+  // one startup call instead of hand re-registration.
+
+  private def aggKindJson(k: AggKind): org.json4s.JValue = {
+    import org.json4s.JsonDSL._
+    k match {
+      case CountStar      => ("kind" -> "count_star"): org.json4s.JObject
+      case SumOf(c)       => ("kind" -> "sum") ~ ("of" -> c)
+      case MinOf(c)       => ("kind" -> "min") ~ ("of" -> c)
+      case MaxOf(c)       => ("kind" -> "max") ~ ("of" -> c)
+      case CountOf(c)     => ("kind" -> "count") ~ ("of" -> c)
+      case KmvSketchOf(c) => ("kind" -> "kmv") ~ ("of" -> c)
+      case QskSketchOf(c) => ("kind" -> "qsk") ~ ("of" -> c)
+      case RbmSketchOf(c) => ("kind" -> "rbm") ~ ("of" -> c)
+    }
+  }
+
+  private def aggKindOf(kind: String, of: Option[String]): AggKind =
+    (kind, of) match {
+      case ("count_star", _)    => CountStar
+      case ("sum", Some(c))     => SumOf(c)
+      case ("min", Some(c))     => MinOf(c)
+      case ("max", Some(c))     => MaxOf(c)
+      case ("count", Some(c))   => CountOf(c)
+      case ("kmv", Some(c))     => KmvSketchOf(c)
+      case ("qsk", Some(c))     => QskSketchOf(c)
+      case ("rbm", Some(c))     => RbmSketchOf(c)
+      case _ => throw new IllegalArgumentException(
+        s"unreadable agg kind in registration manifest: $kind/$of")
+    }
+
+  private def aggsJson(aggs: Map[String, AggKind]): org.json4s.JValue = {
+    import org.json4s.JsonDSL._
+    org.json4s.JArray(aggs.toList.sortBy(_._1).map { case (c, k) =>
+      org.json4s.JObject("col" -> org.json4s.JString(c)) merge
+        aggKindJson(k).asInstanceOf[org.json4s.JObject]
+    })
+  }
+
+  private def registrationJsonTable(sourcePath: String, dataDir: String,
+                                    groupCols: Seq[String],
+                                    aggs: Map[String, AggKind],
+                                    mvRoot: Option[String]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val j = ("kind" -> "table") ~ ("source" -> sourcePath) ~
+      ("gen" -> genOf(normalize(dataDir)).getOrElse(0L)) ~
+      ("mv_path" -> dataDir) ~ ("group_cols" -> groupCols.toList) ~
+      ("mv_root" -> mvRoot) ~ ("aggs" -> aggsJson(aggs))
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  private def registrationJsonJoin(paths: Seq[String],
+                                   joinPairs: Seq[(String, String)],
+                                   dataDir: String, groupCols: Seq[String],
+                                   aggs: Map[String, AggKind],
+                                   mvRoot: Option[String]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val j = ("kind" -> "join") ~ ("paths" -> paths.toList) ~
+      ("pairs" -> joinPairs.toList.map(p => List(p._1, p._2))) ~
+      ("gen" -> genOf(normalize(dataDir)).getOrElse(0L)) ~
+      ("mv_path" -> dataDir) ~ ("group_cols" -> groupCols.toList) ~
+      ("mv_root" -> mvRoot) ~ ("aggs" -> aggsJson(aggs))
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  /** Re-register ONE published MV from its on-disk manifest; true when
+    * a manifest was found and its recorded snapshot generation still
+    * exists. */
+  def registerFromManifest(spark: SparkSession, snapshotDir: String): Boolean = {
+    import org.json4s._
+    val base = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = readSmallFile(fs,
+      new org.apache.hadoop.fs.Path(base, "_registration.json"))
+      .getOrElse(return false)
+    val j = org.json4s.jackson.JsonMethods.parse(txt)
+    def str(v: JValue): String = v match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(
+        s"bad registration manifest under $snapshotDir: $other")
+    }
+    def strs(v: JValue): Seq[String] = v match {
+      case JArray(xs) => xs.map(str)
+      case _ => Nil
+    }
+    val mvPath = str(j \ "mv_path")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(mvPath))) return false
+    val groupCols = strs(j \ "group_cols")
+    val aggs: Map[String, AggKind] = (j \ "aggs") match {
+      case JArray(entries) => entries.map { e =>
+        val of = (e \ "of") match { case JString(s) => Some(s); case _ => None }
+        str(e \ "col") -> aggKindOf(str(e \ "kind"), of)
+      }.toMap
+      case _ => Map.empty
+    }
+    str(j \ "kind") match {
+      case "table" =>
+        register(spark, str(j \ "source"), mvPath, groupCols, aggs)
+      case "join" =>
+        val pairs = (j \ "pairs") match {
+          case JArray(ps) => ps.map { case JArray(List(a, b)) => (str(a), str(b))
+            case other => throw new IllegalArgumentException(
+              s"bad pair in registration manifest: $other") }
+          case _ => Nil
+        }
+        registerJoin(spark, strs(j \ "paths"), pairs, mvPath, groupCols, aggs)
+      case other => throw new IllegalArgumentException(
+        s"unknown registration kind '$other' under $snapshotDir")
+    }
+    true
+  }
+
+  /** STARTUP RECOVERY: scan `root` (bounded depth) for published-MV
+    * registration manifests and re-register every one whose recorded
+    * snapshot generation still exists — after this, a fresh session
+    * transparently serves every MV committed before the restart.
+    * Returns the recovered snapshotDirs. */
+  def registerAll(spark: SparkSession, root: String,
+                  maxDepth: Int = 3): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    def scan(p: org.apache.hadoop.fs.Path, depth: Int): Seq[String] = {
+      val here =
+        if (fs.exists(new org.apache.hadoop.fs.Path(p, "_registration.json")) &&
+          registerFromManifest(spark, p.toString)) Seq(p.toString)
+        else Nil
+      val below =
+        if (depth <= 0) Nil
+        else fs.listStatus(p).toSeq.filter(_.isDirectory)
+          .flatMap(st => scan(st.getPath, depth - 1))
+      here ++ below
+    }
+    scan(rootPath, maxDepth)
   }
 
   /** Join MVs matching (path set, normalized equi-pair set). */

@@ -714,4 +714,107 @@ class MvRewriteSpec extends SparkSpec {
         "2-table query must stay on its sources")
     } finally MvRewrite.clear()
   }
+
+  // ---- versioned publish lifecycle + durable registrations ----
+
+  private def genDirs(base: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
+  }
+
+  private def mvAggFrame(): DataFrame =
+    spark.read.parquet(srcPath)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+
+  test("versioned publish: retention keyed to the SERVING generation; failed publish deletes its own dir") {
+    MvRewrite.clear()
+    val pub = TestTmp.dir("pubgc").toString + "/pub"
+    def publish(): Unit = MvRewrite.registerSketchSnapshot(spark, srcPath,
+      mvAggFrame(), pub, Seq("o_orderstatus", "o_orderpriority"),
+      Map("cnt" -> CountStar, "total" -> SumOf("o_totalprice")))
+    try {
+      publish()
+      assert(genDirs(pub) == Set("v1"))
+      publish() // v1 is the just-deregistered serving gen: retained
+      assert(genDirs(pub) == Set("v1", "v2"))
+      publish() // v1's readers are a full cycle old: GC'd
+      assert(genDirs(pub) == Set("v2", "v3"))
+      // a publish that FAILS (unstamped mvRoot → no committed MV)
+      // must delete its own half-written generation dir — leaving it
+      // would make a later publish retain the dead dir and GC the one
+      // in-flight readers were planned against (r14 advice, medium)
+      intercept[IllegalStateException] {
+        MvRewrite.registerSketchSnapshot(spark, srcPath, mvAggFrame(), pub,
+          Seq("o_orderstatus", "o_orderpriority"), Map("cnt" -> CountStar),
+          mvRoot = Some(pub + "/no-such-root"))
+      }
+      assert(genDirs(pub) == Set("v2", "v3"),
+        "failed publish must not leave an orphan generation")
+      publish() // next publish: serving was v3 → keep {v3, v4}
+      assert(genDirs(pub) == Set("v3", "v4"))
+    } finally MvRewrite.clear()
+  }
+
+  test("registerAll: a restarted session recovers table AND join MVs from on-disk manifests") {
+    MvRewrite.clear()
+    val root = TestTmp.dir("mvreg").toString
+    val tPub = root + "/t/pub"
+    val jPub = root + "/j/pub"
+    MvRewrite.registerSketchSnapshot(spark, srcPath, mvAggFrame(), tPub,
+      Seq("o_orderstatus", "o_orderpriority"),
+      Map("cnt" -> CountStar, "total" -> SumOf("o_totalprice")))
+    val joinMv = spark.read.parquet(srcPath)
+      .join(spark.read.parquet(custPath), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+    MvRewrite.registerJoinSnapshot(spark, Seq(srcPath, custPath),
+      Seq("o_custkey" -> "c_custkey"), joinMv, jPub,
+      Seq("c_mktsegment"),
+      Map("cnt" -> CountStar, "total" -> SumOf("o_totalprice")))
+    try {
+      def tableQ(): DataFrame = spark.read.parquet(srcPath)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+      def joinQ(): DataFrame = spark.read.parquet(srcPath)
+        .join(spark.read.parquet(custPath), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+        .orderBy(col("c_mktsegment"))
+      val (tWant, jWant) = {
+        MvRewrite.clear() // baselines off the raw sources
+        (tableQ().collect().toSeq, joinQ().collect().toSeq)
+      }
+      // ---- simulated restart: registries empty, manifests on disk
+      MvRewrite.clear()
+      val recovered = MvRewrite.registerAll(spark, root)
+      assert(recovered.map(new org.apache.hadoop.fs.Path(_).getName).toSet ==
+        Set("pub"), s"expected both pub dirs recovered, got $recovered")
+      assert(recovered.size == 2)
+      val tq = tableQ()
+      assert(scansMv(tq, tPub), "recovered table MV must serve")
+      assert(tq.collect().toSeq == tWant)
+      val jq = joinQ()
+      assert(scansMv(jq, jPub), "recovered join MV must serve")
+      Seq(srcPath, custPath).foreach { p =>
+        val sp = new org.apache.hadoop.fs.Path(p).toUri.getPath
+        assert(!scanRoots(jq).exists(_.startsWith(sp)),
+          s"recovered join MV must not rescan $sp")
+      }
+      assert(jq.collect().toSeq == jWant)
+      // a publish AFTER recovery must retain the recovered serving
+      // generation (prevServing read back from the manifest when the
+      // in-memory registry was reset)
+      MvRewrite.clear()
+      assert(MvRewrite.registerAll(spark, tPub).nonEmpty)
+      MvRewrite.registerSketchSnapshot(spark, srcPath, mvAggFrame(), tPub,
+        Seq("o_orderstatus", "o_orderpriority"),
+        Map("cnt" -> CountStar, "total" -> SumOf("o_totalprice")))
+      assert(genDirs(tPub) == Set("v1", "v2"),
+        "re-publish after restart must retain the recovered serving gen")
+    } finally MvRewrite.clear()
+  }
 }
