@@ -162,8 +162,9 @@ object MaterializedAgg {
   }
 
   /** [[mergeMv]] but keeping zero-count groups (the caller tombstones
-    * them instead of dropping the rows). */
-  private def mergeMvAllowZero(mv: DataFrame, delta: DataFrame,
+    * them instead of dropping the rows). Shared with
+    * [[MaterializedJoin.maintainAggTx]]. */
+  private[cdc] def mergeMvAllowZero(mv: DataFrame, delta: DataFrame,
                                groupCols: Seq[String], sumNames: Seq[String]): DataFrame =
     mv.unionByName(delta, allowMissingColumns = true)
       .select((groupCols.map(col) :+ col("n")) ++ sumNames.map(col): _*)

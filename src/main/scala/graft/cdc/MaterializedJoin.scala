@@ -97,4 +97,158 @@ object MaterializedJoin {
   /** Empty left/right states for [[step]]. */
   def emptyState(batch: DataFrame, delFlag: Column): DataFrame =
     MaterializedAgg.emptyState(batch, delFlag)
+
+  // ---- N-way (star) incremental maintenance --------------------------
+
+  /** One table's inputs to [[stepN]]: its current key-state, the new
+    * batch (may be empty), the PK/version/delete columns
+    * ([[MaterializedAgg.step]]'s contract per table). */
+  final case class TableIn(state: DataFrame, batch: DataFrame,
+                           key: Seq[String], ver: Seq[Column], delFlag: Column)
+
+  /** [[stepN]]'s outputs: successor states (one per table, caller
+    * checkpoints between rounds) and the signed join-row delta. */
+  final case class StepN(states: Seq[DataFrame], delta: DataFrame)
+
+  /** Advance N ≥ 2 joined tables by one batch each and emit the signed
+    * N-way join delta — the bilinear rule telescoped (the standard
+    * multilinear IVM decomposition, DBSP / classic delta rules):
+    *
+    *   Δ(T₁ ⋈ … ⋈ Tₙ) = Σᵢ T₁ⁿᵉʷ ⋈ … ⋈ Tᵢ₋₁ⁿᵉʷ ⋈ ΔTᵢ ⋈ Tᵢ₊₁ᵒˡᵈ ⋈ … ⋈ Tₙᵒˡᵈ
+    *
+    * — exact including every cross term (each ΔTᵢ⋈ΔTⱼ, i<j, lives in
+    * term j, whose prefix is already NEW). For n = 2 this is exactly
+    * [[step]]'s ΔL ⋈ R_old + L_new ⋈ ΔR form (the mirrored twin of the
+    * one `step` uses; both are exact). Signs multiply, and only the
+    * Δ frame carries one, so each delta row's sign is its Δ-side sign.
+    *
+    * `joinPairs` are unordered equi-key column pairs spanning any two
+    * tables — the [[graft.plans.MvRewrite.registerJoin]] shape. EVERY
+    * column name (join keys included) must be unique across the N
+    * tables; the fold joins tables in the given order, so each table
+    * after the first must be connected by ≥ 1 pair to the tables
+    * before it (a star lists the fact table first; reorder otherwise —
+    * require()d, never silently crossed).
+    *
+    * Scale shape: term i joins ONE batch-sized signed delta against
+    * live states — work ∝ batch + delta fan-out per term, never ∝ the
+    * view; the N states advance via per-table [[MaterializedAgg.step]]
+    * with its out-of-order/duplicate guarantees. */
+  def stepN(tables: Seq[TableIn], joinPairs: Seq[(String, String)],
+            outCols: Seq[String]): StepN = {
+    require(tables.size >= 2, "stepN needs at least two tables")
+    require(joinPairs.size >= tables.size - 1,
+      s"need ≥ ${tables.size - 1} equi-key pairs to connect ${tables.size} tables")
+    val cols: Seq[Set[String]] = tables.map(_.batch.columns.toSet)
+    // unique ownership of every pair column (names must not repeat
+    // across tables — the registerJoin/MaterializedJoin contract)
+    joinPairs.foreach { case (a, b) =>
+      Seq(a, b).foreach { c =>
+        require(cols.count(_.contains(c)) == 1,
+          s"join key $c must belong to exactly one table")
+      }
+      require(cols.indexWhere(_.contains(a)) != cols.indexWhere(_.contains(b)),
+        s"pair ($a, $b) must span two different tables")
+    }
+    val stepped = tables.map(t =>
+      MaterializedAgg.step(t.state, t.batch, t.key, t.ver, t.delFlag))
+
+    def live(df: DataFrame): DataFrame = df.where(!col(Del)).drop(Del)
+
+    // one signed delta term per table: fold-join frames in table
+    // order; each fold uses every pair connecting the new table to
+    // the already-joined prefix (requires connectivity)
+    def term(i: Int): DataFrame = {
+      val frames = tables.indices.map { j =>
+        if (j < i) live(stepped(j).state)
+        else if (j == i) live(stepped(i).signedDelta)
+        else live(tables(j).state)
+      }
+      var acc = frames.head
+      var seen = cols.head
+      (1 until frames.size).foreach { j =>
+        val conds = joinPairs.collect {
+          case (a, b) if seen.contains(a) && cols(j).contains(b) =>
+            col(a) === col(b)
+          case (a, b) if seen.contains(b) && cols(j).contains(a) =>
+            col(b) === col(a)
+        }
+        require(conds.nonEmpty,
+          s"table $j is not connected to the tables before it — " +
+            "order tables so each joins the prefix (fact table first)")
+        acc = acc.join(frames(j), conds.reduce(_ && _))
+        seen = seen ++ cols(j)
+      }
+      acc.select(col(Sign) +: outCols.map(col): _*)
+    }
+
+    StepN(stepped.map(_.state),
+      tables.indices.map(term).reduce(_ unionByName _))
+  }
+
+  /** One table's batch inputs to [[maintainAggTx]] (the transactional
+    * N-way form: version columns by NAME, as stored in the lake). */
+  final case class BatchIn(name: String, batch: DataFrame, key: Seq[String],
+                           verCols: Seq[String], delFlag: Column)
+
+  /** EXACTLY-ONCE transactional maintenance of an N-way JOIN+AGGREGATE
+    * MV — [[MaterializedAgg.maintainTx]]'s contract lifted to N
+    * tables: all N key-states, the group-aggregate view, and the
+    * per-writer batch watermark commit ATOMICALLY in ONE
+    * [[graft.sinks.PkTableSink.mergeTxGroup]] manifest, so a replayed
+    * batch (foreachBatch crash redelivery) is either fully absent or
+    * fully applied — no partial multi-table state is reachable, which
+    * is the whole point of a multi-table MV commit (the StarRocks
+    * multi-table async-MV refresh transaction).
+    *
+    * One `batchId` covers one multi-table CDC feed round (every table
+    * advances by its slice of the round — a table with no changes
+    * passes an empty batch). Signed deltas are NOT idempotent, so the
+    * watermark decides replays exactly as in the single-table form; a
+    * stale replay runs zero Spark jobs.
+    *
+    * `outCols` is the join-row projection the group delta aggregates
+    * over (group columns + every sum input). Read the live view with
+    * `PkTableSink.readTxGroup(spark, root, "mv", …)`. Single writer
+    * per `writer` id. */
+  def maintainAggTx(root: String, tables: Seq[BatchIn],
+                    joinPairs: Seq[(String, String)], outCols: Seq[String],
+                    groupCols: Seq[String], sums: Seq[(String, Column)],
+                    batchId: Long, writer: String): Boolean = {
+    import graft.sinks.{PkTableSink, TxLog}
+    require(tables.map(_.name).distinct.size == tables.size,
+      "table names must be distinct")
+    val spark = tables.head.batch.sparkSession
+    val sumNames = sums.map(_._1)
+    val wmKey = s"wm.$writer"
+    val applied = TxLog.current(spark, root)
+      .flatMap(_.meta.get(wmKey)).map(_.toLong)
+    if (applied.exists(batchId <= _)) return false
+
+    val ins = tables.map { t =>
+      val st = PkTableSink.readTxGroupAll(spark, root, s"state_${t.name}",
+        MaterializedAgg.emptyState(t.batch, t.delFlag), deletedCol = Del)
+      TableIn(st, t.batch, t.key, t.verCols.map(col), t.delFlag)
+    }
+    val s = stepN(ins, joinPairs, outCols)
+    val delta = MaterializedAgg.groupDelta(s.delta, groupCols, sums)
+      .localCheckpoint(true)
+    val curMv = PkTableSink.readTxGroup(spark, root, "mv", delta)
+    val touched = delta.select(groupCols.map(col): _*)
+    val newMv = MaterializedAgg.mergeMvAllowZero(
+        curMv.join(touched, groupCols, "left_semi"), delta, groupCols, sumNames)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("__mv_gone", col("n") <= 0)
+    val stateBatches = tables.map { t =>
+      s"state_${t.name}" -> PkTableSink.TableBatch(
+        t.batch.withColumn("__state_del", coalesce(t.delFlag, lit(false))),
+        t.key, t.verCols, "__state_del")
+    }.toMap
+    PkTableSink.mergeTxGroup(spark, root, stateBatches +
+      ("mv" -> PkTableSink.TableBatch(newMv, groupCols, Seq("batch_id"),
+        "__mv_gone")),
+      writer = writer,
+      extraMeta = Map(wmKey -> batchId.toString))
+    true
+  }
 }

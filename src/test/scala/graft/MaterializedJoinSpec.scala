@@ -95,4 +95,143 @@ class MaterializedJoinSpec extends SparkSpec {
     val got2 = mv2.as[(String, Long)].collect().toMap
     assert(got2 == Map("alice" -> 1L, "bob" -> 1L), s"decrement wrong: $got2")
   }
+
+  // ---- N-way (star) incremental maintenance ----
+
+  private def lis(rows: (Long, Long, Long, Long, Boolean)*): DataFrame =
+    rows.toDF("lkey", "l_okey", "qty", "lv", "ldel")
+  private def ords3(rows: (Long, Long, String, Long, Boolean)*): DataFrame =
+    rows.toDF("okey", "o_ckey", "status", "ov", "odel")
+  private def custs3(rows: (Long, String, Long, Boolean)*): DataFrame =
+    rows.toDF("ckey", "name", "cv", "cdel")
+
+  private val starPairs = Seq("l_okey" -> "okey", "o_ckey" -> "ckey")
+  private val starOut = Seq("lkey", "qty", "status", "name")
+
+  /** Ground truth: live latest-per-key 3-way star join. */
+  private def recomputeStar(allL: DataFrame, allO: DataFrame,
+                            allC: DataFrame): Set[(Long, Long, String, String)] = {
+    val l = PkTable.latestPerKey(allL, Seq("lkey"), Seq(col("lv"))).where(!col("ldel"))
+    val o = PkTable.latestPerKey(allO, Seq("okey"), Seq(col("ov"))).where(!col("odel"))
+    val c = PkTable.latestPerKey(allC, Seq("ckey"), Seq(col("cv"))).where(!col("cdel"))
+    l.join(o, col("l_okey") === col("okey"))
+      .join(c, col("o_ckey") === col("ckey"))
+      .select(col("lkey"), col("qty"), col("status"), col("name"))
+      .as[(Long, Long, String, String)].collect().toSet
+  }
+
+  test("stepN (3 tables): signed multilinear delta tracks the live star join through fk moves and deletes") {
+    import MaterializedJoin.TableIn
+    val rounds: Seq[(DataFrame, DataFrame, DataFrame)] = Seq(
+      // r1: base — two items on order 1 (cust 10), one on order 2 (cust 20)
+      (lis((1L, 1L, 5L, 1L, false), (2L, 1L, 3L, 1L, false), (3L, 2L, 7L, 1L, false)),
+        ords3((1L, 10L, "O", 1L, false), (2L, 20L, "O", 1L, false)),
+        custs3((10L, "alice", 1L, false), (20L, "bob", 1L, false))),
+      // r2: mid-table update fans out to both its items; dangling item
+      // (order 9 absent); dim rename fans out through orders
+      (lis((4L, 9L, 1L, 1L, false)),
+        ords3((1L, 10L, "F", 2L, false)),
+        custs3((20L, "bobby", 2L, false))),
+      // r3: fk MOVE at the middle (order 2 → cust 10); item delete;
+      //     STALE redelivery of order 1's original row (must lose)
+      (lis((3L, 2L, 7L, 2L, true)),
+        ords3((2L, 10L, "O", 2L, false), (1L, 10L, "O", 1L, false)),
+        custs3()),
+      // r4: late arrival joins the dangler; dim delete kills the tree
+      (lis((5L, 2L, 2L, 1L, false)),
+        ords3((9L, 20L, "O", 1L, false)),
+        custs3((10L, "alice", 3L, true))))
+
+    var states = Seq(
+      MaterializedJoin.emptyState(rounds.head._1, col("ldel")),
+      MaterializedJoin.emptyState(rounds.head._2, col("odel")),
+      MaterializedJoin.emptyState(rounds.head._3, col("cdel")))
+    var mv: Option[DataFrame] = None
+    var (allL, allO, allC) = (rounds.head._1.limit(0),
+      rounds.head._2.limit(0), rounds.head._3.limit(0))
+    rounds.zipWithIndex.foreach { case ((bl, bo, bc), i) =>
+      val st = MaterializedJoin.stepN(Seq(
+        TableIn(states(0), bl, Seq("lkey"), Seq(col("lv")), col("ldel")),
+        TableIn(states(1), bo, Seq("okey"), Seq(col("ov")), col("odel")),
+        TableIn(states(2), bc, Seq("ckey"), Seq(col("cv")), col("cdel"))),
+        starPairs, starOut)
+      states = st.states.map(_.localCheckpoint(true))
+      mv = Some(MaterializedJoin.mergeMv(mv, st.delta, starOut).localCheckpoint(true))
+      allL = allL.unionByName(bl); allO = allO.unionByName(bo); allC = allC.unionByName(bc)
+      val got = mv.get.select(col("lkey"), col("qty"), col("status"), col("name"))
+        .as[(Long, Long, String, String)].collect().toSet
+      assert(got == recomputeStar(allL, allO, allC), s"round ${i + 1} diverged: $got")
+    }
+    // final: cust 10's whole tree gone; item 4 → order 9 → bobby
+    val fin = mv.get.select(col("lkey"), col("name")).as[(Long, String)].collect().toSet
+    assert(fin == Set((4L, "bobby")), s"final star MV wrong: $fin")
+  }
+
+  test("stepN guards: disconnected table order and ambiguous key ownership are rejected") {
+    import MaterializedJoin.TableIn
+    val l = lis((1L, 1L, 5L, 1L, false))
+    val o = ords3((1L, 10L, "O", 1L, false))
+    val c = custs3((10L, "alice", 1L, false))
+    def in(df: DataFrame, key: String, ver: String, del: String) =
+      TableIn(MaterializedJoin.emptyState(df, col(del)), df, Seq(key), Seq(col(ver)), col(del))
+    // customer second: it shares no pair with {lineitem} — must throw,
+    // never silently cross-join
+    intercept[IllegalArgumentException] {
+      MaterializedJoin.stepN(Seq(
+        in(l, "lkey", "lv", "ldel"), in(c, "ckey", "cv", "cdel"),
+        in(o, "okey", "ov", "odel")), starPairs, starOut)
+    }
+    // a pair column present in no table
+    intercept[IllegalArgumentException] {
+      MaterializedJoin.stepN(Seq(
+        in(l, "lkey", "lv", "ldel"), in(o, "okey", "ov", "odel")),
+        Seq("l_okey" -> "nope"), Seq("lkey"))
+    }
+  }
+
+  test("maintainAggTx: N-way transactional JOIN+AGG view; replays watermark-skipped; deletes retract") {
+    import MaterializedJoin.BatchIn
+    import graft.sinks.PkTableSink
+    val root = TestTmp.dir("mjtx").toString + "/g"
+    val rounds: Seq[(DataFrame, DataFrame, DataFrame)] = Seq(
+      (lis((1L, 1L, 5L, 1L, false), (2L, 1L, 3L, 1L, false), (3L, 2L, 7L, 1L, false)),
+        ords3((1L, 10L, "O", 1L, false), (2L, 20L, "O", 1L, false)),
+        custs3((10L, "alice", 1L, false), (20L, "bob", 1L, false))),
+      (lis((4L, 2L, 2L, 1L, false)),
+        ords3((1L, 20L, "F", 2L, false)), // fk move: order 1 → bob
+        custs3()),
+      (lis((1L, 1L, 5L, 2L, true)), // item delete
+        ords3(),
+        custs3((10L, "al", 2L, false)))) // rename (no live refs after move)
+    var (allL, allO, allC) = (rounds.head._1.limit(0),
+      rounds.head._2.limit(0), rounds.head._3.limit(0))
+    def mvRows(): Map[String, (Long, Long)] = {
+      val schemaOf = Seq.empty[(String, Long, Long)].toDF("name", "n", "q")
+      PkTableSink.readTxGroup(spark, root, "mv", schemaOf)
+        .select(col("name"), col("n"), col("q"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    def want(): Map[String, (Long, Long)] =
+      recomputeStar(allL, allO, allC).groupBy(_._4)
+        .map { case (n, rs) => n -> (rs.size.toLong, rs.toSeq.map(_._2).sum) }
+    def run(i: Int, r: (DataFrame, DataFrame, DataFrame)): Boolean =
+      MaterializedJoin.maintainAggTx(root, Seq(
+        BatchIn("li", r._1, Seq("lkey"), Seq("lv"), col("ldel")),
+        BatchIn("ord", r._2, Seq("okey"), Seq("ov"), col("odel")),
+        BatchIn("cust", r._3, Seq("ckey"), Seq("cv"), col("cdel"))),
+        starPairs, outCols = Seq("lkey", "qty", "name"),
+        groupCols = Seq("name"), sums = Seq("q" -> col("qty")),
+        batchId = i, writer = "w1")
+    rounds.zipWithIndex.foreach { case (r, i) =>
+      assert(run(i, r), s"batch $i must apply")
+      allL = allL.unionByName(r._1); allO = allO.unionByName(r._2)
+      allC = allC.unionByName(r._3)
+      assert(mvRows() == want(), s"round ${i + 1} view diverged")
+      if (i == 1) {
+        val before = mvRows()
+        assert(!run(i, r), "replayed batch must be watermark-skipped")
+        assert(mvRows() == before, "a skipped replay must not change the view")
+      }
+    }
+  }
 }
