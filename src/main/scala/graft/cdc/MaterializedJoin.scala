@@ -125,15 +125,17 @@ object MaterializedJoin {
     * `joinPairs` are unordered equi-key column pairs spanning any two
     * tables — the [[graft.plans.MvRewrite.registerJoin]] shape. EVERY
     * column name (join keys included) must be unique across the N
-    * tables; the fold joins tables in the given order, so each table
-    * after the first must be connected by ≥ 1 pair to the tables
-    * before it (a star lists the fact table first; reorder otherwise —
-    * require()d, never silently crossed).
+    * tables, and the pair graph must CONNECT them (require()d — a
+    * disconnected set would otherwise cross-join).
     *
-    * Scale shape: term i joins ONE batch-sized signed delta against
-    * live states — work ∝ batch + delta fan-out per term, never ∝ the
-    * view; the N states advance via per-table [[MaterializedAgg.step]]
-    * with its out-of-order/duplicate guarantees. */
+    * Scale shape: each term's fold STARTS at the batch-sized signed
+    * delta and walks the join graph outward (BFS over the equi-pair
+    * edges), so every join attaches a state to an already-delta-
+    * restricted frame — work ∝ batch + delta fan-out per term, never
+    * corpus ⋈ corpus (a left-to-right fold would pay a full
+    * fact ⋈ dim join in every dim-delta term). The N states advance
+    * via per-table [[MaterializedAgg.step]] with its out-of-order/
+    * duplicate guarantees. */
   def stepN(tables: Seq[TableIn], joinPairs: Seq[(String, String)],
             outCols: Seq[String]): StepN = {
     require(tables.size >= 2, "stepN needs at least two tables")
@@ -150,33 +152,51 @@ object MaterializedJoin {
       require(cols.indexWhere(_.contains(a)) != cols.indexWhere(_.contains(b)),
         s"pair ($a, $b) must span two different tables")
     }
+    // table-level join graph + BFS orders (delta-first fold per term)
+    val edges: Seq[(Int, Int)] = joinPairs.map { case (a, b) =>
+      (cols.indexWhere(_.contains(a)), cols.indexWhere(_.contains(b)))
+    }
+    def bfsFrom(start: Int): Seq[Int] = {
+      val order = scala.collection.mutable.ArrayBuffer(start)
+      val seen = scala.collection.mutable.Set(start)
+      var q = List(start)
+      while (q.nonEmpty) {
+        val h = q.head; q = q.tail
+        edges.foreach { case (x, y) =>
+          val n = if (x == h) y else if (y == h) x else -1
+          if (n >= 0 && !seen(n)) { seen += n; order += n; q = q :+ n }
+        }
+      }
+      order.toSeq
+    }
+    require(bfsFrom(0).size == tables.size,
+      "the equi-pair graph must connect every table (no cross joins)")
+
     val stepped = tables.map(t =>
       MaterializedAgg.step(t.state, t.batch, t.key, t.ver, t.delFlag))
 
     def live(df: DataFrame): DataFrame = df.where(!col(Del)).drop(Del)
 
-    // one signed delta term per table: fold-join frames in table
-    // order; each fold uses every pair connecting the new table to
-    // the already-joined prefix (requires connectivity)
+    // term i of the telescoped delta: ΔTᵢ joined with the NEW states
+    // of tables before i and the OLD states of tables after i —
+    // folded delta-outward along the join graph
     def term(i: Int): DataFrame = {
-      val frames = tables.indices.map { j =>
+      def frame(j: Int): DataFrame =
         if (j < i) live(stepped(j).state)
         else if (j == i) live(stepped(i).signedDelta)
         else live(tables(j).state)
-      }
-      var acc = frames.head
-      var seen = cols.head
-      (1 until frames.size).foreach { j =>
+      val order = bfsFrom(i)
+      var acc = frame(order.head)
+      var seen = cols(order.head)
+      order.tail.foreach { j =>
         val conds = joinPairs.collect {
           case (a, b) if seen.contains(a) && cols(j).contains(b) =>
             col(a) === col(b)
           case (a, b) if seen.contains(b) && cols(j).contains(a) =>
             col(b) === col(a)
         }
-        require(conds.nonEmpty,
-          s"table $j is not connected to the tables before it — " +
-            "order tables so each joins the prefix (fact table first)")
-        acc = acc.join(frames(j), conds.reduce(_ && _))
+        // nonempty by BFS construction
+        acc = acc.join(frame(j), conds.reduce(_ && _))
         seen = seen ++ cols(j)
       }
       acc.select(col(Sign) +: outCols.map(col): _*)

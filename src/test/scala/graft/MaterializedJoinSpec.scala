@@ -167,19 +167,28 @@ class MaterializedJoinSpec extends SparkSpec {
     assert(fin == Set((4L, "bobby")), s"final star MV wrong: $fin")
   }
 
-  test("stepN guards: disconnected table order and ambiguous key ownership are rejected") {
+  test("stepN guards: disconnected pair graph and ambiguous key ownership are rejected; table order is free") {
     import MaterializedJoin.TableIn
     val l = lis((1L, 1L, 5L, 1L, false))
     val o = ords3((1L, 10L, "O", 1L, false))
     val c = custs3((10L, "alice", 1L, false))
     def in(df: DataFrame, key: String, ver: String, del: String) =
       TableIn(MaterializedJoin.emptyState(df, col(del)), df, Seq(key), Seq(col(ver)), col(del))
-    // customer second: it shares no pair with {lineitem} — must throw,
-    // never silently cross-join
+    // the fold is BFS over the pair graph, so ANY table order works —
+    // customer listed second is fine (no "fact first" requirement)
+    import spark.implicits._
+    val any = MaterializedJoin.stepN(Seq(
+      in(l, "lkey", "lv", "ldel"), in(c, "ckey", "cv", "cdel"),
+      in(o, "okey", "ov", "odel")), starPairs, starOut)
+    assert(any.delta.select(col("lkey"), col("name"))
+      .as[(Long, String)].collect().toSet == Set((1L, "alice")))
+    // a pair set that does NOT connect customer (both pairs hit
+    // li/ord) must throw, never silently cross-join
     intercept[IllegalArgumentException] {
       MaterializedJoin.stepN(Seq(
-        in(l, "lkey", "lv", "ldel"), in(c, "ckey", "cv", "cdel"),
-        in(o, "okey", "ov", "odel")), starPairs, starOut)
+        in(l, "lkey", "lv", "ldel"), in(o, "okey", "ov", "odel"),
+        in(c, "ckey", "cv", "cdel")),
+        Seq("l_okey" -> "okey", "lkey" -> "status"), starOut)
     }
     // a pair column present in no table
     intercept[IllegalArgumentException] {
