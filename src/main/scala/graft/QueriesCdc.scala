@@ -1011,6 +1011,261 @@ object QueriesCdc {
         MvRewrite.deregisterJoin(liPath, oPath, cPath)
         deleteTree(tmp)
       }
+    },
+
+    // D44 (r15): the END-TO-END multi-table async-MV lifecycle — the
+    // r14 verdict's #1 ask, composing D41's join-MV read side, D42's
+    // versioned refresh loop, and the NEW one-manifest transactional
+    // write side (MaterializedJoin.maintainAggTx). Two CDC rounds
+    // commit through the N-way join+agg kernel (each round advances
+    // BOTH tables atomically); the view is PUBLISHED as a versioned
+    // join snapshot (registerJoinSnapshot: pub/v1, freshness stamp,
+    // durable registration manifest) and the user's literal join SQL
+    // is plan-asserted to serve v1. Two MORE interleaved rounds land
+    // (deletes included) → publishStale flips → the refresh worker
+    // re-publishes (fresh pub/v2; v1 retained for in-flight readers —
+    // require()d) → the registry is CLEARED (simulated restart) and
+    // recovered from the on-disk manifest (registerAll) → the SAME
+    // SQL serves the updated aggregates from v2. Counts +
+    // integer-cents sums at both generations — hash-identical to the
+    // oracle's live joins over each generation's states, zero
+    // tolerance; a loop that silently kept serving v1, lost the
+    // registration across the restart, or mis-maintained the view
+    // under deletes cannot pass.
+    "mv_join_refresh" -> { (s, dir) =>
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvjf_gate")
+      val oPath = tmp.toString + "/orders_flat"
+      val cPath = tmp.toString + "/customer_flat"
+      try {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          lit(1L).as("ov"), (col("o_orderkey") % 13 === 3).as("odel"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_mktsegment"), lit(1L).as("cv"),
+          (col("c_custkey") % 17 === 5).as("cdel"))
+        val root = tmp.toString + "/jmv/g"
+        val pub = tmp.toString + "/pub"
+        def round(i: Int): Unit =
+          require(MaterializedJoin.maintainAggTx(root, Seq(
+            MaterializedJoin.BatchIn("o",
+              o.where(pmod(col("o_orderkey"), lit(4)) === i),
+              Seq("o_orderkey"), Seq("ov"), col("odel")),
+            MaterializedJoin.BatchIn("c",
+              c.where(pmod(col("c_custkey"), lit(4)) === i),
+              Seq("c_custkey"), Seq("cv"), col("cdel"))),
+            Seq("o_custkey" -> "c_custkey"),
+            outCols = Seq("cents", "c_mktsegment"),
+            groupCols = Seq("c_mktsegment"), sums = Seq("cents" -> col("cents")),
+            batchId = i, writer = "gate"), s"round $i must apply")
+        def publish(): Unit = {
+          val schemaOf = {
+            import s.implicits._
+            Seq.empty[(String, Long, Long, Long)]
+              .toDF("c_mktsegment", "n", "cents", "batch_id")
+          }
+          MvRewrite.registerJoinSnapshot(s, Seq(oPath, cPath),
+            Seq("o_custkey" -> "c_custkey"),
+            graft.sinks.PkTableSink.readTxGroup(s, root, "mv", schemaOf)
+              .select(col("c_mktsegment"), col("n"), col("cents")),
+            pub, groupCols = Seq("c_mktsegment"),
+            aggs = Map("n" -> MvRewrite.CountStar,
+              "cents" -> MvRewrite.SumOf("cents")),
+            mvRoot = Some(root))
+        }
+        // the flat lake tables the USER queries = the live states of
+        // rounds ≤ maxRound (what the CDC stream has delivered so far)
+        def writeUserTables(maxRound: Int): Unit = {
+          o.where(pmod(col("o_orderkey"), lit(4)) <= maxRound && !col("odel"))
+            .select(col("o_orderkey"), col("o_custkey"), col("cents"))
+            .write.mode("overwrite").parquet(oPath)
+          c.where(pmod(col("c_custkey"), lit(4)) <= maxRound && !col("cdel"))
+            .select(col("c_custkey"), col("c_mktsegment"))
+            .write.mode("overwrite").parquet(cPath)
+        }
+        def userQ(): DataFrame = {
+          s.read.parquet(oPath).createOrReplaceTempView("o_jrf")
+          s.read.parquet(cPath).createOrReplaceTempView("c_jrf")
+          s.sql("""SELECT c_mktsegment, count(*) AS n_orders,
+            sum(cents) AS sum_cents
+            FROM o_jrf JOIN c_jrf ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""")
+        }
+        def assertScans(df: DataFrame, when: String): Unit = {
+          val roots = df.queryExecution.optimizedPlan.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+          }.flatten
+          val want = new org.apache.hadoop.fs.Path(pub).toUri.getPath
+          require(roots.exists(_.startsWith(want)),
+            s"$when: must scan the published join snapshot; scans: $roots")
+          Seq(oPath, cPath).foreach { p =>
+            val bad = new org.apache.hadoop.fs.Path(p).toUri.getPath
+            require(!roots.exists(_.startsWith(bad)),
+              s"$when: must NOT rescan source $bad; scans: $roots")
+          }
+        }
+        // ---- generation 1: rounds 0..1 committed, published, served
+        (0 to 1).foreach(round)
+        writeUserTables(1)
+        publish()
+        require(!MvRewrite.publishStale(s, pub),
+          "fresh publish must not read stale")
+        val q1 = userQ()
+        assertScans(q1, "before refresh")
+        val r1 = q1.select(col("c_mktsegment"), col("n_orders").as("n1"),
+          col("sum_cents").as("s1")).localCheckpoint(true)
+        // ---- rounds 2..3 land; the refresh worker polls + re-publishes
+        (2 to 3).foreach(round)
+        writeUserTables(3)
+        require(MvRewrite.publishStale(s, pub),
+          "a maintenance commit after publish must read stale")
+        publish()
+        require(!MvRewrite.publishStale(s, pub),
+          "re-publish must clear staleness")
+        val base = new org.apache.hadoop.fs.Path(pub)
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val gens = fs.listStatus(base).filter(_.isDirectory)
+          .map(_.getPath.getName).toSet
+        require(gens == Set("v1", "v2"),
+          s"expected v2 serving with v1 retained for in-flight readers, got $gens")
+        // ---- simulated restart: recover the registration from disk
+        MvRewrite.clear()
+        require(MvRewrite.registerAll(s, pub).nonEmpty,
+          "registerAll must recover the published join MV")
+        val q2 = userQ()
+        assertScans(q2, "after refresh + restart recovery")
+        val r2 = q2.select(col("c_mktsegment"), col("n_orders").as("n2"),
+          col("sum_cents").as("s2")).localCheckpoint(true)
+        r1.join(r2, "c_mktsegment").orderBy(col("c_mktsegment"))
+          .localCheckpoint(true)
+      } finally {
+        MvRewrite.deregisterJoin(oPath, cPath)
+        deleteTree(tmp)
+      }
+    },
+
+    // A37 (r15): N-way INCREMENTAL star-MV maintenance — the r14
+    // verdict's #3 ask: D43 proved the 3-table star SERVES from a
+    // refresh-shape snapshot; this gate proves it can be MAINTAINED.
+    // Three tables advance through 4 interleaved CDC rounds via
+    // stepN's telescoped multilinear delta (Δ(T₁⋈T₂⋈T₃) = Σᵢ
+    // new-prefix ⋈ ΔTᵢ ⋈ old-suffix, each term folded delta-outward),
+    // with TWO delete channels: tombstones at first sight (the
+    // A31/A32 pattern) plus a SECOND-WAVE delete of already-live
+    // lineitems whose delete round may precede or follow the insert
+    // round — the out-of-order case where the higher-version
+    // tombstone must defeat a stale insert. The final MV is
+    // registered and the user's literal customer-first star SQL is
+    // plan-asserted to read ONLY the MV; counts + integer-cents sums
+    // hash-identical to the oracle's live 3-way join over the final
+    // states, zero tolerance.
+    "mv_star_incremental" -> { (s, dir) =>
+      import graft.plans.MvRewrite
+      import graft.cdc.MaterializedJoin.TableIn
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvsi_gate")
+      val liPath = tmp.toString + "/li_flat"
+      val oPath = tmp.toString + "/o_flat"
+      val cPath = tmp.toString + "/c_flat"
+      try {
+        // item PK: lkey = l_orderkey·8 + l_linenumber is NOT unique in
+        // the synthetic lineitem (duplicate (orderkey, linenumber)
+        // pairs exist), and a PK changelog needs unique keys — so the
+        // gate's item table is the per-lkey integer-cents rollup:
+        // deterministic, unique by construction, and the oracle
+        // replays the same GROUP BY exactly (l_orderkey = lkey div 8,
+        // since linenumber ∈ 1..7)
+        val li = Tables.lineitem(s, dir).select(
+            (col("l_orderkey") * 8 + col("l_linenumber").cast("long")).as("lkey"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+          .groupBy(col("lkey")).agg(sum(col("cents")).as("cents"))
+          .select(col("lkey"), expr("lkey div 8").as("l_orderkey"),
+            col("cents"), lit(1L).as("lv"),
+            (col("lkey") % 19 === 7).as("ldel"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), lit(1L).as("ov"),
+          (col("o_orderkey") % 13 === 3).as("odel"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_mktsegment"), lit(1L).as("cv"),
+          (col("c_custkey") % 17 === 5).as("cdel"))
+        // second-wave deletes: live lineitems killed at version 2 in a
+        // round DECOUPLED from their insert round (3·lkey+1 mod 4) —
+        // some deletes arrive before their insert, which must then
+        // lose latestPerKey to the tombstone
+        val delWave = li.where(col("lkey") % 23 === 11 && !col("ldel"))
+          .select(col("lkey"), col("l_orderkey"), col("cents"),
+            lit(2L).as("lv"), lit(true).as("ldel"))
+        def liBatch(i: Int): DataFrame =
+          li.where(pmod(col("lkey"), lit(4)) === i)
+            .unionByName(delWave.where(pmod(col("lkey") * 3 + 1, lit(4)) === i))
+        val starPairs = Seq("l_orderkey" -> "o_orderkey",
+          "o_custkey" -> "c_custkey")
+        val groupCols = Seq("c_mktsegment", "o_orderstatus")
+        var states = Seq(
+          MaterializedJoin.emptyState(li, col("ldel")),
+          MaterializedJoin.emptyState(o, col("odel")),
+          MaterializedJoin.emptyState(c, col("cdel")))
+        var allStates: Seq[DataFrame] = Nil
+        var gds: Seq[DataFrame] = Nil
+        (0 until 4).foreach { i =>
+          val st = MaterializedJoin.stepN(Seq(
+            TableIn(states(0), liBatch(i), Seq("lkey"), Seq(col("lv")), col("ldel")),
+            TableIn(states(1), o.where(pmod(col("o_orderkey"), lit(4)) === i),
+              Seq("o_orderkey"), Seq(col("ov")), col("odel")),
+            TableIn(states(2), c.where(pmod(col("c_custkey"), lit(4)) === i),
+              Seq("c_custkey"), Seq(col("cv")), col("cdel"))),
+            starPairs, outCols = Seq("cents") ++ groupCols)
+          states = st.states.map(_.localCheckpoint(true))
+          allStates = allStates ++ states
+          gds = gds :+ MaterializedAgg.groupDelta(st.delta, groupCols,
+            Seq("cents" -> col("cents")))
+        }
+        val mvPath = tmp.toString + "/mv"
+        MaterializedAgg.mergeMv(None, gds.reduce(_ unionByName _),
+            groupCols, Seq("cents"))
+          .write.mode("overwrite").parquet(mvPath)
+        allStates.foreach(freeCkpt) // all consumed by the MV write
+        // the flat lake tables the USER queries = final live states
+        li.where(!col("ldel") && !(col("lkey") % 23 === 11))
+          .select(col("l_orderkey"), col("cents"))
+          .write.mode("overwrite").parquet(liPath)
+        o.where(!col("odel")).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")).write.mode("overwrite").parquet(oPath)
+        c.where(!col("cdel")).select(col("c_custkey"), col("c_mktsegment"))
+          .write.mode("overwrite").parquet(cPath)
+        MvRewrite.registerJoin(s, Seq(liPath, oPath, cPath), starPairs,
+          mvPath, groupCols = groupCols,
+          aggs = Map("n" -> MvRewrite.CountStar,
+            "cents" -> MvRewrite.SumOf("cents")))
+        s.read.parquet(liPath).createOrReplaceTempView("li_smi")
+        s.read.parquet(oPath).createOrReplaceTempView("o_smi")
+        s.read.parquet(cPath).createOrReplaceTempView("c_smi")
+        // customer-first, the OPPOSITE order from registration
+        val q = s.sql("""SELECT c_mktsegment, o_orderstatus,
+          count(*) AS n_items, sum(cents) AS sum_cents
+          FROM c_smi JOIN o_smi ON o_custkey = c_custkey
+                     JOIN li_smi ON l_orderkey = o_orderkey
+          GROUP BY c_mktsegment, o_orderstatus""")
+        val roots = q.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+        }.flatten
+        val want = new org.apache.hadoop.fs.Path(mvPath).toUri.getPath
+        require(roots.exists(_.startsWith(want)),
+          s"star query must scan the maintained MV $want; scans: $roots")
+        Seq(liPath, oPath, cPath).foreach { p =>
+          val bad = new org.apache.hadoop.fs.Path(p).toUri.getPath
+          require(!roots.exists(_.startsWith(bad)),
+            s"star query must NOT rescan source $bad; scans: $roots")
+        }
+        q.orderBy(col("c_mktsegment"), col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally {
+        MvRewrite.deregisterJoin(liPath, oPath, cPath)
+        deleteTree(tmp)
+      }
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -1063,6 +1318,50 @@ object QueriesCdc {
         |  b_items, b_cents
         |FROM q1 JOIN q2 ON q1.o_orderstatus = q2.o_orderstatus
         |ORDER BY c_mktsegment, q1.o_orderstatus""".stripMargin,
+    // D44: both generations of the join-MV refresh are EXACT — the
+    // oracle replays the live join over each generation's states
+    // (gen 1 = CDC rounds 0-1, gen 2 = all four rounds), zero tolerance
+    "mv_join_refresh" ->
+      """WITH oa AS (SELECT o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 4 <= 1 AND o_orderkey % 13 <> 3),
+        |ca AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 4 <= 1 AND c_custkey % 17 <> 5),
+        |a AS (SELECT c_mktsegment, count(*) AS n1,
+        |    CAST(sum(cents) AS BIGINT) AS s1
+        |  FROM oa JOIN ca ON o_custkey = c_custkey GROUP BY 1),
+        |ob AS (SELECT o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 13 <> 3),
+        |cb AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 17 <> 5),
+        |b AS (SELECT c_mktsegment, count(*) AS n2,
+        |    CAST(sum(cents) AS BIGINT) AS s2
+        |  FROM ob JOIN cb ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT a.c_mktsegment, n1, s1, n2, s2
+        |FROM a JOIN b ON a.c_mktsegment = b.c_mktsegment
+        |ORDER BY a.c_mktsegment""".stripMargin,
+    // A37: the incrementally-maintained star MV serves values EXACT
+    // vs the oracle's live 3-way join over the final states (both
+    // delete channels applied), zero tolerance
+    "mv_star_incremental" ->
+      """WITH li0 AS (SELECT l_orderkey * 8 + l_linenumber AS lkey,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |li AS (SELECT lkey, lkey // 8 AS l_orderkey,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM li0
+        |  WHERE lkey % 19 <> 7 AND lkey % 23 <> 11
+        |  GROUP BY lkey),
+        |o AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 13 <> 3),
+        |c AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 17 <> 5)
+        |SELECT c_mktsegment, o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM li JOIN o ON l_orderkey = o_orderkey
+        |        JOIN c ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // r14: refresh-loop counts are EXACT at both generations — n1/d1
     // recount the first slice, n2/d2 the full stream
     "mv_refresh_loop" ->
