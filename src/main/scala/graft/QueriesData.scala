@@ -634,8 +634,12 @@ object QueriesData {
     // elig_only_ok (every returned id satisfies the predicate),
     // fill_ok (every query returns min(k, |eligible\{self}|) rows —
     // the fallback guarantee), recall_ok (sharp legs exactly 1.0;
-    // graph/broad ≥ 0.9 — the nnd floor; ivf/broad report-only NULL,
-    // C67's convention for unfloored cell-probe recall).
+    // graph/broad ≥ 0.9 — the nnd floor; ivf/broad ≥ 0.7 at
+    // nprobe=8 of 16 cells on the 50% slice (measured 0.79; r14
+    // verdict #2 — a gate row that cannot fail is decoration; the
+    // wide probe is the honest cell-probe cost of ISOTROPIC
+    // embeddings, the C8-documented weakness that motivates the
+    // graph index as the production dense leg).
     "ann_filtered" -> { (s, dir) =>
       import s.implicits._
       import graft.ops.{FilteredAnn, GraphIndex, IvfIndex}
@@ -697,7 +701,7 @@ object QueriesData {
               col("vec_id"), col("embedding"), k, p.elig, col("vec_id"))
             case _ => IvfIndex.searchFiltered(s, ivfRoot, queries,
               col("vec_id"), col("embedding"), k, p.elig, col("vec_id"),
-              nprobe = 2)
+              nprobe = 8)
           }).localCheckpoint(true) // bounded: ≤ queries·k rows
           val eligOnly = res.join(p.elig.withColumnRenamed("vec_id", "nid"),
             Seq("nid"), "left_anti").count() == 0
@@ -717,12 +721,72 @@ object QueriesData {
         Seq(
           legRow("graph", "broad", broad, Some(0.9)),
           legRow("graph", "sharp", sharp, Some(1.0)),
-          legRow("ivf", "broad", broad, None),
+          legRow("ivf", "broad", broad, Some(0.7)),
           legRow("ivf", "sharp", sharp, Some(1.0)))
       }
       rows.toDF("strategy", "sel", "n_queries", "n_elig",
           "elig_only_ok", "fill_ok", "recall_ok")
         .orderBy(col("strategy"), col("sel"))
+    },
+
+    // C76 (r15): FILTERED hybrid retrieval — C74's eligibility frame
+    // composed with C72's fused RRF (the r14 verdict's #7 ask; the
+    // filter + hybrid query a real retrieval stack actually serves):
+    // sparse leg = committed postings (rankTx) SEMI-JOINED to the
+    // eligible ids before ranking (a posting scan is unaffected by
+    // pre-filtering; idf stays index-resident/corpus-wide), dense leg
+    // = the committed graph through searchFiltered (full-graph
+    // routing, k·4 over-fetch, post-filter, exact fallback — a
+    // pre-filtered walk would disconnect), fused by the SHARED RRF
+    // arithmetic. Ground truth = the same fusion brute-forced over
+    // the eligible slice (rrfTopk's eligible knob). Per query the
+    // oracle pins three flags: elig_only_ok (every fused nid
+    // satisfies the predicate), fill_ok (the fused list fills to
+    // min(k, |eligible∖{self}|), inherited from the dense leg's fill
+    // guarantee), overlap_ok (≥ 3 of 5 fused results match the
+    // brute-fusion truth — the C72 floor; a recall regression in
+    // either index or a broken eligibility join turns rows red).
+    "ann_hybrid_filtered" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      val qids = emb.where(col("vec_id") % 40 === 0)
+        .orderBy(md5(concat(col("vec_id"), lit(":hfq"))), col("vec_id"))
+        .limit(AnnAuditQuerySample)
+        .select(col("vec_id")).as[Long].collect().toSeq
+      val k = 5
+      val elig = emb.where(col("label") < 5).select(col("vec_id"))
+        .localCheckpoint(true) // id-only; read by both legs + the flags
+      val nElig = elig.count()
+      val selfIn = elig.where(col("vec_id").isin(qids: _*))
+        .as[Long].collect().toSet // ≤ query-sample size
+      val base = HybridRetrieval.rrfTopk(docs, col("doc_id"), col("text"),
+          emb, col("vec_id"), col("embedding"),
+          isQuery = _.isin(qids: _*), k = k, listN = 20,
+          eligible = Some(elig.select(col("vec_id").as("id"))))
+        .select(col("qid"), col("nid"))
+      val (invRoot, gRoot, nDocs) = hybridIndexRoots(s, dir)
+      val idx = HybridRetrieval.rrfTopkFilteredIndexed(s, invRoot, gRoot,
+          docs.where(col("doc_id").isin(qids: _*)), col("doc_id"), col("text"),
+          emb.where(col("vec_id").isin(qids: _*)), col("vec_id"), col("embedding"),
+          nDocs, elig, col("vec_id"), k = k, listN = 20)
+        .localCheckpoint(true) // bounded: ≤ queries·k rows
+      val perQ = idx
+        .join(elig.select(col("vec_id").as("nid")).withColumn("in_elig", lit(1L)),
+          Seq("nid"), "left")
+        .join(base.withColumn("in_base", lit(1L)), Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_got"),
+          sum(coalesce(col("in_elig"), lit(0L))).as("n_elig_hits"),
+          sum(coalesce(col("in_base"), lit(0L))).as("n_overlap"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap // ≤ query-sample size
+      qids.map { id =>
+        val (got, eligHits, overlap) = perQ.getOrElse(id, (0L, 0L, 0L))
+        val fillWant = math.min(k.toLong, nElig - (if (selfIn(id)) 1L else 0L))
+        (id, eligHits == got, got == fillWant, overlap >= 3L)
+      }.toDF("qid", "elig_only_ok", "fill_ok", "overlap_ok")
+        .orderBy(col("qid"))
     },
 
     // C30: int8-quantized ANN + exact rerank (FAISS SQ8 shape): codes
@@ -1661,10 +1725,19 @@ object QueriesData {
         |  UNION ALL SELECT 'graph', 'sharp', q.n_queries, sh.n_elig,
         |    TRUE, TRUE, TRUE FROM q, sh
         |  UNION ALL SELECT 'ivf', 'broad', q.n_queries, b.n_elig,
-        |    TRUE, TRUE, NULL FROM q, b
+        |    TRUE, TRUE, TRUE FROM q, b
         |  UNION ALL SELECT 'ivf', 'sharp', q.n_queries, sh.n_elig,
         |    TRUE, TRUE, TRUE FROM q, sh)
         |ORDER BY strategy, sel""".stripMargin,
+    // C76: the oracle replays the pinned query draw and expects every
+    // filtered-hybrid flag TRUE (eligible-only, fill, ≥3/5 overlap
+    // with the brute fusion over the eligible slice)
+    "ann_hybrid_filtered" ->
+      """SELECT vec_id AS qid, TRUE AS elig_only_ok, TRUE AS fill_ok,
+        |  TRUE AS overlap_ok
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 40 = 0
+        |      ORDER BY md5(vec_id || ':hfq'), vec_id LIMIT 32)
+        |ORDER BY qid""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, md5(text) AS content_hash, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

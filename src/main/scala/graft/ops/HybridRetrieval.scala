@@ -45,17 +45,25 @@ object HybridRetrieval {
     * @param k        fused results per query
     * @param listN    per-leg candidate-list depth before fusion
     * @param rrfC     the RRF constant (60 in the paper)
+    * @param eligible optional CANDIDATE filter — an id frame (column
+    *                 `id`); when given, both legs rank eligible
+    *                 candidates only (the filter + hybrid query), while
+    *                 queries may come from anywhere and idf stays
+    *                 corpus-wide (the production convention: the
+    *                 index's document frequencies, not the slice's)
     */
   def rrfTopk(docs: DataFrame, docId: Column, text: Column,
               embs: DataFrame, vecId: Column, vec: Column,
               isQuery: Column => Column, k: Int = 5, listN: Int = 20,
-              rrfC: Int = 60): DataFrame = {
+              rrfC: Int = 60, eligible: Option[DataFrame] = None): DataFrame = {
 
     // ---- sparse leg: idf-weighted shared-token score ----
-    val dt = docs.select(docId.as("id"), explode(split(text, " ")).as("t")).distinct()
+    val dtAll = docs.select(docId.as("id"), explode(split(text, " ")).as("t")).distinct()
+    val dt = eligible.map(e => dtAll.join(e.select(col("id")), Seq("id"), "left_semi"))
+      .getOrElse(dtAll)
     val nDocs = docs.select(countDistinct(docId).cast("double").as("nd"))
-    val df = dt.groupBy(col("t")).agg(count(lit(1)).cast("double").as("dft"))
-    val qt = dt.where(isQuery(col("id")))
+    val df = dtAll.groupBy(col("t")).agg(count(lit(1)).cast("double").as("dft"))
+    val qt = dtAll.where(isQuery(col("id")))
       .select(col("id").as("qid"), col("t"))
     // per-token idf pre-rounded to 1e-4 UNITS and summed as LONGS:
     // integer addition commutes exactly, so the per-pair score is
@@ -78,9 +86,12 @@ object HybridRetrieval {
       .select(col("qid"), col("nid"), col("rl"))
 
     // ---- dense leg: cosine top-listN (the brute-force baseline) ----
-    val v = embs.select(vecId.as("id"), Similarity.toDouble(vec).as("v"))
+    val vAll = embs.select(vecId.as("id"), Similarity.toDouble(vec).as("v"))
       .withColumn("n2", Similarity.normSq(col("v")))
-    val q = v.where(isQuery(col("id")))
+    // queries drawn from the FULL frame; only candidates are filtered
+    val v = eligible.map(e => vAll.join(e.select(col("id")), Seq("id"), "left_semi"))
+      .getOrElse(vAll)
+    val q = vAll.where(isQuery(col("id")))
       .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     val sem = v.join(broadcast(q), col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("nid"),
@@ -145,6 +156,48 @@ object HybridRetrieval {
       .select(col("qid"), col("id").as("nid"), col("rl"))
     val srank = GraphIndex.search(spark, graphRoot, queryVecs, qVecId, qVec,
         k = listN)
+      .select(col("qid").as("sqid"), col("nid").as("snid"), col("rank").as("rs"))
+    fuse(lrank, srank, k, rrfC)
+  }
+
+  /** FILTERED hybrid retrieval from the persisted indexes — the
+    * filter + hybrid query a real retrieval stack actually serves
+    * ("top-k by fused rank among rows satisfying a predicate"),
+    * composing [[rrfTopkIndexed]]'s legs with the
+    * [[graft.ops.FilteredAnn]] eligibility discipline:
+    *
+    *  - sparse leg: [[graft.sinks.InvertedIndex.rankTx]] candidates
+    *    SEMI-JOINED to the eligible ids BEFORE ranking — posting
+    *    traversal is unaffected by the filter (it's an id-set scan),
+    *    so pre-filtering costs one bounded semi-join and keeps ranks
+    *    exact over the eligible slice; idf stays index-resident
+    *    (corpus-wide), matching [[rrfTopk]]'s `eligible` convention;
+    *  - dense leg: [[GraphIndex.searchFiltered]] — full-graph routing
+    *    with over-fetch + post-filter + exact fallback (pre-filtering
+    *    a graph walk would disconnect it), so the leg inherits the
+    *    min(k, |eligible∖{self}|) fill guarantee;
+    *  - fusion: the SAME [[fuse]] arithmetic as every other path.
+    *
+    * Cost ∝ queries · (postings + beam) + one eligible semi-join per
+    * leg — the eligible frame may be corpus-scale and is never
+    * broadcast or collected. */
+  def rrfTopkFilteredIndexed(spark: org.apache.spark.sql.SparkSession,
+                             invRoot: String, graphRoot: String,
+                             queryDocs: DataFrame, qDocId: Column, qText: Column,
+                             queryVecs: DataFrame, qVecId: Column, qVec: Column,
+                             nDocs: Long, eligible: DataFrame, eligibleId: Column,
+                             k: Int = 5, listN: Int = 20,
+                             rrfC: Int = 60): DataFrame = {
+    val elig = eligible.select(eligibleId.cast("long").as("id")).distinct()
+    val lex = graft.sinks.InvertedIndex.rankTx(spark, invRoot,
+        queryDocs.select(qDocId.as("qid"), qText.as("qtext")),
+        col("qid"), col("qtext"), nDocs)
+      .join(elig, Seq("id"), "left_semi")
+    val wl = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("id").asc)
+    val lrank = lex.withColumn("rl", row_number().over(wl)).where(col("rl") <= listN)
+      .select(col("qid"), col("id").as("nid"), col("rl"))
+    val srank = GraphIndex.searchFiltered(spark, graphRoot, queryVecs,
+        qVecId, qVec, k = listN, eligible, eligibleId)
       .select(col("qid").as("sqid"), col("nid").as("snid"), col("rank").as("rs"))
     fuse(lrank, srank, k, rrfC)
   }
