@@ -114,4 +114,56 @@ class ImageCodecSpec extends SparkSpec {
     assert(back.toSeq == g.toSeq, "2x up + box-mean down must be exact")
     assert(Multimodal.dhashOf(back, 8, 8) == Multimodal.dhashOf(g, 8, 8))
   }
+
+  test("dHash survives a REAL lossy JPEG re-encode; the existing bands find every twin pair") {
+    // the wild re-encode dHash exists for: PNG original vs the SAME
+    // pixels pushed through javax.imageio's JPEG writer (lossy DCT) —
+    // bytes and pixels change, gradient signs mostly don't. A DuckDB
+    // oracle cannot replay a platform JPEG decoder, so this stays a
+    // SPEC leg; the CORRECTNESS gate (dedup_image_phash) keeps the
+    // lossless path (SURVEY documents the oracle boundary).
+    // production dHash shape: hash the DOWNSCALED decode (classic
+    // dHash resizes to a tiny grid first) — the box-mean is what
+    // averages JPEG's high-frequency DCT noise away; hashing raw
+    // full-res noise pixels is the adversarial non-case (measured
+    // hamming 7 there). Source image = 32×32 of flat 4×4 blocks
+    // (the 2x-upscale construction the resize test proves exact).
+    def up(pix: Array[Int], w: Int, h: Int, f: Int): Array[Int] =
+      Array.tabulate(w * f * h * f) { i =>
+        val x = i % (w * f); val y = i / (w * f); pix((y / f) * w + x / f)
+      }
+    val rows = (0 until 24).map { i =>
+      val base = ImageCodec.mdImage(s"jpegtwin-$i")
+      val big = up(base, 8, 8, 4) // 32×32, flat 4×4 blocks
+      val png = ImageCodec.decode(i.toLong, ImageCodec.encodeGray(big, 32, 32, "png"))
+      val jpg = ImageCodec.decode(i.toLong, ImageCodec.encodeGray(big, 32, 32, "jpeg"))
+      val gp = ImageCodec.boxDownsample(png.gray, 32, 32, 4)
+      val gj = ImageCodec.boxDownsample(jpg.gray, 32, 32, 4)
+      val hp = Multimodal.dhashOf(gp, 8, 8)
+      val hj = Multimodal.dhashOf(gj, 8, 8)
+      val ham = hp.zip(hj).count { case (a, b) => a != b }
+      (i.toLong, hp, hj, ham, ImageCodec.hexDigest(gp), ImageCodec.hexDigest(gj))
+    }
+    val maxHam = rows.map(_._4).max
+    assert(maxHam <= 3,
+      s"JPEG re-encode must stay within hamming 3 of the original; " +
+        s"max=$maxHam over ${rows.size} images")
+    assert(rows.exists(r => r._5 != r._6),
+      "JPEG is lossy — at least one twin's decoded pixels must differ")
+    // the pipeline's own bands must surface every (png, jpeg) pair:
+    // hamming < 4 shares ≥ 1 exact 14-bit band by pigeonhole
+    val frame = (rows.map(r => (r._1, r._2, java.lang.Long.parseLong(r._2, 2), r._5)) ++
+        rows.map(r => (r._1 + 1000L, r._3, java.lang.Long.parseLong(r._3, 2), r._6)))
+      .toDF("img_id", "dhash", "dhash_bits", "pix_md5")
+    val pairs = Multimodal.dhashNearDupPairs(frame)
+      .where(col("img_b") === col("img_a") + 1000L)
+      .select(col("img_a"), col("hamming"), col("same_pixels"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(pairs.map(_._1).toSet == rows.map(_._1).toSet,
+      s"bands must find all ${rows.size} twin pairs; found ${pairs.length}")
+    pairs.foreach { case (id, ham, _) =>
+      assert(ham <= 3, s"pair $id banded at hamming $ham > 3") }
+    assert(pairs.exists(!_._3),
+      "at least one found pair must differ in pixels (the case byte dedup misses)")
+  }
 }
