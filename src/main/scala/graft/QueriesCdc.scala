@@ -1146,6 +1146,149 @@ object QueriesCdc {
       }
     },
 
+    // D46 (r15): the STAR async-MV lifecycle — D44's end-to-end
+    // refresh composition at N = 3 (the fact ⋈ dim ⋈ dim shape real
+    // StarRocks multi-table MVs take): each CDC round advances ALL
+    // THREE tables atomically through maintainAggTx's one-manifest
+    // commit, the view publishes as a versioned join snapshot, the
+    // user's literal customer-first star SQL serves v1 plan-asserted,
+    // two more rounds flip publishStale, the re-publish lands in v2
+    // (v1 retained), the registry restart-recovers from the manifest,
+    // and the SAME SQL serves the updated star aggregates — both
+    // generations hash-exact vs the oracle's live 3-way joins.
+    "mv_star_refresh" -> { (s, dir) =>
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvsf_gate")
+      val liPath = tmp.toString + "/li_flat"
+      val oPath = tmp.toString + "/o_flat"
+      val cPath = tmp.toString + "/c_flat"
+      try {
+        // per-lkey cents rollup — A37's unique-PK construction
+        val li = Tables.lineitem(s, dir).select(
+            (col("l_orderkey") * 8 + col("l_linenumber").cast("long")).as("lkey"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+          .groupBy(col("lkey")).agg(sum(col("cents")).as("cents"))
+          .select(col("lkey"), expr("lkey div 8").as("l_orderkey"),
+            col("cents"), lit(1L).as("lv"),
+            (col("lkey") % 19 === 7).as("ldel"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), lit(1L).as("ov"),
+          (col("o_orderkey") % 13 === 3).as("odel"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_mktsegment"), lit(1L).as("cv"),
+          (col("c_custkey") % 17 === 5).as("cdel"))
+        val starPairs = Seq("l_orderkey" -> "o_orderkey",
+          "o_custkey" -> "c_custkey")
+        val groupCols = Seq("c_mktsegment", "o_orderstatus")
+        val root = tmp.toString + "/smv/g"
+        val pub = tmp.toString + "/pub"
+        def round(i: Int): Unit =
+          require(MaterializedJoin.maintainAggTx(root, Seq(
+            MaterializedJoin.BatchIn("li",
+              li.where(pmod(col("lkey"), lit(4)) === i),
+              Seq("lkey"), Seq("lv"), col("ldel")),
+            MaterializedJoin.BatchIn("o",
+              o.where(pmod(col("o_orderkey"), lit(4)) === i),
+              Seq("o_orderkey"), Seq("ov"), col("odel")),
+            MaterializedJoin.BatchIn("c",
+              c.where(pmod(col("c_custkey"), lit(4)) === i),
+              Seq("c_custkey"), Seq("cv"), col("cdel"))),
+            starPairs, outCols = Seq("cents") ++ groupCols,
+            groupCols = groupCols, sums = Seq("cents" -> col("cents")),
+            batchId = i, writer = "gate"), s"round $i must apply")
+        def publish(): Unit = {
+          val schemaOf = {
+            import s.implicits._
+            Seq.empty[(String, String, Long, Long, Long)]
+              .toDF("c_mktsegment", "o_orderstatus", "n", "cents", "batch_id")
+          }
+          MvRewrite.registerJoinSnapshot(s, Seq(liPath, oPath, cPath),
+            starPairs,
+            graft.sinks.PkTableSink.readTxGroup(s, root, "mv", schemaOf)
+              .select(col("c_mktsegment"), col("o_orderstatus"),
+                col("n"), col("cents")),
+            pub, groupCols = groupCols,
+            aggs = Map("n" -> MvRewrite.CountStar,
+              "cents" -> MvRewrite.SumOf("cents")),
+            mvRoot = Some(root))
+        }
+        def writeUserTables(maxRound: Int): Unit = {
+          li.where(pmod(col("lkey"), lit(4)) <= maxRound && !col("ldel"))
+            .select(col("l_orderkey"), col("cents"))
+            .write.mode("overwrite").parquet(liPath)
+          o.where(pmod(col("o_orderkey"), lit(4)) <= maxRound && !col("odel"))
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+            .write.mode("overwrite").parquet(oPath)
+          c.where(pmod(col("c_custkey"), lit(4)) <= maxRound && !col("cdel"))
+            .select(col("c_custkey"), col("c_mktsegment"))
+            .write.mode("overwrite").parquet(cPath)
+        }
+        def userQ(): DataFrame = {
+          s.read.parquet(liPath).createOrReplaceTempView("li_smr")
+          s.read.parquet(oPath).createOrReplaceTempView("o_smr")
+          s.read.parquet(cPath).createOrReplaceTempView("c_smr")
+          // customer-first — the opposite order from registration
+          s.sql("""SELECT c_mktsegment, o_orderstatus,
+            count(*) AS n_items, sum(cents) AS sum_cents
+            FROM c_smr JOIN o_smr ON o_custkey = c_custkey
+                       JOIN li_smr ON l_orderkey = o_orderkey
+            GROUP BY c_mktsegment, o_orderstatus""")
+        }
+        def assertScans(df: DataFrame, when: String): Unit = {
+          val roots = df.queryExecution.optimizedPlan.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+          }.flatten
+          val want = new org.apache.hadoop.fs.Path(pub).toUri.getPath
+          require(roots.exists(_.startsWith(want)),
+            s"$when: must scan the published star snapshot; scans: $roots")
+          Seq(liPath, oPath, cPath).foreach { p =>
+            val bad = new org.apache.hadoop.fs.Path(p).toUri.getPath
+            require(!roots.exists(_.startsWith(bad)),
+              s"$when: must NOT rescan source $bad; scans: $roots")
+          }
+        }
+        (0 to 1).foreach(round)
+        writeUserTables(1)
+        publish()
+        require(!MvRewrite.publishStale(s, pub),
+          "fresh publish must not read stale")
+        val q1 = userQ()
+        assertScans(q1, "before refresh")
+        val r1 = q1.select(col("c_mktsegment"), col("o_orderstatus"),
+          col("n_items").as("n1"), col("sum_cents").as("s1"))
+          .localCheckpoint(true)
+        (2 to 3).foreach(round)
+        writeUserTables(3)
+        require(MvRewrite.publishStale(s, pub),
+          "a maintenance commit after publish must read stale")
+        publish()
+        require(!MvRewrite.publishStale(s, pub),
+          "re-publish must clear staleness")
+        val base = new org.apache.hadoop.fs.Path(pub)
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val gens = fs.listStatus(base).filter(_.isDirectory)
+          .map(_.getPath.getName).toSet
+        require(gens == Set("v1", "v2"),
+          s"expected v2 serving with v1 retained, got $gens")
+        MvRewrite.clear()
+        require(MvRewrite.registerAll(s, pub).nonEmpty,
+          "registerAll must recover the published star MV")
+        val q2 = userQ()
+        assertScans(q2, "after refresh + restart recovery")
+        val r2 = q2.select(col("c_mktsegment"), col("o_orderstatus"),
+          col("n_items").as("n2"), col("sum_cents").as("s2"))
+          .localCheckpoint(true)
+        r1.join(r2, Seq("c_mktsegment", "o_orderstatus"))
+          .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+          .localCheckpoint(true)
+      } finally {
+        MvRewrite.deregisterJoin(liPath, oPath, cPath)
+        deleteTree(tmp)
+      }
+    },
+
     // A37 (r15): N-way INCREMENTAL star-MV maintenance — the r14
     // verdict's #3 ask: D43 proved the 3-table star SERVES from a
     // refresh-shape snapshot; this gate proves it can be MAINTAINED.
@@ -1341,6 +1484,39 @@ object QueriesCdc {
         |SELECT a.c_mktsegment, n1, s1, n2, s2
         |FROM a JOIN b ON a.c_mktsegment = b.c_mktsegment
         |ORDER BY a.c_mktsegment""".stripMargin,
+    // D46: both generations of the star-MV refresh are EXACT — the
+    // oracle replays the live 3-way join over each generation's
+    // states (gen 1 = rounds 0-1, gen 2 = all four), zero tolerance
+    "mv_star_refresh" ->
+      """WITH li0 AS (SELECT l_orderkey * 8 + l_linenumber AS lkey,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |lia AS (SELECT lkey, lkey // 8 AS l_orderkey,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM li0 WHERE lkey % 19 <> 7 AND lkey % 4 <= 1 GROUP BY lkey),
+        |lib AS (SELECT lkey, lkey // 8 AS l_orderkey,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM li0 WHERE lkey % 19 <> 7 GROUP BY lkey),
+        |oa AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 13 <> 3 AND o_orderkey % 4 <= 1),
+        |ob AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 13 <> 3),
+        |ca AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 17 <> 5 AND c_custkey % 4 <= 1),
+        |cb AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 17 <> 5),
+        |a AS (SELECT c_mktsegment, o_orderstatus, count(*) AS n1,
+        |    CAST(sum(cents) AS BIGINT) AS s1
+        |  FROM lia JOIN oa ON l_orderkey = o_orderkey
+        |           JOIN ca ON o_custkey = c_custkey GROUP BY 1, 2),
+        |b AS (SELECT c_mktsegment, o_orderstatus, count(*) AS n2,
+        |    CAST(sum(cents) AS BIGINT) AS s2
+        |  FROM lib JOIN ob ON l_orderkey = o_orderkey
+        |           JOIN cb ON o_custkey = c_custkey GROUP BY 1, 2)
+        |SELECT a.c_mktsegment, a.o_orderstatus, n1, s1, n2, s2
+        |FROM a JOIN b ON a.c_mktsegment = b.c_mktsegment
+        |  AND a.o_orderstatus = b.o_orderstatus
+        |ORDER BY a.c_mktsegment, a.o_orderstatus""".stripMargin,
     // A37: the incrementally-maintained star MV serves values EXACT
     // vs the oracle's live 3-way join over the final states (both
     // delete channels applied), zero tolerance
