@@ -52,12 +52,20 @@ object MaterializedAgg {
   /** Advance the key-state by one batch and emit the signed delta.
     * The caller should checkpoint/persist `state` between steps — it
     * is referenced twice (as the old image and inside the successor).
-    */
+    *
+    * `materialize` (default identity) is applied to the successor
+    * state BEFORE the signed delta is built over it: a caller whose
+    * downstream reads the new state several times (every N-way delta
+    * term in [[MaterializedJoin.stepN]] does) passes
+    * `_.localCheckpoint(true)` so the full-state merge runs ONCE
+    * instead of once per consumer — semantics identical either way. */
   def step(state: DataFrame, batch: DataFrame, keyCols: Seq[String],
-           version: Seq[Column], deleteFlag: Column): Step = {
+           version: Seq[Column], deleteFlag: Column,
+           materialize: DataFrame => DataFrame = identity): Step = {
     val b = PkTable.latestPerKey(
       batch.withColumn(Del, coalesce(deleteFlag, lit(false))), keyCols, version)
-    val newState = PkTable.latestPerKey(state.unionByName(b), keyCols, version)
+    val newState = materialize(
+      PkTable.latestPerKey(state.unionByName(b), keyCols, version))
     val touched = b.select(keyCols.map(col): _*)
     def liveTouched(df: DataFrame) =
       df.join(touched, keyCols, "left_semi").where(!col(Del))

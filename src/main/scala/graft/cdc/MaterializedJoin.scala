@@ -172,8 +172,14 @@ object MaterializedJoin {
     require(bfsFrom(0).size == tables.size,
       "the equi-pair graph must connect every table (no cross joins)")
 
+    // each new state is read by EVERY term whose prefix/delta touches
+    // it — materialize the full-state merge once (measured 2-3×
+    // recompute per round at N=3 without this); the returned states
+    // ARE these checkpoints: callers must not re-checkpoint, and free
+    // them once the round's delta is consumed
     val stepped = tables.map(t =>
-      MaterializedAgg.step(t.state, t.batch, t.key, t.ver, t.delFlag))
+      MaterializedAgg.step(t.state, t.batch, t.key, t.ver, t.delFlag,
+        materialize = _.localCheckpoint(true)))
 
     def live(df: DataFrame): DataFrame = df.where(!col(Del)).drop(Del)
 
@@ -245,14 +251,21 @@ object MaterializedJoin {
       .flatMap(_.meta.get(wmKey)).map(_.toLong)
     if (applied.exists(batchId <= _)) return false
 
+    // old states are merge-on-read over the lake's delta dirs and are
+    // re-read by every suffix term + the state advance — materialize
+    // each once; freed below with the new-state checkpoints once the
+    // group delta (the only consumer) is on its own checkpoint
     val ins = tables.map { t =>
       val st = PkTableSink.readTxGroupAll(spark, root, s"state_${t.name}",
         MaterializedAgg.emptyState(t.batch, t.delFlag), deletedCol = Del)
+        .localCheckpoint(true)
       TableIn(st, t.batch, t.key, t.verCols.map(col), t.delFlag)
     }
     val s = stepN(ins, joinPairs, outCols)
     val delta = MaterializedAgg.groupDelta(s.delta, groupCols, sums)
       .localCheckpoint(true)
+    ins.foreach(t => graft.Ckpt.free(t.state))
+    s.states.foreach(graft.Ckpt.free)
     val curMv = PkTableSink.readTxGroup(spark, root, "mv", delta)
     val touched = delta.select(groupCols.map(col): _*)
     val newMv = MaterializedAgg.mergeMvAllowZero(

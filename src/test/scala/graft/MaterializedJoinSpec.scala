@@ -155,7 +155,7 @@ class MaterializedJoinSpec extends SparkSpec {
         TableIn(states(1), bo, Seq("okey"), Seq(col("ov")), col("odel")),
         TableIn(states(2), bc, Seq("ckey"), Seq(col("cv")), col("cdel"))),
         starPairs, starOut)
-      states = st.states.map(_.localCheckpoint(true))
+      states = st.states // stepN checkpoints them
       mv = Some(MaterializedJoin.mergeMv(mv, st.delta, starOut).localCheckpoint(true))
       allL = allL.unionByName(bl); allO = allO.unionByName(bo); allC = allC.unionByName(bc)
       val got = mv.get.select(col("lkey"), col("qty"), col("status"), col("name"))
