@@ -914,8 +914,14 @@ object QueriesCdc {
         publish()
         require(!MvRewrite.publishStale(s, pub),
           "re-publish must clear staleness")
+        // simulated restart: the refreshed registration must survive a
+        // registry wipe via the on-disk manifest (r14 verdict #3 —
+        // StarRocks MVs are catalog objects, not session state)
+        MvRewrite.clear()
+        require(MvRewrite.registerAll(s, pub).nonEmpty,
+          "registerAll must recover the published sketch MV")
         val q2 = userQ()
-        assertScans(q2, "after refresh")
+        assertScans(q2, "after refresh + restart recovery")
         val r2 = q2.select(col("event_type"), col("n_events").as("n2"),
           col("n_users").as("d2")).localCheckpoint(true)
         r1.join(r2, "event_type").orderBy(col("event_type"))

@@ -448,6 +448,20 @@ class MvRewriteSpec extends SparkSpec {
         "a commit past the publish must flip the stamp")
       publish() // refresh loop re-publishes
       assert(!MvRewrite.publishStale(spark, pub), "re-publish must clear staleness")
+      // SKETCH agg kinds round-trip the registration manifest: after a
+      // registry wipe, registerAll must recover KmvSketchOf/CountStar
+      // and the user's literal approx_count_distinct SQL must serve
+      // from the snapshot with the exact-below-k values
+      MvRewrite.clear()
+      assert(MvRewrite.registerAll(spark, pub).nonEmpty,
+        "registerAll must recover the sketch-MV registration")
+      val q = spark.read.parquet(src)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("d"), count(lit(1)).as("n"))
+      assert(scansMv(q, pub), "recovered sketch MV must serve")
+      val r = q.collect().head
+      assert(r.getLong(1) == 3L && r.getLong(2) == 3L,
+        s"recovered sketch rewrite must serve all 3 users, got $r")
     } finally MvRewrite.clear()
   }
 
