@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding
 import org.apache.spark.sql.types._
-import graft.cdc.{Envelope, MaterializedAgg, MaterializedJoin, PkTable, RoutineLoad, SchemaEvolution, Scd2}
+import graft.cdc.{Envelope, MaterializedAgg, MaterializedJoin, MaterializedTopK, PkTable, RoutineLoad, SchemaEvolution, Scd2}
 
 /** CDC / pipeline-core query surface (SURVEY §2 section A).
   *
@@ -460,6 +460,60 @@ object QueriesCdc {
         .orderBy(col("event_type"))
     },
 
+    // A39: MIN/MAX incremental MV — the canonical NON-self-maintainable
+    // aggregates (StarRocks sync MVs support min/max agg columns;
+    // create-starrocks-tables.sh's aggregate tables). Sums absorb a
+    // retraction as −v; retracting the row that WAS the minimum says
+    // nothing about the new minimum, so MaterializedAgg.mergeMvMinMax
+    // rescans ONLY groups whose retracted value tied the stored
+    // extremum, reading the live key-state restricted to those groups
+    // — per-batch work ∝ batch + affected-group sizes, never corpus.
+    // 4 interleaved CDC rounds (updates, deletes, group migration via
+    // users whose latest event_type changes) then compared value-exact
+    // to the oracle's full recompute over latest-per-key state.
+    "cdc_mv_minmax" -> { (s, dir) =>
+      val chg = changelog(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"), col("op"))
+      val batches = (0 until 4).map(i =>
+        chg.where(pmod(col("event_id"), lit(4)) === i))
+      MaterializedAgg.maintainMinMax(batches,
+          keyCols = Seq("user_id"), version = Seq(col("ts"), col("event_id")),
+          deleteFlag = col("op") === Envelope.OpDelete,
+          groupCols = Seq("event_type"), sums = Seq("total" -> col("value")),
+          exts = Seq(
+            MaterializedAgg.Extremum("vmin", col("value"), isMin = true),
+            MaterializedAgg.Extremum("vmax", col("value"), isMin = false)))
+        .select(col("event_type"), col("n"),
+          Rounding.r(col("total"), 4).as("total"),
+          Rounding.r(col("vmin"), 4).as("vmin"),
+          Rounding.r(col("vmax"), 4).as("vmax"))
+        .orderBy(col("event_type"))
+    },
+
+    // A40: TOP-K-PER-GROUP incremental MV — the materialized TOPN the
+    // reference keeps warm as a hand-run ranking query (monitor.sh's
+    // top-customers checks), generalizing A39's k=1 treatment: inserts
+    // never rescan (new top-k ⊆ stored ∪ inserts, one bounded rank),
+    // only retracting a STORED MEMBER rescans its group from the live
+    // key-state (below-k retractions cannot change membership). 4
+    // interleaved CDC rounds, then the ranked view value-exact vs the
+    // oracle's row_number over the full latest-per-key recompute.
+    "cdc_mv_topk" -> { (s, dir) =>
+      val chg = changelog(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"), col("op"))
+      val batches = (0 until 4).map(i =>
+        chg.where(pmod(col("event_id"), lit(4)) === i))
+      MaterializedTopK.maintain(batches,
+          keyCols = Seq("user_id"), version = Seq(col("ts"), col("event_id")),
+          deleteFlag = col("op") === Envelope.OpDelete,
+          groupCols = Seq("event_type"), value = col("value"), k = 3)
+        .select(col("event_type"), col("rank"), col("user_id"),
+          Rounding.r(col("value"), 4).as("value"))
+        .orderBy(col("event_type"), col("rank"))
+    },
+
     // A10: initial snapshot + changelog tail merged into one view
     "cdc_snapshot_then_merge" -> { (s, dir) =>
       val snap = Tables.customer(s, dir).select(
@@ -838,6 +892,154 @@ object QueriesCdc {
           .localCheckpoint(true)
       } finally {
         MvRewrite.deregisterJoin(oPath, cPath)
+        deleteTree(tmp)
+      }
+    },
+
+    // D47: MIN/MAX MV served TRANSPARENTLY — A39's incremental
+    // maintenance composed with the D41-class rewrite. The MV stores
+    // (n, Σcents, min cents, max cents) per (status, priority),
+    // maintained through 4 interleaved CDC rounds whose deletes land
+    // on group extrema (the rescan leg), then the user's LITERAL
+    // count/sum/min/max SQL over the flat lake table is plan-asserted
+    // to read ONLY the MV — at the exact grain (a Project) AND the
+    // rollup grain, where min/max re-aggregate as min-of-mins /
+    // max-of-maxes (sum/count re-sum; the rewrite's rollup rule).
+    "mv_minmax_rewrite" -> { (s, dir) =>
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvmm_gate")
+      val flatPath = tmp.toString + "/orders_flat"
+      val mvPath = tmp.toString + "/mv"
+      try {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          (col("o_orderkey") % 13 === 3).as("odel"))
+        // the flat lake table the USER queries = the final live state
+        o.where(!col("odel")).drop("odel")
+          .write.mode("overwrite").parquet(flatPath)
+        // write side: A39's kernel, deletes hitting extrema included
+        val batches = (0 until 4).map(i =>
+          o.where(pmod(col("o_orderkey"), lit(4)) === i))
+        MaterializedAgg.maintainMinMax(batches,
+            keyCols = Seq("o_orderkey"), version = Seq(lit(1L)),
+            deleteFlag = col("odel"),
+            groupCols = Seq("o_orderstatus", "o_orderpriority"),
+            sums = Seq("sum_cents" -> col("cents")),
+            exts = Seq(
+              MaterializedAgg.Extremum("min_cents", col("cents"), isMin = true),
+              MaterializedAgg.Extremum("max_cents", col("cents"), isMin = false)))
+          .write.mode("overwrite").parquet(mvPath)
+        // read side: register + the user's literal SQL at both grains
+        MvRewrite.register(s, flatPath, mvPath,
+          groupCols = Seq("o_orderstatus", "o_orderpriority"),
+          aggs = Map("n" -> MvRewrite.CountStar,
+            "sum_cents" -> MvRewrite.SumOf("cents"),
+            "min_cents" -> MvRewrite.MinOf("cents"),
+            "max_cents" -> MvRewrite.MaxOf("cents")))
+        s.read.parquet(flatPath).createOrReplaceTempView("o_mmv")
+        val q1 = s.sql("""SELECT o_orderstatus, o_orderpriority,
+          count(*) AS n, sum(cents) AS sum_cents,
+          min(cents) AS min_cents, max(cents) AS max_cents
+          FROM o_mmv GROUP BY o_orderstatus, o_orderpriority""")
+        val q2 = s.sql("""SELECT o_orderstatus,
+          count(*) AS n2, sum(cents) AS s2,
+          min(cents) AS mn2, max(cents) AS mx2
+          FROM o_mmv GROUP BY o_orderstatus""")
+        def scanRoots(df: DataFrame): Seq[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+          }.flatten
+        Seq(q1 -> "exact-grain min/max query", q2 -> "rollup min/max query")
+          .foreach { case (df, q) =>
+            val roots = scanRoots(df)
+            val want = new org.apache.hadoop.fs.Path(mvPath).toUri.getPath
+            require(roots.exists(_.startsWith(want)),
+              s"$q must scan the min/max MV $want; scans: $roots")
+            val bad = new org.apache.hadoop.fs.Path(flatPath).toUri.getPath
+            require(!roots.exists(_.startsWith(bad)),
+              s"$q must NOT rescan source $bad; scans: $roots")
+          }
+        q1.join(q2, "o_orderstatus")
+          .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+          .localCheckpoint(true)
+      } finally {
+        MvRewrite.deregister(flatPath, mvPath)
+        deleteTree(tmp)
+      }
+    },
+
+    // D48: materialized TOPN served TRANSPARENTLY — A40's top-k MV
+    // composed with a WINDOW-shape rewrite (beyond the Aggregate
+    // matcher): the user's literal `row_number() OVER (PARTITION BY g
+    // ORDER BY v DESC, key) ≤ c` SQL is re-anchored on the MV snapshot
+    // whenever c ≤ k — the MV stores exactly the source's top-k per
+    // group in that order, so every rank ≤ k gets the same row and the
+    // window runs over k·|groups| rows instead of the corpus. Both a
+    // full-k and a tighter-bound query are plan-asserted to read ONLY
+    // the MV, values hash-exact vs the oracle's live ranking.
+    "mv_topk_rewrite" -> { (s, dir) =>
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvtk_gate")
+      val flatPath = tmp.toString + "/events_flat"
+      val mvPath = tmp.toString + "/mv"
+      try {
+        val chg = changelog(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"), col("op"))
+        // the flat lake table the USER queries = the live latest state
+        PkTable.compact(chg, Seq("user_id"),
+            Seq(col("ts"), col("event_id")), col("op") === Envelope.OpDelete)
+          .select(col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(flatPath)
+        // write side: A40's kernel through 4 interleaved rounds
+        val batches = (0 until 4).map(i =>
+          chg.where(pmod(col("event_id"), lit(4)) === i))
+        MaterializedTopK.maintain(batches,
+            keyCols = Seq("user_id"), version = Seq(col("ts"), col("event_id")),
+            deleteFlag = col("op") === Envelope.OpDelete,
+            groupCols = Seq("event_type"), value = col("value"), k = 3)
+          .select(col("event_type"), col("user_id"), col("value"))
+          .write.mode("overwrite").parquet(mvPath)
+        // read side: register + the user's literal TOPN SQL
+        MvRewrite.registerTopK(s, flatPath, mvPath,
+          groupCols = Seq("event_type"), keyCols = Seq("user_id"),
+          valueCol = "value", k = 3)
+        s.read.parquet(flatPath).createOrReplaceTempView("ev_tkv")
+        def topn(c: Int) = s.sql(s"""SELECT event_type, CAST(rnk AS BIGINT) AS rnk,
+          user_id, value FROM (
+            SELECT event_type, user_id, value,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY value DESC, user_id) AS rnk
+            FROM ev_tkv) WHERE rnk <= $c""")
+        val q1 = topn(3)
+        val q2 = topn(2) // a TIGHTER bound than the registered k
+        def scanRoots(df: DataFrame): Seq[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+          }.flatten
+        Seq(q1 -> "full-k TOPN query", q2 -> "tighter-bound TOPN query")
+          .foreach { case (df, q) =>
+            val roots = scanRoots(df)
+            val want = new org.apache.hadoop.fs.Path(mvPath).toUri.getPath
+            require(roots.exists(_.startsWith(want)),
+              s"$q must scan the top-k MV $want; scans: $roots")
+            val bad = new org.apache.hadoop.fs.Path(flatPath).toUri.getPath
+            require(!roots.exists(_.startsWith(bad)),
+              s"$q must NOT rescan source $bad; scans: $roots")
+          }
+        q1.withColumn("cut", lit(3L))
+          .unionByName(q2.withColumn("cut", lit(2L)))
+          .select(col("cut"), col("event_type"), col("rnk"), col("user_id"),
+            Rounding.r(col("value"), 4).as("value"))
+          .orderBy(col("cut"), col("event_type"), col("rnk"))
+          .localCheckpoint(true)
+      } finally {
+        MvRewrite.deregisterTopK(flatPath)
         deleteTree(tmp)
       }
     },
@@ -1450,6 +1652,35 @@ object QueriesCdc {
     // D41: the MV-served join aggregates are EXACT (counts +
     // integer-cents sums) — the oracle replays the live join over the
     // final post-delete states at both grains, zero tolerance
+    "mv_topk_rewrite" ->
+      """WITH flat AS (SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |r AS (SELECT event_type, user_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, user_id) AS rnk
+        |  FROM flat)
+        |SELECT CAST(3 AS BIGINT) AS cut, event_type, rnk, user_id, round(value, 4) AS value
+        |FROM r WHERE rnk <= 3
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, rnk, user_id, round(value, 4)
+        |FROM r WHERE rnk <= 2
+        |ORDER BY cut, event_type, rnk""".stripMargin,
+    "mv_minmax_rewrite" ->
+      """WITH flat AS (SELECT o_orderstatus, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 13 <> 3),
+        |q1 AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(cents) AS min_cents, max(cents) AS max_cents
+        |  FROM flat GROUP BY 1, 2),
+        |q2 AS (SELECT o_orderstatus, count(*) AS n2,
+        |    CAST(sum(cents) AS BIGINT) AS s2,
+        |    min(cents) AS mn2, max(cents) AS mx2
+        |  FROM flat GROUP BY 1)
+        |SELECT q1.o_orderstatus, o_orderpriority, n, sum_cents, min_cents,
+        |  max_cents, n2, s2, mn2, mx2
+        |FROM q1 JOIN q2 ON q1.o_orderstatus = q2.o_orderstatus
+        |ORDER BY q1.o_orderstatus, o_orderpriority""".stripMargin,
     "mv_join_rewrite" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
@@ -1660,6 +1891,19 @@ object QueriesCdc {
         |GROUP BY c.c_name ORDER BY c_name""".stripMargin,
     "cdc_mv_incremental" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "cdc_mv_topk" ->
+      """SELECT event_type, rank, user_id, round(value, 4) AS value FROM (
+        |  SELECT event_type, user_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, user_id) AS rank
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "cdc_mv_minmax" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total,
+        |  round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
         |WHERE rn = 1 AND event_type <> 'error'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

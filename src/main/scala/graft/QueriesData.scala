@@ -565,6 +565,20 @@ object QueriesData {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // C78: Maximal-Marginal-Relevance diversity rerank — the
+    // relevance-vs-redundancy greedy (λ·cos(q,d) − (1−λ)·max sim to
+    // the already-picked set) every retrieval stack runs between
+    // recall and the reader, unrolled into declarative window-rank
+    // steps over a checkpointed top-10 pool (one corpus scan; the
+    // rerank itself is pool-sized and corpus-free). The oracle replays
+    // the greedy exactly: same sequential dots, same (1−λ) double,
+    // same nid tie-breaks — scores hash-compared at 4dp.
+    "ann_mmr" -> { (s, dir) =>
+      Similarity.mmrTopkBrute(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), isQuery = _ % 50 === 0, pool = 10, m = 3, lambda = 0.7)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // C69: hybrid lexical+semantic retrieval fused by Reciprocal Rank
     // Fusion (Cormack et al. SIGIR'09) — the two-tower search shape a
     // curation/RAG stack runs over the corpus: idf-weighted token
@@ -2141,6 +2155,49 @@ object QueriesData {
          |SELECT vec_id, dim, y FROM p ORDER BY vec_id, dim""".stripMargin
     },
 
+    // the greedy MMR loop unrolled to its 3 steps — each step ranks on
+    // the same 0.7·c − (1−0.7)·pen doubles Spark computes, with the
+    // same nid tie-break, so selection replays exactly
+    "ann_mmr" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
+        |cand AS (SELECT qid, nid, c, ne FROM (
+        |  SELECT qid, v.vec_id AS nid, v.e AS ne,
+        |    list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) AS c,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) DESC,
+        |      v.vec_id) AS rn
+        |  FROM q JOIN v ON v.vec_id <> qid) WHERE rn <= 10),
+        |p AS (SELECT a.qid, a.nid AS da, b.nid AS db,
+        |    list_dot_product(a.ne, b.ne) / sqrt(list_dot_product(a.ne, a.ne) * list_dot_product(b.ne, b.ne)) AS pc
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid),
+        |s1 AS (SELECT qid, nid, c, mmr FROM (
+        |    SELECT qid, nid, c, 0.7 * c AS mmr,
+        |      row_number() OVER (PARTITION BY qid ORDER BY 0.7 * c DESC, nid) AS rn FROM cand)
+        |  WHERE rn = 1),
+        |s2 AS (SELECT qid, nid, c, mmr FROM (
+        |    SELECT c2.qid, c2.nid, c2.c, 0.7 * c2.c - (1 - 0.7) * p.pc AS mmr,
+        |      row_number() OVER (PARTITION BY c2.qid ORDER BY 0.7 * c2.c - (1 - 0.7) * p.pc DESC, c2.nid) AS rn
+        |    FROM cand c2
+        |    JOIN s1 ON c2.qid = s1.qid AND c2.nid <> s1.nid
+        |    JOIN p ON p.qid = c2.qid AND p.da = c2.nid AND p.db = s1.nid)
+        |  WHERE rn = 1),
+        |pen3 AS (SELECT p.qid, p.da, max(p.pc) AS pen FROM p
+        |  WHERE EXISTS (SELECT 1 FROM s1 WHERE s1.qid = p.qid AND s1.nid = p.db)
+        |     OR EXISTS (SELECT 1 FROM s2 WHERE s2.qid = p.qid AND s2.nid = p.db)
+        |  GROUP BY p.qid, p.da),
+        |s3 AS (SELECT qid, nid, c, mmr FROM (
+        |    SELECT c3.qid, c3.nid, c3.c, 0.7 * c3.c - (1 - 0.7) * pen3.pen AS mmr,
+        |      row_number() OVER (PARTITION BY c3.qid ORDER BY 0.7 * c3.c - (1 - 0.7) * pen3.pen DESC, c3.nid) AS rn
+        |    FROM cand c3
+        |    JOIN pen3 ON pen3.qid = c3.qid AND pen3.da = c3.nid
+        |    JOIN s1 ON c3.qid = s1.qid AND c3.nid <> s1.nid
+        |    JOIN s2 ON c3.qid = s2.qid AND c3.nid <> s2.nid)
+        |  WHERE rn = 1)
+        |SELECT qid, CAST(1 AS BIGINT) AS rank, nid, round(c, 4) AS cos, round(mmr, 4) AS mmr FROM s1
+        |UNION ALL SELECT qid, CAST(2 AS BIGINT), nid, round(c, 4), round(mmr, 4) FROM s2
+        |UNION ALL SELECT qid, CAST(3 AS BIGINT), nid, round(c, 4), round(mmr, 4) FROM s3
+        |ORDER BY qid, rank""".stripMargin,
     "ann_topk_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),

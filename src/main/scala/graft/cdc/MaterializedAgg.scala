@@ -212,4 +212,114 @@ object MaterializedAgg {
     graft.Ckpt.free(state)
     mv.get
   }
+
+  /** One maintained extremum column: output name, value expression,
+    * `isMin` (false = max). */
+  final case class Extremum(name: String, value: Column, isMin: Boolean)
+
+  /** Per-group MIN/MAX maintained alongside count/sums. MIN and MAX
+    * are NOT self-maintainable: a sum absorbs a retraction as `−v`,
+    * but retracting the row that WAS the group minimum says nothing
+    * about the new minimum — only the surviving rows do. The classic
+    * IVM answer (Gupta/Mumick's non-distributive aggregates) is kept
+    * here at its minimal cost:
+    *
+    *  - inserts merge monotonically: new_min = least(stored, batch-min
+    *    of the +1 rows) — no state read;
+    *  - a retraction triggers a RESCAN only when it could have removed
+    *    the extremum (retracted value ≤ stored min / ≥ stored max).
+    *    Rescanned groups recompute min/max exactly from the live
+    *    key-state restricted to those groups (a left-semi join), so
+    *    the rescan costs Σ|affected groups|, never the view or the
+    *    corpus. Non-extremal deletes and pure-insert batches never
+    *    touch the state.
+    *
+    * Count/sum arithmetic rides the existing [[groupDelta]]/[[mergeMv]]
+    * path unchanged; groups whose count reaches zero vanish before the
+    * extremum columns are attached.
+    */
+  def mergeMvMinMax(mv: Option[DataFrame], st: Step, groupCols: Seq[String],
+                    sums: Seq[(String, Column)], exts: Seq[Extremum]): DataFrame = {
+    require(exts.nonEmpty, "mergeMvMinMax: no extremum columns")
+    val extNames = exts.map(_.name)
+    val gCols = groupCols.map(col)
+    def extAgg(e: Extremum, out: String): Column =
+      (if (e.isMin) min(e.value) else max(e.value)).as(out)
+
+    // count/sum half: the linear path, extremum columns stripped first
+    val base = mergeMv(mv.map(_.drop(extNames: _*)),
+      groupDelta(st.signedDelta, groupCols, sums), groupCols, sums.map(_._1))
+
+    // insert candidates: per-group extremum of this batch's +1 rows
+    val ins = st.signedDelta.where(col(Sign) === 1)
+      .groupBy(gCols: _*).agg(extAgg(exts.head, "__ins_" + exts.head.name),
+        exts.tail.map(e => extAgg(e, "__ins_" + e.name)): _*)
+
+    // stored extrema, renamed so the final select can tell them apart
+    val stored = mv.map(_.select(gCols ++
+      exts.map(e => col(e.name).as("__old_" + e.name)): _*))
+
+    // rescan set: groups where some −1 row ties-or-beats the stored
+    // extremum (or the stored row is missing — conservatively rescan).
+    // Retracting a strictly interior value cannot move min/max.
+    val retracts = st.signedDelta.where(col(Sign) === -1)
+    val rescanG = (stored match {
+      case Some(m) => retracts.join(m, groupCols, "left").where(
+        exts.map { e =>
+          val old = col("__old_" + e.name)
+          old.isNull || (if (e.isMin) e.value <= old else e.value >= old)
+        }.reduce(_ || _))
+      case None => retracts
+    }).select(gCols: _*).distinct()
+
+    // exact recompute, but ONLY over the rescanned groups' live rows
+    val rescanned = st.state.where(!col(Del))
+      .join(rescanG, groupCols, "left_semi")
+      .groupBy(gCols: _*).agg(extAgg(exts.head, "__re_" + exts.head.name),
+        exts.tail.map(e => extAgg(e, "__re_" + e.name)): _*)
+
+    val withSides = base
+      .join(ins, groupCols, "left")
+      .join(rescanG.withColumn("__rescan", lit(true)), groupCols, "left")
+      .join(rescanned, groupCols, "left")
+    val joined = stored.map(withSides.join(_, groupCols, "left"))
+      .getOrElse(exts.foldLeft(withSides)((d, e) =>
+        d.withColumn("__old_" + e.name, lit(null))))
+
+    // per group: rescanned value if rescanned, else the monotone merge
+    // (least/greatest skip nulls, so a brand-new group takes __ins and
+    // an untouched group keeps __old)
+    joined.select((gCols :+ col("n")) ++ sums.map(s => col(s._1)) ++
+      exts.map { e =>
+        val merged = if (e.isMin) least(col("__old_" + e.name), col("__ins_" + e.name))
+                     else greatest(col("__old_" + e.name), col("__ins_" + e.name))
+        when(col("__rescan"), col("__re_" + e.name)).otherwise(merged).as(e.name)
+      }: _*)
+  }
+
+  /** [[maintain]] with MIN/MAX columns — same batch loop, same
+    * checkpoint discipline, extrema maintained via [[mergeMvMinMax]].
+    */
+  def maintainMinMax(batches: Seq[DataFrame], keyCols: Seq[String],
+                     version: Seq[Column], deleteFlag: Column,
+                     groupCols: Seq[String], sums: Seq[(String, Column)],
+                     exts: Seq[Extremum]): DataFrame = {
+    require(batches.nonEmpty, "maintainMinMax: no batches")
+    var state = emptyState(batches.head, deleteFlag)
+    var mv: Option[DataFrame] = None
+    batches.foreach { batch =>
+      val s = step(state, batch, keyCols, version, deleteFlag)
+      val prevState = state
+      val prevMv = mv
+      state = s.state.localCheckpoint(true)
+      // mergeMvMinMax reads the successor state (the rescan leg) — use
+      // the checkpointed frame so the rescan and the diff agree
+      mv = Some(mergeMvMinMax(mv, s.copy(state = state), groupCols, sums, exts)
+        .localCheckpoint(true))
+      graft.Ckpt.free(prevState)
+      prevMv.foreach(graft.Ckpt.free)
+    }
+    graft.Ckpt.free(state)
+    mv.get
+  }
 }

@@ -1,0 +1,114 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Incremental TOP-K-PER-GROUP materialized view over a keyed CDC
+  * changelog — the materialized top-N the reference keeps warm as a
+  * hand-run ranking query against the PK table (monitor.sh's "top
+  * customers" checks; StarRocks/ClickHouse serve the same shape as
+  * materialized TOPN). Like MIN/MAX ([[MaterializedAgg.mergeMvMinMax]],
+  * whose k=1 special case this generalizes), top-k is NOT
+  * self-maintainable: retracting a stored member says nothing about
+  * which state row moves up to replace it. The maintenance rule keeps
+  * the cost at its IVM minimum:
+  *
+  *  - INSERTS never rescan: the new top-k is a subset of
+  *    (stored top-k ∪ inserted rows) — one bounded per-group rank over
+  *    ≤ k + batch rows;
+  *  - a RETRACTION rescans its group only if the retracted key is a
+  *    STORED MEMBER (a below-k retraction cannot change membership);
+  *    rescanned groups recompute exactly from the live key-state
+  *    restricted to those groups (left-semi join), so the rescan costs
+  *    Σ|affected groups|, never the view or the corpus;
+  *  - an UPDATE to a member arrives as −member/+new and lands in the
+  *    rescan leg; an update to a non-member merges like an insert.
+  *
+  * Deltas come from [[MaterializedAgg.step]]'s state diff, so
+  * out-of-order and duplicate deliveries cancel before they reach the
+  * view (the A24/A39 discipline — tombstones stay in the state, a
+  * straggler insert loses `latestPerKey`).
+  *
+  * The view stores (groupCols, keyCols, value) rows — at most k per
+  * group; [[rank]] attaches the dense 1..k ordering (value desc, keys
+  * asc) at read time.
+  */
+object MaterializedTopK {
+
+  private val Val = "__topk_v"
+
+  /** Advance the view by one [[MaterializedAgg.Step]]. `state` must be
+    * the step's NEW key-state (live + tombstones). */
+  def mergeTopK(mv: Option[DataFrame], st: MaterializedAgg.Step,
+                groupCols: Seq[String], keyCols: Seq[String],
+                value: Column, k: Int): DataFrame = {
+    require(k >= 1, s"mergeTopK: need k >= 1, got $k")
+    val gCols = groupCols.map(col)
+    val gkCols = (groupCols ++ keyCols).map(col)
+    val wTop = Window.partitionBy(gCols: _*)
+      .orderBy(col(Val).desc +: keyCols.map(col(_).asc): _*)
+    def topK(df: DataFrame): DataFrame =
+      df.withColumn("__rn", row_number().over(wTop))
+        .where(col("__rn") <= k).drop("__rn")
+
+    val stored = mv.getOrElse(
+      st.state.select(gkCols :+ value.as(Val): _*).limit(0))
+
+    // rescan set: a −1 row whose (group, key) is a stored member —
+    // retracting below-k rows cannot change membership
+    val rescanG = st.signedDelta.where(col(MaterializedAgg.Sign) === -1)
+      .join(stored, groupCols ++ keyCols, "left_semi")
+      .select(gCols: _*).distinct()
+
+    // non-rescan groups: stored ∪ inserts, re-ranked (bounded per
+    // group by k + batch rows; no key duplicates — a +1 for a stored
+    // key implies a −1 for it too, which routed the group to rescan)
+    val inserts = st.signedDelta.where(col(MaterializedAgg.Sign) === 1)
+      .select(gkCols :+ value.as(Val): _*)
+    val merged = topK(stored.unionByName(inserts)
+      .join(rescanG, groupCols, "left_anti"))
+
+    // rescanned groups: exact top-k from the live key-state of those
+    // groups only
+    val rescanned = topK(st.state.where(!col(MaterializedAgg.Del))
+      .join(rescanG, groupCols, "left_semi")
+      .select(gkCols :+ value.as(Val): _*))
+
+    merged.unionByName(rescanned)
+  }
+
+  /** Attach the 1..k rank (value desc, keys asc) to a maintained view. */
+  def rank(mv: DataFrame, groupCols: Seq[String], keyCols: Seq[String],
+           valueName: String = "value"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(Val).desc +: keyCols.map(col(_).asc): _*)
+    mv.withColumn("rank", row_number().over(w).cast("long"))
+      .select((groupCols.map(col) :+ col("rank")) ++ keyCols.map(col) :+
+        col(Val).as(valueName): _*)
+  }
+
+  /** Drive a whole batch sequence; returns the final ranked view
+    * (groupCols, rank, keyCols, `valueName`). Same checkpoint
+    * discipline as [[MaterializedAgg.maintain]]. */
+  def maintain(batches: Seq[DataFrame], keyCols: Seq[String],
+               version: Seq[Column], deleteFlag: Column,
+               groupCols: Seq[String], value: Column, k: Int,
+               valueName: String = "value"): DataFrame = {
+    require(batches.nonEmpty, "maintain: no batches")
+    var state = MaterializedAgg.emptyState(batches.head, deleteFlag)
+    var mv: Option[DataFrame] = None
+    batches.foreach { batch =>
+      val s = MaterializedAgg.step(state, batch, keyCols, version, deleteFlag)
+      val prevState = state
+      val prevMv = mv
+      state = s.state.localCheckpoint(true)
+      mv = Some(mergeTopK(prevMv, s.copy(state = state),
+        groupCols, keyCols, value, k).localCheckpoint(true))
+      graft.Ckpt.free(prevState)
+      prevMv.foreach(graft.Ckpt.free)
+    }
+    graft.Ckpt.free(state)
+    rank(mv.get, groupCols, keyCols, valueName)
+  }
+}

@@ -79,6 +79,96 @@ object Similarity {
         Rounding.r(col("cos"), 4).as("cos"))
   }
 
+  /** Maximal-Marginal-Relevance diversity rerank (Carbonell &
+    * Goldstein, SIGIR'98) over a brute top-`pool` candidate set: pick
+    * the best-scoring candidate, then repeatedly the one maximizing
+    * `λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s)` — relevance traded
+    * against redundancy, the rerank every production retrieval stack
+    * runs between recall and the reader.
+    *
+    * Fully declarative: the greedy loop is unrolled into `m` window-
+    * rank steps over the POOL (q·pool rows after one corpus scan), so
+    * every step is codegen'd joins over a checkpointed pool frame —
+    * the corpus is scanned exactly once, and a DuckDB oracle replays
+    * each step's arithmetic bit-for-bit (same sequential dot products,
+    * same `λ·c − (1−λ)·pen` doubles, same nid tie-break). At scale the
+    * pool would come from the graph/IVF index instead of the brute
+    * scan — the rerank itself is pool-sized and corpus-free.
+    *
+    * Rank 1's score is `λ·cos` (the empty-set penalty is zero). A
+    * query with fewer than `m` candidates yields min(m, |pool|) rows.
+    */
+  def mmrTopkBrute(df: DataFrame, id: Column, vec: Column,
+                   isQuery: Column => Column, pool: Int, m: Int,
+                   lambda: Double): DataFrame = {
+    require(m >= 1 && pool >= m, s"mmrTopkBrute: need pool >= m >= 1, got pool=$pool m=$m")
+    val v = df.select(id.as("id"), toDouble(vec).as("v")).withColumn("n2", normSq(col("v")))
+    val q = v.where(isQuery(col("id")))
+      .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val wPool = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    // one corpus scan → the pool
+    val cand = v.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"), col("v"), col("n2"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
+      .withColumn("rn", row_number().over(wPool)).where(col("rn") <= pool).drop("rn")
+    mmrRerank(cand, m, lambda)
+  }
+
+  /** The MMR greedy over an arbitrary candidate POOL frame
+    * `(qid, nid, v, n2, cos)` — the pool can come from the brute scan
+    * ([[mmrTopkBrute]]), the persisted graph/IVF indexes, or any other
+    * recall stage; the rerank itself is pool-sized and corpus-free.
+    * Checkpoints the pool once (so the m unrolled steps and the
+    * pairwise-penalty self-join never re-run the pool's producer) and
+    * frees every intermediate after the (q·m-row) result materializes.
+    */
+  def mmrRerank(candIn: DataFrame, m: Int, lambda: Double): DataFrame = {
+    require(m >= 1, s"mmrRerank: need m >= 1, got $m")
+    // checkpointed so the m rerank steps
+    // (and the pairwise-penalty self-join) never re-run the scan
+    val cand = candIn.localCheckpoint(true)
+
+    // candidate×candidate similarity within each query's pool —
+    // ≤ q·pool² rows, the penalty lookup table for every step
+    val pair = cand.as("a").join(cand.as("b"),
+        col("a.qid") === col("b.qid") && col("a.nid") =!= col("b.nid"))
+      .select(col("a.qid").as("qid"), col("a.nid").as("da"), col("b.nid").as("db"),
+        cosineWithNorms(dot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("pc"))
+      .localCheckpoint(true)
+
+    val lam = lit(lambda)
+    val mu = lit(1.0 - lambda) // double arithmetic; the oracle writes (1 - λ) and lands on the same bits
+    val wMmr = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("nid").asc)
+    var sel = cand
+      .withColumn("mmr", lam * col("cos"))
+      .withColumn("rn", row_number().over(wMmr)).where(col("rn") === 1)
+      .select(col("qid"), lit(1L).as("rank"), col("nid"), col("cos"), col("mmr"))
+      .localCheckpoint(true)
+    var superseded: List[DataFrame] = Nil
+    (2 to m).foreach { i =>
+      val selIds = sel.select(col("qid"), col("nid"))
+      val remaining = cand.select(col("qid"), col("nid"), col("cos"))
+        .join(selIds, Seq("qid", "nid"), "left_anti")
+      // max pairwise sim to the selected set: pair rows whose db is
+      // selected for that query, max'd per candidate
+      val pen = pair.join(selIds.withColumnRenamed("nid", "db"), Seq("qid", "db"), "left_semi")
+        .groupBy(col("qid"), col("da")).agg(max(col("pc")).as("pen"))
+      val next = remaining
+        .join(pen.withColumnRenamed("da", "nid"), Seq("qid", "nid"))
+        .withColumn("mmr", lam * col("cos") - mu * col("pen"))
+        .withColumn("rn", row_number().over(wMmr)).where(col("rn") === 1)
+        .select(col("qid"), lit(i.toLong).as("rank"), col("nid"), col("cos"), col("mmr"))
+      val prev = sel
+      sel = prev.unionByName(next).localCheckpoint(true)
+      superseded = prev :: superseded
+    }
+    val out = sel.select(col("qid"), col("rank"), col("nid"),
+        Rounding.r(col("cos"), 4).as("cos"), Rounding.r(col("mmr"), 4).as("mmr"))
+      .localCheckpoint(true) // q·m rows; frees the pool below
+    (cand :: pair :: sel :: superseded).foreach(graft.Ckpt.free)
+    out
+  }
+
   /** [[topkBruteForce]] semantics through the bounded
     * [[graft.functions.TopKBy]] AGGREGATOR instead of a rank window:
     * partial top-k buffers merge map-side, so the exchange carries

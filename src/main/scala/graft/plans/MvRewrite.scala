@@ -560,6 +560,15 @@ object MvRewrite {
           case _ => Nil
         }
         registerJoin(spark, strs(j \ "paths"), pairs, mvPath, groupCols, aggs)
+      case "topk" =>
+        val k = (j \ "k") match {
+          case JInt(n)  => n.toInt
+          case JLong(n) => n.toInt
+          case other => throw new IllegalArgumentException(
+            s"bad k in top-k registration manifest under $snapshotDir: $other")
+        }
+        registerTopK(spark, str(j \ "source"), mvPath, groupCols,
+          strs(j \ "key_cols"), str(j \ "value_col"), k)
       case other => throw new IllegalArgumentException(
         s"unknown registration kind '$other' under $snapshotDir")
     }
@@ -609,10 +618,106 @@ object MvRewrite {
         if (rest.isEmpty) None else Some(rest)
       case None => None
     }
-  def clear(): Unit = { registry.clear(); joinRegistry.clear() }
+  def clear(): Unit = { registry.clear(); joinRegistry.clear(); topkRegistry.clear() }
   private[plans] def lookup(path: String): Seq[MvDef] =
     registry.get(path).map(_.values.toSeq).getOrElse(Nil)
   private[plans] def isEmpty: Boolean = registry.isEmpty
+
+  // ---- TOP-K (materialized TOPN) MVs -------------------------------
+
+  /** One registered TOP-K MV: the MV table stores the top `k` rows per
+    * `groupCols` of the source, ordered `valueCol` DESC then `keyCols`
+    * ASC (ties), carrying the SOURCE's column names. Maintained by
+    * [[graft.cdc.MaterializedTopK]]; served by
+    * [[MvRewriteRule.rewriteTopK]] when a query plans the
+    * `row_number() OVER (PARTITION BY g ORDER BY v DESC, keys) ≤ c`
+    * TOPN shape over the source with c ≤ k. */
+  final case class TopKDef(sourcePath: String, mvPath: String,
+                           groupCols: Seq[String], keyCols: Seq[String],
+                           valueCol: String, k: Int, mvPlan: LogicalPlan)
+
+  private val topkRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, TopKDef]]
+
+  /** Register a TOP-K MV for `sourcePath` — ADDS to the source's
+    * top-k MV set (re-registering the same mvPath replaces it). Pins
+    * the MV table's current snapshot like [[register]]. */
+  def registerTopK(spark: SparkSession, sourcePath: String, mvPath: String,
+                   groupCols: Seq[String], keyCols: Seq[String],
+                   valueCol: String, k: Int): Unit = {
+    require(k >= 1, s"registerTopK: need k >= 1, got $k")
+    require(groupCols.nonEmpty && keyCols.nonEmpty, "registerTopK: need group and key columns")
+    val mvDf = spark.read.parquet(mvPath)
+    val plan = mvDf.queryExecution.analyzed
+    val mvCols = plan.output.map(_.name).toSet
+    (groupCols ++ keyCols :+ valueCol).foreach(c =>
+      require(mvCols.contains(c), s"top-k MV table $mvPath lacks column $c"))
+    val src = normalize(sourcePath)
+    val entry = TopKDef(src, mvPath, groupCols, keyCols, valueCol, k, plan)
+    topkRegistry.updateWith(src) {
+      case Some(m) => Some(m + (mvPath -> entry))
+      case None    => Some(Map(mvPath -> entry))
+    }
+  }
+
+  def deregisterTopK(sourcePath: String): Unit =
+    topkRegistry.remove(normalize(sourcePath))
+
+  /** Remove ONE top-k MV for the source without touching siblings. */
+  def deregisterTopK(sourcePath: String, mvPath: String): Unit =
+    topkRegistry.updateWith(normalize(sourcePath)) {
+      case Some(m) =>
+        val rest = m - mvPath
+        if (rest.isEmpty) None else Some(rest)
+      case None => None
+    }
+
+  /** [[registerSketchSnapshot]]'s TOP-K twin: versioned publish +
+    * DURABLE registration + serving-generation retention for a
+    * maintained top-k MV (`mvFrame` =
+    * [[graft.cdc.MaterializedTopK]]'s view with the rank column
+    * dropped — groupCols ++ keyCols :+ valueCol under the source's
+    * names). Each publish lands in a fresh `snapshotDir/v<N>`, writes
+    * `_registration.json` beside it (so [[registerAll]] recovers the
+    * registration after a restart), swaps the in-session registration,
+    * and retains the previously SERVING generation for in-flight
+    * readers. The snapshot is k·|groups| rows — result-scale work. */
+  def registerTopKSnapshot(spark: SparkSession, sourcePath: String,
+                           mvFrame: org.apache.spark.sql.DataFrame,
+                           snapshotDir: String, groupCols: Seq[String],
+                           keyCols: Seq[String], valueCol: String, k: Int,
+                           mvRoot: Option[String] = None): Unit = {
+    val basePrefix = normalize(snapshotDir) + "/v"
+    val prevPaths = topkLookup(normalize(sourcePath)).map(_.mvPath)
+      .filter(p => normalize(p).startsWith(basePrefix))
+    publishVersioned(spark, snapshotDir, mvFrame, mvRoot,
+      registeredGens = prevPaths.flatMap(p => genOf(normalize(p))).toSet,
+      registrationJson = dataDir => registrationJsonTopK(
+        sourcePath, dataDir, groupCols, keyCols, valueCol, k, mvRoot),
+      registerFn = dataDir =>
+        registerTopK(spark, sourcePath, dataDir, groupCols, keyCols, valueCol, k),
+      deregisterOld = () =>
+        prevPaths.foreach(old => deregisterTopK(sourcePath, old)))
+    ()
+  }
+
+  private def registrationJsonTopK(sourcePath: String, dataDir: String,
+                                   groupCols: Seq[String], keyCols: Seq[String],
+                                   valueCol: String, k: Int,
+                                   mvRoot: Option[String]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val j = ("kind" -> "topk") ~ ("source" -> sourcePath) ~
+      ("gen" -> genOf(normalize(dataDir)).getOrElse(0L)) ~
+      ("mv_path" -> dataDir) ~ ("group_cols" -> groupCols.toList) ~
+      ("key_cols" -> keyCols.toList) ~ ("value_col" -> valueCol) ~
+      ("k" -> k) ~ ("mv_root" -> mvRoot)
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  private[plans] def topkLookup(path: String): Seq[TopKDef] =
+    topkRegistry.get(path).map(_.values.toSeq).getOrElse(Nil)
+  private[plans] def topkIsEmpty: Boolean = topkRegistry.isEmpty
 }
 
 class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -732,7 +837,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (MvRewrite.isEmpty && MvRewrite.joinIsEmpty) plan
+    if (MvRewrite.isEmpty && MvRewrite.joinIsEmpty && MvRewrite.topkIsEmpty) plan
     else plan.transformUp {
       case agg @ Aggregate(ges, aes, child, _) =>
         (for {
@@ -742,7 +847,123 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         } yield rewritten)
           .orElse(rewriteJoinAgg(agg, ges, aes, child))
           .getOrElse(agg)
+      case f @ Filter(cond, w: org.apache.spark.sql.catalyst.plans.logical.Window)
+          if !MvRewrite.topkIsEmpty =>
+        rewriteTopK(f, cond, w).getOrElse(f)
     }
+
+  /** The TOPN match: `Filter(… ∧ rank ≤ c ∧ …, Window(row_number()
+    * OVER (PARTITION BY g ORDER BY v DESC, keys ASC)))` over a scan of
+    * a registered top-k MV's source with c ≤ k — the materialized-TOPN
+    * read side. The rewrite keeps the query's own Window/Filter shape
+    * but re-anchors the window's child on the MV scan: the MV stores
+    * EXACTLY the source's top-k rows per group in the registered order,
+    * so row_number over the MV assigns every rank ≤ k the same row it
+    * gets over the source — any filter that confines ranks to ≤ k
+    * therefore selects identical rows, and the window now runs over
+    * k·|groups| rows instead of the corpus. Extra filter conjuncts
+    * evaluate over the same (row, rank) pairs and pass through
+    * untouched. Guards (all conservative):
+    *  - exactly one window expression, a bare `row_number()`;
+    *  - order = value DESC (nulls last) then every registered key ASC
+    *    (nulls first) — the registered maintenance order exactly;
+    *  - partition set == registered group set;
+    *  - some conjunct bounds rank ≤ c with c ≤ k (`<=`, `<`, `=`,
+    *    either side);
+    *  - the window child is the source scan through bare Projects /
+    *    WindowGroupLimit, plus optionally a GROUP-COLUMN-only filter
+    *    (the optimizer pushes partition-column predicates below the
+    *    window; such a predicate is constant per group, so filtering
+    *    MV rows is exactly filtering source rows before ranking);
+    *  - every column the window child outputs exists in the MV.
+    */
+  private def rewriteTopK(f: Filter, cond: Expression,
+      w: org.apache.spark.sql.catalyst.plans.logical.Window): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending,
+      EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+      NullsFirst, NullsLast, RowNumber, SortOrder, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+
+    val rankAlias = w.windowExpressions match {
+      case Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)) => al
+      case _ => return None
+    }
+    // the tightest rank bound among the conjuncts
+    def litLong(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, _)  => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+    def isRank(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == rankAlias.exprId
+      case _ => false
+    }
+    val bounds = splitConjuncts(cond).flatMap {
+      case LessThanOrEqual(a, l) if isRank(a)    => litLong(l)
+      case LessThan(a, l) if isRank(a)           => litLong(l).map(_ - 1)
+      case EqualTo(a, l) if isRank(a)            => litLong(l)
+      case EqualTo(l, a) if isRank(a)            => litLong(l)
+      case GreaterThanOrEqual(l, a) if isRank(a) => litLong(l)
+      case GreaterThan(l, a) if isRank(a)        => litLong(l).map(_ - 1)
+      case _ => None
+    }
+    if (bounds.isEmpty) return None
+    val bound = bounds.min
+    if (bound < 1) return None
+
+    // window child: scan through bare Projects / WindowGroupLimit,
+    // collecting any filter conjuncts found on the way
+    def unwrap(p: LogicalPlan): Option[(Seq[Expression], LogicalPlan)] = p match {
+      case WindowGroupLimit(_, _, _, _, c) => unwrap(c)
+      case Project(pl, c) if bare(pl) => unwrap(c)
+      case Filter(fc, c) =>
+        unwrap(c).map { case (cs, s) => (cs ++ splitConjuncts(fc), s) }
+      case r: LogicalRelation => Some((Nil, r))
+      case _ => None
+    }
+    val (pushed, scan) = unwrap(w.child).getOrElse(return None)
+    val path = sourceOf(scan).getOrElse(return None)
+
+    val cands = MvRewrite.topkLookup(path).filter { d =>
+      d.k >= bound &&
+      // partition set == group set (bare attrs only)
+      w.partitionSpec.forall(_.isInstanceOf[AttributeReference]) &&
+      w.partitionSpec.map(_.asInstanceOf[AttributeReference].name).toSet ==
+        d.groupCols.toSet &&
+      // order: value DESC NULLS LAST, then the keys ASC NULLS FIRST
+      (w.orderSpec match {
+        case SortOrder(v: AttributeReference, Descending, NullsLast, _) +: rest =>
+          v.name == d.valueCol && rest.length == d.keyCols.length &&
+          rest.zip(d.keyCols).forall {
+            case (SortOrder(a: AttributeReference, Ascending, NullsFirst, _), kc) =>
+              a.name == kc
+            case _ => false
+          }
+        case _ => false
+      }) &&
+      // pushed-below filters must confine to group columns
+      pushed.forall(_.references.forall(a => d.groupCols.contains(a.name))) &&
+      // everything the window child carries must exist in the MV
+      w.child.output.forall(a =>
+        (d.groupCols ++ d.keyCols :+ d.valueCol).contains(a.name))
+    }
+    // fewest MV rows ≡ smallest k among the matches
+    val mv = cands.sortBy(_.k).headOption.getOrElse(return None)
+
+    val mvPlan = mv.mvPlan match {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+      case other => other
+    }
+    val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+    val filtered: LogicalPlan =
+      if (pushed.isEmpty) mvPlan
+      else Filter(pushed.map(_.transform {
+        case a: AttributeReference => mvAttr(a.name)
+      }).reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)), mvPlan)
+    val mvChild = Project(w.child.output.map(a =>
+      Alias(mvAttr(a.name), a.name)(exprId = a.exprId)), filtered)
+    Some(f.copy(child = w.copy(child = mvChild)))
+  }
 
   /** The JOIN+AGG MV match: `Aggregate` over a tree of INNER
     * equi-joins of 2+ parquet scans whose (path set, equi-key-pair

@@ -147,4 +147,106 @@ class MaterializedAggSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(q == direct && q.nonEmpty)
   }
+
+  // ---- MIN/MAX maintenance (not self-maintainable: a retraction of
+  // the stored extremum forces a group rescan of the live key-state)
+
+  private def mvMinMax(batches: Seq[DataFrame]): Map[String, (Long, Double, Double, Double)] =
+    MaterializedAgg.maintainMinMax(batches, keyCols = Seq("k"),
+        version = Seq(col("ver")), deleteFlag = col("del"),
+        groupCols = Seq("g"), sums = Seq("total" -> col("v")),
+        exts = Seq(MaterializedAgg.Extremum("vmin", col("v"), isMin = true),
+          MaterializedAgg.Extremum("vmax", col("v"), isMin = false)))
+      .select(col("g"), col("n"), col("total"), col("vmin"), col("vmax"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map { case (g, n, t, lo, hi) => g -> ((n, t, lo, hi)) }.toMap
+
+  private def recomputeMinMax(all: DataFrame): Map[String, (Long, Double, Double, Double)] =
+    graft.cdc.PkTable.compact(all, Seq("k"), Seq(col("ver")), col("del"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("total"),
+        min("v").as("vmin"), max("v").as("vmax"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map { case (g, n, t, lo, hi) => g -> ((n, t, lo, hi)) }.toMap
+
+  test("min/max: deleting the group minimum rescans to the surviving rows") {
+    val b1 = chg((1L, 1L, "a", 1.0, false), (2L, 1L, "a", 5.0, false),
+      (3L, 1L, "a", 9.0, false), (4L, 1L, "b", 2.0, false))
+    // retract the CURRENT min of a (k=1, v=1.0) — the stored vmin is
+    // now stale; only a rescan of a's live rows can find 5.0
+    val b2 = chg((1L, 2L, "a", 0.0, true))
+    val got = mvMinMax(Seq(b1, b2))
+    assert(got("a") == ((2L, 14.0, 5.0, 9.0)))
+    assert(got("b") == ((1L, 2.0, 2.0, 2.0))) // untouched group keeps its extrema
+    assert(got == recomputeMinMax(b1.unionByName(b2)))
+  }
+
+  test("min/max: deleting the max, updating the min in place, and migrating a key") {
+    val b1 = chg((1L, 1L, "a", 1.0, false), (2L, 1L, "a", 5.0, false),
+      (3L, 1L, "a", 9.0, false))
+    val b2 = chg((3L, 2L, "a", 0.0, true),   // retract the max
+      (1L, 2L, "a", 4.0, false),             // the min moves UP in place
+      (2L, 2L, "b", 5.0, false))             // and the middle key migrates a → b
+    val got = mvMinMax(Seq(b1, b2))
+    // a keeps only k=1@4.0 — every stored extremum was invalidated
+    assert(got("a") == ((1L, 4.0, 4.0, 4.0)))
+    assert(got("b") == ((1L, 5.0, 5.0, 5.0)))
+    assert(got == recomputeMinMax(b1.unionByName(b2)))
+  }
+
+  test("min/max: pure inserts merge monotonically; interior deletes keep extrema") {
+    val b1 = chg((1L, 1L, "a", 3.0, false), (2L, 1L, "a", 7.0, false))
+    val b2 = chg((3L, 1L, "a", 1.0, false), (4L, 1L, "a", 9.0, false)) // widen both ends
+    val b3 = chg((3L, 2L, "a", 1.0, false), (5L, 1L, "a", 5.0, false)) // interior insert + dup-ish update
+    val b4 = chg((2L, 2L, "a", 0.0, true))  // interior delete: 7 is neither min nor max
+    val got = mvMinMax(Seq(b1, b2, b3, b4))
+    assert(got("a") == ((4L, 18.0, 1.0, 9.0)))
+    assert(got == recomputeMinMax(Seq(b2, b3, b4).foldLeft(b1)(_ unionByName _)))
+  }
+
+  test("streaming deployment: foreachBatch maintains min/max through extremum deletes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val exts = Seq(MaterializedAgg.Extremum("vmin", col("v"), isMin = true),
+      MaterializedAgg.Extremum("vmax", col("v"), isMin = false))
+    val input = MemoryStream[(Long, Long, String, Double, Boolean)]
+    var state = MaterializedAgg.emptyState(
+      chg().toDF("k", "ver", "g", "v", "del"), col("del"))
+    var mv: Option[DataFrame] = None
+    val q = input.toDF().toDF("k", "ver", "g", "v", "del")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = MaterializedAgg.step(state, batch,
+          Seq("k"), Seq(col("ver")), col("del"))
+        state = s.state.localCheckpoint(true)
+        mv = Some(MaterializedAgg.mergeMvMinMax(mv, s.copy(state = state),
+          Seq("g"), Seq("total" -> col("v")), exts).localCheckpoint(true))
+      }.start()
+    input.addData((1L, 1L, "a", 10.0, false), (2L, 1L, "a", 3.0, false))
+    q.processAllAvailable()
+    // retract the live minimum (k=2 @ 3.0) AND push the max up — the
+    // micro-batch must rescan a's survivors, not keep the stale 3.0
+    input.addData((2L, 2L, "a", 0.0, true), (3L, 1L, "a", 20.0, false))
+    q.processAllAvailable(); q.stop()
+    val got = mv.get.select(col("g"), col("n"), col("total"), col("vmin"), col("vmax"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map { case (g, n, t, lo, hi) => g -> ((n, t, lo, hi)) }.toMap
+    assert(got == Map("a" -> ((2L, 30.0, 10.0, 20.0))))
+  }
+
+  test("min/max matches a full recompute on a randomized changelog") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(40).toLong, i.toLong, "g" + rnd.nextInt(5),
+        rnd.nextInt(1000) / 10.0, rnd.nextInt(8) == 0)
+    }
+    val batches = rows.grouped(100).map(r => chg(r: _*)).toSeq
+    // sums accumulate in different orders between the incremental and
+    // the recomputed path — compare them at 6dp; min/max stay exact
+    def r6(m: Map[String, (Long, Double, Double, Double)]) =
+      m.view.mapValues { case (n, t, lo, hi) =>
+        (n, math.rint(t * 1e6) / 1e6, lo, hi) }.toMap
+    val got = mvMinMax(batches)
+    val want = recomputeMinMax(batches.reduce(_ unionByName _))
+    assert(r6(got) == r6(want) && got.nonEmpty)
+  }
 }

@@ -831,4 +831,92 @@ class MvRewriteSpec extends SparkSpec {
         "re-publish after restart must retain the recovered serving gen")
     } finally MvRewrite.clear()
   }
+
+  test("top-k MV: TOPN window queries serve from the MV; guards hold mismatches on the source") {
+    import org.apache.spark.sql.expressions.Window
+    MvRewrite.clear()
+    val dir = TestTmp.dir("tkmv").toString
+    val srcP = dir + "/src"
+    val mvP = dir + "/mv"
+    Seq(("a", 1L, 10.0), ("a", 2L, 9.0), ("a", 3L, 8.0), ("a", 4L, 7.0),
+      ("a", 5L, 6.0), ("b", 6L, 5.0), ("b", 7L, 4.0), ("b", 8L, 3.0),
+      ("b", 9L, 2.0)).toDF("g", "k", "v").write.parquet(srcP)
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("k").asc)
+    spark.read.parquet(srcP).withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3).drop("rn").write.parquet(mvP)
+    spark.read.parquet(srcP).createOrReplaceTempView("tk_src")
+
+    val full = """SELECT g, k, v, rnk FROM (SELECT g, k, v,
+      row_number() OVER (PARTITION BY g ORDER BY v DESC, k) AS rnk
+      FROM tk_src) WHERE rnk <= 3"""
+    val tight = full.replace("rnk <= 3", "rnk <= 2")
+    val over = full.replace("rnk <= 3", "rnk <= 4")       // exceeds k — must stay on source
+    val asc = full.replace("v DESC", "v ASC")             // wrong order — must stay on source
+    val extra = full.replace("WHERE rnk <= 3", "WHERE rnk <= 3 AND v > 4.5")
+    val partF = full.replace("WHERE rnk <= 3", "WHERE g = 'a' AND rnk <= 2")
+
+    def rows(sql: String) = spark.sql(sql)
+      .as[(String, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // baselines with the registry EMPTY — the source is the truth
+    val base = Map(full -> rows(full), tight -> rows(tight), over -> rows(over),
+      asc -> rows(asc), extra -> rows(extra), partF -> rows(partF))
+
+    try {
+      MvRewrite.registerTopK(spark, srcP, mvP, Seq("g"), Seq("k"), "v", 3)
+      def check(sql: String, viaMv: Boolean, label: String): Unit = {
+        val df = spark.sql(sql)
+        assert(scansMv(df, mvP) == viaMv, s"$label: MV-scan should be $viaMv")
+        assert(scansMv(df, srcP) == !viaMv, s"$label: source-scan should be ${!viaMv}")
+        assert(rows(sql) == base(sql), s"$label: values must match the source truth")
+      }
+      check(full, viaMv = true, "full-k TOPN")
+      check(tight, viaMv = true, "tighter bound")
+      check(extra, viaMv = true, "extra post-rank conjunct")
+      check(partF, viaMv = true, "partition-column filter below the window")
+      check(over, viaMv = false, "bound beyond k")
+      check(asc, viaMv = false, "wrong sort direction")
+      assert(base(full).size == 6 && base(tight).size == 4 && base(over).size == 8)
+    } finally MvRewrite.clear()
+  }
+
+  test("top-k MV: versioned publish, restart recovery, retained serving generation") {
+    import org.apache.spark.sql.expressions.Window
+    MvRewrite.clear()
+    val dir = TestTmp.dir("tkpub").toString
+    val srcP = dir + "/src"
+    val pub = dir + "/pub"
+    Seq(("a", 1L, 10.0), ("a", 2L, 9.0), ("a", 3L, 8.0), ("a", 4L, 7.0),
+      ("b", 6L, 5.0), ("b", 7L, 4.0), ("b", 8L, 3.0))
+      .toDF("g", "k", "v").write.parquet(srcP)
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("k").asc)
+    def mvFrame(): DataFrame = spark.read.parquet(srcP)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3).drop("rn")
+    spark.read.parquet(srcP).createOrReplaceTempView("tk_pub_src")
+    val sql = """SELECT g, k, v, rnk FROM (SELECT g, k, v,
+      row_number() OVER (PARTITION BY g ORDER BY v DESC, k) AS rnk
+      FROM tk_pub_src) WHERE rnk <= 3"""
+    def rows() = spark.sql(sql)
+      .as[(String, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val want = rows() // registry empty → source truth
+    try {
+      MvRewrite.registerTopKSnapshot(spark, srcP, mvFrame(), pub,
+        Seq("g"), Seq("k"), "v", 3)
+      assert(scansMv(spark.sql(sql), pub) && rows() == want)
+      // ---- simulated restart: registry empty, manifest on disk
+      MvRewrite.clear()
+      assert(!scansMv(spark.sql(sql), pub), "cleared registry must fall back to source")
+      assert(MvRewrite.registerAll(spark, dir).nonEmpty,
+        "registerAll must recover the top-k manifest")
+      assert(scansMv(spark.sql(sql), pub), "recovered top-k MV must serve")
+      assert(rows() == want)
+      // a publish AFTER recovery retains the recovered serving gen
+      MvRewrite.registerTopKSnapshot(spark, srcP, mvFrame(), pub,
+        Seq("g"), Seq("k"), "v", 3)
+      assert(genDirs(pub) == Set("v1", "v2"),
+        "re-publish after restart must retain the recovered serving gen")
+      val df = spark.sql(sql)
+      assert(scanRoots(df).exists(_.contains("/v2")), "fresh publish must serve v2")
+      assert(rows() == want)
+    } finally MvRewrite.clear()
+  }
 }
