@@ -2161,13 +2161,14 @@ object QueriesData {
     "ann_mmr" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
-        |cand AS (SELECT qid, nid, c, ne FROM (
-        |  SELECT qid, v.vec_id AS nid, v.e AS ne,
+        |cand0 AS (SELECT qid, nid, c FROM (
+        |  SELECT qid, v.vec_id AS nid,
         |    list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) AS c,
         |    row_number() OVER (PARTITION BY qid ORDER BY
         |      list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)) DESC,
         |      v.vec_id) AS rn
         |  FROM q JOIN v ON v.vec_id <> qid) WHERE rn <= 10),
+        |cand AS (SELECT qid, nid, c, e AS ne FROM cand0 JOIN v ON v.vec_id = nid),
         |p AS (SELECT a.qid, a.nid AS da, b.nid AS db,
         |    list_dot_product(a.ne, b.ne) / sqrt(list_dot_product(a.ne, a.ne) * list_dot_product(b.ne, b.ne)) AS pc
         |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid),

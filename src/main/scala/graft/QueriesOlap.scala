@@ -89,6 +89,53 @@ object QueriesOlap {
           col("o_totalprice"))
     },
 
+    // B75: TPC-H Q18 (large-volume customers) — the HAVING-subquery
+    // semi-join shape: orders whose total lineitem quantity clears a
+    // threshold, joined back to customer, top-100 by price. The
+    // aggregate-then-join plans as one orderkey-keyed shuffle that the
+    // orders join reuses (co-keyed); quantity sums are integer-valued
+    // doubles ≤ a few hundred, so Σ is exact in any order and the
+    // HAVING branch replays bit-identically
+    "q_large_orders" -> { (s, dir) =>
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 150)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), TsFmt).as("o_orderdate"),
+          Rounding.r(col("o_totalprice"), 2).as("o_totalprice"),
+          Rounding.r(col("sum_qty"), 2).as("sum_qty"))
+    },
+
+    // B76: TPC-H Q21 (suppliers who kept orders waiting) — the
+    // double-correlated EXISTS/NOT-EXISTS shape, expressed as one
+    // per-order distinct-supplier profile instead of two correlated
+    // subquery rescans: a supplier "kept the order waiting" when its
+    // line shipped > 90 days after the order date, the order involved
+    // ≥ 2 suppliers, and NO other supplier was late. One orderkey
+    // shuffle builds the profile; the late pairs semi-join it
+    "q_waiting_supplier" -> { (s, dir) =>
+      val lo = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+      val perOrder = lo.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      lo.where(col("late")).select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(perOrder.where(col("n_supp") >= 2 && col("n_late") === 1),
+          Seq("l_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+    },
+
     // B5: group-by-status counts (benchmark reconciliation query)
     "q_status_counts" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -1697,6 +1744,29 @@ object QueriesOlap {
     "q_status_counts" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150),
+        |sel AS (SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |  FROM orders JOIN big ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice, round(sum_qty, 2) AS sum_qty
+        |FROM sel ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_waiting_supplier" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |  FROM lo GROUP BY 1),
+        |w AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |FROM w JOIN po USING (l_orderkey)
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY l_suppkey ORDER BY numwait DESC, l_suppkey""".stripMargin,
     "q_filter_pushdown" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
         |FROM lineitem

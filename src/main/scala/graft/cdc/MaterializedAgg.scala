@@ -239,16 +239,24 @@ object MaterializedAgg {
     * extremum columns are attached.
     */
   def mergeMvMinMax(mv: Option[DataFrame], st: Step, groupCols: Seq[String],
-                    sums: Seq[(String, Column)], exts: Seq[Extremum]): DataFrame = {
-    require(exts.nonEmpty, "mergeMvMinMax: no extremum columns")
-    val extNames = exts.map(_.name)
+                    sums: Seq[(String, Column)], exts: Seq[Extremum]): DataFrame =
+    attachExtrema(
+      mergeMv(mv.map(_.drop(exts.map(_.name): _*)),
+        groupDelta(st.signedDelta, groupCols, sums), groupCols, sums.map(_._1)),
+      mv, st, groupCols, sums, exts)
+
+  /** The extremum half of [[mergeMvMinMax]], reusable over any
+    * count/sum `base` (zero-dropping for the in-memory loop,
+    * zero-keeping for the transactional tombstone path): attaches
+    * `exts` to base's groups via the insert-merge / retraction-rescan
+    * rule. */
+  private def attachExtrema(base: DataFrame, mv: Option[DataFrame], st: Step,
+                            groupCols: Seq[String], sums: Seq[(String, Column)],
+                            exts: Seq[Extremum]): DataFrame = {
+    require(exts.nonEmpty, "attachExtrema: no extremum columns")
     val gCols = groupCols.map(col)
     def extAgg(e: Extremum, out: String): Column =
       (if (e.isMin) min(e.value) else max(e.value)).as(out)
-
-    // count/sum half: the linear path, extremum columns stripped first
-    val base = mergeMv(mv.map(_.drop(extNames: _*)),
-      groupDelta(st.signedDelta, groupCols, sums), groupCols, sums.map(_._1))
 
     // insert candidates: per-group extremum of this batch's +1 rows
     val ins = st.signedDelta.where(col(Sign) === 1)
@@ -295,6 +303,55 @@ object MaterializedAgg {
                      else greatest(col("__old_" + e.name), col("__ins_" + e.name))
         when(col("__rescan"), col("__re_" + e.name)).otherwise(merged).as(e.name)
       }: _*)
+  }
+
+  /** EXACTLY-ONCE transactional maintenance with MIN/MAX columns —
+    * [[maintainTx]]'s discipline plus [[mergeMvMinMax]]'s extremum
+    * rule: state, view, and the per-writer watermark flip in ONE
+    * manifest; the view's batch writes only TOUCHED groups (zero-count
+    * groups tombstone); stale replays run zero Spark jobs. */
+  def maintainMinMaxTx(root: String, batch: DataFrame, batchId: Long,
+                       keyCols: Seq[String], versionCols: Seq[String],
+                       deleteFlag: Column, groupCols: Seq[String],
+                       sums: Seq[(String, Column)], exts: Seq[Extremum],
+                       writer: String): Boolean = {
+    import graft.sinks.{PkTableSink, TxLog}
+    val spark = batch.sparkSession
+    val sumNames = sums.map(_._1)
+    val wmKey = s"wm.$writer"
+    val manifest = TxLog.current(spark, root)
+    val applied = manifest.flatMap(_.meta.get(wmKey)).map(_.toLong)
+    if (applied.exists(batchId <= _)) return false
+
+    val state = PkTableSink.readTxGroupAll(spark, root, "state",
+      emptyState(batch, deleteFlag), deletedCol = Del)
+    val st = step(state, batch, keyCols, versionCols.map(col), deleteFlag)
+    val delta = groupDelta(st.signedDelta, groupCols, sums).localCheckpoint(true)
+    val touched = delta.select(groupCols.map(col): _*)
+    // empty-lake schema fallback: the view's shape derived from the
+    // state (never evaluated once a manifest exists)
+    val mvSchema = st.state.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sums.map { case (nm, c) => sum(c).as(nm) } ++
+          exts.map(e => (if (e.isMin) min(e.value) else max(e.value)).as(e.name)): _*)
+      .limit(0)
+    val curMv = PkTableSink.readTxGroup(spark, root, "mv", mvSchema)
+      .join(touched, groupCols, "left_semi")
+      .localCheckpoint(true) // read thrice: count base, stored extrema, rescan test
+    val newMv = attachExtrema(
+        mergeMvAllowZero(curMv.drop(exts.map(_.name): _*), delta, groupCols, sumNames),
+        Some(curMv), st, groupCols, sums, exts)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("__mv_gone", col("n") <= 0)
+    PkTableSink.mergeTxGroup(spark, root, Map(
+      "state" -> PkTableSink.TableBatch(
+        batch.withColumn("__state_del", coalesce(deleteFlag, lit(false))),
+        keyCols, versionCols, "__state_del"),
+      "mv" -> PkTableSink.TableBatch(newMv, groupCols, Seq("batch_id"), "__mv_gone")),
+      writer = writer,
+      extraMeta = Map(wmKey -> batchId.toString))
+    Seq(delta, curMv).foreach(graft.Ckpt.free)
+    true
   }
 
   /** [[maintain]] with MIN/MAX columns — same batch loop, same

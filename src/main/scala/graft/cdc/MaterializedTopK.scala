@@ -88,6 +88,82 @@ object MaterializedTopK {
         col(Val).as(valueName): _*)
   }
 
+  /** EXACTLY-ONCE transactional maintenance —
+    * [[MaterializedAgg.maintainTx]]'s discipline for the top-k view:
+    * key-state, the (groupCols ++ keyCols)-keyed view table, and the
+    * per-writer batch watermark commit ATOMICALLY in one
+    * [[graft.sinks.PkTableSink.mergeTxGroup]] manifest. A replayed
+    * batch (id ≤ the committed watermark) is a driver-side no-op
+    * running zero Spark jobs. The view's batch writes only TOUCHED
+    * groups: the new top-k rows upsert, and previously-stored members
+    * that fell out (demoted by inserts, retracted, or migrated away)
+    * tombstone — commit I/O ∝ batch + touched groups' k, never the
+    * view. Read the live view with `PkTableSink.readTxGroup(spark,
+    * root, "mv", …)` and attach ranks with [[rank]]. */
+  def maintainTx(root: String, batch: DataFrame, batchId: Long,
+                 keyCols: Seq[String], versionCols: Seq[String],
+                 deleteFlag: Column, groupCols: Seq[String], value: Column,
+                 k: Int, writer: String): Boolean = {
+    import graft.sinks.{PkTableSink, TxLog}
+    val spark = batch.sparkSession
+    val wmKey = s"wm.$writer"
+    val manifest = TxLog.current(spark, root)
+    val applied = manifest.flatMap(_.meta.get(wmKey)).map(_.toLong)
+    if (applied.exists(batchId <= _)) return false
+
+    // state WITH tombstones (the A24 rule: a deleted key's version
+    // must stay visible so a straggler insert loses latestPerKey)
+    val state = PkTableSink.readTxGroupAll(spark, root, "state",
+      MaterializedAgg.emptyState(batch, deleteFlag), deletedCol = MaterializedAgg.Del)
+    val st = MaterializedAgg.step(state, batch, keyCols, versionCols.map(col), deleteFlag)
+
+    // current view restricted to the TOUCHED groups, then the normal
+    // merge/rescan rule over exactly those groups
+    val gkCols = groupCols ++ keyCols
+    val touched = st.signedDelta.select(groupCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val mvSchema = st.state.select(gkCols.map(col) :+ value.as(Val): _*).limit(0)
+    // project the stored view down to (group, key, value) — stored
+    // rows also carry their commit's batch_id, which must not leak
+    // into the merge unions
+    val curMv = PkTableSink.readTxGroup(spark, root, "mv", mvSchema)
+      .select(gkCols.map(col) :+ col(Val): _*)
+      .join(touched, groupCols, "left_semi")
+      .localCheckpoint(true) // read twice: inside mergeTopK and for the tombstone diff
+    val newRows = mergeTopK(Some(curMv), st, groupCols, keyCols, value, k)
+      .localCheckpoint(true)
+    val gone = curMv.join(newRows, gkCols, "left_anti")
+      .select(gkCols.map(col) :+ col(Val): _*)
+    val mvBatch = newRows.withColumn("__mv_gone", lit(false))
+      .unionByName(gone.withColumn("__mv_gone", lit(true)))
+      .withColumn("batch_id", lit(batchId))
+    PkTableSink.mergeTxGroup(spark, root, Map(
+      "state" -> PkTableSink.TableBatch(
+        batch.withColumn("__state_del", coalesce(deleteFlag, lit(false))),
+        keyCols, versionCols, "__state_del"),
+      "mv" -> PkTableSink.TableBatch(mvBatch, gkCols, Seq("batch_id"), "__mv_gone")),
+      writer = writer,
+      extraMeta = Map(wmKey -> batchId.toString))
+    Seq(touched, curMv, newRows).foreach(graft.Ckpt.free)
+    true
+  }
+
+  /** Live ranked view of a [[maintainTx]] lake: (groupCols, rank,
+    * keyCols, `valueName`), demoted/retracted members tombstoned out. */
+  def readTx(spark: org.apache.spark.sql.SparkSession, root: String,
+             groupCols: Seq[String], keyCols: Seq[String],
+             valueName: String = "value"): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    // schemaOf is only the empty-lake fallback; exact leaf types don't
+    // matter there (nothing is read), the column NAMES do
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType((groupCols ++ keyCols).map(StructField(_, StringType)) :+
+        StructField(Val, DoubleType)))
+    rank(graft.sinks.PkTableSink.readTxGroup(spark, root, "mv", empty),
+      groupCols, keyCols, valueName)
+  }
+
   /** Drive a whole batch sequence; returns the final ranked view
     * (groupCols, rank, keyCols, `valueName`). Same checkpoint
     * discipline as [[MaterializedAgg.maintain]]. */

@@ -106,11 +106,18 @@ object Similarity {
     val q = v.where(isQuery(col("id")))
       .select(col("id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     val wPool = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    // one corpus scan → the pool
-    val cand = v.join(broadcast(q), col("id") =!= col("qid"))
-      .select(col("qid"), col("id").as("nid"), col("v"), col("n2"),
+    // scalar-only scoring pass: the rank sort must NOT carry the
+    // vectors — q·n rows of (qid, nid, cos) sort in MBs where the same
+    // rows with embedding arrays attached sort in tens of GBs at scale
+    // (measured: the sf1 oracle's list-carrying window spilled > 70 GB)
+    val pooled = v.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"),
         cosineWithNorms(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
       .withColumn("rn", row_number().over(wPool)).where(col("rn") <= pool).drop("rn")
+    // re-attach vectors to the (q·pool)-sized pool only: broadcast the
+    // pool against one more column-pruned corpus scan
+    val cand = v.join(broadcast(pooled), col("id") === col("nid"))
+      .select(col("qid"), col("nid"), col("v"), col("n2"), col("cos"))
     mmrRerank(cand, m, lambda)
   }
 

@@ -233,6 +233,45 @@ class MaterializedAggSpec extends SparkSpec {
     assert(got == Map("a" -> ((2L, 30.0, 10.0, 20.0))))
   }
 
+  test("transactional min/max: exactly-once replay, extremum-delete rescan, emptied-group tombstone") {
+    import graft.sinks.PkTableSink
+    val root = TestTmp.dir("mmtx").toString + "/g"
+    val exts = Seq(MaterializedAgg.Extremum("vmin", col("v"), isMin = true),
+      MaterializedAgg.Extremum("vmax", col("v"), isMin = false))
+    def apply(b: DataFrame, id: Long) = MaterializedAgg.maintainMinMaxTx(root, b, id,
+      Seq("k"), Seq("ver"), col("del"), Seq("g"),
+      Seq("total" -> col("v")), exts, writer = "job1")
+    def mv(): Map[String, (Long, Double, Double, Double)] =
+      PkTableSink.readTxGroup(spark, root, "mv",
+          chg().toDF("k", "ver", "g", "v", "del").groupBy("g")
+            .agg(count(lit(1)).as("n"), sum("v").as("total"),
+              min("v").as("vmin"), max("v").as("vmax")))
+        .select(col("g"), col("n"), col("total"), col("vmin"), col("vmax"))
+        .as[(String, Long, Double, Double, Double)].collect()
+        .map { case (g, n, t, lo, hi) => g -> ((n, t, lo, hi)) }.toMap
+
+    assert(apply(chg((1L, 1L, "a", 1.0, false), (2L, 1L, "a", 5.0, false),
+      (10L, 1L, "b", 2.0, false)), 1L))
+    assert(mv() == Map("a" -> ((2L, 6.0, 1.0, 5.0)), "b" -> ((1L, 2.0, 2.0, 2.0))))
+
+    // retract the stored minimum AND push the max in one batch — the
+    // commit must rescan a's survivors; b is untouched
+    assert(apply(chg((1L, 2L, "a", 0.0, true), (3L, 1L, "a", 9.0, false)), 2L))
+    assert(mv() == Map("a" -> ((2L, 14.0, 5.0, 9.0)), "b" -> ((1L, 2.0, 2.0, 2.0))))
+
+    // replay of a committed batch: zero Spark jobs, view unchanged
+    spark.sparkContext.setJobGroup("mm-stale-replay", "stale replay must run no jobs")
+    assert(!apply(chg((1L, 2L, "a", 0.0, true), (3L, 1L, "a", 9.0, false)), 2L))
+    spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup("mm-stale-replay").isEmpty)
+    assert(mv() == Map("a" -> ((2L, 14.0, 5.0, 9.0)), "b" -> ((1L, 2.0, 2.0, 2.0))))
+
+    // the last key of b deletes — the group must tombstone out
+    assert(apply(chg((10L, 2L, "b", 0.0, true)), 3L))
+    assert(mv() == Map("a" -> ((2L, 14.0, 5.0, 9.0))))
+  }
+
   test("min/max matches a full recompute on a randomized changelog") {
     val rnd = new scala.util.Random(42)
     val rows = (0 until 400).map { i =>

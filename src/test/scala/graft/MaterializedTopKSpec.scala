@@ -78,6 +78,38 @@ class MaterializedTopKSpec extends SparkSpec {
     assert(got == Seq(("t", 1L, 2L, 5.0), ("t", 2L, 3L, 5.0)))
   }
 
+  test("transactional maintenance: exactly-once replay, demotion tombstones, re-entry after rescan") {
+    val root = TestTmp.dir("tktx").toString + "/g"
+    def apply(b: DataFrame, id: Long) = MaterializedTopK.maintainTx(root, b, id,
+      Seq("k"), Seq("ver"), col("del"), Seq("g"), col("v"), k = 2, writer = "job1")
+    def mv(): Seq[(String, Long, Long, Double)] =
+      MaterializedTopK.readTx(spark, root, Seq("g"), Seq("k"))
+        .select(col("g"), col("rank"), col("k"), col("value"))
+        .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    assert(apply(chg((1L, 1L, "a", 9.0, false), (2L, 1L, "a", 7.0, false),
+      (3L, 1L, "a", 5.0, false)), 1L))
+    assert(mv() == Seq(("a", 1L, 1L, 9.0), ("a", 2L, 2L, 7.0)))
+
+    // an insert beating the kth DEMOTES k=2 — it must tombstone out of
+    // the stored view, not linger as a stale third row
+    assert(apply(chg((4L, 1L, "a", 8.0, false)), 2L))
+    assert(mv() == Seq(("a", 1L, 1L, 9.0), ("a", 2L, 4L, 8.0)))
+
+    // replay of a committed batch: zero Spark jobs, view unchanged
+    spark.sparkContext.setJobGroup("topk-stale-replay", "stale replay must run no jobs")
+    assert(!apply(chg((4L, 1L, "a", 8.0, false)), 2L))
+    spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup("topk-stale-replay").isEmpty)
+    assert(mv() == Seq(("a", 1L, 1L, 9.0), ("a", 2L, 4L, 8.0)))
+
+    // deleting the TOP member rescans; the previously-DEMOTED k=2 must
+    // RE-ENTER (its batch-3 upsert outranks its batch-2 tombstone)
+    assert(apply(chg((1L, 2L, "a", 0.0, true)), 3L))
+    assert(mv() == Seq(("a", 1L, 4L, 8.0), ("a", 2L, 2L, 7.0)))
+  }
+
   test("top-k matches a full recompute on a randomized changelog") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 400).map { i =>

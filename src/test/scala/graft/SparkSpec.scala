@@ -28,13 +28,25 @@ object TestTmp {
     p
   }
 
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    try {
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    def sweep(): Unit = {
       val walk = java.nio.file.Files.walk(p)
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
       finally walk.close()
-    } catch { case _: java.io.IOException => () }
+    }
+    // Files.walk's LAZY iteration wraps a mid-walk race (Spark's own
+    // shutdown reaper deleting files under the same tree) in
+    // UncheckedIOException, which the old IOException catch let
+    // escape as a stack trace in the suite's exit output. One retry
+    // sweeps what the race left behind; best-effort after that.
+    def quiet(f: () => Unit): Boolean =
+      try { f(); true } catch {
+        case _: java.io.IOException => false
+        case _: java.io.UncheckedIOException => false
+      }
+    if (!quiet(() => sweep())) { quiet(() => sweep()); () }
+  }
 
   /** Drop-in replacement for `Files.createTempDirectory(prefix)`. */
   def dir(prefix: String): java.nio.file.Path =
