@@ -36,7 +36,34 @@ object Bench {
     (1 to 3).map(_ => once()).min
   }
 
+  /** Queries whose cost is transactional commit/publish JOB COUNT —
+    * the MV lifecycle/maintenance gates. Each execution builds its own
+    * temp lake from scratch (fresh createTempDirectory per run), so
+    * repeated executions re-pay the full lifecycle and a warm pass
+    * buys only JIT (shared suite-wide anyway). r15's driver bench
+    * TIMED OUT (rc 124) after the r15 gates pushed the 4-executions-
+    * per-query protocol past the budget; these queries now run ONCE,
+    * timed cold (flagged `single_run` in the artifact) — variance
+    * policy: their numbers compare across rounds as single cold runs
+    * of a job-count-bound driver, the class §6 already prices that
+    * way. */
+  private val gateClass = Set(
+    "mv_join_refresh", "mv_star_refresh", "mv_star_incremental",
+    "mv_refresh_loop", "mv_join_rewrite", "mv_star_rewrite",
+    "mv_sketch_rewrite", "mv_bitmap_rewrite", "mv_minmax_rewrite",
+    "mv_topk_rewrite", "mv_join_minmax",
+    "qsk_mv_rollup", "kmv_mv_rollup", "cdc_mv_join", "cdc_mv_join_agg",
+    "cdc_mv_incremental", "cdc_mv_minmax", "cdc_mv_topk")
+
+  /** A non-gate query whose FIRST timed run reaches this many seconds
+    * is not re-run: at multi-second scale the job-level costs dominate
+    * and a median-of-3 buys noise suppression the suite can no longer
+    * afford (r15 finding #1); below it, median-of-3 stands — that is
+    * where GC/scheduler jitter actually moves medians. */
+  private val singleRunCutoffSec = 3.0
+
   def main(args: Array[String]): Unit = {
+    TmpSweep.sweep() // reap roots orphaned by a killed prior run
     val cpuProbe = cpuProbeSec()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -52,28 +79,47 @@ object Bench {
     // Steady-state measurement: one full untimed pass first (JIT/codegen
     // compilation, parquet footer + file-listing caches, shuffle service
     // spin-up all land here), then the timed pass measures the engine.
+    // The MV lifecycle gates are excluded from the warm pass — each of
+    // their executions rebuilds a fresh temp lake, so warming re-pays
+    // the whole lifecycle for no cache benefit (see gateClass).
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try exec(fn(spark, sfDir))
-      catch { case _: Throwable => () }
+      if (!gateClass.contains(name)) {
+        try exec(fn(spark, sfDir))
+        catch { case _: Throwable => () }
+      }
     }
-    // three timed runs per query; the artifact carries the MEDIAN
-    // (headline — robust to one GC/load outlier in a shared JVM) and
-    // the MIN (the engine's floor) so suite noise can't masquerade as
-    // a regression across rounds
+    // Timed runs, budget-adaptive (r15 finding #1 — the 4-executions-
+    // per-query protocol outgrew the driver budget): gate-class
+    // queries run ONCE; any other query whose first timed run reaches
+    // singleRunCutoffSec stops there; the fast majority keeps
+    // median-of-3 (headline robust to one GC/load outlier) + MIN (the
+    // engine's floor). Single-run queries are listed in the
+    // artifact's `single_run` array — for them median == min == the
+    // one measurement.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { exec(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
       }
-      if (times.forall(_ >= 0)) name -> (times.sorted.apply(times.size / 2), times.min)
-      else name -> (-1.0, -1.0)
+      val first = once()
+      val times =
+        if (first < 0) Seq(first)
+        else if (gateClass.contains(name) || first >= singleRunCutoffSec)
+          Seq(first)
+        else first +: (1 to 2).map(_ => once())
+      if (times.forall(_ >= 0))
+        name -> (times.sorted.apply(times.size / 2), times.min, times.size)
+      else name -> (-1.0, -1.0, times.size)
     }
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
+    val singleRun = results.collect {
+      case (name, (med, _, 1)) if med >= 0 => name
+    }
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, (_, mn, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     // end-to-end streaming CDC rate, measured per round (not
@@ -174,7 +220,7 @@ object Bench {
           "ann_hybrid_indexed", "decontaminate_substring")
         val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
         ScaleUp.ensure(spark, sfDir, dst, factor)
-        val baseTimes = results.toMap
+        val baseTimes = results.map { case (k, (med, mn, _)) => k -> (med, mn) }.toMap
         val entries = heavy.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
             val base = baseTimes(name)._1
@@ -189,11 +235,15 @@ object Bench {
               else ""
             try {
               exec(fn(spark, dst)) // untimed warm-up at scale
-              val scaled = (1 to 2).map { _ =>
+              // one timed run (was min-of-2; r15 finding #1): at 10×
+              // cost the second run bought noise suppression the
+              // driver budget can no longer afford — exponents are
+              // read against documented BANDS, not as point values
+              val scaled = {
                 val t0 = System.nanoTime()
                 exec(fn(spark, dst))
                 (System.nanoTime() - t0) / 1e9
-              }.min
+              }
               val expo =
                 if (base > 0 && scaled > 0) math.log(scaled / base) / math.log(factor)
                 else Double.NaN
@@ -273,10 +323,20 @@ object Bench {
       """"band_skew":null"""
     }
     import StreamBench.percentile
+    // Artifact honesty stamp (r15 verdict finding #2: a smoke-config
+    // run — tiny SF dir — was committed as the round artifact and
+    // read as a 60× streaming regression): a bench not run at the
+    // full driver scale is stamped "smoke" and must never be cited by
+    // SURVEY §6 or compared across rounds.
+    val benchConfig = if (sfDir.contains("sf0.1")) "full" else "smoke"
+    val singleRunJson =
+      singleRun.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""config":"$benchConfig",""" +
       s""""cpu_probe_sec":${fmt(cpuProbe, 3)},""" +
       s""""queries_min":$qsMin,""" +
+      s""""single_run":$singleRunJson,""" +
       s""""stream_rows_per_sec":$streamRate,"stream_rows":$streamRows,""" +
       s""""latency_ms":{"p50":${percentile(insLat, 0.50)},"p95":${percentile(insLat, 0.95)},"p99":${percentile(insLat, 0.99)}},""" +
       s""""delete_propagation_ms":{"p50":${percentile(delLat, 0.50)},"p95":${percentile(delLat, 0.95)}},""" +
@@ -293,7 +353,7 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     val top10 = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
-      .map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med, 2) }
+      .map { case (k, (med, _, _)) => "\"" + k + "\":" + fmt(med, 2) }
       .mkString("{", ",", "}")
     val nQueries = results.size
     val nFailed = results.count(_._2._1 < 0)
@@ -318,6 +378,7 @@ object Bench {
     }
     val summary =
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec",""" +
+      s""""config":"$benchConfig",""" +
       s""""cpu_probe_sec":${fmt(cpuProbe, 3)},""" +
       s""""n_queries":$nQueries,"n_failed":$nFailed,"queries":$top10,""" +
       s""""queries_note":"slowest 10 of $nQueries; full per-query medians+mins in BENCH_LOCAL.json",""" +

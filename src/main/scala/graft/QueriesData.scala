@@ -3481,6 +3481,68 @@ object QueriesData {
     */
   val oracleSqlScale: Map[String, String] = Map(
     "ann_recall_audit" -> annRecallAuditOracleStaged,
+    // ann_mmr: the single-statement form's `cand`/`p` CTEs are
+    // referenced by every unrolled greedy step (s1/s2/pen3/s3), and
+    // DuckDB re-inlines a multiply-referenced CTE — so ONE plan holds
+    // ~5 concurrent evaluations of the q×n array-carrying scored
+    // cross join, and the sf1 replay spilled past the sandbox disk
+    // (SCALEGATE r15: ENOSPC). The staged form materializes the
+    // candidate pool ONCE (array-free: qid, nid, c), in query-hash
+    // buckets so each statement's window sort is ¼ of the cross, then
+    // builds the pool-sized pair table and replays the same three
+    // greedy steps against the temp tables — identical arithmetic,
+    // identical tie-breaks, bounded live set.
+    "ann_mmr" -> {
+      val cos = "list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e))"
+      val buckets = (0 until 4).map { b =>
+        s"""INSERT INTO cand0_mmr
+           |  SELECT qid, nid, c FROM (
+           |    SELECT qid, v.vec_id AS nid, $cos AS c,
+           |      row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, v.vec_id) AS rn
+           |    FROM (SELECT vec_id AS qid, e AS qe FROM v_mmr
+           |          WHERE vec_id % 50 = 0 AND (vec_id // 50) % 4 = $b) q
+           |    JOIN v_mmr v ON v.vec_id <> qid) WHERE rn <= 10;""".stripMargin
+      }.mkString("\n")
+      s"""CREATE TEMP TABLE v_mmr AS
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings;
+         |CREATE TEMP TABLE cand0_mmr (qid BIGINT, nid BIGINT, c DOUBLE);
+         |$buckets
+         |CREATE TEMP TABLE p_mmr AS
+         |  SELECT a.qid, a.nid AS da, b.nid AS db,
+         |    list_dot_product(av.e, bv.e) / sqrt(list_dot_product(av.e, av.e) * list_dot_product(bv.e, bv.e)) AS pc
+         |  FROM cand0_mmr a JOIN cand0_mmr b ON a.qid = b.qid AND a.nid <> b.nid
+         |  JOIN v_mmr av ON av.vec_id = a.nid
+         |  JOIN v_mmr bv ON bv.vec_id = b.nid;
+         |CREATE TEMP TABLE s1_mmr AS SELECT qid, nid, c, mmr FROM (
+         |    SELECT qid, nid, c, 0.7 * c AS mmr,
+         |      row_number() OVER (PARTITION BY qid ORDER BY 0.7 * c DESC, nid) AS rn
+         |    FROM cand0_mmr)
+         |  WHERE rn = 1;
+         |CREATE TEMP TABLE s2_mmr AS SELECT qid, nid, c, mmr FROM (
+         |    SELECT c2.qid, c2.nid, c2.c, 0.7 * c2.c - (1 - 0.7) * p.pc AS mmr,
+         |      row_number() OVER (PARTITION BY c2.qid ORDER BY 0.7 * c2.c - (1 - 0.7) * p.pc DESC, c2.nid) AS rn
+         |    FROM cand0_mmr c2
+         |    JOIN s1_mmr s1 ON c2.qid = s1.qid AND c2.nid <> s1.nid
+         |    JOIN p_mmr p ON p.qid = c2.qid AND p.da = c2.nid AND p.db = s1.nid)
+         |  WHERE rn = 1;
+         |CREATE TEMP TABLE pen3_mmr AS
+         |  SELECT p.qid, p.da, max(p.pc) AS pen FROM p_mmr p
+         |  WHERE EXISTS (SELECT 1 FROM s1_mmr s1 WHERE s1.qid = p.qid AND s1.nid = p.db)
+         |     OR EXISTS (SELECT 1 FROM s2_mmr s2 WHERE s2.qid = p.qid AND s2.nid = p.db)
+         |  GROUP BY p.qid, p.da;
+         |CREATE TEMP TABLE s3_mmr AS SELECT qid, nid, c, mmr FROM (
+         |    SELECT c3.qid, c3.nid, c3.c, 0.7 * c3.c - (1 - 0.7) * pen3.pen AS mmr,
+         |      row_number() OVER (PARTITION BY c3.qid ORDER BY 0.7 * c3.c - (1 - 0.7) * pen3.pen DESC, c3.nid) AS rn
+         |    FROM cand0_mmr c3
+         |    JOIN pen3_mmr pen3 ON pen3.qid = c3.qid AND pen3.da = c3.nid
+         |    JOIN s1_mmr s1 ON c3.qid = s1.qid AND c3.nid <> s1.nid
+         |    JOIN s2_mmr s2 ON c3.qid = s2.qid AND c3.nid <> s2.nid)
+         |  WHERE rn = 1;
+         |SELECT qid, CAST(1 AS BIGINT) AS rank, nid, round(c, 4) AS cos, round(mmr, 4) AS mmr FROM s1_mmr
+         |UNION ALL SELECT qid, CAST(2 AS BIGINT), nid, round(c, 4), round(mmr, 4) FROM s2_mmr
+         |UNION ALL SELECT qid, CAST(3 AS BIGINT), nid, round(c, 4), round(mmr, 4) FROM s3_mmr
+         |ORDER BY qid, rank""".stripMargin
+    },
     "bpe_train" -> {
       val rounds = (1 to 6).map { r =>
         val prev = s"s${r - 1}"

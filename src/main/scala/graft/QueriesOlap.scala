@@ -112,13 +112,17 @@ object QueriesOlap {
           Rounding.r(col("sum_qty"), 2).as("sum_qty"))
     },
 
-    // B76: TPC-H Q21 (suppliers who kept orders waiting) — the
+    // B76: TPC-H Q21-SHAPED (suppliers who kept orders waiting) — the
     // double-correlated EXISTS/NOT-EXISTS shape, expressed as one
     // per-order distinct-supplier profile instead of two correlated
-    // subquery rescans: a supplier "kept the order waiting" when its
-    // line shipped > 90 days after the order date, the order involved
-    // ≥ 2 suppliers, and NO other supplier was late. One orderkey
-    // shuffle builds the profile; the late pairs semi-join it
+    // subquery rescans. NOT spec-Q21: the synthetic lineitem has no
+    // l_receiptdate/l_commitdate, so the lateness predicate here is
+    // shipdate > orderdate + 90 days, and the o_orderstatus='F' +
+    // nation filters are dropped (the oracle replays this exact
+    // variant). The preserved part is the SHAPE: a supplier "kept the
+    // order waiting" when its line was late, the order involved ≥ 2
+    // suppliers, and NO other supplier was late. One orderkey shuffle
+    // builds the profile; the late pairs semi-join it
     "q_waiting_supplier" -> { (s, dir) =>
       val lo = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
@@ -134,6 +138,73 @@ object QueriesOlap {
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("l_suppkey"))
+    },
+
+    // B77: TPC-H Q17 (small-quantity-order revenue) — the correlated
+    // scalar subquery ON THE FACT TABLE itself: keep a lineitem only
+    // when its quantity is below 0.2 × that part's own average
+    // quantity. Written as the literal correlated SQL users write;
+    // Catalyst's RewriteCorrelatedScalarSubquery decorrelates it into
+    // ONE per-part aggregate joined back to the fact scan — per-part
+    // thresholds shuffle 2 small columns once, never a per-row
+    // rescan of lineitem (the naive plan is O(|lineitem|²/|part|)).
+    // Grouped by brand (the spec's single Brand#/container filter is
+    // a point lookup on the synthetic corpus; grouping pins the same
+    // decorrelation over every part). avg(l_quantity) = Σ/n over
+    // integer-valued doubles — exact in both engines; revenue summed
+    // as integer cents; avg_yearly = one deterministic double divide
+    // + floor-form round.
+    "q_small_qty_revenue" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("q17_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q17_part")
+      s.sql("""
+        SELECT p_brand, COUNT(*) AS n_small,
+          CAST(SUM(cents) AS BIGINT) AS sum_cents,
+          floor(SUM(cents) / 700.0 * 100 + 0.5) / 100 AS avg_yearly
+        FROM (
+          SELECT p.p_brand,
+            CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
+          WHERE l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                                FROM q17_lineitem l2
+                                WHERE l2.l_partkey = l.l_partkey))
+        GROUP BY p_brand ORDER BY p_brand""")
+    },
+
+    // B78: TPC-H Q20-SHAPED (suppliers holding excess stock) — the
+    // nested IN + correlated-scalar shape: suppliers IN (per-
+    // (supplier, part) totals that exceed 0.2× the part's corpus-wide
+    // quantity; the spec's 0.5×availqty has no availqty here and 0.5
+    // of total flow is empty on the synthetic corpus — 0.2 keeps the
+    // gate non-vacuous at every SF), parts restricted by a name
+    // prefix. NOT spec-Q20: the
+    // synthetic corpus has no partsupp/ps_availqty, so the "stock" a
+    // supplier holds is its own shipped total of the part (the oracle
+    // replays this exact variant); the preserved part is the SHAPE —
+    // IN(GROUP BY + correlated scalar) over the fact table, which
+    // Catalyst plans as two part-keyed aggregates + a semi join, no
+    // per-row rescans. Quantity sums are integer-valued doubles —
+    // exact in any order; 0.5× and the compare are identical IEEE in
+    // both engines.
+    "q_excess_supply" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("q20_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q20_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("q20_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("q20_nation")
+      s.sql("""
+        SELECT s_suppkey, s_name, n_name
+        FROM q20_supplier JOIN q20_nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT sp.l_suppkey FROM (
+            SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+            FROM q20_lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM q20_part
+                                WHERE p_name LIKE 'red%')
+            GROUP BY l_suppkey, l_partkey) sp
+          WHERE sp.qty > (SELECT 0.2 * SUM(l2.l_quantity)
+                          FROM q20_lineitem l2
+                          WHERE l2.l_partkey = sp.l_partkey))
+        ORDER BY s_suppkey""")
     },
 
     // B5: group-by-status counts (benchmark reconciliation query)
@@ -1767,6 +1838,39 @@ object QueriesOlap {
         |FROM w JOIN po USING (l_orderkey)
         |WHERE n_supp >= 2 AND n_late = 1
         |GROUP BY l_suppkey ORDER BY numwait DESC, l_suppkey""".stripMargin,
+    // B77: Q17's correlated scalar replayed decorrelated — per-part
+    // 0.2·avg thresholds joined to the fact scan (DuckDB plans the
+    // correlated form the same way; the CTE makes the equivalence
+    // explicit and cheap)
+    "q_small_qty_revenue" ->
+      """WITH thr AS (SELECT l_partkey AS t_partkey,
+        |    0.2 * avg(l_quantity) AS t FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_small,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  round(sum(cents) / 700.0, 2) AS avg_yearly
+        |FROM (
+        |  SELECT p_brand,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  JOIN thr ON t_partkey = l_partkey
+        |  WHERE l_quantity < t)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // B78: the Q20-shaped nested IN + correlated scalar, replayed as
+    // two part-keyed aggregates + a semi join (same decorrelation
+    // Catalyst applies)
+    "q_excess_supply" ->
+      """WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |sp AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM red)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS t_partkey, 0.2 * sum(l_quantity) AS thr
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT sp.l_suppkey FROM sp JOIN tot ON t_partkey = l_partkey
+        |  WHERE qty > thr)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_filter_pushdown" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
         |FROM lineitem

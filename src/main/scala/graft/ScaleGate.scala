@@ -40,6 +40,7 @@ object ScaleGate {
       "ScaleUp replica key offsets exceed the query's deliberately-narrow pre-widening INT era (harness artifact)")
 
   def main(args: Array[String]): Unit = {
+    TmpSweep.sweep() // reap roots orphaned by a killed prior run
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val work = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10

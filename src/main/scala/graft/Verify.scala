@@ -30,6 +30,7 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
+    TmpSweep.sweep() // reap roots orphaned by a killed prior run
     // optional 3rd arg: comma-separated query-name filter (local
     // iteration; the driver always runs the full set)
     val (sfDir, outDir, only) = args match {

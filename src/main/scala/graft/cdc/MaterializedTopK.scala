@@ -149,17 +149,28 @@ object MaterializedTopK {
   }
 
   /** Live ranked view of a [[maintainTx]] lake: (groupCols, rank,
-    * keyCols, `valueName`), demoted/retracted members tombstoned out. */
+    * keyCols, `valueName`), demoted/retracted members tombstoned out.
+    *
+    * `schemaOf`: optional example frame supplying the EMPTY-LAKE
+    * fallback schema (only its group/key/[[Val]] column types are
+    * used; no data is read). Without it a genuinely empty lake falls
+    * back to StringType keys / DoubleType value — column names still
+    * align but typed consumers of an empty result would see the wrong
+    * leaf types (mirrors how maintainTx derives mvSchema from its
+    * state). */
   def readTx(spark: org.apache.spark.sql.SparkSession, root: String,
              groupCols: Seq[String], keyCols: Seq[String],
-             valueName: String = "value"): DataFrame = {
+             valueName: String = "value",
+             schemaOf: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
-    // schemaOf is only the empty-lake fallback; exact leaf types don't
-    // matter there (nothing is read), the column NAMES do
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType((groupCols ++ keyCols).map(StructField(_, StringType)) :+
-        StructField(Val, DoubleType)))
+    val gkCols = groupCols ++ keyCols
+    val empty = schemaOf match {
+      case Some(df) => df.select(gkCols.map(col) :+ col(Val): _*).limit(0)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(gkCols.map(StructField(_, StringType)) :+
+          StructField(Val, DoubleType)))
+    }
     rank(graft.sinks.PkTableSink.readTxGroup(spark, root, "mv", empty),
       groupCols, keyCols, valueName)
   }

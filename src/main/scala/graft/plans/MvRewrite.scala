@@ -864,9 +864,13 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * k·|groups| rows instead of the corpus. Extra filter conjuncts
     * evaluate over the same (row, rank) pairs and pass through
     * untouched. Guards (all conservative):
-    *  - exactly one window expression, a bare `row_number()`;
+    *  - exactly one window expression: a bare `row_number()`,
+    *    `rank()`, or `dense_rank()` (the latter two are tie-safe ONLY
+    *    under the full-order guard below — see the match site);
     *  - order = value DESC (nulls last) then every registered key ASC
-    *    (nulls first) — the registered maintenance order exactly;
+    *    (nulls first) — the registered maintenance order exactly; a
+    *    total order over the group's unique keys, so the three rank
+    *    functions coincide;
     *  - partition set == registered group set;
     *  - some conjunct bounds rank ≤ c with c ≤ k (`<=`, `<`, `=`,
     *    either side);
@@ -879,13 +883,26 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def rewriteTopK(f: Filter, cond: Expression,
       w: org.apache.spark.sql.catalyst.plans.logical.Window): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending,
-      EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
-      NullsFirst, NullsLast, RowNumber, SortOrder, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, DenseRank,
+      Descending, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+      LessThanOrEqual, NullsFirst, NullsLast, Rank, RowNumber, SortOrder,
+      WindowExpression}
     import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
 
+    // row_number(), rank(), dense_rank() are all accepted — but ONLY
+    // because the order guard below requires the FULL registered
+    // order: value DESC then EVERY registered (unique) key ASC. Under
+    // that total order no two rows tie on the sort key, so rank ≡
+    // dense_rank ≡ row_number and the k-per-group MV serves all three
+    // identically. rank() over a PARTIAL order (value only, no key
+    // tie-break) is tie-UNSAFE — boundary ties can admit more than k
+    // rows, which the k-row MV cannot serve — and such plans fail the
+    // order guard, staying on the source scan (MvRewriteSpec pins the
+    // tie case).
     val rankAlias = w.windowExpressions match {
-      case Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)) => al
+      case Seq(al @ Alias(WindowExpression(fn, _), _))
+          if fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] ||
+             fn.isInstanceOf[DenseRank] => al
       case _ => return None
     }
     // the tightest rank bound among the conjuncts
@@ -941,8 +958,13 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case _ => false
       }) &&
-      // pushed-below filters must confine to group columns
-      pushed.forall(_.references.forall(a => d.groupCols.contains(a.name))) &&
+      // pushed-below filters must confine to group columns AND be
+      // deterministic: a nondeterministic predicate (rand()-based —
+      // whose reference set is empty and passes the forall vacuously)
+      // would be re-evaluated over the k-per-group MV rows instead of
+      // the source rows, selecting a different row population
+      pushed.forall(p => p.deterministic &&
+        p.references.forall(a => d.groupCols.contains(a.name))) &&
       // everything the window child carries must exist in the MV
       w.child.output.forall(a =>
         (d.groupCols ++ d.keyCols :+ d.valueCol).contains(a.name))

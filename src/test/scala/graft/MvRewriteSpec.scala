@@ -879,6 +879,67 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("top-k MV rewrite: rank()/dense_rank() tie discipline") {
+    import org.apache.spark.sql.expressions.Window
+    MvRewrite.clear()
+    val dir = TestTmp.dir("tkrank").toString
+    val srcP = dir + "/src"
+    val mvP = dir + "/mv"
+    // group "a" carries a FOUR-WAY tie at the top that CROSSES the
+    // k=3 boundary: rank() without a key tie-break gives ranks
+    // 1,1,1,1,5 — rnk<=3 admits FOUR rows, one of which (key 4) the
+    // 3-row MV does not store. The exact failure the guard prevents.
+    Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 10.0),
+      ("a", 5L, 7.0), ("b", 6L, 5.0), ("b", 7L, 4.0), ("b", 8L, 3.0))
+      .toDF("g", "k", "v").write.parquet(srcP)
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("k").asc)
+    spark.read.parquet(srcP).withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3).drop("rn").write.parquet(mvP)
+    spark.read.parquet(srcP).createOrReplaceTempView("tkr_src")
+
+    // full registered order (v DESC, k ASC) = a TOTAL order over the
+    // group's unique keys → rank ≡ dense_rank ≡ row_number: tie-safe
+    val rankTotal = """SELECT g, k, v, rnk FROM (SELECT g, k, v,
+      rank() OVER (PARTITION BY g ORDER BY v DESC, k) AS rnk
+      FROM tkr_src) WHERE rnk <= 3"""
+    val denseTotal = rankTotal.replace("rank()", "dense_rank()")
+    // PARTIAL order (value only): boundary ties admit > k rows — the
+    // k-row MV cannot serve this; must stay on the source scan
+    val rankPartial = """SELECT g, k, v, rnk FROM (SELECT g, k, v,
+      rank() OVER (PARTITION BY g ORDER BY v DESC) AS rnk
+      FROM tkr_src) WHERE rnk <= 3"""
+    // nondeterministic predicate BELOW the window: its reference set
+    // is empty (group-column forall is vacuous) but re-evaluating it
+    // over MV rows selects a different population — must not rewrite
+    val nondet = """SELECT g, k, v, rnk FROM (SELECT g, k, v,
+      row_number() OVER (PARTITION BY g ORDER BY v DESC, k) AS rnk
+      FROM (SELECT * FROM tkr_src WHERE rand() < 0.999999)) WHERE rnk <= 3"""
+
+    def rows(sql: String) = spark.sql(sql)
+      .as[(String, Long, Double, Int)].collect().sortBy(r => (r._1, r._4, r._2)).toSeq
+    val base = Map(rankTotal -> rows(rankTotal), denseTotal -> rows(denseTotal),
+      rankPartial -> rows(rankPartial), nondet -> rows(nondet))
+    // sanity-pin the danger shape: the partial-order rank admits FOUR
+    // "a" rows (> k = 3) — key 4 is absent from the MV, so a rewrite
+    // here would silently drop it
+    assert(base(rankPartial).count(_._1 == "a") == 4)
+    assert(base(rankPartial).exists(r => r._1 == "a" && r._2 == 4L))
+
+    try {
+      MvRewrite.registerTopK(spark, srcP, mvP, Seq("g"), Seq("k"), "v", 3)
+      def check(sql: String, viaMv: Boolean, label: String): Unit = {
+        val df = spark.sql(sql)
+        assert(scansMv(df, mvP) == viaMv, s"$label: MV-scan should be $viaMv")
+        assert(scansMv(df, srcP) == !viaMv, s"$label: source-scan should be ${!viaMv}")
+        assert(rows(sql) == base(sql), s"$label: values must match the source truth")
+      }
+        check(rankTotal, viaMv = true, "rank() with full key tie-break")
+      check(denseTotal, viaMv = true, "dense_rank() with full key tie-break")
+      check(rankPartial, viaMv = false, "rank() without key tie-break (tie-unsafe)")
+      check(nondet, viaMv = false, "nondeterministic filter below the window")
+    } finally MvRewrite.clear()
+  }
+
   test("top-k MV: versioned publish, restart recovery, retained serving generation") {
     import org.apache.spark.sql.expressions.Window
     MvRewrite.clear()
