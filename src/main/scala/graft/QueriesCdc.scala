@@ -1109,13 +1109,18 @@ object QueriesCdc {
           require(!roots.exists(_.startsWith(bad)),
             s"$when: must NOT rescan the source; scans: $roots")
         }
+        // the SHIPPED refresh worker (streaming.MvRefresher, r16 —
+        // the r15 verdict's #5 ask): the gate registers the MV once
+        // and the worker's poll decides whether to re-publish
+        val worker = Seq(graft.streaming.MvRefresher.Refreshable(
+          "loop", pub, publish = () => publish()))
         // ---- serve generation 1 (batch A only)
         bA.write.mode("overwrite").parquet(src)
         require(RbmMv.maintainTx(root, bA, 0L, Seq("event_type", "day"),
           col("user_id"), writer = "gate"), "batch A must apply")
         publish()
-        require(!MvRewrite.publishStale(s, pub),
-          "fresh publish must not read stale")
+        require(graft.streaming.MvRefresher.runOnce(s, worker).isEmpty,
+          "fresh publish must not read stale (worker no-op)")
         val q1 = userQ()
         assertScans(q1, "before refresh")
         val r1 = q1.select(col("event_type"), col("n_events").as("n1"),
@@ -1124,11 +1129,8 @@ object QueriesCdc {
         bB.write.mode("append").parquet(src)
         require(RbmMv.maintainTx(root, bB, 1L, Seq("event_type", "day"),
           col("user_id"), writer = "gate"), "batch B must apply")
-        require(MvRewrite.publishStale(s, pub),
-          "a commit after publish must read stale")
-        publish()
-        require(!MvRewrite.publishStale(s, pub),
-          "re-publish must clear staleness")
+        require(graft.streaming.MvRefresher.runOnce(s, worker) == Seq("loop"),
+          "a commit after publish must read stale; the worker refreshes it")
         // simulated restart: the refreshed registration must survive a
         // registry wipe via the on-disk manifest (r14 verdict #3 —
         // StarRocks MVs are catalog objects, not session state)
@@ -1330,12 +1332,15 @@ object QueriesCdc {
               s"$when: must NOT rescan source $bad; scans: $roots")
           }
         }
+        // the SHIPPED refresh worker (streaming.MvRefresher, r16)
+        val worker = Seq(graft.streaming.MvRefresher.Refreshable(
+          "jmv", pub, publish = () => publish()))
         // ---- generation 1: round 0 committed, published, served
         round(0)
         writeUserTables(0)
         publish()
-        require(!MvRewrite.publishStale(s, pub),
-          "fresh publish must not read stale")
+        require(graft.streaming.MvRefresher.runOnce(s, worker).isEmpty,
+          "fresh publish must not read stale (worker no-op)")
         val q1 = userQ()
         assertScans(q1, "before refresh")
         val r1 = q1.select(col("c_mktsegment"), col("n_orders").as("n1"),
@@ -1343,11 +1348,8 @@ object QueriesCdc {
         // ---- round 1 lands; the refresh worker polls + re-publishes
         round(1)
         writeUserTables(1)
-        require(MvRewrite.publishStale(s, pub),
-          "a maintenance commit after publish must read stale")
-        publish()
-        require(!MvRewrite.publishStale(s, pub),
-          "re-publish must clear staleness")
+        require(graft.streaming.MvRefresher.runOnce(s, worker) == Seq("jmv"),
+          "a maintenance commit after publish must read stale; the worker refreshes it")
         val base = new org.apache.hadoop.fs.Path(pub)
         val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
         val gens = fs.listStatus(base).filter(_.isDirectory)
@@ -1483,11 +1485,14 @@ object QueriesCdc {
               s"$when: must NOT rescan source $bad; scans: $roots")
           }
         }
+        // the SHIPPED refresh worker (streaming.MvRefresher, r16)
+        val worker = Seq(graft.streaming.MvRefresher.Refreshable(
+          "smv", pub, publish = () => publish()))
         round(0)
         writeUserTables(0)
         publish()
-        require(!MvRewrite.publishStale(s, pub),
-          "fresh publish must not read stale")
+        require(graft.streaming.MvRefresher.runOnce(s, worker).isEmpty,
+          "fresh publish must not read stale (worker no-op)")
         val q1 = userQ()
         assertScans(q1, "before refresh")
         val r1 = q1.select(col("c_mktsegment"), col("o_orderstatus"),
@@ -1495,11 +1500,8 @@ object QueriesCdc {
           .localCheckpoint(true)
         round(1)
         writeUserTables(1)
-        require(MvRewrite.publishStale(s, pub),
-          "a maintenance commit after publish must read stale")
-        publish()
-        require(!MvRewrite.publishStale(s, pub),
-          "re-publish must clear staleness")
+        require(graft.streaming.MvRefresher.runOnce(s, worker) == Seq("smv"),
+          "a maintenance commit after publish must read stale; the worker refreshes it")
         val base = new org.apache.hadoop.fs.Path(pub)
         val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
         val gens = fs.listStatus(base).filter(_.isDirectory)
