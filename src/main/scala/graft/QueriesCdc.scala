@@ -514,6 +514,71 @@ object QueriesCdc {
         .orderBy(col("event_type"), col("rank"))
     },
 
+    // A41 (r16): MIN/MAX on the JOIN-MV path — the r15 verdict's #6
+    // ask: A39's non-self-maintainable extremum rule (Gupta & Mumick
+    // insert-merge / retraction-rescan) composed with the N-way
+    // transactional join maintenance (MaterializedJoin
+    // .maintainAggMinMaxTx): the rescan reads the live JOIN of
+    // affected groups (group-keyed semi pushed below the join by
+    // Catalyst), never corpus ⋈ corpus. 4 interleaved 2-table CDC
+    // rounds with TWO delete channels — tombstones at first sight
+    // (odel/cdel) plus a SECOND-WAVE kill of live orders in the price
+    // TAILS (top/bottom ~2% of every segment, version 2, delete round
+    // decoupled from the insert round): exactly the extremum
+    // retractions that cannot be absorbed monotonically. One stale
+    // replay is re-applied and must be watermark-skipped. Final view
+    // hash-exact vs the oracle's live join over the final states.
+    "mv_join_minmax" -> { (s, dir) =>
+      import graft.cdc.MaterializedJoin.BatchIn
+      import graft.cdc.MaterializedAgg.Extremum
+      import graft.sinks.PkTableSink
+      val tmp = java.nio.file.Files.createTempDirectory("mvjm_gate")
+      try {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          lit(1L).as("ov"), (col("o_orderkey") % 13 === 3).as("odel"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_mktsegment"), lit(1L).as("cv"),
+          (col("c_custkey") % 17 === 5).as("cdel"))
+        // second-wave EXTREMUM deletes: live orders in the price tails
+        // killed at version 2 in a round decoupled from the insert
+        // round (3·key+1 mod 4 — some tombstones arrive BEFORE their
+        // insert and must defeat it by version)
+        val delWave = o.where(!col("odel") &&
+            (col("cents") > 49000000L || col("cents") < 1100000L))
+          .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+            lit(2L).as("ov"), lit(true).as("odel"))
+        def oBatch(i: Int): DataFrame =
+          o.where(pmod(col("o_orderkey"), lit(4)) === i)
+            .unionByName(delWave.where(pmod(col("o_orderkey") * 3 + 1, lit(4)) === i))
+        val root = tmp.toString + "/jmv/g"
+        def round(i: Int): Boolean =
+          MaterializedJoin.maintainAggMinMaxTx(root, Seq(
+            BatchIn("o", oBatch(i), Seq("o_orderkey"), Seq("ov"), col("odel")),
+            BatchIn("c", c.where(pmod(col("c_custkey"), lit(4)) === i),
+              Seq("c_custkey"), Seq("cv"), col("cdel"))),
+            Seq("o_custkey" -> "c_custkey"),
+            outCols = Seq("cents", "c_mktsegment"),
+            groupCols = Seq("c_mktsegment"), sums = Seq("cents" -> col("cents")),
+            exts = Seq(Extremum("min_cents", col("cents"), isMin = true),
+              Extremum("max_cents", col("cents"), isMin = false)),
+            batchId = i, writer = "gate")
+        (0 until 4).foreach(i => require(round(i), s"round $i must apply"))
+        require(!round(2), "stale replay must be watermark-skipped (zero jobs)")
+        val schemaOf = {
+          import s.implicits._
+          Seq.empty[(String, Long, Long, Long, Long, Long)]
+            .toDF("c_mktsegment", "n", "cents", "min_cents", "max_cents",
+              "batch_id")
+        }
+        PkTableSink.readTxGroup(s, root, "mv", schemaOf)
+          .select(col("c_mktsegment"), col("n"), col("cents"),
+            col("min_cents"), col("max_cents"))
+          .orderBy(col("c_mktsegment"))
+          .localCheckpoint(true)
+      } finally deleteTree(tmp)
+    },
+
     // A10: initial snapshot + changelog tail merged into one view
     "cdc_snapshot_then_merge" -> { (s, dir) =>
       val snap = Tables.customer(s, dir).select(
@@ -1656,6 +1721,23 @@ object QueriesCdc {
     })
 
   val oracleSql: Map[String, String] = Map(
+    // A41: the join-MV's min/max columns are EXACT — the oracle
+    // replays the live join over the final post-delete states
+    // (first-sight tombstones AND the second-wave tail kills), zero
+    // tolerance; a rescan that missed an affected group would leave a
+    // stale extremum and hash-mismatch
+    "mv_join_minmax" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 13 <> 3
+        |    AND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) <= 49000000
+        |    AND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) >= 1100000),
+        |c AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 17 <> 5)
+        |SELECT c_mktsegment, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mv_sketch_rewrite" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_exact,

@@ -250,9 +250,9 @@ object MaterializedAgg {
     * zero-keeping for the transactional tombstone path): attaches
     * `exts` to base's groups via the insert-merge / retraction-rescan
     * rule. */
-  private def attachExtrema(base: DataFrame, mv: Option[DataFrame], st: Step,
-                            groupCols: Seq[String], sums: Seq[(String, Column)],
-                            exts: Seq[Extremum]): DataFrame = {
+  private[cdc] def attachExtrema(base: DataFrame, mv: Option[DataFrame], st: Step,
+                                 groupCols: Seq[String], sums: Seq[(String, Column)],
+                                 exts: Seq[Extremum]): DataFrame = {
     require(exts.nonEmpty, "attachExtrema: no extremum columns")
     val gCols = groupCols.map(col)
     def extAgg(e: Extremum, out: String): Column =

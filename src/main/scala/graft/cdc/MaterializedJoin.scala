@@ -284,4 +284,119 @@ object MaterializedJoin {
       extraMeta = Map(wmKey -> batchId.toString))
     true
   }
+
+  /** [[maintainAggTx]] with MIN/MAX columns — the r15 verdict's #6
+    * ask: the single-table extremum rule ([[MaterializedAgg
+    * .mergeMvMinMax]]'s insert-merge / retraction-rescan, Gupta &
+    * Mumick's treatment of non-self-maintainable aggregates) composed
+    * with [[stepN]]'s N-way signed join delta. The pieces line up
+    * because both speak signed rows:
+    *
+    *  - INSERT candidates: the round's +1 JOIN rows per group —
+    *    `least/greatest` against the stored extremum (monotone, no
+    *    rescan);
+    *  - RETRACTIONS: a −1 join row that ties-or-beats the stored
+    *    extremum marks its group for rescan. A join row retracts when
+    *    ANY constituent table row dies or changes — stepN's telescoped
+    *    delta already emits exactly those signed rows, so the
+    *    single-table trigger rule transfers unchanged;
+    *  - RESCAN source: the live N-way JOIN restricted to affected
+    *    groups. Declared as the full join of the round's NEW live
+    *    states semi-joined to the rescan groups — Catalyst pushes the
+    *    group-keyed semi below the join to the group-carrying side
+    *    (PushLeftSemiLeftAntiThroughJoin), so the recompute scans only
+    *    rows joining into affected groups, never corpus ⋈ corpus.
+    *
+    * Same exactly-once envelope as [[maintainAggTx]]: all N states,
+    * the extrema-carrying view, and the watermark flip in ONE
+    * manifest. `outCols` must carry every extremum input column. */
+  def maintainAggMinMaxTx(root: String, tables: Seq[BatchIn],
+                          joinPairs: Seq[(String, String)], outCols: Seq[String],
+                          groupCols: Seq[String], sums: Seq[(String, Column)],
+                          exts: Seq[MaterializedAgg.Extremum],
+                          batchId: Long, writer: String): Boolean = {
+    import graft.sinks.{PkTableSink, TxLog}
+    require(tables.map(_.name).distinct.size == tables.size,
+      "table names must be distinct")
+    require(exts.nonEmpty, "maintainAggMinMaxTx: no extremum columns")
+    val spark = tables.head.batch.sparkSession
+    val sumNames = sums.map(_._1)
+    val wmKey = s"wm.$writer"
+    val applied = TxLog.current(spark, root)
+      .flatMap(_.meta.get(wmKey)).map(_.toLong)
+    if (applied.exists(batchId <= _)) return false
+
+    val ins = tables.map { t =>
+      val st = PkTableSink.readTxGroupAll(spark, root, s"state_${t.name}",
+        MaterializedAgg.emptyState(t.batch, t.delFlag), deletedCol = Del)
+        .localCheckpoint(true)
+      TableIn(st, t.batch, t.key, t.verCols.map(col), t.delFlag)
+    }
+    val s = stepN(ins, joinPairs, outCols)
+    // the signed join delta feeds the group delta plus THREE extremum
+    // legs (insert candidates, retraction test, rescan-group draw) —
+    // checkpoint it once instead of re-running the N-way telescoped
+    // join per leg, and derive the group delta from the checkpoint
+    val signedDelta = s.delta.localCheckpoint(true)
+    val delta = MaterializedAgg.groupDelta(signedDelta, groupCols, sums)
+      .localCheckpoint(true)
+    // live join of the round's NEW states, the rescan recompute
+    // source: BFS fold over the same pair graph stepN uses; lazy —
+    // evaluated only under attachExtrema's group-restricted semi join
+    val cols: Seq[Set[String]] = tables.map(_.batch.columns.toSet)
+    def liveState(i: Int): DataFrame = s.states(i).where(!col(Del)).drop(Del)
+    var acc = liveState(0)
+    var seen = cols(0)
+    // attach tables in pair-graph order until all joined
+    var remaining = tables.indices.drop(1).toSet
+    while (remaining.nonEmpty) {
+      val next = remaining.find(j => joinPairs.exists { case (a, b) =>
+        (seen.contains(a) && cols(j).contains(b)) ||
+          (seen.contains(b) && cols(j).contains(a))
+      }).getOrElse(throw new IllegalArgumentException(
+        "the equi-pair graph must connect every table"))
+      val conds = joinPairs.collect {
+        case (a, b) if seen.contains(a) && cols(next).contains(b) =>
+          col(a) === col(b)
+        case (a, b) if seen.contains(b) && cols(next).contains(a) =>
+          col(b) === col(a)
+      }
+      acc = acc.join(liveState(next), conds.reduce(_ && _))
+      seen = seen ++ cols(next)
+      remaining -= next
+    }
+    val liveJoin = acc.select(outCols.map(col): _*).withColumn(Del, lit(false))
+    val st = MaterializedAgg.Step(state = liveJoin, signedDelta = signedDelta)
+
+    val touched = delta.select(groupCols.map(col): _*)
+    // empty-lake schema fallback (never evaluated once a manifest exists)
+    val mvSchema = liveJoin.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sums.map { case (nm, c) => sum(c).as(nm) } ++
+          exts.map(e =>
+            (if (e.isMin) min(e.value) else max(e.value)).as(e.name)): _*)
+      .limit(0)
+    val curMv = PkTableSink.readTxGroup(spark, root, "mv", mvSchema)
+      .join(touched, groupCols, "left_semi")
+      .localCheckpoint(true) // read thrice: count base, stored extrema, rescan test
+    val newMv = MaterializedAgg.attachExtrema(
+        MaterializedAgg.mergeMvAllowZero(
+          curMv.drop(exts.map(_.name): _*), delta, groupCols, sumNames),
+        Some(curMv), st, groupCols, sums, exts)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("__mv_gone", col("n") <= 0)
+    val stateBatches = tables.map { t =>
+      s"state_${t.name}" -> PkTableSink.TableBatch(
+        t.batch.withColumn("__state_del", coalesce(t.delFlag, lit(false))),
+        t.key, t.verCols, "__state_del")
+    }.toMap
+    PkTableSink.mergeTxGroup(spark, root, stateBatches +
+      ("mv" -> PkTableSink.TableBatch(newMv, groupCols, Seq("batch_id"),
+        "__mv_gone")),
+      writer = writer,
+      extraMeta = Map(wmKey -> batchId.toString))
+    (ins.map(_.state) ++ s.states ++ Seq(delta, signedDelta, curMv))
+      .foreach(graft.Ckpt.free)
+    true
+  }
 }

@@ -243,4 +243,71 @@ class MaterializedJoinSpec extends SparkSpec {
       }
     }
   }
+
+  test("maintainAggMinMaxTx: extremum retractions rescan the live join; dim death and fk moves move min/max") {
+    import MaterializedJoin.BatchIn
+    import graft.cdc.MaterializedAgg.Extremum
+    import graft.sinks.PkTableSink
+    val root = TestTmp.dir("mjmm").toString + "/g"
+    def os(rows: (Long, Long, Long, Long, Boolean)*): DataFrame =
+      rows.toDF("okey", "ockey", "amt", "ov", "odel")
+    def cs(rows: (Long, String, Long, Boolean)*): DataFrame =
+      rows.toDF("ckey", "name", "cv", "cdel")
+    val rounds: Seq[(DataFrame, DataFrame)] = Seq(
+      // alice: {100, 50}; bob: {70}
+      (os((1L, 10L, 100L, 1L, false), (2L, 10L, 50L, 1L, false),
+        (3L, 20L, 70L, 1L, false)),
+        cs((10L, "alice", 1L, false), (20L, "bob", 1L, false))),
+      // kill order 1 — alice's stored MAX retracts (group rescan:
+      // max 100 → 50); insert order 4 — bob's max merges monotonically
+      (os((1L, 10L, 100L, 2L, true), (4L, 20L, 90L, 1L, false)), cs()),
+      // dim death: bob dies — ALL his join rows retract, group gone;
+      // fk move: order 2 → carl — alice empties, carl appears
+      (os((2L, 30L, 50L, 2L, false)),
+        cs((20L, "bob", 2L, true), (30L, "carl", 1L, false))))
+    var allO = rounds.head._1.limit(0)
+    var allC = rounds.head._2.limit(0)
+    def mvRows(): Map[String, (Long, Long, Long, Long)] = {
+      val schemaOf = Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("name", "n", "s", "mn", "mx", "batch_id")
+      PkTableSink.readTxGroup(spark, root, "mv", schemaOf)
+        .select(col("name"), col("n"), col("s"), col("mn"), col("mx"))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    }
+    def want(): Map[String, (Long, Long, Long, Long)] = {
+      val l = PkTable.latestPerKey(allO, Seq("okey"), Seq(col("ov")))
+        .where(!col("odel"))
+      val r = PkTable.latestPerKey(allC, Seq("ckey"), Seq(col("cv")))
+        .where(!col("cdel"))
+      l.join(r, col("ockey") === col("ckey"))
+        .select(col("name"), col("amt")).as[(String, Long)].collect().toSeq
+        .groupBy(_._1).map { case (n, rs) =>
+          val amts = rs.map(_._2)
+          n -> (amts.size.toLong, amts.sum, amts.min, amts.max)
+        }
+    }
+    def run(i: Int, r: (DataFrame, DataFrame)): Boolean =
+      MaterializedJoin.maintainAggMinMaxTx(root, Seq(
+        BatchIn("ord", r._1, Seq("okey"), Seq("ov"), col("odel")),
+        BatchIn("cust", r._2, Seq("ckey"), Seq("cv"), col("cdel"))),
+        Seq("ockey" -> "ckey"), outCols = Seq("amt", "name"),
+        groupCols = Seq("name"), sums = Seq("s" -> col("amt")),
+        exts = Seq(Extremum("mn", col("amt"), isMin = true),
+          Extremum("mx", col("amt"), isMin = false)),
+        batchId = i, writer = "w1")
+    rounds.zipWithIndex.foreach { case (r, i) =>
+      assert(run(i, r), s"batch $i must apply")
+      allO = allO.unionByName(r._1); allC = allC.unionByName(r._2)
+      assert(mvRows() == want(), s"round ${i + 1} min/max view diverged")
+      if (i == 1) {
+        val before = mvRows()
+        assert(!run(i, r), "replayed batch must be watermark-skipped")
+        assert(mvRows() == before, "a skipped replay must not change the view")
+      }
+    }
+    // pin the end state explicitly: the max retraction actually moved
+    val fin = mvRows()
+    assert(fin == Map("carl" -> (1L, 50L, 50L, 50L)), s"end state: $fin")
+  }
 }
