@@ -39,14 +39,17 @@ object Bench {
   /** Queries whose cost is transactional commit/publish JOB COUNT —
     * the MV lifecycle/maintenance gates. Each execution builds its own
     * temp lake from scratch (fresh createTempDirectory per run), so
-    * repeated executions re-pay the full lifecycle and a warm pass
-    * buys only JIT (shared suite-wide anyway). r15's driver bench
-    * TIMED OUT (rc 124) after the r15 gates pushed the 4-executions-
-    * per-query protocol past the budget; these queries now run ONCE,
-    * timed cold (flagged `single_run` in the artifact) — variance
-    * policy: their numbers compare across rounds as single cold runs
-    * of a job-count-bound driver, the class §6 already prices that
-    * way. */
+    * repeated executions re-pay the full lifecycle. r15's driver
+    * bench TIMED OUT (rc 124) after the r15 gates pushed the
+    * 4-executions-per-query protocol past the budget; these queries
+    * now take ONE timed run after the shared warm pass (flagged
+    * `single_run` in the artifact). The warm execution is kept
+    * deliberately: a first-ever gate execution triggers a JIT/codegen
+    * storm whose compiler threads ALSO slow every neighboring timed
+    * query — measured r16: skipping gates from the warm pass inflated
+    * unrelated mid-alphabet queries 5-35× (mix_apply 0.3 → 10.3 s)
+    * while isolation stayed clean; with the warm pass restored the
+    * storm lands untimed. */
   private val gateClass = Set(
     "mv_join_refresh", "mv_star_refresh", "mv_star_incremental",
     "mv_refresh_loop", "mv_join_rewrite", "mv_star_rewrite",
@@ -78,15 +81,13 @@ object Bench {
       df.queryExecution.toRdd.count()
     // Steady-state measurement: one full untimed pass first (JIT/codegen
     // compilation, parquet footer + file-listing caches, shuffle service
-    // spin-up all land here), then the timed pass measures the engine.
-    // The MV lifecycle gates are excluded from the warm pass — each of
-    // their executions rebuilds a fresh temp lake, so warming re-pays
-    // the whole lifecycle for no cache benefit (see gateClass).
+    // spin-up all land here — INCLUDING the gate-class queries' codegen
+    // storms, which would otherwise steal compiler-thread CPU from
+    // neighboring timed queries; see the gateClass note), then the
+    // timed pass measures the engine.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!gateClass.contains(name)) {
-        try exec(fn(spark, sfDir))
-        catch { case _: Throwable => () }
-      }
+      try exec(fn(spark, sfDir))
+      catch { case _: Throwable => () }
     }
     // Timed runs, budget-adaptive (r15 finding #1 — the 4-executions-
     // per-query protocol outgrew the driver budget): gate-class
