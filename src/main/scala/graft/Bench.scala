@@ -65,9 +65,33 @@ object Bench {
     * where GC/scheduler jitter actually moves medians. */
   private val singleRunCutoffSec = 3.0
 
+  /** Disk-write drift probe (r16): the CPU probe cannot see IO
+    * throttling — measured this round: the sandbox disk dropped to
+    * ~100 MB/s (buffered AND direct) while the FNV probe read FASTER
+    * than r15, and every shuffle/write-heavy query inflated 2-10×
+    * with isolation clean and parallel CPU clean. One 256 MiB
+    * buffered write + force, MB/s recorded as `io_probe_mbps` — the
+    * mechanical normalizer for the IO-drift class, companion to
+    * `cpu_probe_sec` (r12's CPU-drift class). */
+  private def ioProbeMbps(): Double = {
+    val f = java.io.File.createTempFile("graft_ioprobe", ".bin")
+    try {
+      val buf = new Array[Byte](1 << 20) // 1 MiB of zeros
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var i = 0
+        while (i < 256) { out.write(buf); i += 1 }
+        out.getFD.sync()
+      } finally out.close()
+      256.0 / ((System.nanoTime() - t0) / 1e9)
+    } finally { f.delete(); () }
+  }
+
   def main(args: Array[String]): Unit = {
     TmpSweep.sweep() // reap roots orphaned by a killed prior run
     val cpuProbe = cpuProbeSec()
+    val ioProbe = try ioProbeMbps() catch { case _: Throwable => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.ready(GraftSession.builder(master = s"local[$cpus]",
@@ -336,6 +360,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""config":"$benchConfig",""" +
       s""""cpu_probe_sec":${fmt(cpuProbe, 3)},""" +
+      s""""io_probe_mbps":${fmt(ioProbe, 1)},""" +
       s""""queries_min":$qsMin,""" +
       s""""single_run":$singleRunJson,""" +
       s""""stream_rows_per_sec":$streamRate,"stream_rows":$streamRows,""" +
@@ -381,6 +406,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec",""" +
       s""""config":"$benchConfig",""" +
       s""""cpu_probe_sec":${fmt(cpuProbe, 3)},""" +
+      s""""io_probe_mbps":${fmt(ioProbe, 1)},""" +
       s""""n_queries":$nQueries,"n_failed":$nFailed,"queries":$top10,""" +
       s""""queries_note":"slowest 10 of $nQueries; full per-query medians+mins in BENCH_LOCAL.json",""" +
       s""""stream_rows_per_sec":$streamRate,""" +
