@@ -29,8 +29,13 @@ object TmpSweep {
   /** A root older than this is presumed orphaned by a dead run. */
   val StaleMs: Long = 30L * 60 * 1000
 
-  def sweep(): Int = {
-    val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+  /** Sweep `root` (default: the process tmpdir). The root parameter
+    * exists for tests — a spec must not run a REAL sweep on the
+    * shared /tmp, where it could reap a concurrently-running gate's
+    * >30-min-old persisted-index caches. */
+  def sweep(root: String =
+              sys.props.getOrElse("java.io.tmpdir", "/tmp")): Int = {
+    val tmp = new java.io.File(root)
     val cutoff = System.currentTimeMillis() - StaleMs
     val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
       f.isDirectory && Prefixes.exists(f.getName.startsWith) &&
