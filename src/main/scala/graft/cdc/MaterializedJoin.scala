@@ -285,6 +285,60 @@ object MaterializedJoin {
     true
   }
 
+  /** Shared N-way transactional scaffolding for the non-self-
+    * maintainable view kinds (min/max, top-k): read + checkpoint the
+    * N lake states, advance them through [[stepN]], checkpoint the
+    * signed join delta ONCE (it feeds several maintenance legs — the
+    * N-way telescoped join must not re-run per leg), and declare the
+    * LIVE JOIN of the round's NEW states (the rescan recompute
+    * source — lazy; consumers restrict it with a group-keyed semi
+    * join that Catalyst pushes below the join, so it never evaluates
+    * corpus ⋈ corpus). `free()` releases every checkpoint once the
+    * round's commit has consumed them. */
+  private final case class NWayTx(ins: Seq[TableIn], states: Seq[DataFrame],
+                                  signedDelta: DataFrame, liveJoin: DataFrame) {
+    def free(): Unit =
+      (ins.map(_.state) ++ states :+ signedDelta).foreach(graft.Ckpt.free)
+  }
+
+  private def stepNTx(spark: org.apache.spark.sql.SparkSession, root: String,
+                      tables: Seq[BatchIn], joinPairs: Seq[(String, String)],
+                      outCols: Seq[String]): NWayTx = {
+    import graft.sinks.PkTableSink
+    val ins = tables.map { t =>
+      val st = PkTableSink.readTxGroupAll(spark, root, s"state_${t.name}",
+        MaterializedAgg.emptyState(t.batch, t.delFlag), deletedCol = Del)
+        .localCheckpoint(true)
+      TableIn(st, t.batch, t.key, t.verCols.map(col), t.delFlag)
+    }
+    val s = stepN(ins, joinPairs, outCols)
+    val signedDelta = s.delta.localCheckpoint(true)
+    // live join of the NEW states: BFS fold over the same pair graph
+    val cols: Seq[Set[String]] = tables.map(_.batch.columns.toSet)
+    def liveState(i: Int): DataFrame = s.states(i).where(!col(Del)).drop(Del)
+    var acc = liveState(0)
+    var seen = cols(0)
+    var remaining = tables.indices.drop(1).toSet
+    while (remaining.nonEmpty) {
+      val next = remaining.find(j => joinPairs.exists { case (a, b) =>
+        (seen.contains(a) && cols(j).contains(b)) ||
+          (seen.contains(b) && cols(j).contains(a))
+      }).getOrElse(throw new IllegalArgumentException(
+        "the equi-pair graph must connect every table"))
+      val conds = joinPairs.collect {
+        case (a, b) if seen.contains(a) && cols(next).contains(b) =>
+          col(a) === col(b)
+        case (a, b) if seen.contains(b) && cols(next).contains(a) =>
+          col(b) === col(a)
+      }
+      acc = acc.join(liveState(next), conds.reduce(_ && _))
+      seen = seen ++ cols(next)
+      remaining -= next
+    }
+    val liveJoin = acc.select(outCols.map(col): _*).withColumn(Del, lit(false))
+    NWayTx(ins, s.states, signedDelta, liveJoin)
+  }
+
   /** [[maintainAggTx]] with MIN/MAX columns — the r15 verdict's #6
     * ask: the single-table extremum rule ([[MaterializedAgg
     * .mergeMvMinMax]]'s insert-merge / retraction-rescan, Gupta &
@@ -326,51 +380,15 @@ object MaterializedJoin {
       .flatMap(_.meta.get(wmKey)).map(_.toLong)
     if (applied.exists(batchId <= _)) return false
 
-    val ins = tables.map { t =>
-      val st = PkTableSink.readTxGroupAll(spark, root, s"state_${t.name}",
-        MaterializedAgg.emptyState(t.batch, t.delFlag), deletedCol = Del)
-        .localCheckpoint(true)
-      TableIn(st, t.batch, t.key, t.verCols.map(col), t.delFlag)
-    }
-    val s = stepN(ins, joinPairs, outCols)
-    // the signed join delta feeds the group delta plus THREE extremum
-    // legs (insert candidates, retraction test, rescan-group draw) —
-    // checkpoint it once instead of re-running the N-way telescoped
-    // join per leg, and derive the group delta from the checkpoint
-    val signedDelta = s.delta.localCheckpoint(true)
-    val delta = MaterializedAgg.groupDelta(signedDelta, groupCols, sums)
+    val w = stepNTx(spark, root, tables, joinPairs, outCols)
+    val delta = MaterializedAgg.groupDelta(w.signedDelta, groupCols, sums)
       .localCheckpoint(true)
-    // live join of the round's NEW states, the rescan recompute
-    // source: BFS fold over the same pair graph stepN uses; lazy —
-    // evaluated only under attachExtrema's group-restricted semi join
-    val cols: Seq[Set[String]] = tables.map(_.batch.columns.toSet)
-    def liveState(i: Int): DataFrame = s.states(i).where(!col(Del)).drop(Del)
-    var acc = liveState(0)
-    var seen = cols(0)
-    // attach tables in pair-graph order until all joined
-    var remaining = tables.indices.drop(1).toSet
-    while (remaining.nonEmpty) {
-      val next = remaining.find(j => joinPairs.exists { case (a, b) =>
-        (seen.contains(a) && cols(j).contains(b)) ||
-          (seen.contains(b) && cols(j).contains(a))
-      }).getOrElse(throw new IllegalArgumentException(
-        "the equi-pair graph must connect every table"))
-      val conds = joinPairs.collect {
-        case (a, b) if seen.contains(a) && cols(next).contains(b) =>
-          col(a) === col(b)
-        case (a, b) if seen.contains(b) && cols(next).contains(a) =>
-          col(b) === col(a)
-      }
-      acc = acc.join(liveState(next), conds.reduce(_ && _))
-      seen = seen ++ cols(next)
-      remaining -= next
-    }
-    val liveJoin = acc.select(outCols.map(col): _*).withColumn(Del, lit(false))
-    val st = MaterializedAgg.Step(state = liveJoin, signedDelta = signedDelta)
+    val st = MaterializedAgg.Step(state = w.liveJoin,
+      signedDelta = w.signedDelta)
 
     val touched = delta.select(groupCols.map(col): _*)
     // empty-lake schema fallback (never evaluated once a manifest exists)
-    val mvSchema = liveJoin.groupBy(groupCols.map(col): _*)
+    val mvSchema = w.liveJoin.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sums.map { case (nm, c) => sum(c).as(nm) } ++
           exts.map(e =>
@@ -395,8 +413,82 @@ object MaterializedJoin {
         "__mv_gone")),
       writer = writer,
       extraMeta = Map(wmKey -> batchId.toString))
-    (ins.map(_.state) ++ s.states ++ Seq(delta, signedDelta, curMv))
-      .foreach(graft.Ckpt.free)
+    w.free()
+    Seq(delta, curMv).foreach(graft.Ckpt.free)
+    true
+  }
+
+  /** TOP-K-PER-GROUP on the JOIN-MV path — [[MaterializedTopK]]'s
+    * member-retraction-only rescan rule composed with [[stepN]]'s
+    * N-way signed join delta (the second non-self-maintainable
+    * aggregate the join path was missing after min/max):
+    *
+    *  - INSERTED join rows merge with the stored members (one bounded
+    *    rank over ≤ k + batch rows per touched group, no state read);
+    *  - a RETRACTED join row rescans its group only when its
+    *    (group, key) is a STORED MEMBER — and a join row retracts
+    *    when ANY constituent table row dies/changes, so dim-driven
+    *    demotions route through the same rule;
+    *  - the rescan recomputes over the live N-way JOIN restricted to
+    *    affected groups (group-keyed semi pushed below the join).
+    *
+    * `keyCols` must be a JOIN-ROW unique key within its group (e.g.
+    * the fact table's PK when dims are PK-joined): the merge leg's
+    * completeness argument needs +1 rows for stored keys to imply a
+    * matching −1 (which routes the group to rescan) — a fan-out join
+    * that duplicates keys breaks that and must widen `keyCols`.
+    * `outCols` must carry groupCols ++ keyCols ++ the value input.
+    * Same exactly-once envelope as [[maintainAggTx]]: N states, the
+    * (group, key)-keyed view (new top-k upserts; demoted/retracted
+    * members tombstone), and the watermark flip in ONE manifest. Read
+    * with `PkTableSink.readTxGroup(spark, root, "mv", …)` and rank
+    * with [[MaterializedTopK.rank]]. */
+  def maintainTopKTx(root: String, tables: Seq[BatchIn],
+                     joinPairs: Seq[(String, String)], outCols: Seq[String],
+                     groupCols: Seq[String], keyCols: Seq[String],
+                     value: Column, k: Int,
+                     batchId: Long, writer: String): Boolean = {
+    import graft.sinks.{PkTableSink, TxLog}
+    require(tables.map(_.name).distinct.size == tables.size,
+      "table names must be distinct")
+    val spark = tables.head.batch.sparkSession
+    val wmKey = s"wm.$writer"
+    val applied = TxLog.current(spark, root)
+      .flatMap(_.meta.get(wmKey)).map(_.toLong)
+    if (applied.exists(batchId <= _)) return false
+
+    val w = stepNTx(spark, root, tables, joinPairs, outCols)
+    val st = MaterializedAgg.Step(state = w.liveJoin,
+      signedDelta = w.signedDelta)
+    val gkCols = groupCols ++ keyCols
+    val touched = w.signedDelta.select(groupCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val mvSchema = w.liveJoin
+      .select(gkCols.map(col) :+ value.as(MaterializedTopK.Val): _*).limit(0)
+    val curMv = PkTableSink.readTxGroup(spark, root, "mv", mvSchema)
+      .select(gkCols.map(col) :+ col(MaterializedTopK.Val): _*)
+      .join(touched, groupCols, "left_semi")
+      .localCheckpoint(true) // read twice: inside mergeTopK and the tombstone diff
+    val newRows = MaterializedTopK.mergeTopK(Some(curMv), st, groupCols,
+        keyCols, value, k)
+      .localCheckpoint(true)
+    val gone = curMv.join(newRows, gkCols, "left_anti")
+      .select(gkCols.map(col) :+ col(MaterializedTopK.Val): _*)
+    val mvBatch = newRows.withColumn("__mv_gone", lit(false))
+      .unionByName(gone.withColumn("__mv_gone", lit(true)))
+      .withColumn("batch_id", lit(batchId))
+    val stateBatches = tables.map { t =>
+      s"state_${t.name}" -> PkTableSink.TableBatch(
+        t.batch.withColumn("__state_del", coalesce(t.delFlag, lit(false))),
+        t.key, t.verCols, "__state_del")
+    }.toMap
+    PkTableSink.mergeTxGroup(spark, root, stateBatches +
+      ("mv" -> PkTableSink.TableBatch(mvBatch, gkCols, Seq("batch_id"),
+        "__mv_gone")),
+      writer = writer,
+      extraMeta = Map(wmKey -> batchId.toString))
+    w.free()
+    Seq(touched, curMv, newRows).foreach(graft.Ckpt.free)
     true
   }
 }

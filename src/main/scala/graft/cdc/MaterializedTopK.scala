@@ -36,7 +36,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object MaterializedTopK {
 
-  private val Val = "__topk_v"
+  private[cdc] val Val = "__topk_v"
 
   /** Advance the view by one [[MaterializedAgg.Step]]. `state` must be
     * the step's NEW key-state (live + tombstones). */

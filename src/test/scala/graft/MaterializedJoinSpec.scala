@@ -310,4 +310,80 @@ class MaterializedJoinSpec extends SparkSpec {
     val fin = mvRows()
     assert(fin == Map("carl" -> (1L, 50L, 50L, 50L)), s"end state: $fin")
   }
+
+  test("maintainTopKTx: member retractions rescan; dim changes demote/migrate members; below-k deletes don't") {
+    import MaterializedJoin.BatchIn
+    import graft.cdc.MaterializedTopK
+    import graft.sinks.PkTableSink
+    val root = TestTmp.dir("mjtk").toString + "/g"
+    def os(rows: (Long, Long, Long, Long, Boolean)*): DataFrame =
+      rows.toDF("okey", "ockey", "amt", "ov", "odel")
+    def cs(rows: (Long, String, Long, Boolean)*): DataFrame =
+      rows.toDF("ckey", "name", "cv", "cdel")
+    val rounds: Seq[(DataFrame, DataFrame)] = Seq(
+      // alice: {1:100, 2:80, 3:60, 4:40}; bob: {5:70} — k=2 view:
+      // alice [1, 2], bob [5]
+      (os((1L, 10L, 100L, 1L, false), (2L, 10L, 80L, 1L, false),
+        (3L, 10L, 60L, 1L, false), (4L, 10L, 40L, 1L, false),
+        (5L, 20L, 70L, 1L, false)),
+        cs((10L, "alice", 1L, false), (20L, "bob", 1L, false))),
+      // kill order 1 — a STORED MEMBER: alice rescans, hidden row 3
+      // promotes ([2, 3]); kill order 4 — BELOW-k: membership logic
+      // must not need a rescan for it; insert 6:90 into bob ([6, 5])
+      (os((1L, 10L, 100L, 2L, true), (4L, 10L, 40L, 2L, true),
+        (6L, 20L, 90L, 1L, false)), cs()),
+      // fk move: order 2 (alice's top) migrates to carl — the − join
+      // row demotes it out of alice ([3]), the + inserts it at carl;
+      // dim death: bob dies, his whole group's members retract
+      (os((2L, 30L, 80L, 2L, false)),
+        cs((20L, "bob", 2L, true), (30L, "carl", 1L, false))))
+    var allO = rounds.head._1.limit(0)
+    var allC = rounds.head._2.limit(0)
+    def mvRows(): Map[String, Seq[(Long, Long, Long)]] = {
+      val schemaOf = Seq.empty[(String, Long, Long, Long)]
+        .toDF("name", "okey", "__topk_v", "batch_id") // the stored value col
+      MaterializedTopK.rank(
+          PkTableSink.readTxGroup(spark, root, "mv", schemaOf),
+          Seq("name"), Seq("okey"), "amt")
+        .select(col("name"), col("rank"), col("okey"), col("amt"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (g, rs) =>
+          g -> rs.sortBy(_._2).map(r => (r._2, r._3, r._4))
+        }
+    }
+    def want(): Map[String, Seq[(Long, Long, Long)]] = {
+      val l = PkTable.latestPerKey(allO, Seq("okey"), Seq(col("ov")))
+        .where(!col("odel"))
+      val r = PkTable.latestPerKey(allC, Seq("ckey"), Seq(col("cv")))
+        .where(!col("cdel"))
+      l.join(r, col("ockey") === col("ckey"))
+        .select(col("name"), col("okey"), col("amt"))
+        .as[(String, Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (g, rs) =>
+          g -> rs.sortBy(x => (-x._3, x._2)).take(2).zipWithIndex
+            .map { case ((_, okey, amt), i) => (i + 1L, okey, amt) }
+        }
+    }
+    def run(i: Int, r: (DataFrame, DataFrame)): Boolean =
+      MaterializedJoin.maintainTopKTx(root, Seq(
+        BatchIn("ord", r._1, Seq("okey"), Seq("ov"), col("odel")),
+        BatchIn("cust", r._2, Seq("ckey"), Seq("cv"), col("cdel"))),
+        Seq("ockey" -> "ckey"), outCols = Seq("okey", "amt", "name"),
+        groupCols = Seq("name"), keyCols = Seq("okey"),
+        value = col("amt"), k = 2, batchId = i, writer = "w1")
+    rounds.zipWithIndex.foreach { case (r, i) =>
+      assert(run(i, r), s"batch $i must apply")
+      allO = allO.unionByName(r._1); allC = allC.unionByName(r._2)
+      assert(mvRows() == want(), s"round ${i + 1} top-k view diverged")
+      if (i == 1) {
+        val before = mvRows()
+        assert(!run(i, r), "replayed batch must be watermark-skipped")
+        assert(mvRows() == before, "a skipped replay must not change the view")
+      }
+    }
+    val fin = mvRows()
+    assert(fin == Map(
+      "alice" -> Seq((1L, 3L, 60L)),
+      "carl" -> Seq((1L, 2L, 80L))), s"end state: $fin")
+  }
 }
