@@ -386,4 +386,68 @@ class MaterializedJoinSpec extends SparkSpec {
       "alice" -> Seq((1L, 3L, 60L)),
       "carl" -> Seq((1L, 2L, 80L))), s"end state: $fin")
   }
+
+  test("maintainTopKTx matches a full live-join recompute on a randomized 2-table changelog") {
+    import MaterializedJoin.BatchIn
+    import graft.cdc.MaterializedTopK
+    import graft.sinks.PkTableSink
+    val root = TestTmp.dir("mjtkr").toString + "/g"
+    val rnd = new scala.util.Random(13)
+    // orders: 120 keys over 15 customers, updates (fk moves, amount
+    // changes) and deletes interleaved across 4 rounds; customers:
+    // renames (group moves) and deletes
+    val oRows = (0 until 300).map { i =>
+      (rnd.nextInt(120).toLong, (1 + rnd.nextInt(15)).toLong,
+        rnd.nextInt(500).toLong, i.toLong, rnd.nextInt(10) == 0)
+    }
+    val cRows = (0 until 60).map { i =>
+      ((1 + rnd.nextInt(15)).toLong, "g" + rnd.nextInt(4), i.toLong,
+        rnd.nextInt(12) == 0)
+    }
+    def os(rows: Seq[(Long, Long, Long, Long, Boolean)]): DataFrame =
+      rows.toDF("okey", "ockey", "amt", "ov", "odel")
+    def cs(rows: Seq[(Long, String, Long, Boolean)]): DataFrame =
+      rows.toDF("ckey", "name", "cv", "cdel")
+    val oBatches = oRows.grouped(75).map(os).toSeq
+    val cBatches = cRows.grouped(15).map(cs).toSeq
+    var allO = os(Nil).limit(0); var allC = cs(Nil).limit(0)
+    def mvRows(): Map[String, Seq[(Long, Long, Long)]] = {
+      val schemaOf = Seq.empty[(String, Long, Long, Long)]
+        .toDF("name", "okey", "__topk_v", "batch_id")
+      MaterializedTopK.rank(
+          PkTableSink.readTxGroup(spark, root, "mv", schemaOf),
+          Seq("name"), Seq("okey"), "amt")
+        .select(col("name"), col("rank"), col("okey"), col("amt"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (g, rs) =>
+          g -> rs.sortBy(_._2).map(r => (r._2, r._3, r._4))
+        }
+    }
+    def want(): Map[String, Seq[(Long, Long, Long)]] = {
+      val l = PkTable.latestPerKey(allO, Seq("okey"), Seq(col("ov")))
+        .where(!col("odel"))
+      val r = PkTable.latestPerKey(allC, Seq("ckey"), Seq(col("cv")))
+        .where(!col("cdel"))
+      l.join(r, col("ockey") === col("ckey"))
+        .select(col("name"), col("okey"), col("amt"))
+        .as[(String, Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (g, rs) =>
+          g -> rs.sortBy(x => (-x._3, x._2)).take(3).zipWithIndex
+            .map { case ((_, okey, amt), i) => (i + 1L, okey, amt) }
+        }
+    }
+    (0 until 4).foreach { i =>
+      assert(MaterializedJoin.maintainTopKTx(root, Seq(
+        BatchIn("ord", oBatches(i), Seq("okey"), Seq("ov"), col("odel")),
+        BatchIn("cust", cBatches(i), Seq("ckey"), Seq("cv"), col("cdel"))),
+        Seq("ockey" -> "ckey"), outCols = Seq("okey", "amt", "name"),
+        groupCols = Seq("name"), keyCols = Seq("okey"),
+        value = col("amt"), k = 3, batchId = i, writer = "w1"),
+        s"batch $i must apply")
+      allO = allO.unionByName(oBatches(i)); allC = allC.unionByName(cBatches(i))
+      val (g, w) = (mvRows(), want())
+      assert(g == w, s"round ${i + 1}: got $g want $w")
+    }
+    assert(mvRows().nonEmpty)
+  }
 }
