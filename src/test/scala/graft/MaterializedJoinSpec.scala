@@ -387,6 +387,63 @@ class MaterializedJoinSpec extends SparkSpec {
       "carl" -> Seq((1L, 2L, 80L))), s"end state: $fin")
   }
 
+  test("maintainAggMinMaxTx matches a full live-join recompute on a randomized 2-table changelog") {
+    import MaterializedJoin.BatchIn
+    import graft.cdc.MaterializedAgg.Extremum
+    import graft.sinks.PkTableSink
+    val root = TestTmp.dir("mjmmr").toString + "/g"
+    val rnd = new scala.util.Random(29)
+    val oRows = (0 until 300).map { i =>
+      (rnd.nextInt(120).toLong, (1 + rnd.nextInt(15)).toLong,
+        rnd.nextInt(500).toLong, i.toLong, rnd.nextInt(10) == 0)
+    }
+    val cRows = (0 until 60).map { i =>
+      ((1 + rnd.nextInt(15)).toLong, "g" + rnd.nextInt(4), i.toLong,
+        rnd.nextInt(12) == 0)
+    }
+    def os(rows: Seq[(Long, Long, Long, Long, Boolean)]): DataFrame =
+      rows.toDF("okey", "ockey", "amt", "ov", "odel")
+    def cs(rows: Seq[(Long, String, Long, Boolean)]): DataFrame =
+      rows.toDF("ckey", "name", "cv", "cdel")
+    val oBatches = oRows.grouped(75).map(os).toSeq
+    val cBatches = cRows.grouped(15).map(cs).toSeq
+    var allO = os(Nil).limit(0); var allC = cs(Nil).limit(0)
+    def mvRows(): Map[String, (Long, Long, Long, Long)] = {
+      val schemaOf = Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("name", "n", "s", "mn", "mx", "batch_id")
+      PkTableSink.readTxGroup(spark, root, "mv", schemaOf)
+        .select(col("name"), col("n"), col("s"), col("mn"), col("mx"))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    }
+    def want(): Map[String, (Long, Long, Long, Long)] = {
+      val l = PkTable.latestPerKey(allO, Seq("okey"), Seq(col("ov")))
+        .where(!col("odel"))
+      val r = PkTable.latestPerKey(allC, Seq("ckey"), Seq(col("cv")))
+        .where(!col("cdel"))
+      l.join(r, col("ockey") === col("ckey"))
+        .select(col("name"), col("amt")).as[(String, Long)].collect().toSeq
+        .groupBy(_._1).map { case (g, rs) =>
+          val amts = rs.map(_._2)
+          g -> (amts.size.toLong, amts.sum, amts.min, amts.max)
+        }
+    }
+    (0 until 4).foreach { i =>
+      assert(MaterializedJoin.maintainAggMinMaxTx(root, Seq(
+        BatchIn("ord", oBatches(i), Seq("okey"), Seq("ov"), col("odel")),
+        BatchIn("cust", cBatches(i), Seq("ckey"), Seq("cv"), col("cdel"))),
+        Seq("ockey" -> "ckey"), outCols = Seq("amt", "name"),
+        groupCols = Seq("name"), sums = Seq("s" -> col("amt")),
+        exts = Seq(Extremum("mn", col("amt"), isMin = true),
+          Extremum("mx", col("amt"), isMin = false)),
+        batchId = i, writer = "w1"), s"batch $i must apply")
+      allO = allO.unionByName(oBatches(i)); allC = allC.unionByName(cBatches(i))
+      val (g, w) = (mvRows(), want())
+      assert(g == w, s"round ${i + 1}: got $g want $w")
+    }
+    assert(mvRows().nonEmpty)
+  }
+
   test("maintainTopKTx matches a full live-join recompute on a randomized 2-table changelog") {
     import MaterializedJoin.BatchIn
     import graft.cdc.MaterializedTopK
