@@ -150,24 +150,36 @@ object QueriesOlap {
     // rescan of lineitem (the naive plan is O(|lineitem|²/|part|)).
     // Grouped by brand (the spec's single Brand#/container filter is
     // a point lookup on the synthetic corpus; grouping pins the same
-    // decorrelation over every part). avg(l_quantity) = Σ/n over
-    // integer-valued doubles — exact in both engines; revenue summed
-    // as integer cents; avg_yearly = one deterministic double divide
-    // + floor-form round.
+    // decorrelation over every part). FP-FREE by construction (r16
+    // verdict: 63 sf0.1 rows tie `0.2·avg` EXACTLY, so any 1-ulp avg
+    // divergence flips membership): the threshold compare is the
+    // exact BIGINT cross-multiplication `5·n·qty < Σqty` (qty is
+    // integer-valued; multiplying `qty < 0.2·Σ/n` through by 5n > 0
+    // is an equivalence over the rationals — no divide, no 0.2), and
+    // avg_yearly is integer round-half-up of cents/7
+    // (`(2·Σcents + 7) div 14`) with ONE final exact-input /100.0.
+    // The correlated scalar returns the (n, Σqty) pair as a single
+    // struct so Catalyst decorrelates to ONE per-part aggregate
+    // joined back to the fact scan — not two.
     "q_small_qty_revenue" -> { (s, dir) =>
       Tables.lineitem(s, dir).createOrReplaceTempView("q17_lineitem")
       Tables.part(s, dir).createOrReplaceTempView("q17_part")
       s.sql("""
         SELECT p_brand, COUNT(*) AS n_small,
           CAST(SUM(cents) AS BIGINT) AS sum_cents,
-          floor(SUM(cents) / 700.0 * 100 + 0.5) / 100 AS avg_yearly
+          (2 * SUM(cents) + 7) DIV 14 / 100.0 AS avg_yearly
         FROM (
           SELECT p.p_brand,
             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-          FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
-          WHERE l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
-                                FROM q17_lineitem l2
-                                WHERE l2.l_partkey = l.l_partkey))
+          FROM (
+            SELECT l_partkey, l_extendedprice,
+              (SELECT struct(COUNT(*) AS n, SUM(CAST(l2.l_quantity AS BIGINT)) AS sq)
+               FROM q17_lineitem l2
+               WHERE l2.l_partkey = l1.l_partkey) AS ps,
+              CAST(l_quantity AS BIGINT) AS qty
+            FROM q17_lineitem l1) l
+          JOIN q17_part p ON p.p_partkey = l.l_partkey
+          WHERE 5 * l.ps.n * l.qty < l.ps.sq)
         GROUP BY p_brand ORDER BY p_brand""")
     },
 
@@ -1838,22 +1850,25 @@ object QueriesOlap {
         |FROM w JOIN po USING (l_orderkey)
         |WHERE n_supp >= 2 AND n_late = 1
         |GROUP BY l_suppkey ORDER BY numwait DESC, l_suppkey""".stripMargin,
-    // B77: Q17's correlated scalar replayed decorrelated — per-part
-    // 0.2·avg thresholds joined to the fact scan (DuckDB plans the
-    // correlated form the same way; the CTE makes the equivalence
-    // explicit and cheap)
+    // B77: Q17's correlated scalar replayed decorrelated — exact
+    // per-part (n, Σqty) BIGINT pair joined to the fact scan, the
+    // threshold compared by cross-multiplication (5·n·qty < Σqty —
+    // no divide, no 0.2 literal, no avg: FP-free in BOTH engines),
+    // avg_yearly as integer round-half-up of cents/7 with one final
+    // exact-input /100.0 (DuckDB `//` = Spark `DIV` on BIGINT)
     "q_small_qty_revenue" ->
       """WITH thr AS (SELECT l_partkey AS t_partkey,
-        |    0.2 * avg(l_quantity) AS t FROM lineitem GROUP BY 1)
+        |    count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sq
+        |  FROM lineitem GROUP BY 1)
         |SELECT p_brand, count(*) AS n_small,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-        |  round(sum(cents) / 700.0, 2) AS avg_yearly
+        |  ((2 * sum(cents) + 7) // 14) / 100.0 AS avg_yearly
         |FROM (
         |  SELECT p_brand,
         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
         |  FROM lineitem JOIN part ON p_partkey = l_partkey
         |  JOIN thr ON t_partkey = l_partkey
-        |  WHERE l_quantity < t)
+        |  WHERE 5 * n * CAST(l_quantity AS BIGINT) < sq)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // B78: the Q20-shaped nested IN + correlated scalar, replayed as
     // two part-keyed aggregates + a semi join (same decorrelation
