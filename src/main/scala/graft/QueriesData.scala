@@ -134,7 +134,7 @@ object QueriesData {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
   private def hybridIndexRoots(s: SparkSession, dir: String): (String, String, Long) =
     hybridIdxCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("hybidx")
+      val tmp = TmpSweep.gateTempDir("hybidx")
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(tmp)))
       val inv = tmp.toString + "/inv"
       val g = tmp.toString + "/graph"
@@ -168,7 +168,7 @@ object QueriesData {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexRoot(s: SparkSession, dir: String): String =
     ivfIdxCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("ivfidx")
+      val tmp = TmpSweep.gateTempDir("ivfidx")
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(tmp)))
       val root = tmp.toString + "/ivf"
       graft.ops.IvfIndex.build(Tables.embeddings(s, dir), col("vec_id"),

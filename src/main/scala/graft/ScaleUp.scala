@@ -72,15 +72,44 @@ object ScaleUp {
     }
   }
 
-  /** Write the scaled corpus (no-op when `dst` already holds one). */
+  /** Fingerprint of a corpus dir: (name, size, mtime) of every
+    * top-level parquet entry, order-stable. A replica marker carries
+    * the BASE corpus's fingerprint so a regenerated/replaced testdata
+    * dir, or a replica half-written by a killed run (no marker at
+    * all), can never be silently measured against (r16 verdict #3:
+    * the two same-HEAD scaling artifacts disagreed 29-37× and one
+    * showed physically-impossible sub-base 10× times — a stale or
+    * corrupt replica is the only construction that produces that). */
+  def fingerprint(dir: String): String = {
+    val d = new java.io.File(dir)
+    val entries = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map { f =>
+        // a parquet "file" here is usually a Spark-written DIRECTORY;
+        // its own mtime moves on any rewrite, and for raw testdata
+        // single files size+mtime pin the content
+        s"${f.getName}:${f.length}:${f.lastModified}"
+      }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def marker(src: String, replicas: Int): String =
+    s"replicas=$replicas src=${fingerprint(src)}"
+
+  /** Write the scaled corpus (no-op when `dst` already holds one
+    * built from THIS base corpus at THIS replica count). */
   def ensure(spark: SparkSession, src: String, dst: String, replicas: Int): Unit = {
     require(replicas >= 1, "replicas must be >= 1")
     val done = new java.io.File(s"$dst/_SCALED_OK")
-    // reuse only a corpus built at the SAME replica count — a marker
-    // from a different scale would silently gate against wrong data
+    // reuse only a corpus built at the SAME replica count FROM the
+    // SAME base corpus — a marker from a different scale or a
+    // regenerated testdata would silently gate against wrong data
     if (done.exists() &&
-      java.nio.file.Files.readString(done.toPath).trim == s"replicas=$replicas")
+      java.nio.file.Files.readString(done.toPath).trim == marker(src, replicas))
       return
+    if (done.exists()) done.delete() // invalid marker: rebuild from scratch
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
@@ -92,7 +121,16 @@ object ScaleUp {
       out.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
     }
     done.getParentFile.mkdirs()
-    java.nio.file.Files.writeString(done.toPath, s"replicas=$replicas\n")
+    java.nio.file.Files.writeString(done.toPath, marker(src, replicas) + "\n")
+  }
+
+  /** The marker string of a previously-ensured replica at `dst`, for
+    * cache-key composition (empty when absent/invalid). */
+  def markerOf(dst: String): String = {
+    val done = new java.io.File(s"$dst/_SCALED_OK")
+    if (!done.exists()) ""
+    else try java.nio.file.Files.readString(done.toPath).trim
+    catch { case _: java.io.IOException => "" }
   }
 
   def main(args: Array[String]): Unit = {

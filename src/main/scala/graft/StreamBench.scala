@@ -21,7 +21,7 @@ object StreamBench {
     * streaming rate, not just self-reported numbers.
     */
   def run(spark: org.apache.spark.sql.SparkSession, sfDir: String): (Long, Double) = {
-    val work = java.nio.file.Files.createTempDirectory("streambench").toString
+    val work = TmpSweep.gateTempDir("streambench").toString
     val chg = Tables.events(spark, sfDir).withColumn("op",
       when(col("event_type") === "signup", Envelope.OpCreate)
         .when(col("event_type") === "error", Envelope.OpDelete)
@@ -69,7 +69,7 @@ object StreamBench {
   def latencyBench(spark: org.apache.spark.sql.SparkSession,
                    nInserts: Int = 30, nDeletes: Int = 10): (Seq[Double], Seq[Double]) = {
     import org.apache.spark.sql.functions.{col, lit}
-    val work = java.nio.file.Files.createTempDirectory("latbench")
+    val work = TmpSweep.gateTempDir("latbench")
     val input = work.resolve("input"); java.nio.file.Files.createDirectories(input)
     val stage = work.resolve("stage"); java.nio.file.Files.createDirectories(stage)
     val payload = StructType(Seq(
@@ -151,7 +151,7 @@ object StreamBench {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val root = java.nio.file.Files.createTempDirectory("txload").toString + "/t"
+    val root = TmpSweep.gateTempDir("txload").toString + "/t"
     val chg = Tables.events(spark, sfDir).select(
       col("event_id"), col("user_id"), col("ts"), col("value"),
       (col("event_type") === "error").as("del"))

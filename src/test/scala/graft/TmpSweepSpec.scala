@@ -38,4 +38,50 @@ class TmpSweepSpec extends AnyFunSuite {
       root.delete()
     }
   }
+
+  test("live-owner pidfile protects a stale-mtime root; dead owner does not") {
+    val root = java.nio.file.Files.createTempDirectory("sweepspec").toFile
+    def mk(name: String, pid: String): java.io.File = {
+      val d = new java.io.File(root, name)
+      assert(d.mkdir())
+      java.nio.file.Files.writeString(d.toPath.resolve("_OWNER"), pid)
+      assert(d.setLastModified(System.currentTimeMillis() - TmpSweep.StaleMs - 60000))
+      d
+    }
+    // our own pid is alive by definition; pid 2^22 exceeds the default
+    // Linux pid_max so it can never name a live process
+    val live = mk("hybidx_live", ProcessHandle.current().pid().toString)
+    val dead = mk("hybidx_dead", (1L << 22).toString)
+    try {
+      TmpSweep.sweep(root.toString)
+      assert(live.exists, "a >30-min root whose owning pid is ALIVE must survive " +
+        "(it may be a long run's persisted index, only being read)")
+      assert(!dead.exists, "a stale root with a dead owner is an orphan")
+    } finally {
+      new java.io.File(live, "_OWNER").delete(); live.delete(); root.delete()
+    }
+  }
+
+  test("stale io-probe FILES are reaped; gateTempDir registers + refuses") {
+    val root = java.nio.file.Files.createTempDirectory("sweepspec").toFile
+    val probe = new java.io.File(root, "graft_ioprobe123.bin")
+    java.nio.file.Files.writeString(probe.toPath, "x")
+    assert(probe.setLastModified(System.currentTimeMillis() - TmpSweep.StaleMs - 60000))
+    try {
+      TmpSweep.sweep(root.toString)
+      assert(!probe.exists, "a SIGKILL-orphaned probe file must be reaped")
+    } finally { probe.delete(); root.delete() }
+    // gateTempDir: known prefix → dir with _OWNER carrying our pid
+    val d = TmpSweep.gateTempDir("mvjm_gate")
+    try {
+      val owner = java.nio.file.Files.readString(d.resolve("_OWNER")).trim
+      assert(owner == ProcessHandle.current().pid().toString)
+    } finally {
+      java.nio.file.Files.deleteIfExists(d.resolve("_OWNER"))
+      java.nio.file.Files.deleteIfExists(d)
+    }
+    // unknown prefix → loud failure (the drift guard: a new gate must
+    // add its prefix to Prefixes or it cannot allocate a root at all)
+    intercept[IllegalArgumentException] { TmpSweep.gateTempDir("rogue_gate") }
+  }
 }
