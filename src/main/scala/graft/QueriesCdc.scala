@@ -532,7 +532,7 @@ object QueriesCdc {
       import graft.cdc.MaterializedJoin.BatchIn
       import graft.cdc.MaterializedAgg.Extremum
       import graft.sinks.PkTableSink
-      val tmp = java.nio.file.Files.createTempDirectory("mvjm_gate")
+      val tmp = TmpSweep.gateTempDir("mvjm_gate")
       try {
         val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
@@ -579,6 +579,69 @@ object QueriesCdc {
       } finally deleteTree(tmp)
     },
 
+    // A42 (r17): TOP-K on the JOIN-MV path — the r16 verdict's #4 ask
+    // (the one spec-only MV-maintenance kind left): MaterializedTopK's
+    // member-retraction-only rescan rule composed with the N-way
+    // signed join delta (MaterializedJoin.maintainTopKTx), in the A41
+    // gate's two-delete-channel shape. 4 interleaved 2-table CDC
+    // rounds: first-sight tombstones (odel/cdel) PLUS a second-wave
+    // kill of live orders in the price TAILS at version 2 in a
+    // decoupled round (3·key+1 mod 4 — some tombstones precede their
+    // insert and must defeat it by version). The TOP-tail kills are
+    // exactly stored-MEMBER retractions (group rescans over the live
+    // join of affected groups, semi pushed below the join); the
+    // BOTTOM-tail kills are below-k retractions that must NOT change
+    // membership. One stale replay is watermark-skipped. The ranked
+    // view (k=3 per segment, ties broken by o_orderkey — identical
+    // total order in both engines) is hash-exact vs the oracle's
+    // row_number over the live join of the final states. Reference
+    // shape: monitor.sh's top-customers ranking kept warm.
+    "mv_join_topk" -> { (s, dir) =>
+      import graft.cdc.MaterializedJoin.BatchIn
+      import graft.cdc.MaterializedTopK
+      import graft.sinks.PkTableSink
+      val tmp = TmpSweep.gateTempDir("mvjtk_gate")
+      try {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          lit(1L).as("ov"), (col("o_orderkey") % 13 === 3).as("odel"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_mktsegment"), lit(1L).as("cv"),
+          (col("c_custkey") % 17 === 5).as("cdel"))
+        val delWave = o.where(!col("odel") &&
+            (col("cents") > 49000000L || col("cents") < 1100000L))
+          .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+            lit(2L).as("ov"), lit(true).as("odel"))
+        def oBatch(i: Int): DataFrame =
+          o.where(pmod(col("o_orderkey"), lit(4)) === i)
+            .unionByName(delWave.where(pmod(col("o_orderkey") * 3 + 1, lit(4)) === i))
+        val root = tmp.toString + "/jtk/g"
+        def round(i: Int): Boolean =
+          MaterializedJoin.maintainTopKTx(root, Seq(
+            BatchIn("o", oBatch(i), Seq("o_orderkey"), Seq("ov"), col("odel")),
+            BatchIn("c", c.where(pmod(col("c_custkey"), lit(4)) === i),
+              Seq("c_custkey"), Seq("cv"), col("cdel"))),
+            Seq("o_custkey" -> "c_custkey"),
+            outCols = Seq("o_orderkey", "cents", "c_mktsegment"),
+            groupCols = Seq("c_mktsegment"), keyCols = Seq("o_orderkey"),
+            value = col("cents"), k = 3, batchId = i, writer = "gate")
+        (0 until 4).foreach(i => require(round(i), s"round $i must apply"))
+        require(!round(2), "stale replay must be watermark-skipped (zero jobs)")
+        val schemaOf = {
+          import s.implicits._
+          Seq.empty[(String, Long, Long, Long)]
+            .toDF("c_mktsegment", "o_orderkey", "__topk_v", "batch_id")
+        }
+        MaterializedTopK.rank(
+            PkTableSink.readTxGroup(s, root, "mv", schemaOf),
+            Seq("c_mktsegment"), Seq("o_orderkey"), "cents")
+          .select(col("c_mktsegment"), col("rank").as("rnk"),
+            col("o_orderkey"), col("cents"))
+          .orderBy(col("c_mktsegment"), col("rnk"))
+          .localCheckpoint(true)
+      } finally deleteTree(tmp)
+    },
+
     // A10: initial snapshot + changelog tail merged into one view
     "cdc_snapshot_then_merge" -> { (s, dir) =>
       val snap = Tables.customer(s, dir).select(
@@ -596,6 +659,94 @@ object QueriesCdc {
         .orderBy(col("k"))
     },
 
+    // A43 (r17): DBLog-style INCREMENTAL (chunked) RE-SNAPSHOT
+    // interleaved with a live changelog — the r16 verdict's #8 ask
+    // (the reference pins snapshot.mode=initial; Debezium 3's ad-hoc
+    // incremental snapshot is the watermark-chunked re-snapshot a
+    // production user needs for backfill/new-table onboarding). Four
+    // changelog batches (updates +$1000 on k%3==1 spread by k%4;
+    // deletes on k%7==2 spread by (3k+1)%4 — DECOUPLED, so a delete
+    // may precede or follow its key's chunk, and a key both updated
+    // and deleted resolves by APPEND ORDER) interleave with four
+    // PK-range chunks of the customer table. Every chunk read is
+    // deliberately TORN for its in-flight batch: even keys already
+    // show the batch's effect, odd keys don't, and in-flight deleted
+    // rows still linger in the read — exactly the ambiguity the
+    // window suppression must cover (order is the authority, so an
+    // unsuppressed stale row appended after its event would WIN and
+    // hash-mismatch). Replays of an applied batch and a completed
+    // chunk are proven watermark-skipped (the restart guard). Final
+    // converged state is hash-exact vs the oracle's closed form.
+    "cdc_snapshot_incremental" -> { (s, dir) =>
+      import graft.cdc.IncrementalSnapshot
+      val tmp = TmpSweep.gateTempDir("snapchunk_gate")
+      try {
+        val root = tmp.toString + "/snap/g"
+        val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"),
+          col("c_mktsegment"))
+        val upd = cust.where(col("c_custkey") % 3 === 1)
+          .withColumn("bal_cents", col("bal_cents") + 100000L)
+          .withColumn("del", lit(false))
+        val dels = cust.where(col("c_custkey") % 7 === 2)
+          .withColumn("del", lit(true))
+        def batch(i: Int): DataFrame =
+          upd.where(pmod(col("c_custkey"), lit(4)) === i)
+            .unionByName(dels.where(pmod(col("c_custkey") * 3 + 1, lit(4)) === i))
+        // the source state a chunk read at position i observes: batches
+        // < i fully applied; batch i (in flight) applied only for EVEN
+        // keys — the torn read
+        def sourceAt(i: Int): DataFrame = {
+          val updApplied = upd.where(
+            pmod(col("c_custkey"), lit(4)) < i ||
+              (pmod(col("c_custkey"), lit(4)) === i && col("c_custkey") % 2 === 0))
+            .drop("del")
+          val delApplied = dels.where(
+            pmod(col("c_custkey") * 3 + 1, lit(4)) < i ||
+              (pmod(col("c_custkey") * 3 + 1, lit(4)) === i && col("c_custkey") % 2 === 0))
+          cust.join(updApplied.select("c_custkey"), Seq("c_custkey"), "left_anti")
+            .unionByName(updApplied)
+            .join(delApplied.select("c_custkey"), Seq("c_custkey"), "left_anti")
+        }
+        val bounds = cust.agg(min(col("c_custkey")).as("lo"),
+          max(col("c_custkey")).as("hi")).head()
+        val chunks = IncrementalSnapshot.planChunks(
+          bounds.getLong(0), bounds.getLong(1), 4)
+        (0 until 4).foreach { i =>
+          require(IncrementalSnapshot.appendBatch(root, batch(i),
+            Seq("c_custkey"), col("del"), seq = 2L * i), s"batch $i must apply")
+          val ch = chunks(i)
+          val chunkRows = sourceAt(i)
+            .where(col("c_custkey") >= ch.lo && col("c_custkey") < ch.hi)
+          require(IncrementalSnapshot.appendChunk(root, chunkRows,
+            Seq("c_custkey"), windowKeys = batch(i), chunkId = i,
+            seq = 2L * i + 1), s"chunk $i must apply")
+        }
+        // restart guards: an applied batch and a completed chunk replay
+        // as no-ops (zero jobs), so a killed-and-restarted snapshot
+        // resumes instead of double-appending
+        require(!IncrementalSnapshot.appendBatch(root, batch(1),
+          Seq("c_custkey"), col("del"), seq = 2L),
+          "replayed batch must be watermark-skipped")
+        require(!IncrementalSnapshot.appendChunk(root,
+          sourceAt(1), Seq("c_custkey"), batch(1), chunkId = 1, seq = 3L),
+          "completed chunk must be watermark-skipped")
+        require(IncrementalSnapshot.completedChunk(s, root).contains(3),
+          "all four chunks must be recorded complete")
+        val schemaOf = {
+          import s.implicits._
+          Seq.empty[(Long, String, Long, String, Long)]
+            .toDF("c_custkey", "c_name", "bal_cents", "c_mktsegment",
+              IncrementalSnapshot.SeqCol)
+        }
+        IncrementalSnapshot.state(s, root, schemaOf)
+          .select(col("c_custkey"), col("c_name"), col("bal_cents"),
+            col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+          .localCheckpoint(true)
+      } finally deleteTree(tmp)
+    },
+
     // D37 in the GATE (r12): the QskMv transactional percentile-sketch
     // MV driven end-to-end inside a driver-checked query — three
     // deterministic event batches maintained through maintainTx (one
@@ -608,7 +759,7 @@ object QueriesCdc {
     // per-type broadcast rank recount.
     "qsk_mv_rollup" -> { (s, dir) =>
       import graft.streaming.QskMv
-      val tmp = java.nio.file.Files.createTempDirectory("qskmv_gate")
+      val tmp = TmpSweep.gateTempDir("qskmv_gate")
       val root = tmp.toString + "/mv"
       // the rollup is MATERIALIZED (a handful of per-type rows) before
       // the finally deletes the gate's committed roots — bench drives
@@ -659,7 +810,7 @@ object QueriesCdc {
     // cannot flap run to run; a sketch regression turns the row red).
     "kmv_mv_rollup" -> { (s, dir) =>
       import graft.streaming.KmvMv
-      val tmp = java.nio.file.Files.createTempDirectory("kmvmv_gate")
+      val tmp = TmpSweep.gateTempDir("kmvmv_gate")
       val root = tmp.toString + "/mv"
       // materialize-then-delete, same as qsk_mv_rollup above
       val rolled = try {
@@ -711,7 +862,7 @@ object QueriesCdc {
       import graft.streaming.{KmvMv, QskMv}
       import graft.plans.MvRewrite
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvrw_gate")
+      val tmp = TmpSweep.gateTempDir("mvrw_gate")
       val src = tmp.toString + "/events_flat"
       val out = try {
         Tables.events(s, dir).select(col("event_type"),
@@ -810,7 +961,7 @@ object QueriesCdc {
       import graft.streaming.RbmMv
       import graft.plans.MvRewrite
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("bmrw_gate")
+      val tmp = TmpSweep.gateTempDir("bmrw_gate")
       val src = tmp.toString + "/events_flat"
       try {
         Tables.events(s, dir).select(col("event_type"),
@@ -876,7 +1027,7 @@ object QueriesCdc {
     "mv_join_rewrite" -> { (s, dir) =>
       import graft.plans.MvRewrite
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvjr_gate")
+      val tmp = TmpSweep.gateTempDir("mvjr_gate")
       val oPath = tmp.toString + "/orders_flat"
       val cPath = tmp.toString + "/customer_flat"
       try {
@@ -973,7 +1124,7 @@ object QueriesCdc {
     "mv_minmax_rewrite" -> { (s, dir) =>
       import graft.plans.MvRewrite
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvmm_gate")
+      val tmp = TmpSweep.gateTempDir("mvmm_gate")
       val flatPath = tmp.toString + "/orders_flat"
       val mvPath = tmp.toString + "/mv"
       try {
@@ -1048,7 +1199,7 @@ object QueriesCdc {
     "mv_topk_rewrite" -> { (s, dir) =>
       import graft.plans.MvRewrite
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvtk_gate")
+      val tmp = TmpSweep.gateTempDir("mvtk_gate")
       val flatPath = tmp.toString + "/events_flat"
       val mvPath = tmp.toString + "/mv"
       try {
@@ -1136,7 +1287,7 @@ object QueriesCdc {
       import graft.streaming.RbmMv
       import graft.plans.MvRewrite
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvloop_gate")
+      val tmp = TmpSweep.gateTempDir("mvloop_gate")
       val src = tmp.toString + "/events_flat"
       try {
         val ev = Tables.events(s, dir).select(col("event_type"),
@@ -1177,25 +1328,38 @@ object QueriesCdc {
         // the SHIPPED refresh worker (streaming.MvRefresher, r16 —
         // the r15 verdict's #5 ask): the gate registers the MV once
         // and the worker's poll decides whether to re-publish
-        val worker = Seq(graft.streaming.MvRefresher.Refreshable(
+        val regs = Seq(graft.streaming.MvRefresher.Refreshable(
           "loop", pub, publish = () => publish()))
         // ---- serve generation 1 (batch A only)
         bA.write.mode("overwrite").parquet(src)
         require(RbmMv.maintainTx(root, bA, 0L, Seq("event_type", "day"),
           col("user_id"), writer = "gate"), "batch A must apply")
         publish()
-        require(graft.streaming.MvRefresher.runOnce(s, worker).isEmpty,
+        require(graft.streaming.MvRefresher.runOnce(s, regs).isEmpty,
           "fresh publish must not read stale (worker no-op)")
         val q1 = userQ()
         assertScans(q1, "before refresh")
         val r1 = q1.select(col("event_type"), col("n_events").as("n1"),
           col("n_users").as("d1")).localCheckpoint(true)
-        // ---- batch B lands; the refresh worker polls and re-publishes
+        // ---- batch B lands; the started WORKER DAEMON (r17, the r16
+        // verdict's #5 ask: the thing a production deployment actually
+        // runs, not a test-driven runOnce) polls, finds the publish
+        // stale, and re-publishes — the gate only AWAITS it
         bB.write.mode("append").parquet(src)
         require(RbmMv.maintainTx(root, bB, 1L, Seq("event_type", "day"),
           col("user_id"), writer = "gate"), "batch B must apply")
-        require(graft.streaming.MvRefresher.runOnce(s, worker) == Seq("loop"),
-          "a commit after publish must read stale; the worker refreshes it")
+        require(MvRewrite.publishStale(s, pub),
+          "a commit after publish must read stale")
+        val daemon = new graft.streaming.MvRefresher.Worker(s, regs,
+          pollIntervalMs = 100L).start()
+        try
+          require(daemon.awaitRefreshed(1L, 120000L),
+            s"the worker daemon must refresh the stale publish " +
+              s"(refreshed=${daemon.refreshedCount}, errors=${daemon.errors})")
+        finally daemon.stop()
+        require(daemon.refreshedCount >= 1L, "daemon refresh count")
+        require(!MvRewrite.publishStale(s, pub),
+          "staleness cleared by the daemon, not the test")
         // simulated restart: the refreshed registration must survive a
         // registry wipe via the on-disk manifest (r14 verdict #3 —
         // StarRocks MVs are catalog objects, not session state)
@@ -1232,7 +1396,7 @@ object QueriesCdc {
     "mv_star_rewrite" -> { (s, dir) =>
       import graft.plans.MvRewrite
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvsr_gate")
+      val tmp = TmpSweep.gateTempDir("mvsr_gate")
       val liPath = tmp.toString + "/li_flat"
       val oPath = tmp.toString + "/o_flat"
       val cPath = tmp.toString + "/c_flat"
@@ -1326,7 +1490,7 @@ object QueriesCdc {
     "mv_join_refresh" -> { (s, dir) =>
       import graft.plans.MvRewrite
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvjf_gate")
+      val tmp = TmpSweep.gateTempDir("mvjf_gate")
       val oPath = tmp.toString + "/orders_flat"
       val cPath = tmp.toString + "/customer_flat"
       try {
@@ -1455,7 +1619,7 @@ object QueriesCdc {
     "mv_star_refresh" -> { (s, dir) =>
       import graft.plans.MvRewrite
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvsf_gate")
+      val tmp = TmpSweep.gateTempDir("mvsf_gate")
       val liPath = tmp.toString + "/li_flat"
       val oPath = tmp.toString + "/o_flat"
       val cPath = tmp.toString + "/c_flat"
@@ -1611,7 +1775,7 @@ object QueriesCdc {
       import graft.plans.MvRewrite
       import graft.cdc.MaterializedJoin.TableIn
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvsi_gate")
+      val tmp = TmpSweep.gateTempDir("mvsi_gate")
       val liPath = tmp.toString + "/li_flat"
       val oPath = tmp.toString + "/o_flat"
       val cPath = tmp.toString + "/c_flat"
@@ -1738,6 +1902,41 @@ object QueriesCdc {
         |  min(cents) AS min_cents, max(cents) AS max_cents
         |FROM o JOIN c ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // A42: the join-MV's ranked members are EXACT — the oracle replays
+    // row_number over the live join of the final post-delete states
+    // (first-sight tombstones AND both second-wave tail kills); a
+    // rescan that missed a member retraction would serve a demoted or
+    // dead member and hash-mismatch
+    "mv_join_topk" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 13 <> 3
+        |    AND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) <= 49000000
+        |    AND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) >= 1100000),
+        |c AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 17 <> 5)
+        |SELECT c_mktsegment, rnk, o_orderkey, cents FROM (
+        |  SELECT c_mktsegment, o_orderkey, cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents DESC, o_orderkey) AS rnk
+        |  FROM o JOIN c ON o_custkey = c_custkey)
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+    // A43: the interleaved chunk/changelog log converges to a CLOSED
+    // FORM the oracle states directly — last-append-wins means a key
+    // is finally dead iff it was deleted and NOT resurrected by a
+    // later-appended update (update batch k%4 > delete batch
+    // (3k+1)%4); balances carry the update iff the key has one. Any
+    // suppression or resume bug leaks a torn/stale chunk row appended
+    // after its event and hash-mismatches.
+    "cdc_snapshot_incremental" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |    + CASE WHEN c_custkey % 3 = 1 THEN 100000 ELSE 0 END AS bal_cents,
+        |  c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 7 <> 2
+        |   OR (c_custkey % 3 = 1 AND c_custkey % 4 > (3 * c_custkey + 1) % 4)
+        |ORDER BY c_custkey""".stripMargin,
     "mv_sketch_rewrite" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_exact,

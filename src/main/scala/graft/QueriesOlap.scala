@@ -219,6 +219,58 @@ object QueriesOlap {
         ORDER BY s_suppkey""")
     },
 
+    // B79 (r17): TPC-H Q2-SHAPED (min-cost supplier) — the last
+    // classic correlated-subquery shape: for each filtered part, keep
+    // the region's suppliers whose supply cost EQUALS the correlated
+    // MIN over all of that part's in-region suppliers. NOT spec-Q2:
+    // the synthetic corpus has no partsupp/ps_supplycost, so the
+    // per-(part, supplier) unit cost is the rollup MIN(cents DIV qty)
+    // over that pair's lineitems — integer-exact in both engines
+    // (cents is exact BIGINT, quantity an integer-valued double ≥ 1,
+    // DIV/​// identical integral division); the region/nation chain,
+    // the p_type/p_size part filter, the correlated MIN and the
+    // acctbal-descending LIMIT 100 are the preserved SHAPE. Catalyst
+    // decorrelates the scalar MIN to one per-part aggregate over the
+    // (part, supplier) rollup joined to EU suppliers. Plan audited:
+    // the rollup is computed TWICE (once for the serving join — with
+    // a runtime filter from the part side — once under the MIN),
+    // exactly as every engine's spec-Q2 scans partsupp twice;
+    // supplier/nation/region broadcast at any SF, and the final sort
+    // is TakeOrderedAndProject (LIMIT pushed into the sort). The
+    // 100 TB production path for a repeated Q2 is materializing the
+    // rollup as a D41-class join-MV, which this library ships.
+    "q_min_cost_supplier" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("q2_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q2_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("q2_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("q2_nation")
+      Tables.region(s, dir).createOrReplaceTempView("q2_region")
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+            MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                DIV CAST(l_quantity AS BIGINT)) AS ps_supplycost
+          FROM q2_lineitem GROUP BY 1, 2),
+        eu AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM q2_supplier
+          JOIN q2_nation ON s_nationkey = n_nationkey
+          JOIN q2_region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE')
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+          ps_supplycost
+        FROM q2_part
+        JOIN ps ON ps_partkey = p_partkey
+        JOIN eu ON s_suppkey = ps_suppkey
+        WHERE p_type = 'PROMO' AND p_size <= 10
+          AND ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost)
+            FROM ps ps2 JOIN eu e2 ON e2.s_suppkey = ps2.ps_suppkey
+            WHERE ps2.ps_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""")
+    },
+
     // B5: group-by-status counts (benchmark reconciliation query)
     "q_status_counts" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -1886,6 +1938,32 @@ object QueriesOlap {
         |  SELECT sp.l_suppkey FROM sp JOIN tot ON t_partkey = l_partkey
         |  WHERE qty > thr)
         |ORDER BY s_suppkey""".stripMargin,
+    // B79: Q2's correlated MIN replayed decorrelated — one per-part
+    // MIN over the EU-restricted (part, supplier) unit-cost rollup
+    // joined back (the same plan Catalyst derives); unit cost is
+    // MIN(cents // qty), exact BIGINT both engines
+    "q_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        // CAST(l_quantity AS BIGINT)) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |mn AS (SELECT ps_partkey AS m_partkey,
+        |    min(ps_supplycost) AS m_cost
+        |  FROM ps JOIN eu ON s_suppkey = ps_suppkey GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  ps_supplycost
+        |FROM part
+        |JOIN ps ON ps_partkey = p_partkey
+        |JOIN eu ON s_suppkey = ps_suppkey
+        |JOIN mn ON m_partkey = p_partkey
+        |WHERE p_type = 'PROMO' AND p_size <= 10
+        |  AND ps_supplycost = m_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
     "q_filter_pushdown" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
         |FROM lineitem
