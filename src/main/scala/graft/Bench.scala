@@ -54,9 +54,35 @@ object Bench {
     "mv_join_refresh", "mv_star_refresh", "mv_star_incremental",
     "mv_refresh_loop", "mv_join_rewrite", "mv_star_rewrite",
     "mv_sketch_rewrite", "mv_bitmap_rewrite", "mv_minmax_rewrite",
-    "mv_topk_rewrite", "mv_join_minmax",
+    "mv_topk_rewrite", "mv_join_minmax", "mv_join_topk",
     "qsk_mv_rollup", "kmv_mv_rollup", "cdc_mv_join", "cdc_mv_join_agg",
     "cdc_mv_incremental", "cdc_mv_minmax", "cdc_mv_topk")
+
+  /** Documented 10×-scaling exponent bands ([lo, hi], SURVEY §4/§6)
+    * for the self-validating scaling pass (r17, closes r16 verdict
+    * finding #3: the round's two same-HEAD artifacts disagreed
+    * 29-37× on the banded-dedup 10× times and the single-timed-run
+    * policy left no redundancy to arbitrate). A first reading whose
+    * exponent leaves its band is RE-RUN once and both readings land
+    * in the artifact with the band, so an out-of-band exponent always
+    * carries its own second reading; sub-base 10× times (negative
+    * exponents) are in-band only for the near-flat sketch-state rows
+    * whose documented behavior is bounded-state re-aggregation. */
+  private val expoBandDefault = (-0.3, 1.0)
+  private val expoBands: Map[String, (Double, Double)] = Map(
+    "dedup_ngram_jaccard" -> (0.1, 0.85), // §4: asymptote ~0.76, >0.85 = regression
+    "ann_hybrid_rrf"      -> (0.2, 1.1),  // §4: brute baseline, honest ~1.0
+    "ann_hybrid_indexed"  -> (-0.3, 0.7), // §4: index-bounded probe cost
+    "dedup_minhash_lsh"   -> (0.1, 0.9),  // banded family: documented 0.4-0.7
+    "dedup_substring"     -> (0.1, 0.9),
+    "dedup_clusters"      -> (0.1, 0.9),
+    "dedup_incremental"   -> (-0.1, 0.9), // probe ∝ batch: near-flat legal
+    "q_percentile_rollup" -> (-0.4, 0.6), // sketch-state rollups: flat by design
+    "q_hll_rollup"        -> (-0.4, 0.6),
+    "q_bitmap_rollup"     -> (-0.4, 0.6),
+    "q_kmv_rollup"        -> (-0.4, 0.6))
+  private def expoBand(name: String): (Double, Double) =
+    expoBands.getOrElse(name, expoBandDefault)
 
   /** A non-gate query whose FIRST timed run reaches this many seconds
     * is not re-run: at multi-second scale the job-level costs dominate
@@ -88,6 +114,30 @@ object Bench {
     } finally { f.delete(); () }
   }
 
+  /** Band-skew JSON object for the banded dedup joins over one corpus
+    * dir: a LINEAR probe of each banding's bucket histogram (max
+    * occupancy + predicted candidate pairs) — shared by the base-
+    * corpus telemetry and (r17, verdict #3c) the 10×-replica stamp
+    * inside the scaling block, so a degenerate-replica banding
+    * collapse is distinguishable from machine noise in the artifact
+    * itself. Throws on failure; callers wrap. */
+  private def bandSkewObj(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, dir)
+    def one(s: Dedup.BandSkew) =
+      s"""{"max_occ":${s.maxOccupancy},"buckets":${s.buckets},""" +
+        s""""rows":${s.bandRows},"cand_pairs":${s.candPairs}}"""
+    val lsh = Dedup.bandSkew(
+      Dedup.minhashBandRows(docs, col("doc_id"), col("text")), Seq("band", "bh"))
+    val sh = Dedup.bandSkew(Dedup.simhashBandRows(
+      Dedup.simhash64(docs, col("doc_id"), col("text"))), Seq("band", "bv"))
+    val ed = Dedup.bandSkew(
+      Dedup.editDistanceBandRows(docs, col("doc_id"), col("text")), Seq("band", "bv"))
+    s"""{"dedup_minhash_lsh":${one(lsh)},""" +
+      s""""dedup_simhash":${one(sh)},"dedup_editdist":${one(ed)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     TmpSweep.sweep() // reap roots orphaned by a killed prior run
     val cpuProbe = cpuProbeSec()
@@ -103,6 +153,41 @@ object Bench {
     // under-measuring queries whose contract includes it)
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.count()
+    // STREAMING MEASUREMENTS FIRST (r16 verdict #2): the driver's r16
+    // artifact read 4,311 rows/s — far below the §6 18-55k band at
+    // healthy probes — while the same-HEAD builder run (streaming
+    // after the 198-query suite, same code) read 36.4k. The suite
+    // leaves JVM state behind (heap fragmentation, GC tenuring, codegen
+    // cache pressure from ~200 compiled stages) that the probes cannot
+    // see. Streaming now runs BEFORE the suite in a quiet JVM, after
+    // one untimed warm pass of its own (stream-source planning, state
+    // store, envelope-parse codegen), and each artifact carries probes
+    // stamped IMMEDIATELY before it — a depressed reading must arrive
+    // with its own named machine cause.
+    val streamPreCpu = cpuProbeSec()
+    val streamPreIo = try ioProbeMbps() catch { case _: Throwable => -1.0 }
+    try StreamBench.run(spark, sfDir) // untimed warm — JIT/codegen/state
+    catch { case _: Throwable => () }
+    val (streamRows, streamSecs) =
+      try StreamBench.run(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream FAILED: ${e.getMessage}"); (0L, -1.0)
+      }
+    val streamRate = if (streamSecs > 0) (streamRows / streamSecs).toLong else -1L
+    // per-row end-to-end latency + delete propagation (reference
+    // benchmark.sh:319,:381 parity) and concurrent transactional load
+    // (benchmark.sh:417) — all measured, not self-reported
+    val (insLat, delLat) =
+      try StreamBench.latencyBench(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] latency FAILED: ${e.getMessage}"); (Nil, Nil)
+      }
+    val (clRows, clSecs, clFinal) =
+      try StreamBench.concurrentLoad(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] concurrent load FAILED: ${e.getMessage}"); (0L, -1.0, 0L)
+      }
+    val clRate = if (clSecs > 0) (clRows / clSecs).toLong else -1L
     // Steady-state measurement: one full untimed pass first (JIT/codegen
     // compilation, parquet footer + file-listing caches, shuffle service
     // spin-up all land here — INCLUDING the gate-class queries' codegen
@@ -147,28 +232,6 @@ object Bench {
     val qsMin = results.map { case (k, (_, mn, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    // end-to-end streaming CDC rate, measured per round (not
-    // self-reported): envelope files → stream → unwrap → keyed upsert
-    val (streamRows, streamSecs) =
-      try StreamBench.run(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] stream FAILED: ${e.getMessage}"); (0L, -1.0)
-      }
-    val streamRate = if (streamSecs > 0) (streamRows / streamSecs).toLong else -1L
-    // per-row end-to-end latency + delete propagation (reference
-    // benchmark.sh:319,:381 parity) and concurrent transactional load
-    // (benchmark.sh:417) — all measured, not self-reported
-    val (insLat, delLat) =
-      try StreamBench.latencyBench(spark)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] latency FAILED: ${e.getMessage}"); (Nil, Nil)
-      }
-    val (clRows, clSecs, clFinal) =
-      try StreamBench.concurrentLoad(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] concurrent load FAILED: ${e.getMessage}"); (0L, -1.0, 0L)
-      }
-    val clRate = if (clSecs > 0) (clRows / clSecs).toLong else -1L
     // Asymptotic pass: the heaviest queries re-run on a deterministic
     // SPARK_GRAFT_SCALE_FACTOR× replica of the corpus (ScaleUp builds
     // it once under /tmp; per-replica semantics identical to base, so
@@ -190,8 +253,20 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
         if (p.waitFor() == 0 && out.matches("[0-9a-f]{12}")) out else "nogit"
       } catch { case _: Throwable => "nogit" }
+      // the replica is validated/built BEFORE the cache is consulted:
+      // ScaleUp.ensure fingerprints the base corpus into the replica's
+      // completion marker (r17, verdict #3a — a stale or half-written
+      // replica is the only construction that yields sub-base 10×
+      // times), and the cache key carries that marker, so a cached
+      // measurement can never outlive the replica it was taken on
+      val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
+      if (factor > 1) ScaleUp.ensure(spark, sfDir, dst, factor)
+      val replicaKey =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(ScaleUp.markerOf(dst).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(10)
       val cache = new java.io.File(
-        s"/tmp/graft_scaling_${factor}_${math.abs(sfDir.hashCode)}_$headSha.json")
+        s"/tmp/graft_scaling_${factor}_${math.abs(sfDir.hashCode)}_${headSha}_$replicaKey.json")
       val cacheFreshMs = 2L * 3600 * 1000
       // a freshly-compiled binary also invalidates (uncommitted edits
       // share the HEAD sha, so compare against our own code source)
@@ -243,8 +318,11 @@ object Bench {
           // and the cross-corpus ExactSubstr decontamination (same
           // k-window cost class as dedup_substring)
           "ann_hybrid_indexed", "decontaminate_substring")
-        val dst = s"/tmp/graft_scale${factor}_${math.abs(sfDir.hashCode)}"
-        ScaleUp.ensure(spark, sfDir, dst, factor)
+        // machine-state stamp IMMEDIATELY before the scaled measurements
+        // (the pass runs minutes after the suite's probes; a depressed
+        // or inflated scaling block must carry its own explanation)
+        val scalePreCpu = cpuProbeSec()
+        val scalePreIo = try ioProbeMbps() catch { case _: Throwable => -1.0 }
         val baseTimes = results.map { case (k, (med, mn, _)) => k -> (med, mn) }.toMap
         val entries = heavy.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
@@ -258,25 +336,45 @@ object Bench {
                   name == "ann_hybrid_indexed")
                 """"build_excluded":true,"""
               else ""
+            val (lo, hi) = expoBand(name)
             try {
               exec(fn(spark, dst)) // untimed warm-up at scale
               // one timed run (was min-of-2; r15 finding #1): at 10×
               // cost the second run bought noise suppression the
               // driver budget can no longer afford — exponents are
-              // read against documented BANDS, not as point values
-              val scaled = {
+              // read against the documented BANDS above, and ONLY an
+              // out-of-band first reading pays a second run (r17,
+              // verdict #3b): both readings then land in the artifact
+              // so a contradiction arbitrates itself
+              def timedScaled(): Double = {
                 val t0 = System.nanoTime()
                 exec(fn(spark, dst))
                 (System.nanoTime() - t0) / 1e9
               }
-              val expo =
+              def expoOf(scaled: Double): Double =
                 if (base > 0 && scaled > 0) math.log(scaled / base) / math.log(factor)
                 else Double.NaN
+              val scaled = timedScaled()
+              val expo = expoOf(scaled)
+              val inBand = !expo.isNaN && expo >= lo && expo <= hi
+              val retryJson =
+                if (inBand || expo.isNaN) ""
+                else {
+                  val scaled2 = timedScaled()
+                  val expo2 = expoOf(scaled2)
+                  System.err.println(s"[bench] scale $name exponent " +
+                    s"${fmt(expo, 2)} outside band [$lo,$hi] - retry read " +
+                    s"${fmt(expo2, 2)}")
+                  s""""scaled_retry":$scaled2,"exponent_retry":${
+                    if (expo2.isNaN) "null" else fmt(expo2, 2)},""" +
+                    s""""out_of_band":${expo2.isNaN || expo2 < lo || expo2 > hi},"""
+                }
               s""""$name":{"base":$base,"scaled":$scaled,$flag""" +
+                s""""band":[$lo,$hi],$retryJson""" +
                 s""""exponent":${if (expo.isNaN) "null" else fmt(expo, 2)}}"""
             } catch { case e: Throwable =>
               System.err.println(s"[bench] scale $name FAILED: ${e.getMessage}")
-              s""""$name":{"base":$base,"scaled":-1,$flag"exponent":null}"""
+              s""""$name":{"base":$base,"scaled":-1,$flag"band":[$lo,$hi],"exponent":null}"""
             }
           }
         }
@@ -310,11 +408,26 @@ object Bench {
         // walk graph (pinned memory) and persisted hybrid-index roots
         // (temp disk) so a 10× corpus doesn't stay resident for the
         // rest of the process
+        // replica band-skew stamp (r17, verdict #3c): the same bucket-
+        // histogram probe the base corpus gets, run on the 10× replica
+        // the exponents were just measured on — a degenerate replica
+        // banding (the only data-side cause of a banded-dedup blowup)
+        // is a number in the SAME block as the exponents it would explain
+        val scaleSkew = try bandSkewObj(spark, dst)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] scale band skew FAILED: ${e.getMessage}")
+          "null"
+        }
         QueriesData.evictNndGraph(spark, dst)
         QueriesData.evictHybridIndex(spark, dst)
         QueriesData.evictIvfIndex(spark, dst)
         val json =
-          s""""scaling":{"factor":$factor,"queries":{${entries.mkString(",")}}},""" +
+          s""""scaling":{"factor":$factor,""" +
+            s""""replica_marker":"${ScaleUp.markerOf(dst)}",""" +
+            s""""pre_cpu_probe_sec":${fmt(scalePreCpu, 3)},""" +
+            s""""pre_io_probe_mbps":${fmt(scalePreIo, 1)},""" +
+            s""""band_skew_scale":$scaleSkew,""" +
+            s""""queries":{${entries.mkString(",")}}},""" +
             graphBuildJson
         try java.nio.file.Files.writeString(cache.toPath, json)
         catch { case _: java.io.IOException => () }
@@ -328,22 +441,8 @@ object Bench {
     // of each banding's bucket histogram (max occupancy + predicted
     // candidate pairs), so a degenerate-corpus collapse (the r7
     // editdist episode) is a number in this artifact, not a hang.
-    val bandSkewJson = try {
-      import org.apache.spark.sql.functions.col
-      import graft.ops.Dedup
-      val docs = Tables.documents(spark, sfDir)
-      def fmt(s: Dedup.BandSkew) =
-        s"""{"max_occ":${s.maxOccupancy},"buckets":${s.buckets},""" +
-          s""""rows":${s.bandRows},"cand_pairs":${s.candPairs}}"""
-      val lsh = Dedup.bandSkew(
-        Dedup.minhashBandRows(docs, col("doc_id"), col("text")), Seq("band", "bh"))
-      val sh = Dedup.bandSkew(Dedup.simhashBandRows(
-        Dedup.simhash64(docs, col("doc_id"), col("text"))), Seq("band", "bv"))
-      val ed = Dedup.bandSkew(
-        Dedup.editDistanceBandRows(docs, col("doc_id"), col("text")), Seq("band", "bv"))
-      s""""band_skew":{"dedup_minhash_lsh":${fmt(lsh)},""" +
-        s""""dedup_simhash":${fmt(sh)},"dedup_editdist":${fmt(ed)}}"""
-    } catch { case e: Throwable =>
+    val bandSkewJson = try s""""band_skew":${bandSkewObj(spark, sfDir)}"""
+    catch { case e: Throwable =>
       System.err.println(s"[bench] band skew probe FAILED: ${e.getMessage}")
       """"band_skew":null"""
     }
@@ -352,8 +451,19 @@ object Bench {
     // run — tiny SF dir — was committed as the round artifact and
     // read as a 60× streaming regression): a bench not run at the
     // full driver scale is stamped "smoke" and must never be cited by
-    // SURVEY §6 or compared across rounds.
-    val benchConfig = if (sfDir.contains("sf0.1")) "full" else "smoke"
+    // SURVEY §6 or compared across rounds. The test is RESOLVED-PATH
+    // EQUALITY against the canonical driver dir (r16 ADVICE: the old
+    // substring test stamped ".../sf0.1-tiny" as full); sfDir itself
+    // is recorded verbatim in the artifact for audit.
+    val benchConfig = {
+      val canonical = java.nio.file.Paths.get("/root/testdata/sf0.1")
+      val given = java.nio.file.Paths.get(sfDir)
+      val same =
+        try given.toRealPath().equals(canonical.toRealPath())
+        catch { case _: java.io.IOException =>
+          given.toAbsolutePath.normalize.equals(canonical.toAbsolutePath.normalize) }
+      if (same) "full" else "smoke"
+    }
     val singleRunJson =
       singleRun.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
@@ -364,6 +474,9 @@ object Bench {
       s""""queries_min":$qsMin,""" +
       s""""single_run":$singleRunJson,""" +
       s""""stream_rows_per_sec":$streamRate,"stream_rows":$streamRows,""" +
+      s""""stream_order":"before_suite",""" +
+      s""""stream_pre_cpu_probe_sec":${fmt(streamPreCpu, 3)},""" +
+      s""""stream_pre_io_probe_mbps":${fmt(streamPreIo, 1)},""" +
       s""""latency_ms":{"p50":${percentile(insLat, 0.50)},"p95":${percentile(insLat, 0.95)},"p99":${percentile(insLat, 0.99)}},""" +
       s""""delete_propagation_ms":{"p50":${percentile(delLat, 0.50)},"p95":${percentile(delLat, 0.95)}},""" +
       s""""concurrent_load_rows_per_sec":$clRate,"concurrent_load_final_rows":$clFinal,""" +
@@ -410,6 +523,8 @@ object Bench {
       s""""n_queries":$nQueries,"n_failed":$nFailed,"queries":$top10,""" +
       s""""queries_note":"slowest 10 of $nQueries; full per-query medians+mins in BENCH_LOCAL.json",""" +
       s""""stream_rows_per_sec":$streamRate,""" +
+      s""""stream_pre_cpu_probe_sec":${fmt(streamPreCpu, 3)},""" +
+      s""""stream_pre_io_probe_mbps":${fmt(streamPreIo, 1)},""" +
       s""""latency_ms_p50":${percentile(insLat, 0.50)},""" +
       s""""concurrent_load_rows_per_sec":$clRate,""" +
       s""""scaling_worst_exponents":$worstExpo,""" +
