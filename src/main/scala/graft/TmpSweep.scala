@@ -32,7 +32,7 @@ object TmpSweep {
     "graft-test", "streambench", "latbench", "txload",
     "mvjf_gate", "mvsf_gate", "mvsi_gate", "mvjr_gate", "mvrw_gate",
     "mvsr_gate", "mvtk_gate", "mvmm_gate", "mvloop_gate", "mvjm_gate",
-    "mvjtk_gate", "mvwk_gate", "snapchunk_gate",
+    "mvjtk_gate", "snapchunk_gate",
     "qskmv_gate", "kmvmv_gate", "bmrw_gate", "hybidx", "ivfidx")
 
   /** Orphanable plain FILES (not directories): the Bench io probe's

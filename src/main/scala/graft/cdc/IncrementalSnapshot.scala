@@ -128,4 +128,16 @@ object IncrementalSnapshot {
   def state(spark: SparkSession, root: String,
             schemaOf: => DataFrame): DataFrame =
     PkTableSink.readTxGroup(spark, root, Table, schemaOf).drop(SeqCol)
+
+  /** `foreachBatch` sink for a LIVE Structured Streaming changelog:
+    * micro-batch `id` appends at sequence `2·id` — odd sequences are
+    * reserved for snapshot chunks interleaving BETWEEN batches (chunk
+    * after batch b ⇒ seq `2·b + 1`, window = batch b's keys). A
+    * crash-redelivered batch is watermark-skipped, so the ordered log
+    * is exactly-once without relying on the stream's own checkpoint. */
+  def changelogSink(root: String, keyCols: Seq[String], deleteFlag: Column)
+                   (batch: DataFrame, id: Long): Unit = {
+    appendBatch(root, batch, keyCols, deleteFlag, seq = 2L * id)
+    ()
+  }
 }

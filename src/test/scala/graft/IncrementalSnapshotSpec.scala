@@ -89,4 +89,41 @@ class IncrementalSnapshotSpec extends SparkSpec {
     assert(state(root) == Map(1L -> 11L, 2L -> 20L))
     assert(IncrementalSnapshot.appliedSeq(spark, root).contains(2L))
   }
+
+  test("chunks interleave with a LIVE streaming changelog; redelivered batches are exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = TestTmp.dir("snaps").toString + "/g"
+    val ckpt = TestTmp.dir("snaps-ck").toString
+    val input = MemoryStream[(Long, Long, Boolean)]
+    val q = input.toDF().toDF("k", "v", "del").writeStream
+      .foreachBatch(IncrementalSnapshot.changelogSink(root, Seq("k"), col("del")) _)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // micro-batch 0 (seq 0): inserts; key 2 will be in chunk 0's window
+      input.addData((1L, 10L, false), (2L, 99L, false))
+      q.processAllAvailable()
+      assert(IncrementalSnapshot.appliedSeq(spark, root).contains(0L))
+      // chunk 0 (seq 1, keys 1-2) read TORN around batch 0: shows key
+      // 2's pre-batch value — suppressed via the window
+      assert(IncrementalSnapshot.appendChunk(root,
+        rows((1L, 10L, false), (2L, 2L, false)).drop("del"), Seq("k"),
+        windowKeys = rows((2L, 0L, false)), chunkId = 0, seq = 1L))
+      // micro-batch 1 (seq 2): update key 1, delete key 2 — both AFTER
+      // the chunk, both must supersede its READ rows
+      input.addData((1L, 11L, false), (2L, 0L, true))
+      q.processAllAvailable()
+      // chunk 1 (seq 3, keys 3-4): fresh read, empty window
+      assert(IncrementalSnapshot.appendChunk(root,
+        rows((3L, 30L, false), (4L, 40L, false)).drop("del"), Seq("k"),
+        windowKeys = rows(), chunkId = 1, seq = 3L))
+    } finally q.stop()
+    // crash redelivery: the sink re-invoked with an already-applied
+    // batch id must be a watermark no-op (exactly-once onto the log)
+    IncrementalSnapshot.changelogSink(root, Seq("k"), col("del"))(
+      rows((1L, 666L, false)).drop("del").withColumn("del", lit(false)), 1L)
+    assert(state(root) == Map(1L -> 11L, 3L -> 30L, 4L -> 40L),
+      "stream events beat the torn chunk; delete propagated; redelivery skipped")
+  }
 }
