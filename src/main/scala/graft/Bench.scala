@@ -317,7 +317,11 @@ object Bench {
           // warm pass (build_excluded, like the other graph rows) —
           // and the cross-corpus ExactSubstr decontamination (same
           // k-window cost class as dedup_substring)
-          "ann_hybrid_indexed", "decontaminate_substring")
+          "ann_hybrid_indexed", "decontaminate_substring",
+          // r17: the Q2 shape pays two lineitem rollup passes by
+          // construction (see the query's comment) — its exponent is
+          // the honest price of that, expected ≲ 1.0
+          "q_min_cost_supplier")
         // machine-state stamp IMMEDIATELY before the scaled measurements
         // (the pass runs minutes after the suite's probes; a depressed
         // or inflated scaling block must carry its own explanation)
