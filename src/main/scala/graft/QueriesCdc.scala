@@ -387,8 +387,11 @@ object QueriesCdc {
           sr, c.where(pmod(col("c_custkey"), lit(4)) === i),
           Seq("c_custkey"), Seq(col("cv")), col("cdel"),
           joinL = Seq("o_custkey"), joinR = Seq("c_custkey"), outCols = outCols)
-        sl = st.stateL.localCheckpoint(true)
-        sr = st.stateR.localCheckpoint(true)
+        // the two state materializations are independent jobs —
+        // overlapped (guide §2.6), identical results
+        val Seq(nsl, nsr) =
+          Par.map(Seq(st.stateL, st.stateR))(_.localCheckpoint(true))
+        sl = nsl; sr = nsr
         states = states ++ Seq(sl, sr)
         deltas = deltas :+ st.delta
       }
@@ -429,8 +432,11 @@ object QueriesCdc {
           Seq("c_custkey"), Seq(col("cv")), col("cdel"),
           joinL = Seq("o_custkey"), joinR = Seq("c_custkey"),
           outCols = Seq("o_orderkey", "cents", "c_name"))
-        sl = st.stateL.localCheckpoint(true)
-        sr = st.stateR.localCheckpoint(true)
+        // the two state materializations are independent jobs —
+        // overlapped (guide §2.6), identical results
+        val Seq(nsl, nsr) =
+          Par.map(Seq(st.stateL, st.stateR))(_.localCheckpoint(true))
+        sl = nsl; sr = nsr
         states = states ++ Seq(sl, sr)
         gds = gds :+ MaterializedAgg.groupDelta(st.delta, Seq("c_name"),
           Seq("cents" -> col("cents")))
@@ -1057,8 +1063,9 @@ object QueriesCdc {
             Seq("c_custkey"), Seq(col("cv")), col("cdel"),
             joinL = Seq("o_custkey"), joinR = Seq("c_custkey"),
             outCols = Seq("o_orderkey", "cents", "c_mktsegment", "c_name"))
-          sl = st.stateL.localCheckpoint(true)
-          sr = st.stateR.localCheckpoint(true)
+          val Seq(nsl, nsr) =
+            Par.map(Seq(st.stateL, st.stateR))(_.localCheckpoint(true))
+          sl = nsl; sr = nsr
           states = states ++ Seq(sl, sr)
           gds = gds :+ MaterializedAgg.groupDelta(st.delta,
             Seq("c_mktsegment", "c_name"), Seq("cents" -> col("cents")))

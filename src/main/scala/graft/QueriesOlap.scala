@@ -129,10 +129,22 @@ object QueriesOlap {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
-      val perOrder = lo.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-      lo.where(col("late")).select(col("l_orderkey"), col("l_suppkey")).distinct()
+      // one (order, supplier) pre-aggregate replaces BOTH the
+      // two-countDistinct Expand (2× the join's rows) and the second
+      // full pass over the join (the old `late` branch re-joined
+      // lineitem ⋈ orders, then paid its own distinct): per pair,
+      // `late` = any late row; the per-order counts and the
+      // late-pairs frame are then cheap rollups of the SAME exchange,
+      // which Spark's ReuseExchange computes once (guide §2.3/§2.4).
+      // countDistinct(suppkey) ≡ count(*) over the pair frame and
+      // countDistinct(when(late, suppkey)) ≡ Σ[late] over it, so the
+      // output is row-identical to the previous form.
+      val pairs = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late"))
+      val perOrder = pairs.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      pairs.where(col("late")).select(col("l_orderkey"), col("l_suppkey"))
         .join(perOrder.where(col("n_supp") >= 2 && col("n_late") === 1),
           Seq("l_orderkey"))
         .groupBy(col("l_suppkey"))

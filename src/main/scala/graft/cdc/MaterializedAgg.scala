@@ -192,12 +192,17 @@ object MaterializedAgg {
     var state = emptyState(batches.head, deleteFlag)
     var mv: Option[DataFrame] = None
     batches.foreach { batch =>
-      val s = step(state, batch, keyCols, version, deleteFlag)
-      // checkpoint bounds the lazy-plan depth across steps and pins
-      // the state each side of the diff reads the same snapshot of
+      // materialize via step's hook so the signed delta reads the
+      // CHECKPOINTED successor (checkpointing after the fact left the
+      // delta on the lazy merge plan — the view's job then re-ran the
+      // full state merge every round; r17 optimization, guide §1.2).
+      // The checkpoint still bounds lazy-plan depth across steps and
+      // pins the state each side of the diff reads the same snapshot of
+      val s = step(state, batch, keyCols, version, deleteFlag,
+        materialize = _.localCheckpoint(true))
       val prevState = state
       val prevMv = mv
-      state = s.state.localCheckpoint(true)
+      state = s.state
       mv = Some(mergeMv(mv, groupDelta(s.signedDelta, groupCols, sums),
         groupCols, sums.map(_._1)).localCheckpoint(true))
       // both successors are eager, so the superseded generation's
@@ -365,13 +370,15 @@ object MaterializedAgg {
     var state = emptyState(batches.head, deleteFlag)
     var mv: Option[DataFrame] = None
     batches.foreach { batch =>
-      val s = step(state, batch, keyCols, version, deleteFlag)
+      // materialize via the hook: the rescan leg AND the signed delta
+      // both read the checkpointed successor (the post-hoc checkpoint
+      // left the delta on the lazy merge plan — see maintain)
+      val s = step(state, batch, keyCols, version, deleteFlag,
+        materialize = _.localCheckpoint(true))
       val prevState = state
       val prevMv = mv
-      state = s.state.localCheckpoint(true)
-      // mergeMvMinMax reads the successor state (the rescan leg) — use
-      // the checkpointed frame so the rescan and the diff agree
-      mv = Some(mergeMvMinMax(mv, s.copy(state = state), groupCols, sums, exts)
+      state = s.state
+      mv = Some(mergeMvMinMax(mv, s, groupCols, sums, exts)
         .localCheckpoint(true))
       graft.Ckpt.free(prevState)
       prevMv.foreach(graft.Ckpt.free)

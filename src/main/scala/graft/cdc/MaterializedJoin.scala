@@ -176,8 +176,10 @@ object MaterializedJoin {
     // it — materialize the full-state merge once (measured 2-3×
     // recompute per round at N=3 without this); the returned states
     // ARE these checkpoints: callers must not re-checkpoint, and free
-    // them once the round's delta is consumed
-    val stepped = tables.map(t =>
+    // them once the round's delta is consumed. The N merges are
+    // independent jobs — overlapped from driver threads (guide §2.6),
+    // which recovers their fixed per-job overhead at any batch size
+    val stepped = graft.Par.map(tables)(t =>
       MaterializedAgg.step(t.state, t.batch, t.key, t.ver, t.delFlag,
         materialize = _.localCheckpoint(true)))
 
@@ -253,9 +255,10 @@ object MaterializedJoin {
 
     // old states are merge-on-read over the lake's delta dirs and are
     // re-read by every suffix term + the state advance — materialize
-    // each once; freed below with the new-state checkpoints once the
-    // group delta (the only consumer) is on its own checkpoint
-    val ins = tables.map { t =>
+    // each once (N independent jobs, overlapped — guide §2.6); freed
+    // below with the new-state checkpoints once the group delta (the
+    // only consumer) is on its own checkpoint
+    val ins = graft.Par.map(tables) { t =>
       val st = PkTableSink.readTxGroupAll(spark, root, s"state_${t.name}",
         MaterializedAgg.emptyState(t.batch, t.delFlag), deletedCol = Del)
         .localCheckpoint(true)
@@ -305,7 +308,8 @@ object MaterializedJoin {
                       tables: Seq[BatchIn], joinPairs: Seq[(String, String)],
                       outCols: Seq[String]): NWayTx = {
     import graft.sinks.PkTableSink
-    val ins = tables.map { t =>
+    // N independent lake reads — overlapped (guide §2.6)
+    val ins = graft.Par.map(tables) { t =>
       val st = PkTableSink.readTxGroupAll(spark, root, s"state_${t.name}",
         MaterializedAgg.emptyState(t.batch, t.delFlag), deletedCol = Del)
         .localCheckpoint(true)
@@ -461,8 +465,10 @@ object MaterializedJoin {
     val st = MaterializedAgg.Step(state = w.liveJoin,
       signedDelta = w.signedDelta)
     val gkCols = groupCols ++ keyCols
+    // no own checkpoint: built over the already-checkpointed signed
+    // delta and consumed once (inside curMv's checkpoint job) — a
+    // dedicated materialization job bought nothing
     val touched = w.signedDelta.select(groupCols.map(col): _*).distinct()
-      .localCheckpoint(true)
     val mvSchema = w.liveJoin
       .select(gkCols.map(col) :+ value.as(MaterializedTopK.Val): _*).limit(0)
     val curMv = PkTableSink.readTxGroup(spark, root, "mv", mvSchema)

@@ -186,11 +186,14 @@ object MaterializedTopK {
     var state = MaterializedAgg.emptyState(batches.head, deleteFlag)
     var mv: Option[DataFrame] = None
     batches.foreach { batch =>
-      val s = MaterializedAgg.step(state, batch, keyCols, version, deleteFlag)
+      // materialize via the hook: rescan leg and signed delta read the
+      // checkpointed successor (see MaterializedAgg.maintain)
+      val s = MaterializedAgg.step(state, batch, keyCols, version, deleteFlag,
+        materialize = _.localCheckpoint(true))
       val prevState = state
       val prevMv = mv
-      state = s.state.localCheckpoint(true)
-      mv = Some(mergeTopK(prevMv, s.copy(state = state),
+      state = s.state
+      mv = Some(mergeTopK(prevMv, s,
         groupCols, keyCols, value, k).localCheckpoint(true))
       graft.Ckpt.free(prevState)
       prevMv.foreach(graft.Ckpt.free)

@@ -823,7 +823,11 @@ object PkTableSink {
       val prevMeta = base.map(_.meta).getOrElse(Map.empty)
       val next = base.map(_.version + 1).getOrElse(0L)
       val nonce = java.util.UUID.randomUUID().toString.take(8)
-      val newDirs = chgs.map { case (t, (b, chg)) =>
+      // the per-table delta writes land in DISTINCT dirs and share no
+      // state — independent jobs, overlapped from driver threads
+      // (guide §2.6) so one multi-table commit pays one write's fixed
+      // job overhead, not one per table
+      val newDirs = graft.Par.map(chgs.toSeq) { case (t, (b, chg)) =>
         val meta = groupMetaOf(t, b.keyCols, b.versionCols)
         meta.foreach { case (k, v) => prevMeta.get(k).foreach(pv => require(pv == v,
           s"mergeTxGroup: $t key/version columns differ from the table's ($pv)")) }

@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Per-file key-range sidecars ("zone maps") for [[TxLog]]-backed lake
   * dirs: after a data dir is fully written, one small Spark job records
   * each file's min/max of the table's key columns into `<dir>/_zonemap`,
@@ -56,10 +58,129 @@ object ZoneMap {
   }
 
   /** Record per-file min/max of `keyCols` for every parquet file under
-    * `dir`. One job over the just-written dir; one collected row per
-    * file. Columns of unsupported types are skipped (the pruner then
-    * never prunes on them). */
+    * `dir`. Columns of unsupported types are skipped (the pruner then
+    * never prunes on them).
+    *
+    * Fast path (r17 optimization round, guide §1.2 "per-task work"):
+    * the stats a zone map needs are ALREADY in every parquet footer
+    * (row count + per-column min/max), so for the batch-sized dirs the
+    * transactional commit path writes (one to a handful of files) they
+    * are read driver-side with zero Spark jobs — the old
+    * `groupBy(input_file_name())` job paid a full shuffle + collect
+    * per committed dir, which at ~6 committed dirs per MV-gate round
+    * was a measurable slice of every lifecycle gate. Falls back to the
+    * Spark job when the dir is large (many files — at 100 TB a
+    * distributed stats job beats a serial driver loop) or when any
+    * footer's stats are unusable (missing, truncated-unsafe non-ASCII
+    * strings, exotic types), so recorded values stay exactly the
+    * min/max the old path recorded. */
   def write(spark: SparkSession, dir: String, keyCols: Seq[String]): Unit = {
+    if (footerWrite(spark, dir, keyCols)) return
+    writeViaJob(spark, dir, keyCols)
+  }
+
+  /** How many data files the driver-side footer path will read before
+    * deferring to the distributed job (per-footer reads are serial
+    * driver round trips — fine for commit-batch dirs, wrong at scale). */
+  private val FooterMaxFiles = 64
+
+  private def footerWrite(spark: SparkSession, dir: String, keyCols: Seq[String]): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (!fs.exists(dirPath)) return false
+    val files = fs.listStatus(dirPath).filter(_.isFile).map(_.getPath).filter { p =>
+      val n = p.getName; !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (files.length > FooterMaxFiles) return false
+    val lines = files.toSeq.flatMap { f =>
+      val footer = try {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try r.getFooter finally r.close()
+      } catch { case _: Exception => return false }
+      val md = footer.getBlocks
+      val schema = footer.getFileMetaData.getSchema
+      val rows = md.asScala.map(_.getRowCount).sum
+      if (rows == 0) None // the job path's empty-file behavior: no line
+      else {
+        val cols = keyCols.flatMap { c =>
+          if (!schema.containsField(c)) Nil
+          else schema.getFields.asScala.find(_.getName == c).get match {
+            case pt: org.apache.parquet.schema.PrimitiveType =>
+              val ann = pt.getLogicalTypeAnnotation
+              val isString = ann != null &&
+                ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              val isDecimal = ann != null &&
+                ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+              val isDateOrTs = ann != null &&
+                (ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
+                 ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation])
+              // kind must agree with kindOf on the Spark-read type;
+              // date/timestamp string renderings differ between the
+              // two paths, and decimals are binary-packed — defer
+              if (isDecimal || isDateOrTs) return false
+              val kind = pt.getPrimitiveTypeName match {
+                case INT32 | INT64 if !isString => Some("long")
+                case FLOAT | DOUBLE             => Some("double")
+                case BINARY if isString         => Some("string")
+                case _                          => None // unsupported: skip column
+              }
+              kind match {
+                case None => Nil
+                case Some(k) =>
+                  // fold per-row-group stats; every chunk must carry
+                  // usable stats or the whole dir defers to the job
+                  val chunks = md.asScala.map(_.getColumns.asScala
+                    .find(_.getPath.toDotString == c).getOrElse(return false))
+                  val stats = chunks.map(_.getStatistics)
+                  if (stats.exists(s => s == null || s.isEmpty)) return false
+                  val nonNull = stats.filter(_.hasNonNullValue)
+                  if (nonNull.isEmpty) Nil // all-null column: not prunable
+                  else if (nonNull.size + stats.count(s =>
+                      !s.hasNonNullValue && s.getNumNulls >= 0) != stats.size)
+                    return false
+                  else {
+                    def render(v: AnyRef): Option[String] = v match {
+                      case i: java.lang.Integer => Some(i.toString)
+                      case l: java.lang.Long    => Some(l.toString)
+                      case f: java.lang.Float   => Some(f.doubleValue.toString)
+                      case d: java.lang.Double  => Some(d.toString)
+                      case b: org.apache.parquet.io.api.Binary =>
+                        val s = b.toStringUsingUTF8
+                        // UTF8-binary vs UTF16 order agree on ASCII only
+                        if (s.forall(ch => ch < 0x80)) Some(s) else None
+                      case _ => None
+                    }
+                    val mins = nonNull.map(s => render(s.genericGetMin.asInstanceOf[AnyRef]))
+                    val maxs = nonNull.map(s => render(s.genericGetMax.asInstanceOf[AnyRef]))
+                    if ((mins ++ maxs).exists(_.isEmpty)) return false
+                    def cmp(a: String, b: String): Int = k match {
+                      case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+                      case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+                      case _        => a.compareTo(b)
+                    }
+                    val mn = mins.flatten.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+                    val mx = maxs.flatten.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+                    Seq(s"${c}.kind=$k", s"${c}.min=${esc(mn)}", s"${c}.max=${esc(mx)}")
+                  }
+              }
+            case _ => return false // nested key column: defer to the job
+          }
+        }
+        Some((Seq(s"f=${esc(f.getName)}", s"n=$rows") ++ cols).mkString("\t"))
+      }
+    }
+    val body = lines.sorted.mkString("", "\n", "\n")
+    val out = fs.create(new Path(dirPath, FileName), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  private def writeViaJob(spark: SparkSession, dir: String, keyCols: Seq[String]): Unit = {
     val df = spark.read.parquet(dir)
     val usable = keyCols.filter(c => df.schema.fields.exists(f =>
       f.name == c && kindOf(f.dataType).isDefined))
