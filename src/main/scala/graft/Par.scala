@@ -27,8 +27,17 @@ object Par {
   /** Map `f` over `xs` with each element on a pool thread, preserving
     * order. Escapes to a plain map for 0/1 elements. Exceptions
     * propagate (first failure rethrown on the caller thread). */
+  /** Run independent side-effecting actions (e.g. parquet writes to
+    * distinct dirs) concurrently; returns when all completed. */
+  def run(thunks: (() => Unit)*): Unit = { map(thunks.toSeq)(_.apply()); () }
+
   def map[A, B](xs: Seq[A])(f: A => B): Seq[B] =
-    if (xs.lengthCompare(2) < 0) xs.map(f)
+    // nested use runs inline: a fixed pool must never have a pool
+    // thread BLOCK on work that needs another pool thread (deadlock
+    // when all workers wait); inline keeps nesting correct and still
+    // overlapped at the outermost level
+    if (xs.lengthCompare(2) < 0 ||
+        Thread.currentThread().getName.startsWith("graft-par")) xs.map(f)
     else {
       val futs = xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
         override def call(): B = f(x)

@@ -730,13 +730,18 @@ object QueriesData {
           val recallOk = recallFloor.map(f => recall >= f)
           (strategy, selName, nQ, p.nElig, eligOnly, fillOk, recallOk)
         }
-        val broad = predOf(col("label") < 5)
-        val sharp = predOf(col("label") === 3)
-        Seq(
-          legRow("graph", "broad", broad, Some(0.9)),
-          legRow("graph", "sharp", sharp, Some(1.0)),
-          legRow("ivf", "broad", broad, Some(0.7)),
-          legRow("ivf", "sharp", sharp, Some(1.0)))
+        // the two predicate fixtures (each pays a brute-force truth
+        // leg) and the four strategy legs are independent job chains
+        // over shared CHECKPOINTED frames — overlapped (guide §2.6);
+        // row order is fixed by the Seq, so output is unchanged
+        val Seq(broad, sharp) = graft.Par.map(Seq(
+          col("label") < 5, col("label") === 3))(predOf)
+        graft.Par.map(Seq(
+          ("graph", "broad", broad, Option(0.9)),
+          ("graph", "sharp", sharp, Option(1.0)),
+          ("ivf", "broad", broad, Option(0.7)),
+          ("ivf", "sharp", sharp, Option(1.0)))) { case (st, sel, p, f) =>
+          legRow(st, sel, p, f) }
       }
       rows.toDF("strategy", "sel", "n_queries", "n_elig",
           "elig_only_ok", "fill_ok", "recall_ok")
@@ -771,20 +776,29 @@ object QueriesData {
       val k = 5
       val elig = emb.where(col("label") < 5).select(col("vec_id"))
         .localCheckpoint(true) // id-only; read by both legs + the flags
-      val nElig = elig.count()
-      val selfIn = elig.where(col("vec_id").isin(qids: _*))
-        .as[Long].collect().toSet // ≤ query-sample size
       val base = HybridRetrieval.rrfTopk(docs, col("doc_id"), col("text"),
           emb, col("vec_id"), col("embedding"),
           isQuery = _.isin(qids: _*), k = k, listN = 20,
           eligible = Some(elig.select(col("vec_id").as("id"))))
         .select(col("qid"), col("nid"))
       val (invRoot, gRoot, nDocs) = hybridIndexRoots(s, dir)
-      val idx = HybridRetrieval.rrfTopkFilteredIndexed(s, invRoot, gRoot,
-          docs.where(col("doc_id").isin(qids: _*)), col("doc_id"), col("text"),
-          emb.where(col("vec_id").isin(qids: _*)), col("vec_id"), col("embedding"),
-          nDocs, elig, col("vec_id"), k = k, listN = 20)
-        .localCheckpoint(true) // bounded: ≤ queries·k rows
+      // the three eager legs (eligible count, self-membership collect,
+      // indexed-probe checkpoint) only read the checkpointed elig
+      // frame + committed indexes — independent job chains, overlapped
+      // (guide §2.6)
+      val Seq(nEligA, selfInA, idxA) = graft.Par.map[() => Any, Any](Seq(
+        () => elig.count(),
+        () => elig.where(col("vec_id").isin(qids: _*))
+          .as[Long].collect().toSet, // ≤ query-sample size
+        () => HybridRetrieval.rrfTopkFilteredIndexed(s, invRoot, gRoot,
+            docs.where(col("doc_id").isin(qids: _*)), col("doc_id"), col("text"),
+            emb.where(col("vec_id").isin(qids: _*)), col("vec_id"), col("embedding"),
+            nDocs, elig, col("vec_id"), k = k, listN = 20)
+          .localCheckpoint(true) // bounded: ≤ queries·k rows
+      ))(_())
+      val nElig = nEligA.asInstanceOf[Long]
+      val selfIn = selfInA.asInstanceOf[Set[Long]]
+      val idx = idxA.asInstanceOf[DataFrame]
       val perQ = idx
         .join(elig.select(col("vec_id").as("nid")).withColumn("in_elig", lit(1L)),
           Seq("nid"), "left")
@@ -888,7 +902,11 @@ object QueriesData {
       // evaluates twice (hits + n_queries), not once per index. The
       // zero-hit edge keeps its row via the left join from the
       // 4-row index list.
-      val cand = indexes.map { case (nm, q) =>
+      // the 7 index sub-queries are independent and their CONSTRUCTION
+      // runs eager driver jobs (codebook/centroid collects, beam
+      // seeds) — overlapped (guide §2.6); union order is fixed by the
+      // Seq, so output is unchanged
+      val cand = graft.Par.map(indexes) { case (nm, q) =>
         QueriesData.queries(q)(s, dir)
           .select(lit(nm).as("index_name"), col("qid"), col("nid"))
       }.reduce(_ unionByName _)
