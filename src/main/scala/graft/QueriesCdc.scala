@@ -1045,10 +1045,12 @@ object QueriesCdc {
           col("c_mktsegment"), lit(1L).as("cv"),
           (col("c_custkey") % 17 === 5).as("cdel"))
         // the flat lake tables the USER queries = final live states
-        o.where(!col("odel")).select(col("o_orderkey"), col("o_custkey"),
-          col("cents")).write.mode("overwrite").parquet(oPath)
-        c.where(!col("cdel")).select(col("c_custkey"), col("c_name"),
-          col("c_mktsegment")).write.mode("overwrite").parquet(cPath)
+        // independent writes to distinct dirs — overlapped (guide §2.6)
+        Par.run(
+          () => o.where(!col("odel")).select(col("o_orderkey"), col("o_custkey"),
+            col("cents")).write.mode("overwrite").parquet(oPath),
+          () => c.where(!col("cdel")).select(col("c_custkey"), col("c_name"),
+            col("c_mktsegment")).write.mode("overwrite").parquet(cPath))
         // write side: the A32 kernel — 4 interleaved rounds of signed
         // join deltas folded to per-group (n, Σcents) adjustments
         var sl = MaterializedJoin.emptyState(o, col("odel"))
@@ -1408,14 +1410,16 @@ object QueriesCdc {
       val oPath = tmp.toString + "/o_flat"
       val cPath = tmp.toString + "/c_flat"
       try {
-        Tables.lineitem(s, dir).select(col("l_orderkey"),
-            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
-          .write.mode("overwrite").parquet(liPath)
-        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"))
-          .write.mode("overwrite").parquet(oPath)
-        Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
-          .write.mode("overwrite").parquet(cPath)
+        // independent writes to distinct dirs — overlapped (guide §2.6)
+        Par.run(
+          () => Tables.lineitem(s, dir).select(col("l_orderkey"),
+              floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+            .write.mode("overwrite").parquet(liPath),
+          () => Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderstatus"))
+            .write.mode("overwrite").parquet(oPath),
+          () => Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+            .write.mode("overwrite").parquet(cPath))
         val li = s.read.parquet(liPath)
         val o = s.read.parquet(oPath)
         val c = s.read.parquet(cPath)
@@ -1538,14 +1542,13 @@ object QueriesCdc {
         }
         // the flat lake tables the USER queries = the live states of
         // rounds ≤ maxRound (what the CDC stream has delivered so far)
-        def writeUserTables(maxRound: Int): Unit = {
-          o.where(pmod(col("o_orderkey"), lit(2)) <= maxRound && !col("odel"))
+        def writeUserTables(maxRound: Int): Unit = Par.run(
+          () => o.where(pmod(col("o_orderkey"), lit(2)) <= maxRound && !col("odel"))
             .select(col("o_orderkey"), col("o_custkey"), col("cents"))
-            .write.mode("overwrite").parquet(oPath)
-          c.where(pmod(col("c_custkey"), lit(2)) <= maxRound && !col("cdel"))
+            .write.mode("overwrite").parquet(oPath),
+          () => c.where(pmod(col("c_custkey"), lit(2)) <= maxRound && !col("cdel"))
             .select(col("c_custkey"), col("c_mktsegment"))
-            .write.mode("overwrite").parquet(cPath)
-        }
+            .write.mode("overwrite").parquet(cPath))
         def userQ(): DataFrame = {
           s.read.parquet(oPath).createOrReplaceTempView("o_jrf")
           s.read.parquet(cPath).createOrReplaceTempView("c_jrf")
@@ -1685,17 +1688,16 @@ object QueriesCdc {
               "cents" -> MvRewrite.SumOf("cents")),
             mvRoot = Some(root))
         }
-        def writeUserTables(maxRound: Int): Unit = {
-          li.where(pmod(col("lkey"), lit(2)) <= maxRound && !col("ldel"))
+        def writeUserTables(maxRound: Int): Unit = Par.run(
+          () => li.where(pmod(col("lkey"), lit(2)) <= maxRound && !col("ldel"))
             .select(col("l_orderkey"), col("cents"))
-            .write.mode("overwrite").parquet(liPath)
-          o.where(pmod(col("o_orderkey"), lit(2)) <= maxRound && !col("odel"))
+            .write.mode("overwrite").parquet(liPath),
+          () => o.where(pmod(col("o_orderkey"), lit(2)) <= maxRound && !col("odel"))
             .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-            .write.mode("overwrite").parquet(oPath)
-          c.where(pmod(col("c_custkey"), lit(2)) <= maxRound && !col("cdel"))
+            .write.mode("overwrite").parquet(oPath),
+          () => c.where(pmod(col("c_custkey"), lit(2)) <= maxRound && !col("cdel"))
             .select(col("c_custkey"), col("c_mktsegment"))
-            .write.mode("overwrite").parquet(cPath)
-        }
+            .write.mode("overwrite").parquet(cPath))
         def userQ(): DataFrame = {
           s.read.parquet(liPath).createOrReplaceTempView("li_smr")
           s.read.parquet(oPath).createOrReplaceTempView("o_smr")
@@ -1849,13 +1851,15 @@ object QueriesCdc {
           .write.mode("overwrite").parquet(mvPath)
         allStates.foreach(freeCkpt) // all consumed by the MV write
         // the flat lake tables the USER queries = final live states
-        li.where(!col("ldel") && !(col("lkey") % 23 === 11))
-          .select(col("l_orderkey"), col("cents"))
-          .write.mode("overwrite").parquet(liPath)
-        o.where(!col("odel")).select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderstatus")).write.mode("overwrite").parquet(oPath)
-        c.where(!col("cdel")).select(col("c_custkey"), col("c_mktsegment"))
-          .write.mode("overwrite").parquet(cPath)
+        // independent writes to distinct dirs — overlapped (guide §2.6)
+        Par.run(
+          () => li.where(!col("ldel") && !(col("lkey") % 23 === 11))
+            .select(col("l_orderkey"), col("cents"))
+            .write.mode("overwrite").parquet(liPath),
+          () => o.where(!col("odel")).select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus")).write.mode("overwrite").parquet(oPath),
+          () => c.where(!col("cdel")).select(col("c_custkey"), col("c_mktsegment"))
+            .write.mode("overwrite").parquet(cPath))
         MvRewrite.registerJoin(s, Seq(liPath, oPath, cPath), starPairs,
           mvPath, groupCols = groupCols,
           aggs = Map("n" -> MvRewrite.CountStar,
