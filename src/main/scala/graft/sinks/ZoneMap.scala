@@ -84,7 +84,7 @@ object ZoneMap {
     * driver round trips — fine for commit-batch dirs, wrong at scale). */
   private val FooterMaxFiles = 64
 
-  private def footerWrite(spark: SparkSession, dir: String, keyCols: Seq[String]): Boolean = {
+  private[graft] def footerWrite(spark: SparkSession, dir: String, keyCols: Seq[String]): Boolean = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -180,7 +180,7 @@ object ZoneMap {
     true
   }
 
-  private def writeViaJob(spark: SparkSession, dir: String, keyCols: Seq[String]): Unit = {
+  private[graft] def writeViaJob(spark: SparkSession, dir: String, keyCols: Seq[String]): Unit = {
     val df = spark.read.parquet(dir)
     val usable = keyCols.filter(c => df.schema.fields.exists(f =>
       f.name == c && kindOf(f.dataType).isDefined))
